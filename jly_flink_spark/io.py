@@ -1,0 +1,58 @@
+"""Table IO: load the driver's parquet tables and register views.
+
+All analytic queries read `/root/testdata/sf*/{table}.parquet`
+(TESTDATA.md). Loading goes through `spark.read.parquet` so Catalyst
+gets parquet pushdown + column pruning for free; at 100 TB the same
+call reads a partitioned directory tree and prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects. We read nanos as long
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType
+# with integer division — truncation to microseconds, matching how
+# DuckDB reads the same files. The conversion is a JVM-side expression;
+# parquet pushdown/pruning on all other columns is unaffected.
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each parquet table as a temp view for `spark.sql` use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

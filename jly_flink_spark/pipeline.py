@@ -1,0 +1,129 @@
+"""The CDC delete-archival pipeline, Spark-first.
+
+Reproduces the reference job's dataflow (SURVEY.md §2.1, operators
+T1–T7) as a lazy DataFrame plan:
+
+    envelopes -> op='d' filter (T1) -> validity guards (T2)
+              -> project target row (T3) -> union of N sources (T5)
+              -> broadcast dim enrichment fb_no (T6)
+              -> routing key db_tb_name (T6/T7)
+
+The reference runs this imperatively per record at parallelism 1
+(StartJob.java:39); here it is declarative, so Catalyst pushes the
+filters into the scan, prunes columns, and picks a broadcast hash
+join for the tiny sources dim — which is exactly what the reference
+hand-codes with its in-memory lookup map (AdbSink.java:43-47,88-90).
+At 100 TB the envelope scan parallelizes freely: the plan is
+order-insensitive (bag union, idempotent keyed loads), so lifting
+parallelism 1 is semantics-preserving (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import TaskConfig
+
+# CDC op codes (reference: enums/ChangeType.java:12-16).
+OP_INSERT = "i"
+OP_DELETE = "d"
+OP_UPDATE = "u"
+
+
+def delete_filter(env: DataFrame) -> DataFrame:
+    """T1: keep only DELETE events (StartJob.java:123-125)."""
+    return env.filter(F.col("op") == OP_DELETE)
+
+
+def validity_guards(env: DataFrame) -> DataFrame:
+    """T2: drop rows with blank source table, null pre-image, missing
+    pre-image id, or non-positive ts_ms (StartJob.java:128-151).
+
+    The reference logs-and-drops; here dropped rows simply fall out of
+    the filter (observable via `observe()` counters if needed)."""
+    return env.filter(
+        F.col("source_table").isNotNull()
+        & (F.trim(F.col("source_table")) != "")
+        & F.col("before").isNotNull()
+        & F.get_json_object(F.col("before"), "$.id").isNotNull()
+        & (F.col("ts_ms") > 0)
+    )
+
+
+def project_target(env: DataFrame) -> DataFrame:
+    """T3: build the target row (StartJob.java:146-163):
+    id = before.id as string, record_del_time = timestamp(ts_ms),
+    data_json = the pre-image verbatim, carry table_name + instance."""
+    return env.select(
+        F.col("instance_name"),
+        F.col("source_table").alias("table_name"),
+        F.get_json_object(F.col("before"), "$.id").alias("id"),
+        F.timestamp_millis(F.col("ts_ms")).alias("record_del_time"),
+        F.col("before").alias("data_json"),
+    )
+
+
+def union_sources(dfs: Iterable[DataFrame]) -> DataFrame:
+    """T5: bag-semantics UNION ALL of the per-instance streams
+    (StartJob.java:88-92)."""
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("union_sources: need at least one stream")
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def sources_dim(spark: SparkSession, cfg: TaskConfig) -> DataFrame:
+    """The tiny instance->fb_no dimension the reference builds as an
+    in-memory hash map in each sink (AdbSink.java:43-47)."""
+    rows = [(s.instance_name, s.fb_no) for s in cfg.sources]
+    return spark.createDataFrame(rows, "instance_name string, fb_no string")
+
+
+def enrich_and_route(
+    df: DataFrame, dim: DataFrame, db_alias: str
+) -> DataFrame:
+    """T6+T7: broadcast-join the sources dim to stamp fb_no and derive
+    the routing key db_tb_name = '<dbAlias>_<tableName>'
+    (AdbSink.java:88-90, SrSink.java:89-91).
+
+    Broadcast is explicit: the dim is O(10) rows while the fact side is
+    the full delete stream — at 100 TB this must never shuffle."""
+    return df.join(F.broadcast(dim), "instance_name", "left").withColumn(
+        "db_tb_name",
+        F.concat_ws("_", F.lit(db_alias), F.col("table_name")),
+    )
+
+
+def target_rows(df: DataFrame) -> DataFrame:
+    """Final sink schema (AdbSink.java:111 column list) plus the
+    routing key."""
+    return df.select(
+        "db_tb_name", "id", "fb_no", "record_del_time", "data_json"
+    )
+
+
+def build_pipeline(
+    spark: SparkSession,
+    envelopes: DataFrame,
+    cfg: TaskConfig,
+) -> DataFrame:
+    """Compose T1→T7 over an already-unioned envelope DataFrame.
+
+    The reference parses/filters per source stream then unions
+    (StartJob.java:52-92); with `instance_name` as a column the union
+    is implicit and the plan is identical — one scan, one filter chain,
+    one broadcast join (SURVEY.md T5 note)."""
+    deletes = validity_guards(delete_filter(envelopes))
+    projected = project_target(deletes)
+    enriched = enrich_and_route(projected, sources_dim(spark, cfg), cfg.db_alias)
+    return target_rows(enriched)
+
+
+def route_counts(target: DataFrame) -> DataFrame:
+    """T7 observability: rows per destination table (the grouping the
+    sinks perform before writing, AdbSink.java:106)."""
+    return target.groupBy("db_tb_name").agg(F.count("*").alias("n_rows"))

@@ -1,0 +1,9 @@
+"""Query registry: every operator exposed through __spark_entry__.
+
+Importing this package registers all query modules.
+"""
+
+from . import cdc_queries  # noqa: F401
+from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map
+
+__all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

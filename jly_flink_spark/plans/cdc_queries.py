@@ -1,0 +1,139 @@
+"""CDC pipeline queries (SURVEY.md §2.1 operators T1–T7) with DuckDB
+oracles.
+
+The envelope table is derived deterministically from the driver's
+`events` parquet on BOTH sides (sources/envelopes.py mirrors
+SYNTH_ENVELOPES_ORACLE_SQL), so the whole reference dataflow —
+parse, delete filter, guards, projection, union, broadcast
+enrichment, routing — is value-hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import demo_task_config
+from ..io import load_table
+from ..pipeline import (
+    build_pipeline,
+    delete_filter,
+    route_counts,
+    validity_guards,
+)
+from ..sources.envelopes import (
+    SYNTH_ENVELOPES_ORACLE_SQL,
+    synth_envelopes_from_events,
+)
+from .registry import register
+
+_CFG = demo_task_config(n_sources=3, db_alias="demo")
+
+# Shared oracle prelude: the synthetic envelope table + the sources dim
+# (the dim mirrors config.demo_task_config — the broadcast side of T6).
+_ORACLE_PRELUDE = f"""
+WITH env AS ({SYNTH_ENVELOPES_ORACLE_SQL}),
+dim(instance_name, fb_no) AS (
+  VALUES ('src-0', 'FB0'), ('src-1', 'FB1'), ('src-2', 'FB2')
+)
+"""
+
+
+def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_envelopes_from_events(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_synth_envelopes",
+    oracle=_ORACLE_PRELUDE + "SELECT * FROM env",
+    tags=("cdc", "source"),
+    doc="S1 stand-in: the deterministic Debezium-shaped envelope table.",
+)
+def cdc_synth_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _envelopes(spark, sf_dir)
+
+
+@register(
+    "cdc_delete_archive",
+    oracle=_ORACLE_PRELUDE
+    + """
+SELECT
+  'demo_' || e.source_table AS db_tb_name,
+  json_extract_string(e.before, '$.id') AS id,
+  d.fb_no AS fb_no,
+  epoch_ms(e.ts_ms) AS record_del_time,
+  e.before AS data_json
+FROM env e
+LEFT JOIN dim d USING (instance_name)
+WHERE e.op = 'd'
+  AND e.source_table IS NOT NULL AND trim(e.source_table) <> ''
+  AND e.before IS NOT NULL
+  AND json_extract_string(e.before, '$.id') IS NOT NULL
+  AND e.ts_ms > 0
+""",
+    tags=("cdc", "pipeline", "flagship"),
+    doc="T1–T7 composite: the reference job end-to-end "
+    "(StartJob.java:121-163 + AdbSink.java:88-90 enrichment).",
+)
+def cdc_delete_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_pipeline(spark, _envelopes(spark, sf_dir), _CFG)
+
+
+@register(
+    "cdc_filtered_deletes",
+    oracle=_ORACLE_PRELUDE
+    + """
+SELECT instance_name, op, ts_ms, source_table, before
+FROM env
+WHERE op = 'd'
+  AND source_table IS NOT NULL AND trim(source_table) <> ''
+  AND before IS NOT NULL
+  AND json_extract_string(before, '$.id') IS NOT NULL
+  AND ts_ms > 0
+""",
+    tags=("cdc", "filter"),
+    doc="T1+T2 in isolation: delete filter + the four validity guards "
+    "(StartJob.java:123-151).",
+)
+def cdc_filtered_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _envelopes(spark, sf_dir)
+    return validity_guards(delete_filter(env)).select(
+        "instance_name", "op", "ts_ms", "source_table", "before"
+    )
+
+
+@register(
+    "cdc_route_counts",
+    oracle=_ORACLE_PRELUDE
+    + """
+SELECT 'demo_' || e.source_table AS db_tb_name,
+       count(*) AS n_rows
+FROM env e
+WHERE e.op = 'd'
+  AND e.source_table IS NOT NULL AND trim(e.source_table) <> ''
+  AND e.before IS NOT NULL
+  AND json_extract_string(e.before, '$.id') IS NOT NULL
+  AND e.ts_ms > 0
+GROUP BY 1
+""",
+    tags=("cdc", "groupby"),
+    doc="T7: per-destination-table routing counts "
+    "(the groupingBy at AdbSink.java:106).",
+)
+def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = build_pipeline(spark, _envelopes(spark, sf_dir), _CFG)
+    return route_counts(target)
+
+
+@register(
+    "cdc_op_breakdown",
+    oracle=_ORACLE_PRELUDE
+    + "SELECT op, count(*) AS n FROM env GROUP BY op",
+    tags=("cdc", "groupby"),
+    doc="Envelope op-code distribution (ChangeType.java:12-16): the "
+    "complement view of the T1 delete filter.",
+)
+def cdc_op_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _envelopes(spark, sf_dir).groupBy("op").agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,98 @@
+"""Registry of named queries, each pairing a Spark DataFrame plan with
+its DuckDB oracle SQL (the driver's correctness gate — see
+__spark_entry__.py docstring).
+
+Contract per entry:
+- `spark_fn(spark, sf_dir) -> DataFrame` — the engine-side plan.
+- `oracle` — ANSI SQL DuckDB runs over the same parquet views, or
+  None for ops that are genuinely not SQL-expressible (the driver
+  then records a rows-only check).
+- Column names/aliases MUST match between both sides; the driver
+  sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: Optional[str],
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Oracle comparison requires UTC-naive timestamp parity with
+            # DuckDB regardless of how the caller built the session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, spark_fn=wrapped, oracle=oracle, tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+        )
+        return wrapped
+
+    return deco
+
+
+def register_sql(
+    name: str,
+    sql: str,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    oracle: Optional[str] = "__same__",
+):
+    """Register a query whose Spark plan and DuckDB oracle are the SAME
+    ANSI SQL text (dialect-shared subset). Catalyst still plans it —
+    SQL and DataFrame code produce identical plans."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    spark_fn.__name__ = name
+    REGISTRY[name] = QuerySpec(
+        name=name,
+        spark_fn=spark_fn,
+        oracle=sql if oracle == "__same__" else oracle,
+        tags=tags,
+        doc=doc,
+    )
+    return spark_fn
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,102 @@
+"""CDC pipeline unit tests: guards, projection, union, enrichment
+(SURVEY.md T1–T7), on hand-built envelope frames with known goldens."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jly_flink_spark.config import demo_task_config
+from jly_flink_spark.pipeline import (
+    build_pipeline,
+    delete_filter,
+    route_counts,
+    union_sources,
+    validity_guards,
+)
+
+ENV_SCHEMA = "instance_name string, op string, ts_ms long, source_table string, before string"
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, ENV_SCHEMA)
+
+
+GOOD = ("src-0", "d", 1754000000000, "t_orders", '{"id":"42","amount":"12.34"}')
+
+
+def test_non_deletes_dropped(spark):
+    df = _env(
+        spark,
+        [
+            GOOD,
+            ("src-0", "i", 1754000000000, "t_orders", '{"id":"1"}'),
+            ("src-0", "u", 1754000000000, "t_orders", '{"id":"2"}'),
+        ],
+    )
+    out = delete_filter(df).collect()
+    assert len(out) == 1 and out[0]["op"] == "d"
+
+
+def test_validity_guards_drop_each_bad_shape(spark):
+    # One violation per guard (StartJob.java:128-151) + one good row.
+    df = _env(
+        spark,
+        [
+            GOOD,
+            ("src-0", "d", 1754000000000, "", '{"id":"1"}'),  # blank table
+            ("src-0", "d", 1754000000000, "  ", '{"id":"1"}'),  # ws table
+            ("src-0", "d", 1754000000000, None, '{"id":"1"}'),  # null table
+            ("src-0", "d", 1754000000000, "t_orders", None),  # null before
+            ("src-0", "d", 1754000000000, "t_orders", '{"x":1}'),  # no id
+            ("src-0", "d", 0, "t_orders", '{"id":"1"}'),  # ts_ms == 0
+            ("src-0", "d", -5, "t_orders", '{"id":"1"}'),  # ts_ms < 0
+        ],
+    )
+    out = validity_guards(df).collect()
+    assert len(out) == 1
+    assert out[0]["before"] == GOOD[4]
+
+
+def test_pipeline_golden_row(spark):
+    cfg = demo_task_config()
+    df = _env(spark, [GOOD])
+    out = build_pipeline(spark, df, cfg).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["db_tb_name"] == "demo_t_orders"
+    assert row["id"] == "42"
+    assert row["fb_no"] == "FB0"
+    assert row["data_json"] == GOOD[4]
+    # timestamp_millis under UTC session TZ
+    assert row["record_del_time"] == dt.datetime(2025, 7, 31, 22, 13, 20)
+
+
+def test_unknown_instance_gets_null_fb_no(spark):
+    # Reference: map.get() returns null for unknown instance; left join parity.
+    cfg = demo_task_config()
+    df = _env(spark, [("src-99", "d", 1754000000000, "t_x", '{"id":"7"}')])
+    out = build_pipeline(spark, df, cfg).collect()
+    assert len(out) == 1 and out[0]["fb_no"] is None
+
+
+def test_union_is_bag_semantics(spark):
+    # T5: union keeps duplicates (StartJob.java:88-92 — no dedup).
+    a = _env(spark, [GOOD])
+    b = _env(spark, [GOOD])
+    assert union_sources([a, b]).count() == 2
+
+
+def test_route_counts(spark):
+    cfg = demo_task_config()
+    rows = [GOOD, GOOD, ("src-1", "d", 1754000000000, "t_items", '{"id":"9"}')]
+    target = build_pipeline(spark, _env(spark, rows), cfg)
+    counts = {r["db_tb_name"]: r["n_rows"] for r in route_counts(target).collect()}
+    assert counts == {"demo_t_orders": 2, "demo_t_items": 1}
+
+
+def test_broadcast_join_in_plan(spark):
+    # T6 must be a broadcast join at any scale — assert the physical plan.
+    cfg = demo_task_config()
+    df = _env(spark, [GOOD])
+    plan = build_pipeline(spark, df, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
