@@ -28,25 +28,25 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-# which Spark's vectorized reader rejects. We read nanos as long
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType
-# with integer division — truncation to microseconds, matching how
-# DuckDB reads the same files. The conversion is a JVM-side expression;
-# parquet pushdown/pruning on all other columns is unaffected.
-_TS_COLS = {
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
-    "events": ("ts",),
-}
+# Two parquet timestamp quirks in the driver's testdata:
+# - events.ts is INT64 TIMESTAMP(NANOS), which Spark's reader rejects
+#   outright → read nanos as long (legacy.parquet.nanosAsLong) and
+#   convert with integer division (truncation to µs, matching DuckDB's
+#   read of the same file).
+# - orders/lineitem use TIMESTAMP(MILLIS, adjusted=false), which Spark
+#   infers as TIMESTAMP_NTZ → disable NTZ inference so they load as
+#   plain TIMESTAMP (identical values under the UTC session TZ, and
+#   filter pushdown keeps working on the uncast column).
+_NANO_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _TS_COLS.get(name, ()):
+    for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df

@@ -4,6 +4,8 @@ Importing this package registers all query modules.
 """
 
 from . import cdc_queries  # noqa: F401
+from . import relational_queries  # noqa: F401
+from . import scalar_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map
 
 __all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,765 @@
+"""Relational operator surface (SURVEY.md §2.2): filters, joins,
+aggregations, windows, sorts, set ops — the general analytics
+capabilities the driver verifies over the TPC-H-ish tables.
+
+The reference implements none of these (verified absent, SURVEY.md
+§2.2); they are Spark built-ins, declared here as DataFrame plans so
+Catalyst handles pushdown / pruning / join selection, each paired
+with a DuckDB oracle.
+
+Determinism for value-hash parity: double-typed aggregates are
+summed as exact decimals and cast back to double on BOTH sides
+(`_dsum`), so the result is independent of partitioning/summation
+order — mandatory at any parallelism, and the reason these queries
+hash-match at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register, register_sql
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias: str):
+    """Order-independent, engine-independent double sum.
+
+    Two hazards break cross-engine value-hash parity on double sums:
+    (1) float addition is non-associative → partition order changes
+    the result; (2) double→decimal casts round ties differently
+    (Spark HALF_UP vs DuckDB HALF_EVEN — observed on real data).
+    Fix both: quantize each value with floor(x * 1e4) — a pure IEEE
+    double multiply + floor, bit-identical on any engine — then sum
+    exact integers (decimal(38,0), associative), then one double
+    division. Mirror in SQL:
+    CAST(SUM(CAST(FLOOR(x * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000
+    """
+    return _dsum_col(col).alias(alias)
+
+
+def _dsum_col(col):
+    e = col if not isinstance(col, str) else F.col(col)
+    return (
+        F.sum(F.floor(e * F.lit(10000)).cast("decimal(38,0)")).cast("double")
+        / 10000
+    )
+
+
+def _DSUM(expr: str) -> str:
+    """The SQL mirror of _dsum for oracle strings."""
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000"
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (pushed into the parquet scan by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount > 0.05
+""",
+    tags=("filter", "projection", "pushdown"),
+    doc="Range + predicate filter with column pruning; both reach the "
+    "parquet scan (PushedFilters/ReadSchema in explain).",
+)
+def filter_project_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_size BETWEEN 10 AND 40
+  AND p_name LIKE '%a%'
+""",
+    tags=("filter",),
+    doc="IN-list + BETWEEN + LIKE predicates.",
+)
+def filter_in_between_like(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+    tags=("join",),
+    doc="Equi inner join orders⋈customer. The customer side is a dim "
+    "→ Catalyst broadcasts it under the configured threshold.",
+)
+def join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+""",
+    tags=("join",),
+    doc="Left outer join with a join-side predicate (kept in the ON "
+    "clause — moving it to WHERE would change semantics).",
+)
+def join_left_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+""",
+    tags=("join",),
+    doc="Full outer join (nations without suppliers and vice versa).",
+)
+def join_full_outer(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    tags=("join",),
+    doc="Left-semi join ≡ EXISTS: customers having a big order.",
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join",),
+    doc="Left-anti join ≡ NOT EXISTS: customers with no orders.",
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_agg",
+    oracle=f"""
+SELECT p.p_brand, count(*) AS n_items,
+       {_DSUM('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("join", "groupby", "broadcast"),
+    doc="Fact⋈dim with explicit broadcast of the dim — the shape that "
+    "must never shuffle the fact side at 100 TB.",
+)
+def join_broadcast_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), _dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_regionkey <> r2.r_regionkey
+""",
+    tags=("join",),
+    doc="Cross join (tiny×tiny only — guarded use).",
+)
+def join_cross(spark, sf_dir):
+    r1 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s JOIN nation n
+  ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > n.n_nationkey * 100
+""",
+    tags=("join", "theta"),
+    doc="Theta join: equi key + non-equi residual condition.",
+)
+def join_theta_range(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cond = (s.s_nationkey == n.n_nationkey) & (
+        s.s_acctbal > n.n_nationkey * 100
+    )
+    return s.join(n, cond).select("s_suppkey", "s_name", "n_name")
+
+
+@register(
+    "join_multiway_q3",
+    oracle=f"""
+SELECT o.o_orderkey,
+       {_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+""",
+    tags=("join", "groupby", "tpch", "headline"),
+    doc="TPC-H Q3 shape: 3-way join, selective dim filter first, "
+    "group-by revenue. Catalyst reorders so customer filters before "
+    "the fact join; customer/orders broadcast when small.",
+)
+def join_multiway_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "join_multiway_q5",
+    oracle=f"""
+SELECT n.n_name,
+       {_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    tags=("join", "groupby", "tpch", "headline"),
+    doc="TPC-H Q5 shape: 6-way snowflake join, revenue by nation.",
+)
+def join_multiway_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM('l_quantity')} AS sum_qty,
+       {_DSUM('l_extendedprice')} AS sum_base_price,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_DSUM('l_quantity')} / count(*) AS avg_qty,
+       {_DSUM('l_extendedprice')} / count(*) AS avg_price,
+       {_DSUM('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("groupby", "tpch", "headline"),
+    doc="TPC-H Q1: the canonical wide aggregation — partial (map-side) "
+    "aggregation then one shuffle on the 2-col group key.",
+)
+def agg_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        _dsum(disc_price, "sum_disc_price"),
+        _dsum(charge, "sum_charge"),
+        (_dsum_col("l_quantity") / cnt).alias("avg_qty"),
+        (_dsum_col("l_extendedprice") / cnt).alias("avg_price"),
+        (_dsum_col("l_discount") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "agg_q6_forecast_revenue",
+    oracle=f"""
+SELECT {_DSUM('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("groupby", "tpch", "headline"),
+    doc="TPC-H Q6: fully-pushed-down scan + global agg, no shuffle of "
+    "data rows (single scalar out of each partition).",
+)
+def agg_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@register(
+    "agg_minmax_stats",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("groupby",),
+    doc="count / distinct-count / min / max per group (min/max on "
+    "doubles and timestamps are order-independent — no decimal trick "
+    "needed).",
+)
+def agg_minmax_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5
+""",
+    tags=("groupby",),
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def agg_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("groupby", "rollup"),
+    doc="ROLLUP hierarchy totals (subtotal + grand total rows).",
+)
+def agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("groupby", "cube"),
+    doc="CUBE: all grouping-key combinations.",
+)
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+register_sql(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("groupby", "grouping_sets"),
+    doc="Explicit GROUPING SETS (dialect-shared SQL; Catalyst plans the "
+    "expand + single shuffle).",
+)
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate — rows-only check per driver contract
+    tags=("groupby", "approx"),
+    doc="approx_count_distinct (HyperLogLog++): the 100-TB path for "
+    "distinct counts — no exact-distinct shuffle explosion. "
+    "Approximate ⇒ no value oracle (driver does rows-only).",
+)
+def agg_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("window", "topk", "headline"),
+    doc="Top-K per group via row_number — the scalable top-k idiom "
+    "(one shuffle on the partition key; no global sort). Tie-broken "
+    "on the unique orderkey for determinism.",
+)
+def window_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       rank() OVER (ORDER BY s_acctbal DESC) AS rnk,
+       dense_rank() OVER (ORDER BY s_acctbal DESC) AS drnk,
+       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+FROM supplier
+""",
+    tags=("window",),
+    doc="rank / dense_rank / ntile analytics.",
+)
+def window_rank_dense(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc())
+    wt = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+            OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_qty
+FROM lineitem
+""",
+    tags=("window", "frame"),
+    doc="Running sum with an explicit ROWS frame; decimal accumulation "
+    "keeps the prefix sums exact on both engines. (l_orderkey, "
+    "l_linenumber) alone is not unique in the synthetic data, so the "
+    "ordering tie-breaks on quantity/partkey/suppkey for determinism.",
+)
+def window_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS days_since_prev
+FROM orders
+""",
+    tags=("window",),
+    doc="lag/lead navigation + day gap between consecutive orders.",
+)
+def window_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), prev_date).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("sort", "limit"),
+    doc="Global top-k: Spark plans TakeOrderedAndProject — per-partition "
+    "heap + driver merge, never a full global sort.",
+)
+def sort_limit_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop",),
+    doc="UNION ALL (bag semantics — same operator as the pipeline's T5).",
+)
+def set_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop",),
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop",),
+    doc="EXCEPT (distinct semantics): nations with customers but no "
+    "suppliers.",
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+@register(
+    "set_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("setop", "distinct"),
+    doc="DISTINCT projection (hash aggregation under the hood).",
+)
+def set_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )

@@ -1,0 +1,281 @@
+"""Scalar function surface (SURVEY.md §2.2): string, date/time, math,
+conditional, JSON, and array functions — the library the reference
+only touches via JSON extraction + string concat (StartJob.java:
+122-146, AdbSink.java:89), widened to the full pyspark.sql.functions
+coverage and verified cell-exact against DuckDB.
+
+Dialect mapping is per-function (e.g. get_json_object ↔
+json_extract_string, split ↔ string_split); every output column is
+identically aliased on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       trim(concat('  ', p_name, '  ')) AS name_trimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev,
+       instr(p_name, 'a') AS first_a,
+       left(p_type, 3) AS type3,
+       repeat(p_brand, 2) AS brand2
+FROM part
+""",
+    tags=("scalar", "string"),
+    doc="String function battery: case, length, substring, replace, "
+    "trim, pad, reverse, position, left, repeat.",
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.left(F.col("p_type"), F.lit(3)).alias("type3"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+    )
+
+
+@register(
+    "scalar_regexp_split",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       regexp_replace(text, '[0-9]+', '#') AS no_digits,
+       string_split(lang, '-') AS lang_parts,
+       CAST(regexp_matches(text, 'the') AS INTEGER) AS has_the
+FROM documents
+""",
+    tags=("scalar", "string", "regexp"),
+    doc="Regex extract/replace/match + split (split ↔ string_split; "
+    "rlike ↔ regexp_matches).",
+)
+def scalar_regexp_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("no_digits"),
+        F.split("lang", "-").alias("lang_parts"),
+        F.col("text").rlike("the").cast("int").alias("has_the"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       extract(year FROM o_orderdate) AS order_year,
+       extract(month FROM o_orderdate) AS order_month,
+       extract(day FROM o_orderdate) AS order_day,
+       extract(hour FROM o_orderdate) AS order_hour,
+       quarter(o_orderdate) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) AS order_date,
+       epoch_ms(o_orderdate) AS epoch_millis
+FROM orders
+""",
+    tags=("scalar", "date"),
+    doc="Date/time extraction, truncation, casts, epoch conversion "
+    "(the reference's epoch-ms↔timestamp semantics, StartJob.java:161).",
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.hour("o_orderdate").cast("long").alias("order_hour"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.unix_millis(F.col("o_orderdate")).alias("epoch_millis"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT s_suppkey,
+       abs(s_acctbal - 5000) AS dist_from_5k,
+       CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+       CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+       sqrt(abs(s_acctbal)) AS bal_sqrt,
+       s_acctbal * s_acctbal AS bal_sq,
+       s_suppkey % 7 AS key_mod,
+       CAST(sign(s_acctbal - 5000) AS INTEGER) AS bal_sign,
+       greatest(s_acctbal, 1000.0) AS bal_floor1k,
+       least(s_acctbal, 9000.0) AS bal_cap9k,
+       1.0 / (s_acctbal + 1) AS bal_inv
+FROM supplier
+""",
+    tags=("scalar", "math"),
+    doc="Math battery: abs/floor/ceil/sqrt/mod/sign/greatest/least and "
+    "arithmetic — IEEE-deterministic ops only; transcendentals (libm-"
+    "dependent, 1-ulp engine differences) live in scalar_transcendental.",
+)
+def scalar_math_funcs(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal - 5000).alias("dist_from_5k"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (bal * bal).alias("bal_sq"),
+        (F.col("s_suppkey") % 7).alias("key_mod"),
+        F.signum(bal - 5000).cast("int").alias("bal_sign"),
+        F.greatest(bal, F.lit(1000.0)).alias("bal_floor1k"),
+        F.least(bal, F.lit(9000.0)).alias("bal_cap9k"),
+        (F.lit(1.0) / (bal + 1)).alias("bal_inv"),
+    )
+
+
+@register(
+    "scalar_transcendental",
+    oracle=None,  # libm exp/ln/pow differ by 1 ulp across engines —
+    # not value-hashable; driver records rows-only.
+    tags=("scalar", "math", "approx"),
+    doc="Transcendental functions (ln/exp/pow/sin/cos): correct to "
+    "double precision but libm implementations differ in the last ulp "
+    "between the JVM and DuckDB, so this is a rows-only check.",
+)
+def scalar_transcendental(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    nk = F.col("s_nationkey").cast("double")
+    return s.select(
+        "s_suppkey",
+        F.log(F.abs(bal) + 1).alias("bal_ln"),
+        F.exp(nk / 10).alias("nk_exp"),
+        F.pow(bal, 1.5).alias("bal_pow"),
+        F.sin(nk).alias("nk_sin"),
+        F.cos(nk).alias("nk_cos"),
+        F.atan2(nk, F.lit(1.0)).alias("nk_atan2"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'other' END AS status_label,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio,
+       CAST(o_totalprice > 200000 AS INTEGER) AS is_big
+FROM orders
+""",
+    tags=("scalar", "conditional"),
+    doc="CASE / NULLIF / COALESCE / boolean-to-int conditionals.",
+)
+def scalar_conditional(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("URGENT!"),
+        ).alias("prio"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("is_big"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field,
+       CAST(json_valid(props) AS INTEGER) AS is_valid_json
+FROM events
+""",
+    tags=("scalar", "json"),
+    doc="JSON field extraction over events.props — the same primitive "
+    "the reference's envelope parsing uses (StartJob.java:122-146: "
+    "get_json_object ↔ json_extract_string).",
+)
+def scalar_json_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.when(
+            F.from_json(F.col("props"), "map<string,string>").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(0)
+        .alias("is_valid_json"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_val,
+       embedding[64] AS last_val,
+       embedding[1:4] AS head4,
+       list_contains(embedding, 0.0) AS has_zero
+FROM embeddings
+""",
+    tags=("scalar", "array"),
+    doc="Array primitives over the embedding column: size, index, "
+    "slice, contains (1-indexed on both engines).",
+)
+def scalar_array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 64).alias("last_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias(
+            "has_zero"
+        ),
+    )
