@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design (the 100-TB considerations, per operator):
+
+- Exact dedup: one hash-shuffle on the fingerprint — the minimum
+  possible. Never `dropDuplicates()` on the raw text column (shuffles
+  full documents); shuffle the 32-byte hash + doc_id, keep the
+  canonical representative (min doc_id), semi-join back if full rows
+  are needed.
+- MinHash LSH: per-doc signatures are a scan (explode tokens → K
+  mins via one partial-aggregated groupBy on doc_id). Candidate
+  generation shuffles only (band_key, doc_id) pairs — band keys are
+  hashes, so the shuffle is uniform by construction; no skew salting
+  needed. Verification (exact Jaccard) runs only on candidate pairs.
+- SimHash: per-doc 16-bit signature via bit-majority aggregation —
+  a single groupBy; near-dup = equal signature (or Hamming≤d via
+  banding the signature).
+- n-gram Jaccard: shingle inverted index; pairs sharing a shingle
+  are co-grouped by the shingle hash. Hot shingles (stopword n-grams)
+  are the skew risk — cap or filter document-frequency-heavy shingles
+  before the pair join.
+
+All hashes are md5-based so every engine (and the DuckDB oracle)
+computes identical values — no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalized_text, tokens
+
+# MinHash parameters: K hashes in B bands of R rows (K = B*R).
+MINHASH_K = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row
+    per distinct content with the canonical (min) doc_id and the
+    duplicate count."""
+    t = F.col(text_col)
+    return (
+        docs.select(F.col("doc_id"), fingerprint(t).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deduplicated corpus: keeps exactly the canonical (min doc_id)
+    row per distinct normalized content. Implemented as a semi-join of
+    the slim winners frame back to the corpus — the full rows are
+    never shuffled."""
+    t = F.col(text_col)
+    slim = docs.select("doc_id", fingerprint(t).alias("fp"))
+    winners = slim.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) distinct token table — the shared input of the
+    set-similarity operators."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature: h_i(doc) = min over tokens of
+    md5(tok || '#' || i), i in [0, K). One groupBy on doc_id (partial
+    min aggregation map-side)."""
+    toks = doc_tokens(docs, text_col)
+    mins = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return toks.groupBy("doc_id").agg(*mins)
+
+
+def minhash_bands(signatures: DataFrame) -> DataFrame:
+    """Band keys: concat R consecutive minhashes per band."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)
+        ]
+        bands.append(
+            F.concat(F.lit(f"b{b}:"), *cols).alias("band_key")
+        )
+    sig = signatures
+    stacked = None
+    for b_col in bands:
+        part = sig.select("doc_id", b_col)
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return stacked
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    bands = minhash_bands(minhash_signatures(docs, text_col))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing ≥1 token.
+
+    `max_shingle_df` drops ubiquitous tokens (document frequency cap)
+    before the pair join — the skew guard: a stopword shared by every
+    doc would otherwise produce an O(n²) hot key."""
+    toks = doc_tokens(docs, text_col)
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rare = toks.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_shingle_df)),
+        "tok",
+        "left_semi",
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
+    )
+    jac = (
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document via bit-majority over token md5s.
+
+    Uses only md5 + substring + arithmetic (no engine-private hash),
+    so an oracle can reproduce it verbatim: hex digit j of md5(tok)
+    contributes its 4 bits; each bit votes +1/-1; the signature bit is
+    1 iff the vote sum is ≥ 0."""
+    toks = doc_tokens(docs, text_col)
+    h = F.md5(F.col("tok"))
+    digit = lambda j: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)
+        )
+        - 1
+    )
+    votes = []
+    for j in range(4):  # 4 hex chars → 16 bits
+        d = digit(j)
+        bits = [
+            (d >= 8).cast("int"),
+            ((d % 8) >= 4).cast("int"),
+            ((d % 4) >= 2).cast("int"),
+            (d % 2),
+        ]
+        for k, bit in enumerate(bits):
+            votes.append(
+                F.sum(bit * 2 - 1).alias(f"v{j * 4 + k}")
+            )
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(16):
+        bit = (F.col(f"v{i}") >= 0).cast("bigint") * (2**i)
+        sig = bit if sig is None else sig + bit
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup groups = identical 16-bit simhash (collision-prone by
+    design at 16 bits — it's the grouping stage; verification joins
+    exact Jaccard on top)."""
+    return (
+        simhash16(docs, text_col)
+        .groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

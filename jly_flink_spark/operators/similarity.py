@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how a 100-TB corpus is actually served:
+
+- `cosine_topk_bruteforce`: the exact baseline. Query set × corpus
+  cross join with the query side BROADCAST (queries are few; the
+  corpus is huge and must stream, never shuffle). Per-pair cosine is
+  a JVM-side higher-order-function expression — no Python.
+- `cosine_topk_lsh`: the scale path — random-hyperplane LSH buckets
+  computed from deterministic md5-derived hyperplanes; candidates are
+  bucket-joined, then exact-scored. Recall<1 by construction, so its
+  correctness check is rows-only.
+
+Determinism contract (for oracle value-hash parity): per-element
+products are computed in double (exact IEEE), floor-quantized at 1e8,
+and summed as exact integers — the same quantized-sum pattern the
+aggregation queries use, making dot products independent of fold
+order and identical across engines. Final cosine is plain double
+arithmetic on those exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+QUANT = 100_000_000  # 1e8: quantization scale for dot/norm sums
+
+
+def _qdot(a, b):
+    """Order-independent quantized dot product of two float arrays:
+    sum of floor(double(x)*double(y)*1e8) as exact integers."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(QUANT)
+        ),
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+def _qnorm2(a):
+    return _qdot(a, a)
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the quantized squared norm (computed once per vector —
+    at scale this is materialized with the corpus, not recomputed per
+    query)."""
+    return emb.withColumn("q_norm2", _qnorm2(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector (by vec_id), the k
+    nearest corpus vectors (self excluded).
+
+    Plan shape: broadcast(queries) ⨯ corpus scan → per-partition
+    partial top-k via window on the (tiny) query key — the corpus is
+    read once, never shuffled on vector data; only (query_id,
+    candidate, score) rows reach the window shuffle."""
+    corpus = with_norm(emb, vec_col).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("q_norm2").alias("cand_norm2"),
+    )
+    queries = (
+        with_norm(emb.filter(F.col("vec_id").isin(query_ids)), vec_col)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.col("q_norm2").alias("query_norm2"),
+        )
+    )
+    dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("query_norm2").cast("double"))
+        * F.sqrt(F.col("cand_norm2").cast("double"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def _hyperplane_sign(vec, plane_idx: int):
+    """Sign bit of <vec, r_p> where r_p is a deterministic pseudo-random
+    hyperplane: component j of plane p = (md5-digit(p, j) - 7.5).
+    Uses only md5/substring/arithmetic so the construction is
+    reproducible anywhere (and costs no shuffle — pure per-row expr)."""
+    # dot(vec, plane) via element index: fold over positions
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    prods = F.transform(
+        idx,
+        lambda j: F.element_at(vec, j + 1).cast("double")
+        * _plane_component(plane_idx, j),
+    )
+    s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    return (s >= 0).cast("int")
+
+
+def _plane_component(plane_idx: int, j):
+    """Component j (a Column index) of deterministic hyperplane p."""
+    h = F.md5(F.concat(F.lit(f"plane{plane_idx}#"), j.cast("string")))
+    d = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return d.cast("double") - 7.5
+
+
+def lsh_bucket(vec, n_planes: int = 8):
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into
+    an int. Identical vectors → identical buckets; nearby vectors
+    collide with probability 1 - angle/π per plane."""
+    acc = F.lit(0)
+    for p in range(n_planes):
+        acc = acc + _hyperplane_sign(vec, p) * (2**p)
+    return acc
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's
+    LSH bucket, then exact-scored. The bucket join shuffles only
+    (bucket, id, vec) — at 100 TB the bucketed corpus is written
+    partitioned by bucket so the probe is a partition-pruned scan.
+    Approximate (recall < 1) ⇒ rows-only correctness check."""
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    corpus = with_norm(bucketed, vec_col).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("q_norm2").alias("cand_norm2"),
+        "bucket",
+    )
+    queries = with_norm(
+        bucketed.filter(F.col("vec_id").isin(query_ids)), vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("q_norm2").alias("query_norm2"),
+        "bucket",
+    )
+    dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("query_norm2").cast("double"))
+        * F.sqrt(F.col("cand_norm2").cast("double"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label norm statistics — a cheap full-scan sanity operator
+    over the vector column (quantized-exact, oracle-friendly)."""
+    norm = F.sqrt(_qnorm2(F.col(vec_col)).cast("double") / QUANT)
+    return (
+        emb.select(F.col("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )

@@ -5,6 +5,7 @@ Importing this package registers all query modules.
 
 from . import cdc_queries  # noqa: F401
 from . import relational_queries  # noqa: F401
+from . import northstar_queries  # noqa: F401
 from . import scalar_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map
 

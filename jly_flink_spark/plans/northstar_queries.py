@@ -1,0 +1,404 @@
+"""North-star training-data-pipeline queries (BASELINE.json): dedup,
+similarity search, text analysis, multimodal — each backed by the
+operators package and (where deterministic) a DuckDB oracle.
+
+The oracle SQL for the hash-based operators (minhash/simhash/
+fingerprints) is *generated from the same parameters* as the Spark
+plans, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup, multimodal, similarity, text
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (kept in lockstep with operators/text.py)
+# ---------------------------------------------------------------------------
+
+# tokens(text) mirror: non-empty whitespace tokens of lower(text)
+_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_FP = f"md5({_NORM})"
+
+_SW = ", ".join(f"'{w}'" for w in text.STOPWORDS_EN)
+
+_LANG_COUNTS = {
+    lang: (
+        "len(list_filter({toks}, t -> list_contains([{ws}], t)))".format(
+            toks=_TOKS, ws=", ".join(f"'{w}'" for w in ws)
+        )
+    )
+    for lang, ws in text.LANG_MARKERS.items()
+}
+
+# argmax with the same fold order as operators/text.py::lang_id
+_LANG_PRED = f"""
+CASE
+  WHEN {_LANG_COUNTS['es']} > greatest({_LANG_COUNTS['en']}, {_LANG_COUNTS['de']}, {_LANG_COUNTS['fr']}, 0) THEN 'es'
+  WHEN {_LANG_COUNTS['fr']} > greatest({_LANG_COUNTS['en']}, {_LANG_COUNTS['de']}, 0) THEN 'fr'
+  WHEN {_LANG_COUNTS['de']} > greatest({_LANG_COUNTS['en']}, 0) THEN 'de'
+  WHEN {_LANG_COUNTS['en']} > 0 THEN 'en'
+  ELSE 'und'
+END
+"""
+
+_PUNCT_RE = "[^.,;:!?''\"()-]"  # doubled quote for SQL literal
+_N_TOK = f"len({_TOKS})"
+_N_SW = f"len(list_filter({_TOKS}, t -> list_contains([{_SW}], t)))"
+_PUNCT_RATIO = (
+    f"CAST(length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+_DIGIT_RATIO = (
+    "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+# NB: e0-suffixed literals force DOUBLE in DuckDB (bare 0.4 parses as
+# DECIMAL there, changing the arithmetic and the rendered scale).
+_QUALITY = f"""
+0.4e0 * (CASE WHEN {_N_TOK} >= 5 AND {_N_TOK} <= 5000 THEN 1.0e0 ELSE 0.3e0 END)
++ 0.3e0 * (CASE WHEN (CAST({_N_SW} AS DOUBLE) / greatest({_N_TOK}, 1)) >= 0.05
+               AND (CAST({_N_SW} AS DOUBLE) / greatest({_N_TOK}, 1)) <= 0.6
+          THEN 1.0e0 ELSE 0.5e0 END)
++ 0.3e0 * (CASE WHEN ({_PUNCT_RATIO} + {_DIGIT_RATIO}) < 0.2 THEN 1.0e0 ELSE 0.4e0 END)
+"""
+
+# distinct (doc_id, tok) pairs — mirror of dedup.doc_tokens
+_DOC_TOKS_CTE = f"""
+doc_toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+)
+"""
+
+
+def _minhash_oracle() -> str:
+    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
+    mins = ", ".join(
+        f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
+            b=b,
+            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DOC_TOKS_CTE},
+sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    digit = (
+        "(instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
+    )
+    votes = []
+    for j in range(4):
+        d = digit.format(j=j + 1)
+        bits = [
+            f"(CASE WHEN {d} >= 8 THEN 1 ELSE 0 END)",
+            f"(CASE WHEN ({d} % 8) >= 4 THEN 1 ELSE 0 END)",
+            f"(CASE WHEN ({d} % 4) >= 2 THEN 1 ELSE 0 END)",
+            f"({d} % 2)",
+        ]
+        for kk, bit in enumerate(bits):
+            votes.append(f"sum({bit} * 2 - 1) AS v{j * 4 + kk}")
+    sig = " + ".join(
+        f"CAST(v{i} >= 0 AS BIGINT) * {2**i}" for i in range(16)
+    )
+    return f"""
+WITH {_DOC_TOKS_CTE},
+voted AS (SELECT doc_id, {", ".join(votes)} FROM doc_toks GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM voted)
+SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+_QUANT = similarity.QUANT
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+_ANN_K = 5
+
+
+def _ann_oracle() -> str:
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    qprod = (
+        f"CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    nprod = (
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+prods AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         unnest(q.embedding) AS qx, unnest(e.embedding) AS ex
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT query_id, cand_id, sum({qprod}) AS qdot
+  FROM prods GROUP BY query_id, cand_id
+),
+norms AS (
+  SELECT vec_id, sum({nprod}) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT {_FP} AS fp, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("northstar", "dedup"),
+    doc="Exact dedup groups: md5 fingerprint of normalized text, "
+    "canonical representative = min doc_id. One slim hash shuffle.",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_corpus",
+    oracle=f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY {_FP}
+)
+""",
+    tags=("northstar", "dedup"),
+    doc="Deduplicated corpus via semi-join of canonical winners — "
+    "full rows never shuffle.",
+)
+def dedup_exact_corpus(spark, sf_dir):
+    return dedup.exact_dedup_keep_first(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=_minhash_oracle(),
+    tags=("northstar", "dedup", "minhash"),
+    doc=f"MinHash+LSH near-dup candidate pairs (K={dedup.MINHASH_K}, "
+    f"{dedup.MINHASH_BANDS} bands × {dedup.MINHASH_ROWS}); md5-based "
+    "so the oracle reproduces signatures exactly.",
+)
+def dedup_minhash_candidates(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "dedup_simhash_groups",
+    oracle=_simhash_oracle(),
+    tags=("northstar", "dedup", "simhash"),
+    doc="SimHash-16 near-dup groups via bit-majority voting "
+    "(md5-derived bits, engine-portable arithmetic).",
+)
+def dedup_simhash_groups(spark, sf_dir):
+    return dedup.simhash_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH {_DOC_TOKS_CTE},
+df AS (SELECT tok, count(*) AS dfreq FROM doc_toks GROUP BY tok),
+rare AS (SELECT d.doc_id, d.tok FROM doc_toks d
+         JOIN df ON df.tok = d.tok AND df.dfreq <= 1000),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE)
+      / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) >= 0.5
+""",
+    tags=("northstar", "dedup", "jaccard"),
+    doc="Exact n-gram(1) Jaccard over pairs sharing tokens, with a "
+    "document-frequency cap as the skew guard.",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        min_jaccard=0.5,
+        max_shingle_df=1000,
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       {_N_TOK} AS n_tokens,
+       length(text) AS n_chars_computed,
+       {_PUNCT_RATIO} AS punct_ratio,
+       {_DIGIT_RATIO} AS digit_ratio,
+       {_N_SW} AS n_stopwords,
+       {_QUALITY} AS quality,
+       {_LANG_PRED} AS lang_pred,
+       {_FP} AS fingerprint
+FROM documents
+""",
+    tags=("northstar", "text", "headline"),
+    doc="One-pass per-document text analysis: token/char counts, "
+    "punctuation+digit ratios, stopword counts, quality score, "
+    "language-ID heuristic, fingerprint. Pure codegen'd expressions.",
+)
+def text_stats(spark, sf_dir):
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_breakdown",
+    oracle=f"""
+SELECT {_LANG_PRED} AS lang_pred, lang AS lang_true, count(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("northstar", "text"),
+    doc="Language-ID confusion view: predicted × labelled language.",
+)
+def text_lang_breakdown(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            text.lang_id(F.col("text")).alias("lang_pred"),
+            F.col("lang").alias("lang_true"),
+        )
+        .groupBy("lang_pred", "lang_true")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_ann_oracle(),
+    tags=("northstar", "similarity", "headline"),
+    doc="Exact brute-force cosine top-k for a query set (broadcast "
+    "queries × streamed corpus; quantized-exact dot products).",
+)
+def ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_ANN_QUERY_IDS,
+        k=_ANN_K,
+    )
+
+
+@register(
+    "ann_cosine_lsh",
+    oracle=None,  # approximate (recall<1) — rows-only check
+    tags=("northstar", "similarity", "approx"),
+    doc="LSH-bucketed approximate cosine top-k (random-hyperplane "
+    "signs from md5-derived deterministic planes) — the 100-TB scale "
+    "path; approximate ⇒ rows-only.",
+)
+def ann_cosine_lsh(spark, sf_dir):
+    return similarity.cosine_topk_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_ANN_QUERY_IDS,
+        k=_ANN_K,
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm
+FROM (
+  SELECT label, vec_id,
+         sqrt(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT)) AS DOUBLE) / {_QUANT}) AS norm
+  FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY label, vec_id
+)
+GROUP BY label
+""",
+    tags=("northstar", "similarity"),
+    doc="Per-label embedding norm stats (quantized-exact norms).",
+)
+def embedding_norm_stats(spark, sf_dir):
+    return similarity.embedding_norm_stats(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "multimodal_media_stats",
+    oracle="""
+SELECT media_type, count(*) AS n_files, sum(n_bytes) AS total_bytes,
+       min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+FROM (
+  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+GROUP BY media_type
+""",
+    tags=("northstar", "multimodal"),
+    doc="Binary media column stats — metadata-only aggregation; the "
+    "payload column is pruned out of the scan.",
+)
+def multimodal_media_stats(spark, sf_dir):
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.media_stats(media)
+
+
+@register(
+    "multimodal_extract_features",
+    oracle=None,  # mapInPandas decode stub — genuinely non-SQL; rows-only
+    tags=("northstar", "multimodal", "pandas_udf"),
+    doc="Arrow-batched mapInPandas feature extraction over opaque "
+    "binary payloads (decode stubbed deterministically — no media "
+    "libs in this container; the distributed plumbing is real).",
+)
+def multimodal_extract_features(spark, sf_dir):
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.extract_features(media)

@@ -1,0 +1,138 @@
+"""Unit tests for the north-star operators on hand-built corpora with
+known goldens (dedup/similarity/text/multimodal)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+    (4, "Der Hund ist nicht ein Fuchs und das ist gut"),
+    (5, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {
+        r["canonical_doc_id"]: r["n_copies"]
+        for r in dedup.exact_dedup_groups(docs).collect()
+    }
+    # docs 1,2,3 collapse (whitespace-normalized fingerprint)
+    assert groups[1] == 3
+    assert groups[4] == 1 and groups[5] == 1
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(
+        r["doc_id"] for r in dedup.exact_dedup_keep_first(docs).collect()
+    )
+    assert kept == [1, 4, 5]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    # identical token sets must share every band
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    # unrelated docs should not pair with the fox docs
+    assert (1, 5) not in pairs
+
+
+def test_jaccard_exact_values(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, min_jaccard=0.9).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical token sets
+    assert pairs[(1, 3)] == 1.0
+
+
+def test_simhash_identical_docs_collide(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert 0 <= sigs[1] < 2**16
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house"),
+            (2, "der hund und die katze ist nicht das problem"),
+            (3, "le chat est une belle bete et les chiens"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred"] for r in df.select(
+        "doc_id", text.lang_id(F.col("text")).alias("pred")
+    ).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is here and it is good")],
+        "doc_id long, text string",
+    )
+    row = text.text_stats(df).collect()[0]
+    assert row["n_tokens"] == 10
+    assert row["n_stopwords"] >= 3
+    assert row["quality"] == pytest.approx(1.0)
+    assert len(row["fingerprint"]) == 32
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal to 0
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_bruteforce(df, query_ids=[0], k=3).collect()
+    ranked = [r["cand_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert ranked[0] == 1 and ranked[-1] == 2
+    cos = {r["cand_id"]: r["cosine"] for r in out}
+    assert cos[1] > 0.99 and abs(cos[2]) < 1e-6
+
+
+def test_lsh_bucket_deterministic(spark):
+    vecs = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    buckets = [
+        r["b"]
+        for r in df.select(
+            similarity.lsh_bucket(F.col("embedding"), 4).alias("b")
+        ).collect()
+    ]
+    assert buckets[0] == buckets[1]  # identical vectors, identical bucket
+    assert 0 <= buckets[0] < 16
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    from jly_flink_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["media_type"] in ("image", "audio", "video")
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert r["channels"] == 3
+        assert 0.0 <= r["feature0"] < 1.0
+    # determinism: run twice, same features
+    again = {r["doc_id"]: r["feature0"] for r in feats.collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feature0"]
