@@ -1,0 +1,97 @@
+"""The streaming archival job: file-source envelope stream →
+parse/filter/project/enrich (the batch pipeline, reused verbatim —
+Structured Streaming executes the same logical plan incrementally) →
+foreachBatch dual sink.
+
+Maps the reference's runtime controls onto the micro-batch engine
+(SURVEY.md §3.3):
+- flushIntervalMs (T9, timer thread)  → trigger(processingTime=...)
+- batchSize (T8, count trigger)       → maxFilesPerTrigger + sink chunking
+- enableCheckpointing 60s (K5)        → checkpointLocation (offset log)
+- snapshot/restore buffer state (K5)  → unnecessary: replayable source
+                                        offsets + idempotent labels
+- close/final flush (K6)              → query.stop() + epoch commit
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import TaskConfig
+from ..pipeline import build_pipeline
+from ..sources.envelopes import parse_envelope_json, read_envelope_stream
+from .sinks import DualSink
+
+
+def streaming_pipeline(
+    spark: SparkSession,
+    envelope_dir: str,
+    cfg: TaskConfig,
+    instance_col_from: str = "file",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming envelope source → target rows. The envelope files
+    carry `instance_name|json` lines (the harness encoding of the
+    per-source streams the reference unions — StartJob.java:52-92)."""
+    from pyspark.sql import functions as F
+
+    raw = read_envelope_stream(
+        spark, envelope_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    # value = "<instance_name>|<envelope json>"
+    parsed = parse_envelope_json(
+        raw.select(
+            F.substring_index("value", "|", 1).alias("instance_name"),
+            F.expr("substring(value, instr(value, '|') + 1)").alias("value"),
+        )
+    )
+    return build_pipeline(spark, parsed, cfg)
+
+
+def start_archival_stream(
+    spark: SparkSession,
+    envelope_dir: str,
+    cfg: TaskConfig,
+    sink: DualSink,
+    checkpoint_dir: str,
+    trigger_seconds: float = 5.0,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Start the delete-archival stream (the Spark analog of
+    StartJob.main wiring + env.execute, StartJob.java:36-108)."""
+    target = streaming_pipeline(
+        spark, envelope_dir, cfg, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        target.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def run_archival_once(
+    spark: SparkSession,
+    envelope_dir: str,
+    cfg: TaskConfig,
+    sink: DualSink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain everything currently in the source and stop — the
+    harness/run-to-completion mode (processAllAvailable ≈ the
+    reference's graceful close K6: flush all, then shut down)."""
+    q = start_archival_stream(
+        spark,
+        envelope_dir,
+        cfg,
+        sink,
+        checkpoint_dir,
+        trigger_seconds=0.5,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,181 @@
+"""Dual sinks reproducing the reference's delivery semantics
+(SURVEY.md K1–K6) on the micro-batch model.
+
+- AdbStyleSink ≈ the buffered JDBC batch-insert sink
+  (reference: sink/AdbSink.java:30-146). Here the write target is
+  parquet partitioned by the routing key; for a real
+  AnalyticDB/MySQL target, swap `_write` for `df.write.jdbc(...)`
+  with the reference's URL params (`rewriteBatchedStatements=true`,
+  server-side prepared statements, `serverTimezone=Asia/Shanghai` —
+  AdbSink.java:63,73-77); the epoch/ledger logic is unchanged.
+- SrStyleSink ≈ the StarRocks Stream Load sink
+  (reference: sink/SrSink.java:31-203 + utils/SrStreamLoadClient.java).
+  It reproduces the contract pieces that carry semantics: fixed-size
+  chunking (Lists.partition, SrSink.java:108-110), one labelled load
+  request per chunk (SrSink.java:111-116), label-dedup on replay
+  ("Label Already Exists" → skip, SrSink.java:126-129). The transport
+  is pluggable: `LocalDirTransport` records each request (for the
+  offline harness); a real transport would PUT to
+  http://fe:8030/api/<db>/<tbl>/_stream_load with Basic auth,
+  format=JSON, strip_outer_array=true, jsonpaths column mapping and
+  307-redirect handling (SrStreamLoadClient.java:44-79).
+
+Delivery guarantee: at-least-once micro-batches from checkpointed
+source offsets + idempotent labels keyed on (query_id, epoch_id,
+chunk) ⇒ effectively-once, strictly stronger than the reference's
+ADB path (which drops on persistent failure — K2; deviation
+documented in SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+# Sink column order matches the ADB INSERT list (AdbSink.java:111).
+SINK_COLUMNS = ("db_tb_name", "id", "fb_no", "record_del_time", "data_json")
+
+
+class LabelLedger:
+    """Filesystem ledger of committed load labels — the replay-dedup
+    that StarRocks provides server-side via label registration
+    (SrSink.java:126-129). One empty file per committed label; rename-
+    free and idempotent, so it is safe under micro-batch replay."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def seen(self, label: str) -> bool:
+        return os.path.exists(os.path.join(self.path, label))
+
+    def commit(self, label: str) -> None:
+        with open(os.path.join(self.path, label), "w", encoding="utf-8"):
+            pass
+
+
+@dataclass
+class AdbStyleSink:
+    """Parquet-append archival keyed by epoch, standing in for the
+    JDBC batch sink. Epoch idempotency: an epoch already in the ledger
+    is skipped wholesale (the reference instead relies on MySQL
+    transaction-per-flush, AdbSink.java:104-127)."""
+
+    out_dir: str
+
+    def __post_init__(self):
+        self.ledger = LabelLedger(os.path.join(self.out_dir, "_ledger"))
+
+    def write(self, batch_df: DataFrame, epoch_id: int, query_id: str = "q") -> None:
+        label = f"adb_{query_id}_{epoch_id}"
+        if self.ledger.seen(label):
+            return  # replayed epoch — already committed
+        (
+            batch_df.select(*SINK_COLUMNS)
+            .write.mode("append")
+            .partitionBy("db_tb_name")
+            .parquet(os.path.join(self.out_dir, "data"))
+        )
+        self.ledger.commit(label)
+
+
+class LocalDirTransport:
+    """Offline stand-in for the Stream Load HTTP endpoint: records
+    each labelled JSON-array payload as a file. Duplicate label →
+    'Label Already Exists' response, exactly like a StarRocks FE."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def put(self, db_tb_name: str, label: str, payload: str) -> dict:
+        tbl_dir = os.path.join(self.root, db_tb_name)
+        os.makedirs(tbl_dir, exist_ok=True)
+        target = os.path.join(tbl_dir, f"{label}.json")
+        if os.path.exists(target):
+            return {"Status": "Label Already Exists"}
+        with open(target, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return {"Status": "Success", "NumberLoadedRows": payload.count('"id"')}
+
+
+@dataclass
+class SrStyleSink:
+    """Stream-Load-style sink: group by routing table, chunk each
+    group to `batch_size`, one labelled request per chunk.
+
+    Label format mirrors the reference's
+    sink_sr_<jobId>_<uid>_<subtask>_<nanos>_<chunk> (SrSink.java:111-116)
+    with Spark's replay identity substituted: (query_id, epoch_id)
+    is stable across micro-batch replays, so labels are deterministic
+    and replays dedup — the property the reference gets from nanos+uid
+    only within a single attempt."""
+
+    transport: LocalDirTransport
+    batch_size: int = 100  # SinkConfig.java:20 default
+
+    def write(self, batch_df: DataFrame, epoch_id: int, query_id: str = "q") -> None:
+        size = self.batch_size
+
+        def load_partition(rows):
+            # Executor-side: group rows of this partition by routing
+            # key, chunk, and send one labelled request per chunk.
+            import collections
+
+            by_table = collections.defaultdict(list)
+            for row in rows:
+                by_table[row["db_tb_name"]].append(
+                    {
+                        "id": row["id"],
+                        "record_del_time": str(row["record_del_time"]),
+                        "fb_no": row["fb_no"],
+                        "data_json": row["data_json"],
+                    }
+                )
+            for tbl, items in by_table.items():
+                for ci in range(0, len(items), size):
+                    chunk = items[ci : ci + size]
+                    label = (
+                        f"sink_sr_{query_id}_{epoch_id}_{tbl}_{ci // size}"
+                    )
+                    resp = transport.put(tbl, label, json.dumps(chunk))
+                    status = resp.get("Status")
+                    if status == "Label Already Exists":
+                        continue  # replayed chunk — already loaded
+                    if status != "Success":
+                        raise RuntimeError(f"stream load failed: {resp}")
+
+        transport = self.transport
+        # Repartition by routing key so each destination table's rows
+        # co-locate (the groupingBy at SrSink.java:93), then load per
+        # partition. coalesce(1) per epoch would serialize like the
+        # reference's parallelism-1; we keep it parallel (bag + labels
+        # make order irrelevant).
+        (
+            batch_df.select(*SINK_COLUMNS)
+            .repartition("db_tb_name")
+            .foreachPartition(load_partition)
+        )
+
+
+@dataclass
+class DualSink:
+    """Fan out every micro-batch to both sinks — the reference wires
+    AdbSink always and SrSink behind --sink_to_sr (StartJob.java:
+    94-104; C3). One source read, two writes, exactly as the Flink
+    job replicates records to both sink operators."""
+
+    adb: AdbStyleSink
+    sr: SrStyleSink | None = None
+    calls: list = field(default_factory=list)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            self.adb.write(batch_df, epoch_id)
+            if self.sr is not None:
+                self.sr.write(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()

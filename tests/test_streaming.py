@@ -1,0 +1,207 @@
+"""Structured Streaming parity tests (SURVEY.md §5.2-5.3): the full
+parse→filter→project→enrich→route pipeline running as a file-source
+stream with foreachBatch dual sinks, checkpoint recovery, label
+idempotency, and event-time windows with watermarks."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.config import demo_task_config
+from jly_flink_spark.pipeline import build_pipeline
+from jly_flink_spark.streaming.job import run_archival_once
+from jly_flink_spark.streaming.sinks import (
+    AdbStyleSink,
+    DualSink,
+    LocalDirTransport,
+    SrStyleSink,
+)
+
+CFG = demo_task_config()
+
+# instance|envelope-json lines, split across files (one per micro-batch
+# with maxFilesPerTrigger=1) — FIXTURES.md §4.
+EVENTS = [
+    ("src-0", "d", 1754000000000, "t_orders", {"id": "1", "v": "10.5"}),
+    ("src-0", "i", 1754000001000, "t_orders", {"id": "2"}),
+    ("src-1", "d", 1754000002000, "t_items", {"id": "3", "x": "y"}),
+    ("src-1", "d", 0, "t_items", {"id": "4"}),  # bad ts guard
+    ("src-2", "d", 1754000004000, "", {"id": "5"}),  # blank table guard
+    ("src-2", "d", 1754000005000, "t_orders", None),  # null before guard
+    ("src-0", "u", 1754000006000, "t_orders", {"id": "6"}),
+    ("src-1", "d", 1754000007000, "t_orders", {"id": "7", "n": "1"}),
+]
+
+
+def _envelope_line(instance, op, ts_ms, table, before):
+    env = {
+        "op": op,
+        "ts_ms": ts_ms,
+        "source": {"db": "demo", "table": table},
+        "before": before,
+    }
+    return f"{instance}|{json.dumps(env, separators=(',', ':'))}"
+
+
+def _write_envelope_files(path, events, per_file=3):
+    os.makedirs(path, exist_ok=True)
+    for fi in range(0, len(events), per_file):
+        with open(os.path.join(path, f"batch_{fi:04d}.txt"), "w") as f:
+            for ev in events[fi : fi + per_file]:
+                f.write(_envelope_line(*ev) + "\n")
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    env_dir = str(tmp_path / "envelopes")
+    _write_envelope_files(env_dir, EVENTS)
+    return {
+        "env": env_dir,
+        "ckpt": str(tmp_path / "ckpt"),
+        "adb": str(tmp_path / "adb"),
+        "sr": str(tmp_path / "sr"),
+    }
+
+
+def _make_sink(dirs, spark):
+    adb = AdbStyleSink(dirs["adb"])
+    sr = SrStyleSink(LocalDirTransport(dirs["sr"]), batch_size=2)
+    return DualSink(adb, sr)
+
+
+EXPECTED_IDS = {"1", "3", "7"}  # deletes surviving all guards
+
+
+def test_stream_end_to_end_dual_sink(spark, stream_dirs):
+    run_archival_once(
+        spark, stream_dirs["env"], CFG, _make_sink(stream_dirs, spark),
+        stream_dirs["ckpt"],
+    )
+    # ADB-style sink: archived parquet matches the surviving deletes
+    archived = spark.read.parquet(os.path.join(stream_dirs["adb"], "data"))
+    rows = {r["id"]: r for r in archived.collect()}
+    assert set(rows) == EXPECTED_IDS
+    assert rows["1"]["fb_no"] == "FB0"
+    assert rows["3"]["db_tb_name"] == "demo_t_items"
+    assert rows["1"]["data_json"] == '{"id":"1","v":"10.5"}'
+    # SR-style sink: every surviving row loaded exactly once
+    loaded_ids = []
+    for f in glob.glob(os.path.join(stream_dirs["sr"], "*", "*.json")):
+        with open(f) as fh:
+            loaded_ids += [r["id"] for r in json.load(fh)]
+    assert sorted(loaded_ids) == sorted(EXPECTED_IDS)
+
+
+def test_stream_restart_is_idempotent(spark, stream_dirs):
+    sink = _make_sink(stream_dirs, spark)
+    run_archival_once(
+        spark, stream_dirs["env"], CFG, sink, stream_dirs["ckpt"]
+    )
+    # New envelope file arrives; restart from the same checkpoint.
+    _write_envelope_files(
+        stream_dirs["env"] + "_extra", []
+    )  # no-op, keep helper exercised
+    with open(
+        os.path.join(stream_dirs["env"], "batch_9999.txt"), "w"
+    ) as f:
+        f.write(
+            _envelope_line(
+                "src-2", "d", 1754000008000, "t_items", {"id": "8"}
+            )
+            + "\n"
+        )
+    run_archival_once(
+        spark, stream_dirs["env"], CFG, sink, stream_dirs["ckpt"]
+    )
+    archived = spark.read.parquet(os.path.join(stream_dirs["adb"], "data"))
+    ids = [r["id"] for r in archived.collect()]
+    # old rows not re-written (offsets committed), new row exactly once
+    assert sorted(ids) == sorted(EXPECTED_IDS | {"8"})
+
+
+def test_sr_label_replay_dedup(spark, stream_dirs):
+    """Replaying the same epoch must not duplicate loads (K4)."""
+    sink = _make_sink(stream_dirs, spark)
+    target = build_pipeline(
+        spark,
+        spark.createDataFrame(
+            [("src-0", "d", 1754000000000, "t_orders", '{"id":"42"}')],
+            "instance_name string, op string, ts_ms long, "
+            "source_table string, before string",
+        ),
+        CFG,
+    )
+    sink.sr.write(target, epoch_id=7)
+    sink.sr.write(target, epoch_id=7)  # replay, same epoch
+    files = glob.glob(os.path.join(stream_dirs["sr"], "*", "*.json"))
+    all_ids = []
+    for f in files:
+        with open(f) as fh:
+            all_ids += [r["id"] for r in json.load(fh)]
+    assert all_ids == ["42"]  # loaded exactly once
+    sink.sr.write(target, epoch_id=8)  # a new epoch loads again
+    files = glob.glob(os.path.join(stream_dirs["sr"], "*", "*.json"))
+    assert len(files) == 2
+
+
+def test_sr_chunking_respects_batch_size(spark, stream_dirs):
+    sink = SrStyleSink(LocalDirTransport(stream_dirs["sr"]), batch_size=2)
+    rows = [
+        ("src-0", "d", 1754000000000 + i, "t_orders", f'{{"id":"{i}"}}')
+        for i in range(5)
+    ]
+    target = build_pipeline(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "instance_name string, op string, ts_ms long, "
+            "source_table string, before string",
+        ),
+        CFG,
+    ).coalesce(1)
+    sink.write(target, epoch_id=1)
+    files = glob.glob(os.path.join(stream_dirs["sr"], "*", "*.json"))
+    sizes = sorted(len(json.load(open(f))) for f in files)
+    assert sizes == [1, 2, 2]  # Lists.partition(5, 2) semantics
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """The tumbling-window plan produces identical results in batch
+    and in streaming (file source + watermark + append mode)."""
+    from jly_flink_spark.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    # stream the same rows from parquet files
+    stream_src = str(tmp_path / "events_stream")
+    events.write.parquet(stream_src)
+    sdf = (
+        spark.readStream.schema(events.schema).parquet(stream_src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
