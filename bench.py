@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Runs the headline queries from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` sink (full physical
+execution, no driver-side collect overhead), which is how you time a
+plan the way a cluster would run it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative headline set: one per workload family (CDC pipeline,
+# scan-heavy agg, multiway joins, window analytics, streaming-window
+# batch analog, JSON extraction, dedup, ANN, text analysis).
+HEADLINE = [
+    "cdc_delete_archive",
+    "agg_q1_pricing_summary",
+    "agg_q6_forecast_revenue",
+    "join_multiway_q3",
+    "join_multiway_q5",
+    "join_broadcast_agg",
+    "window_topk_per_group",
+    "events_tumbling_hourly",
+    "events_json_props",
+    "dedup_minhash_candidates",
+    "dedup_exact_corpus",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan; noop sink avoids collect() overhead."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from jly_flink_spark.session import get_spark
+    from jly_flink_spark.plans import REGISTRY
+
+    spark = get_spark("jly_flink_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM / parquet footer cache so q1 doesn't pay
+    # first-touch costs the other queries don't.
+    _force(REGISTRY["filter_project_pushdown"].spark_fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        _force(spec.spark_fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
