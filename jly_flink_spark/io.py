@@ -52,6 +52,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before a
+    CPU-dense stage (hashing, regex, vector math).
+
+    A small table stored as one parquet file scans as ONE partition,
+    so a per-row-expensive operator runs single-threaded no matter how
+    many cores the cluster has. Repartitioning fixes that — but only
+    when parallelism is actually missing: on a real many-split scan
+    (the 100 TB case) this is a no-op, so the extra shuffle is only
+    ever paid on inputs small enough for it to be cheap. Passing
+    `keys` hash-partitions on them, so a downstream groupBy on the
+    same keys reuses the exchange instead of adding one.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each parquet table as a temp view for `spark.sql` use."""
     for name in tables:

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import ensure_min_parallelism
 from .text import fingerprint, normalized_text, tokens
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
@@ -66,8 +67,10 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, tok) distinct token table — the shared input of the
-    set-similarity operators."""
-    return docs.select(
+    set-similarity operators. Fans the scan out first: the downstream
+    explode+hash work is per-token CPU, and the partitioning on doc_id
+    is reused by every per-doc aggregation that follows."""
+    return ensure_min_parallelism(docs, keys=["doc_id"]).select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
@@ -86,35 +89,70 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_bands(signatures: DataFrame) -> DataFrame:
-    """Band keys: concat R consecutive minhashes per band."""
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [
-            F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)
+    """Band keys: concat R consecutive minhashes per band.
+
+    All B band keys are emitted from ONE pass over the signatures via
+    array+explode — a per-band select/union would make Spark recompute
+    the whole signature aggregation B times."""
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                *[
+                    F.col(f"h{b * MINHASH_ROWS + r}")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
         ]
-        bands.append(
-            F.concat(F.lit(f"b{b}:"), *cols).alias("band_key")
-        )
-    sig = signatures
-    stacked = None
-    for b_col in bands:
-        part = sig.select("doc_id", b_col)
-        stacked = part if stacked is None else stacked.unionByName(part)
-    return stacked
+    )
+    return signatures.select(
+        "doc_id", F.explode(band_keys).alias("band_key")
+    )
+
+
+# Skew guard for degenerate LSH buckets (e.g. empty-text docs all
+# hashing identically): a bucket of n docs emits n(n-1)/2 pairs, so one
+# pathological key can dominate the whole job. Buckets larger than this
+# are near-certain duplicate *groups*, better handled by exact dedup.
+MAX_LSH_BUCKET = 10_000
 
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    One shuffle on band_key (uniform by construction — keys are
+    hashes), pairs expanded within each bucket. This beats a bands⋈
+    bands self-join twice over: the signature pipeline is computed
+    once, not twice, and the bucket is materialized once instead of
+    hash-joined."""
     bands = minhash_bands(minhash_signatures(docs, text_col))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= MAX_LSH_BUCKET)
+        )
+    )
+    # Sorted bucket + posexplode + suffix-slice emits exactly the
+    # C(n,2) ordered pairs (no n² generate-then-filter). The
+    # repartition between the two explodes is the skew fix: a
+    # degenerate bucket of n docs otherwise expands entirely inside
+    # ONE task; spread by (band_key, doc_a), each task expands one
+    # suffix.
     return (
-        a.join(b, "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.select(
+            "band_key",
+            F.posexplode("ids").alias("pos", "doc_a"),
+            "ids",
+        )
+        .repartition("band_key", "doc_a")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            F.explode(
+                F.expr("slice(ids, pos + 2, size(ids))")
+            ).alias("doc_b"),
         )
         .distinct()
     )

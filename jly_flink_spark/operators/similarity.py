@@ -67,7 +67,9 @@ def cosine_topk_bruteforce(
     partial top-k via window on the (tiny) query key — the corpus is
     read once, never shuffled on vector data; only (query_id,
     candidate, score) rows reach the window shuffle."""
-    corpus = with_norm(emb, vec_col).select(
+    from ..io import ensure_min_parallelism
+
+    corpus = with_norm(ensure_min_parallelism(emb), vec_col).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         F.col("q_norm2").alias("cand_norm2"),
@@ -149,7 +151,11 @@ def cosine_topk_lsh(
     (bucket, id, vec) — at 100 TB the bucketed corpus is written
     partitioned by bucket so the probe is a partition-pruned scan.
     Approximate (recall < 1) ⇒ rows-only correctness check."""
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    from ..io import ensure_min_parallelism
+
+    bucketed = ensure_min_parallelism(emb).withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes)
+    )
     corpus = with_norm(bucketed, vec_col).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),

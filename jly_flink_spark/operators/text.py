@@ -113,7 +113,10 @@ def fingerprint(text: Column) -> Column:
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document statistics + quality + language + print."""
+    from ..io import ensure_min_parallelism
+
     t = F.col(text_col)
+    docs = ensure_min_parallelism(docs)
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
