@@ -1,0 +1,147 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+banded range join.
+
+The reference implements no joins at all (SURVEY.md §2.2 — its only
+lookup is the broadcast dimension map, T6); these are part of the
+general analytics surface, built as compositions of DataFrame ops —
+no UDFs, no Catalyst extensions.
+
+Scale design:
+
+- As-of join: the naive formulation (theta join `r.ts <= l.ts` then
+  keep latest) is O(|L|·|R|) per key and explodes on hot keys. The
+  union-and-sweep form used here is O((|L|+|R|) log) with exactly ONE
+  shuffle on the join key: tag both sides, union, sort within key by
+  time, and carry the latest right-row struct forward with
+  last(ignoreNulls) over an unbounded-preceding frame. No pair blowup
+  at any key cardinality, and AQE handles residual key skew.
+- Banded range join (|l.ts - r.ts| <= band): bin timestamps to the
+  band width and equi-join on (key, bin), replicating the smaller
+  side to its 3 adjacent bins, then apply the exact band predicate.
+  Turns an unbounded theta join into an equi shuffle join whose
+  fan-out is bounded by 3× the smaller side — the standard
+  interval-binning trick.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tie_breaker: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row with
+    the greatest ``right_ts <= left_ts`` within the same ``on`` key
+    (ties broken by the greatest ``tie_breaker``). Left rows with no
+    prior right row keep nulls — LEFT ASOF JOIN semantics.
+
+    Output: all left columns + ``prefix + right_ts`` + each
+    ``prefix + right_values`` column.
+    """
+    tie = tie_breaker or right_ts
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_values],
+    )
+    l_cols = left.columns
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        F.col(tie).alias("__tie"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        # Null-padded left columns so both sides union by name.
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        # Left rows sort AFTER right rows at equal ts (<= is inclusive)
+        # and carry a null payload for last(ignoreNulls) to skip.
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in l_cols],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__side").asc(),
+            F.col("__tie").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = r.unionByName(l).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return swept.filter(F.col("__side") == 1).select(
+        *l_cols,
+        F.col("__match.__ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_values],
+    )
+
+
+def band_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str,
+    on_right: str,
+    left_ts: str,
+    right_ts: str,
+    band: Column,
+    band_seconds: int,
+    agg_alias: str = "n_in_band",
+) -> DataFrame:
+    """Per-left-row count of right rows with the same key and
+    ``|right_ts - left_ts| <= band`` — the banded range join, reduced
+    to an equi join by binning.
+
+    The left side is replicated to its bin and both neighbors (3×);
+    each right row lives in exactly one bin, so every qualifying pair
+    meets in exactly one (key, bin) bucket — no dedup needed.
+    """
+    bin_l = F.floor(F.unix_timestamp(F.col(left_ts)) / band_seconds)
+    bin_r = F.floor(F.unix_timestamp(F.col(right_ts)) / band_seconds)
+    l = left.withColumn(
+        "__bin", F.explode(F.array(bin_l - 1, bin_l, bin_l + 1))
+    )
+    r = right.select(
+        F.col(on_right).alias("__rkey"),
+        F.col(right_ts).alias("__rts"),
+        bin_r.alias("__bin"),
+    )
+    in_band = (
+        F.abs(
+            F.unix_timestamp(F.col("__rts"))
+            - F.unix_timestamp(F.col(left_ts))
+        )
+        <= band
+    )
+    joined = l.join(
+        r,
+        (F.col(on_left) == F.col("__rkey")) & (l["__bin"] == r["__bin"]),
+        "left",
+    )
+    # Count in-band matches conditionally rather than filtering: a
+    # left row whose bin-matches are ALL out-of-band must still
+    # surface with count 0 (left-join semantics).
+    agg = joined.groupBy(*[F.col(c) for c in left.columns]).agg(
+        F.sum(F.when(in_band, 1).otherwise(0)).alias(agg_alias)
+    )
+    return agg

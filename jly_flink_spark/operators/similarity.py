@@ -190,6 +190,44 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (vec_a < vec_b)
+    with quantized cosine >= threshold.
+
+    This is the exact all-pairs baseline (one side broadcast, the
+    other streamed — the corpus is never shuffled on vector data).
+    All-pairs is O(n²) by definition; at corpus scale the same
+    threshold semantics run through the LSH bucket prefilter
+    (`cosine_topk_lsh`'s bucketing) with this operator as the
+    per-bucket verifier."""
+    from ..io import ensure_min_parallelism
+
+    n = with_norm(ensure_min_parallelism(emb), vec_col)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("q_norm2").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("q_norm2").alias("nb"),
+    )
+    cos = _qdot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label norm statistics — a cheap full-scan sanity operator
     over the vector column (quantized-exact, oracle-friendly)."""

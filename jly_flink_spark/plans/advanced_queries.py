@@ -1,0 +1,499 @@
+"""Advanced operator surface: temporal joins (as-of, banded range),
+pandas-UDF execution paths, statistical aggregates, pivot, range
+frames, and the remaining north-star text/embedding operators.
+
+The reference implements none of these (SURVEY.md §2.2); they round
+out the general analytics surface. Determinism for value-hash parity
+follows the house patterns: quantized integer sums for doubles
+(relational_queries._dsum), md5-derived hashing, and mirrored
+double-expression trees on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import joins, similarity
+from .registry import register
+
+_Q = 10_000  # double-sum quantization (matches relational_queries)
+_QV = similarity.QUANT  # vector dot quantization (1e8)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (events: each purchase ← latest prior view by same user)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+best AS (
+  SELECT l.purchase_id AS k, r.ts AS asof_ts, r.event_id AS asof_event_id,
+         r.value AS asof_value,
+         row_number() OVER (PARTITION BY l.purchase_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM purchases l
+  JOIN events r ON r.event_type = 'view'
+              AND r.user_id = l.user_id AND r.ts <= l.purchase_ts
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       b.asof_ts, b.asof_event_id, b.asof_value
+FROM purchases p
+LEFT JOIN best b ON b.k = p.purchase_id AND b.rn = 1
+"""
+
+
+@register(
+    "join_asof_events",
+    oracle=_ASOF_ORACLE,
+    tags=("join", "asof", "temporal"),
+    doc="LEFT AS-OF join: each purchase gets the latest view event at "
+    "or before it by the same user. Union-and-sweep implementation — "
+    "one shuffle on the key, no pair blowup on hot keys "
+    "(operators/joins.py).",
+)
+def join_asof_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return joins.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values=["event_id", "value"],
+        tie_breaker="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (purchase ↔ clicks within ±1 hour, same user)
+# ---------------------------------------------------------------------------
+
+_BAND_S = 3600
+
+_BAND_ORACLE = f"""
+SELECT l.event_id AS purchase_id, l.user_id, l.ts,
+       CAST(count(r.event_id) AS BIGINT) AS n_in_band
+FROM events l
+LEFT JOIN events r
+  ON r.event_type = 'click' AND r.user_id = l.user_id
+ AND abs(CAST(floor(epoch(r.ts)) AS BIGINT)
+         - CAST(floor(epoch(l.ts)) AS BIGINT)) <= {_BAND_S}
+WHERE l.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "join_range_banded",
+    oracle=_BAND_ORACLE,
+    tags=("join", "range", "temporal"),
+    doc="Banded range join via interval binning: |Δts| <= 1h pairs "
+    "meet in an equi-join on (user, time-bin) with 3× replication of "
+    "the left side — the O(n²)-avoiding form of a range join "
+    "(operators/joins.py).",
+)
+def join_range_banded(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), "ts", "event_id"
+    )
+    out = joins.band_join_count(
+        purchases,
+        clicks,
+        on_left="user_id",
+        on_right="r_user",
+        left_ts="ts",
+        right_ts="ts",
+        band=F.lit(_BAND_S),
+        band_seconds=_BAND_S,
+        agg_alias="n_in_band",
+    )
+    return out.select(
+        "purchase_id", "user_id", "ts", F.col("n_in_band").cast("bigint").alias("n_in_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (north star: dedup family)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_T = 0.3
+
+_NEARDUP_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id,
+         sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QV}) AS BIGINT)) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * {_QV}) AS BIGINT)) AS qd
+  FROM prods GROUP BY vec_a, vec_b
+),
+scored AS (
+  SELECT d.vec_a, d.vec_b,
+         CAST(d.qd AS DOUBLE)
+           / (sqrt(CAST(na.qn AS DOUBLE)) * sqrt(CAST(nb.qn AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_NEARDUP_T}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_NEARDUP_ORACLE,
+    tags=("northstar", "dedup", "embedding"),
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline, "
+    "broadcast side + streamed corpus; quantized-exact). The LSH "
+    "bucketing of ann_cosine_lsh is the same operator's 100-TB "
+    "prefilter.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF execution paths (Arrow-batched — the sanctioned slow path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_grouped_quantized_sum",
+    oracle=f"""
+SELECT event_type,
+       CAST(sum(CAST(floor(value * {_Q}) AS BIGINT)) AS BIGINT) AS q_sum,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("udf", "pandas", "groupby"),
+    doc="applyInPandas grouped aggregation (Arrow-batched): per-group "
+    "quantized integer sum — numerically identical to the SQL oracle "
+    "because quantization happens before summation.",
+)
+def udf_grouped_quantized_sum(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    def agg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        q = np.floor(pdf["value"].to_numpy() * _Q).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "q_sum": [int(q.sum())],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        agg, schema="event_type string, q_sum long, n long"
+    )
+
+
+@register(
+    "udf_mapinpandas_tokens",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    tags=("udf", "pandas", "text"),
+    doc="mapInPandas scalar path (Arrow-batched): per-doc token/char "
+    "counts computed in Python, matching the SQL tokenizer exactly.",
+)
+def udf_mapinpandas_tokens(spark, sf_dir):
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            texts = pdf["text"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [
+                        sum(1 for t in s.lower().split(" ") if t)
+                        for s in texts
+                    ],
+                    "n_chars": [len(s) for s in texts],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        stats, schema="doc_id long, n_tokens long, n_chars long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("groupby", "stats"),
+    doc="Exact interpolated percentiles (sort-based aggregate). "
+    "l_quantity is integral, so the q*(n-1) interpolation is exact "
+    "double arithmetic on both engines.",
+)
+def agg_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias(
+            "qty_quartiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# Quantize each value to an integer FIRST (qx = floor(x*1e4)), then
+# sum qx, qy, qx², qy², qx·qy — one consistent scale, so the variance
+# terms (n·Σqx² − (Σqx)²) are the exact integer-statistics of the
+# quantized variables and can never go negative.
+_CORR_SQL_SUMS = """
+  CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+  CAST(sum(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+  CAST(sum(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+  CAST(sum(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE) AS sy2
+"""
+
+
+@register(
+    "agg_corr_covar",
+    oracle=f"""
+SELECT l_returnflag,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price,
+       (n * sxy - sx * sy) / (n * n) AS covar_pop_q
+FROM (
+  SELECT l_returnflag, {_CORR_SQL_SUMS}
+  FROM (
+    SELECT l_returnflag,
+           CAST(floor(l_quantity * {_Q}) AS BIGINT) AS qx,
+           CAST(floor(l_extendedprice * {_Q}) AS BIGINT) AS qy
+    FROM lineitem
+  ) GROUP BY l_returnflag
+)
+""",
+    tags=("groupby", "stats"),
+    doc="Correlation/covariance from exact quantized integer sums with "
+    "a mirrored double-expression tree — order-independent and "
+    "bit-identical across engines (built-in corr() is fold-order-"
+    "dependent on doubles and can't hash-match).",
+)
+def agg_corr_covar(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * _Q).alias("qx"),
+        F.floor(F.col("l_extendedprice") * _Q).alias("qy"),
+    )
+
+    def qsum(expr):
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    qx, qy = F.col("qx"), F.col("qy")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        qsum(qx).alias("sx"),
+        qsum(qy).alias("sy"),
+        qsum(qx * qy).alias("sxy"),
+        qsum(qx * qx).alias("sx2"),
+        qsum(qy * qy).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    return sums.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop_q"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("groupby", "string"),
+    doc="Sorted string aggregation (LISTAGG): collect_set → array_sort "
+    "→ array_join; deterministic by sorting.",
+)
+def agg_listagg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("groupby", "pivot"),
+    doc="PIVOT with explicit value list (required at scale: implicit "
+    "pivot runs a distinct scan to discover columns).",
+)
+def pivot_status_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (time-based sliding aggregate without a join)
+# ---------------------------------------------------------------------------
+
+_RANGE_S = 30 * 86400
+
+
+@register(
+    "window_range_30d",
+    oracle=f"""
+SELECT o_orderkey,
+       count(*) OVER w AS n_30d,
+       CAST(sum(CAST(floor(o_totalprice * {_Q}) AS DECIMAL(38,0))) OVER w AS DOUBLE) / {_Q} AS sum_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN {_RANGE_S} PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "range-frame", "temporal"),
+    doc="RANGE frame over event-time: per-customer trailing-30-day "
+    "order count/total. The frame is value-based, so ties on the sort "
+    "key are handled identically on both engines.",
+)
+def window_range_30d(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    epoch_s = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-_RANGE_S, 0)
+    )
+    qsum = (
+        F.sum(F.floor(F.col("o_totalprice") * _Q).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        / _Q
+    )
+    return o.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_30d"),
+        qsum.alias("sum_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish regex token counting + rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_token_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS n_bpe_tokens
+FROM documents
+""",
+    tags=("northstar", "text", "tokenize"),
+    doc="Token counting two ways: whitespace tokens and a BPE-ish "
+    "regex segmentation (letter runs / digit runs / single symbols) — "
+    "all JVM-side regexp, no Python.",
+)
+def text_token_bpe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    ws = F.size(
+        F.filter(F.split(lower, " "), lambda t: t != "")
+    ).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(lower, F.lit(_BPE_PAT), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=None,  # fold-based char hash not expressible in DuckDB SQL — rows-only
+    tags=("northstar", "text", "fingerprint"),
+    doc="Polynomial rolling-hash fingerprint (h = h*31 + code mod p) "
+    "over the document's characters via the aggregate() higher-order "
+    "function — pure JVM fold, deterministic; rows-only check.",
+)
+def text_rolling_hash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (
+            acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0))
+        )
+        % F.lit(1_000_000_007),
+    )
+    return docs.select("doc_id", h.alias("rolling_hash"))
