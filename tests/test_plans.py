@@ -1,0 +1,130 @@
+"""Physical-plan regression tests: assert the plans we designed for
+are the plans Catalyst actually produces.
+
+Correctness tests prove the right ROWS come out; these prove the
+right PLAN SHAPE survives — filters pushed into the parquet scan,
+small dimensions broadcast (never sort-merge-joined), shuffle counts
+bounded. A regression here is invisible at sf0.01 but fatal at 100 TB,
+which is why plan shape is pinned in CI and not just eyeballed once.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from jly_flink_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # Count shuffle exchanges only — broadcast exchanges are the point.
+    return plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+class TestPushdown:
+    def test_q6_filters_reach_scan(self, spark):
+        plan = plan_of(spark, "agg_q6_forecast_revenue")
+        assert "PushedFilters" in plan
+        assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+    def test_q6_prunes_columns(self, spark):
+        plan = plan_of(spark, "agg_q6_forecast_revenue")
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        # Only the 4 referenced columns are read, not all 11.
+        assert "l_orderkey" not in read_schema
+        assert "l_returnflag" not in read_schema
+        for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+            assert c in read_schema
+
+    def test_filter_project_pushdown(self, spark):
+        plan = plan_of(spark, "filter_project_pushdown")
+        assert "PushedFilters" in plan
+
+    def test_events_json_reads_needed_columns_only(self, spark):
+        plan = plan_of(spark, "events_json_props")
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "user_id" not in read_schema or "props" in read_schema
+
+
+class TestJoinStrategies:
+    def test_cdc_enrichment_is_broadcast(self, spark):
+        """T6: the sources dim must broadcast — a shuffled join on the
+        envelope stream would shuffle the full payload."""
+        plan = plan_of(spark, "cdc_delete_archive")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_cdc_pipeline_has_no_shuffle(self, spark):
+        """The whole parse→filter→project→enrich pipeline is
+        shuffle-free: scan-local work + one broadcast."""
+        plan = plan_of(spark, "cdc_delete_archive")
+        assert n_exchanges(plan) == 0
+
+    def test_broadcast_agg_join(self, spark):
+        plan = plan_of(spark, "join_broadcast_agg")
+        assert "BroadcastHashJoin" in plan
+
+    def test_ann_corpus_never_shuffles_vectors(self, spark):
+        """The embedding corpus streams through the scoring join; only
+        (query_id, cand_id, cosine) rows may reach a shuffle."""
+        plan = plan_of(spark, "ann_cosine_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_asof_join_single_shuffle(self, spark):
+        """The as-of union-and-sweep needs exactly one hash shuffle
+        (the window over the union) plus zero join shuffles."""
+        plan = plan_of(spark, "join_asof_events")
+        assert "SortMergeJoin" not in plan
+        assert n_exchanges(plan) <= 1
+
+
+class TestShuffleBudget:
+    @pytest.mark.parametrize(
+        ("name", "budget"),
+        [
+            ("agg_q1_pricing_summary", 1),  # one shuffle on the group key
+            ("window_topk_per_group", 1),  # one shuffle on the partition key
+            ("dedup_exact_groups", 1),  # one shuffle on the fingerprint
+            # tokens→sigs reuses the doc_id fan-out exchange; band
+            # buckets + skew-spread repartition + distinct = 4 total
+            ("dedup_minhash_candidates", 5),
+            ("set_union_all", 1),  # union itself must not shuffle
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, budget):
+        plan = plan_of(spark, name)
+        assert n_exchanges(plan) <= budget, plan
+
+
+class TestCodegen:
+    # text_stats is deliberately absent: its higher-order functions
+    # (filter/aggregate lambdas) are CodegenFallback in Spark — still
+    # JVM-evaluated, but not fused into whole-stage codegen.
+    @pytest.mark.parametrize(
+        "name",
+        ["agg_q1_pricing_summary", "cdc_delete_archive", "scalar_string_funcs"],
+    )
+    def test_wholestage_codegen(self, spark, name):
+        """Hot-path expressions must stay inside whole-stage codegen
+        (JVM), not fall back to interpreted evaluation. In formatted
+        explain output, codegen'd operators carry a `*` prefix; AQE
+        hides them until execution, so it's off for this check."""
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = plan_of(spark, name)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        header = plan.split("(1) ")[0]
+        assert "* Project" in header or "* HashAggregate" in header, plan
