@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import joins, similarity
-from .registry import register
+from .registry import register, register_sql
 
 _Q = 10_000  # double-sum quantization (matches relational_queries)
 _QV = similarity.QUANT  # vector dot quantization (1e8)
@@ -476,6 +476,75 @@ def text_token_bpe(spark, sf_dir):
     return docs.select(
         "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (dialect-shared SQL: the same text plans on Catalyst and
+# runs as its own oracle on DuckDB). Catalyst rewrites EXISTS/IN to
+# semi joins and scalar subqueries to a broadcast aggregate — no
+# per-row re-execution.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "subq_exists_correlated",
+    """
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+)
+""",
+    tags=("subquery", "semi-join"),
+    doc="Correlated EXISTS → left-semi hash join (Catalyst's rewrite; "
+    "never a per-row subquery execution).",
+)
+
+register_sql(
+    "subq_not_exists_anti",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    tags=("subquery", "anti-join"),
+    doc="Correlated NOT EXISTS → left-anti join: customers with no "
+    "urgent order.",
+)
+
+register_sql(
+    "subq_scalar_above_avg",
+    """
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(SUM(CAST(FLOOR(p_retailprice * 10000) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 / count(*)
+  FROM part
+)
+""",
+    tags=("subquery", "scalar"),
+    doc="Uncorrelated scalar subquery: computed once and pushed into "
+    "the scan filter. The threshold is a quantized-exact average so "
+    "the cut-off is bit-identical on both engines (a raw avg() of "
+    "doubles is fold-order-dependent).",
+)
+
+register_sql(
+    "subq_in_list",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+)
+""",
+    tags=("subquery", "semi-join"),
+    doc="IN (subquery) → semi join against the small dim (broadcast).",
+)
 
 
 @register(

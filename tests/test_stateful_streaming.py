@@ -1,0 +1,179 @@
+"""Custom stateful operators (applyInPandasWithState): first-seen
+dedup across micro-batches and event-time sessionization closing on
+watermark timers — streaming results checked against batch-computed
+golden frames on the same data."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.streaming.stateful import first_seen_filter, sessionize
+
+
+def _write_json_files(path, batches):
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        fp = os.path.join(path, f"b{i:03d}.json")
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # The file source orders batches by modification time; pin
+        # strictly increasing mtimes so batch order is deterministic.
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _drain(stream_df, tmp_path, name):
+    out = []
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, eid: out.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out
+
+
+class TestFirstSeenFilter:
+    def test_dedup_across_batches(self, spark, tmp_path):
+        # id=a appears in batches 0 and 2; id=b twice inside batch 1.
+        batches = [
+            [{"id": "a", "ts": 100, "v": "x1"}],
+            [{"id": "b", "ts": 200, "v": "y1"}, {"id": "b", "ts": 250, "v": "y2"}],
+            [{"id": "a", "ts": 300, "v": "x2"}, {"id": "c", "ts": 310, "v": "z1"}],
+        ]
+        src = str(tmp_path / "src")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema("id string, ts long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        rows = _drain(
+            first_seen_filter(stream, "id", "ts", ["v"]), tmp_path, "fsf"
+        )
+        got = {(r["id"], r["ts"], r["v"]) for r in rows}
+        assert got == {("a", 100, "x1"), ("b", 200, "y1"), ("c", 310, "z1")}
+
+    def test_restart_keeps_state(self, spark, tmp_path):
+        """State survives a checkpoint restart: a key seen before the
+        restart must not re-emit after it."""
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        _write_json_files(src, [[{"id": "k", "ts": 1, "v": "first"}]])
+        stream_df = lambda: first_seen_filter(  # noqa: E731
+            spark.readStream.schema("id string, ts long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src),
+            "id",
+            "ts",
+            ["v"],
+        )
+        out1 = []
+        q = (
+            stream_df()
+            .writeStream.foreachBatch(lambda df, eid: out1.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert [r["v"] for r in out1] == ["first"]
+
+        _write_json_files(
+            str(tmp_path / "src"),
+            [[], [{"id": "k", "ts": 2, "v": "replay"}, {"id": "m", "ts": 3, "v": "new"}]],
+        )
+        out2 = []
+        q = (
+            stream_df()
+            .writeStream.foreachBatch(lambda df, eid: out2.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert [r["v"] for r in out2] == ["new"]
+
+
+class TestSessionize:
+    def test_sessions_match_batch_session_window(self, spark, tmp_path):
+        # Two users, clear 1-gap-separated sessions, plus a far-future
+        # flush event per user so the watermark closes every real
+        # session deterministically.
+        gap_s = 60
+        base = 1_700_000_000  # epoch seconds
+        events = []
+        for uid, offsets in [
+            (1, [0, 10, 20, 200, 210, 1000]),
+            (2, [5, 500, 505, 520]),
+        ]:
+            for off in offsets:
+                events.append(
+                    {"user_id": uid, "ts_s": base + off, "value": 1.5}
+                )
+        flush = [
+            {"user_id": uid, "ts_s": base + 100_000, "value": 0.0}
+            for uid in (1, 2)
+        ]
+        src = str(tmp_path / "sess_src")
+        _write_json_files(src, [events, flush])
+
+        def with_ts(df):
+            return df.withColumn(
+                "ts", F.timestamp_seconds(F.col("ts_s"))
+            ).select("user_id", "ts", "value")
+
+        stream = with_ts(
+            spark.readStream.schema("user_id long, ts_s long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        rows = _drain(
+            sessionize(stream, "user_id", "ts", "value", gap_s),
+            tmp_path,
+            "sess",
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["q_sum"])
+            for r in rows
+        }
+
+        # Batch golden: session_window with the same gap + quantized sum
+        # (flush events excluded — their sessions never close).
+        batch = with_ts(
+            spark.read.schema("user_id long, ts_s long, value double").json(src)
+        ).filter(F.col("ts_s") < base + 100_000)
+        golden_df = (
+            batch.groupBy(
+                F.session_window("ts", f"{gap_s} seconds"), "user_id"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("q_sum"),
+            )
+            .select(
+                "user_id",
+                F.unix_millis("session_window.start").alias("session_start"),
+                # session_window.end = last_ts + gap; ours reports last_ts
+                (F.unix_millis("session_window.end") - gap_s * 1000).alias(
+                    "session_end"
+                ),
+                "n_events",
+                "q_sum",
+            )
+        )
+        golden = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["q_sum"])
+            for r in golden_df.collect()
+        }
+        assert got == golden
+        assert len(got) == 5  # 3 sessions for user 1, 2 for user 2
