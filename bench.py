@@ -38,8 +38,13 @@ HEADLINE = [
     "events_json_props",
     "dedup_minhash_candidates",
     "dedup_exact_corpus",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_stats",
+    "join_asof_events",
+    "join_range_banded",
+    "udf_mapinpandas_tokens",
+    "window_range_30d",
 ]
 
 

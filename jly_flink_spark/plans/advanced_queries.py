@@ -250,7 +250,11 @@ def udf_mapinpandas_tokens(spark, sf_dir):
                 }
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..io import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         stats, schema="doc_id long, n_tokens long, n_chars long"
     )
