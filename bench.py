@@ -67,6 +67,14 @@ def main() -> None:
     # Warm up the JVM / parquet footer cache so q1 doesn't pay
     # first-touch costs the other queries don't.
     _force(REGISTRY["filter_project_pushdown"].spark_fn(spark, sf_dir))
+    # Warm the Python worker pool too (numpy/pandas import + fork),
+    # so the ~seconds of one-time startup isn't billed to whichever
+    # pandas-UDF query happens to run first.
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

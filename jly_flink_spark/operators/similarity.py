@@ -203,29 +203,64 @@ def embedding_near_dup_pairs(
     All-pairs is O(n²) by definition; at corpus scale the same
     threshold semantics run through the LSH bucket prefilter
     (`cosine_topk_lsh`'s bucketing) with this operator as the
-    per-bucket verifier."""
+    per-bucket verifier.
+
+    Execution: vectorized Arrow/numpy inside mapInPandas. A per-pair
+    zip_with+aggregate expression is CodegenFallback (interpreted) in
+    Spark, so for n·m·d element products the batched numpy kernel is
+    the fast path — while computing the *identical* quantized
+    arithmetic (floor(x·y·1e8) per element, exact int64 sums), so the
+    result still hash-matches the SQL oracle bit for bit."""
+    import numpy as np
+    import pandas as pd
+
     from ..io import ensure_min_parallelism
 
-    n = with_norm(ensure_min_parallelism(emb), vec_col)
-    a = n.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        F.col("q_norm2").alias("na"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("q_norm2").alias("nb"),
-    )
-    cos = _qdot(F.col("va"), F.col("vb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double"))
-        * F.sqrt(F.col("nb").cast("double"))
-    )
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    spark = emb.sparkSession
+    side = emb.select("vec_id", vec_col).collect()
+    ids = np.array([r["vec_id"] for r in side], dtype="int64")
+    mat = np.array([r[vec_col] for r in side], dtype="float64")
+    qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, qn))
+
+    def score(batches):
+        b_ids, b_mat, b_qn = bc.value
+        b_sqrt = np.sqrt(b_qn.astype("float64"))
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            a_mat = np.array(list(pdf[vec_col]), dtype="float64")
+            a_qn = np.floor(a_mat * a_mat * QUANT).astype("int64").sum(axis=1)
+            a_sqrt = np.sqrt(a_qn.astype("float64"))
+            # chunk the (n_a × n_b × d) product tensor to bound memory
+            # (~17 MB of float64 per chunk, × concurrent workers)
+            step = max(1, 2**21 // max(1, b_mat.shape[0] * b_mat.shape[1]))
+            for lo in range(0, len(a_ids), step):
+                hi = lo + step
+                qd = (
+                    np.floor(
+                        a_mat[lo:hi, None, :] * b_mat[None, :, :] * QUANT
+                    )
+                    .astype("int64")
+                    .sum(axis=2)
+                )
+                cos = qd.astype("float64") / (
+                    a_sqrt[lo:hi, None] * b_sqrt[None, :]
+                )
+                ia, ib = np.nonzero(
+                    (a_ids[lo:hi, None] < b_ids[None, :])
+                    & (cos >= threshold)
+                )
+                if len(ia):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": a_ids[lo:hi][ia],
+                            "vec_b": b_ids[ib],
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+
+    a = ensure_min_parallelism(emb.select("vec_id", vec_col))
+    return a.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
 
 
 def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
