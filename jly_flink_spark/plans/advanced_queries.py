@@ -482,6 +482,35 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
+@register(
+    "agg_distinct_two_phase",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    tags=("groupby", "distinct", "skew"),
+    doc="Exact distinct-count via the two-phase rewrite: dedup on "
+    "(type, user) first — a uniform high-cardinality shuffle — then "
+    "count per type. At 100 TB this is the skew-safe form of "
+    "count_distinct on a 5-value hot group key: the heavy shuffle "
+    "runs on the compound key, and only tiny partials hit the hot "
+    "key. (Total events per type come from a separate cheap agg, "
+    "joined at 5 rows.)",
+)
+def agg_distinct_two_phase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return users.join(totals, "event_type").select(
+        "event_type", "n_users", "n_events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries (dialect-shared SQL: the same text plans on Catalyst and
 # runs as its own oracle on DuckDB). Catalyst rewrites EXISTS/IN to

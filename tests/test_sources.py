@@ -1,0 +1,103 @@
+"""Source/format coverage (SURVEY.md §2.2 'file-format scans' /
+'generic sinks'): every format round-trips through write→read with
+identical values, and bucketed tables give shuffle-free co-located
+joins — the 100 TB join strategy."""
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def nation(spark):
+    return load_table(spark, SF, "nation")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestFormatRoundTrip:
+    @pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+    def test_round_trip(self, spark, nation, tmp_path, fmt):
+        path = str(tmp_path / fmt)
+        w = nation.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = r.option("header", True).schema(nation.schema)
+        elif fmt == "json":
+            r = r.schema(nation.schema)
+        assert _rows(r.load(path)) == _rows(nation)
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        """partitionBy directory layout + partition pruning: the scan
+        of one partition must not list the others (the T7 routing-key
+        layout — write.partitionBy(db_tb_name) — at archive scale)."""
+        orders = load_table(spark, SF, "orders")
+        path = str(tmp_path / "by_priority")
+        orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+        back = spark.read.parquet(path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            back.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        assert back.count() == expected
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """Bucketing both join sides on the key makes the sort-merge
+        join exchange-free: each bucket pair joins locally. This is
+        the co-located join strategy for repeated 100 TB fact-fact
+        joins (pay the shuffle once at write time, never at read)."""
+        orders = load_table(spark, SF, "orders")
+        lineitem = load_table(spark, SF, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_lineitem")
+        )
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, plan
+            # and it computes the right thing
+            assert joined.count() == lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            import shutil
+
+            shutil.rmtree("spark-warehouse", ignore_errors=True)
