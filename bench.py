@@ -32,6 +32,7 @@ HEADLINE = [
     "agg_q6_forecast_revenue",
     "join_multiway_q3",
     "join_multiway_q5",
+    "join_q18_large_orders",
     "join_broadcast_agg",
     "window_topk_per_group",
     "events_tumbling_hourly",

@@ -482,6 +482,54 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
+_Q18_T = 320
+
+_DSUM_QTY = (
+    "CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS DECIMAL(38,0))) AS DOUBLE)"
+    " / 10000"
+)
+
+
+@register(
+    "join_q18_large_orders",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       big.sum_qty
+FROM (
+  SELECT l_orderkey, {_DSUM_QTY} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_DSUM_QTY} > {_Q18_T}
+) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    tags=("join", "tpch", "headline"),
+    doc="TPC-H Q18 shape: heavy groupBy on the fact key (600k rows → "
+    "150k groups), HAVING prune to a handful, then two joins where "
+    "the *pruned aggregate* is the build side — the plan must "
+    "aggregate first and join small, never join first.",
+)
+def join_q18_large_orders(spark, sf_dir):
+    from .relational_queries import _dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_T)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
 @register(
     "agg_distinct_two_phase",
     oracle="""
