@@ -449,6 +449,133 @@ def window_range_30d(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Generators / reshaping: explode term stats, unpivot, date spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_term_topk",
+    oracle="""
+SELECT tok, n_docs, n_total
+FROM (
+  SELECT tok,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_total,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+)
+WHERE rnk <= 25
+""",
+    tags=("northstar", "text", "explode"),
+    doc="Corpus term statistics: explode tokens (UDTF-style generator) "
+    "→ one groupBy on the token → global top-k. The explode multiplies "
+    "rows ~50×, so the count happens BEFORE any wide operation; only "
+    "aggregated (tok, counts) rows reach the top-k sort.",
+)
+def text_term_topk(spark, sf_dir):
+    from ..io import ensure_min_parallelism
+    from ..operators.text import tokens
+
+    docs = ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_total"),
+    )
+    w = Window.orderBy(F.col("n_total").desc(), F.col("tok"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .select("tok", "n_docs", "n_total")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+SELECT l_returnflag, measure, {{dsum}} AS q_value
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, measure
+""".format(
+        dsum="CAST(SUM(CAST(FLOOR(v * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000"
+    ),
+    tags=("reshape", "unpivot"),
+    doc="UNPIVOT/melt: wide measures to long form via the native "
+    "unpivot operator (one scan — not the UNION ALL of N scans the "
+    "naive SQL implies), then the standard quantized aggregation.",
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    from .relational_queries import _dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    ).withColumn(
+        "measure",
+        F.element_at(F.split(F.col("measure"), "_"), -1).alias("measure"),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(_dsum("v", "q_value"))
+
+
+@register(
+    "gen_date_spine",
+    oracle="""
+SELECT d AS day, count(o_orderkey) AS n_orders
+FROM (
+  SELECT unnest(generate_series(DATE '1998-07-01', DATE '1998-08-01',
+                                INTERVAL 1 DAY))::DATE AS d
+)
+LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+GROUP BY d
+""",
+    tags=("generator", "temporal"),
+    doc="Generator function: a date spine via sequence()+explode, "
+    "left-joined to facts so empty days surface as zero — the "
+    "gap-filling pattern for time series.",
+)
+def gen_date_spine(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1998-07-01").cast("date"),
+                F.lit("1998-08-01").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    return (
+        spine.join(
+            o.select(
+                F.col("o_orderdate").cast("date").alias("day"), "o_orderkey"
+            ),
+            "day",
+            "left",
+        )
+        .groupBy("day")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text: BPE-ish regex token counting + rolling-hash fingerprint
 # ---------------------------------------------------------------------------
 
