@@ -137,3 +137,57 @@ def cdc_op_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _envelopes(spark, sf_dir).groupBy("op").agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "cdc_guard_drop_stats",
+    oracle=_ORACLE_PRELUDE
+    + """
+SELECT
+  count(*) FILTER (WHERE op <> 'd') AS n_non_delete,
+  count(*) FILTER (WHERE op = 'd' AND (source_table IS NULL
+                   OR trim(source_table) = '')) AS n_blank_table,
+  count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
+                   AND trim(source_table) <> ''
+                   AND before IS NULL) AS n_null_before,
+  count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
+                   AND trim(source_table) <> '' AND before IS NOT NULL
+                   AND json_extract_string(before, '$.id') IS NULL) AS n_no_id,
+  count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
+                   AND trim(source_table) <> '' AND before IS NOT NULL
+                   AND json_extract_string(before, '$.id') IS NOT NULL
+                   AND ts_ms <= 0) AS n_bad_ts,
+  count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
+                   AND trim(source_table) <> '' AND before IS NOT NULL
+                   AND json_extract_string(before, '$.id') IS NOT NULL
+                   AND ts_ms > 0) AS n_archived
+FROM env
+""",
+    tags=("cdc", "observability"),
+    doc="T2 drop accounting: the reference LOGS each guard violation "
+    "before dropping (StartJob.java:128-151); here the same counters "
+    "come from one conditional-aggregation scan, cascaded in guard "
+    "order so every envelope lands in exactly one bucket. (In the "
+    "streaming job the equivalent counters ride on df.observe().)",
+)
+def cdc_guard_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _envelopes(spark, sf_dir)
+    is_d = F.col("op") == "d"
+    tbl_ok = F.col("source_table").isNotNull() & (
+        F.trim(F.col("source_table")) != ""
+    )
+    before_ok = F.col("before").isNotNull()
+    id_ok = F.get_json_object(F.col("before"), "$.id").isNotNull()
+    ts_ok = F.col("ts_ms") > 0
+
+    def cnt(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    return env.agg(
+        cnt(~is_d, "n_non_delete"),
+        cnt(is_d & ~tbl_ok, "n_blank_table"),
+        cnt(is_d & tbl_ok & ~before_ok, "n_null_before"),
+        cnt(is_d & tbl_ok & before_ok & ~id_ok, "n_no_id"),
+        cnt(is_d & tbl_ok & before_ok & id_ok & ~ts_ok, "n_bad_ts"),
+        cnt(is_d & tbl_ok & before_ok & id_ok & ts_ok, "n_archived"),
+    )

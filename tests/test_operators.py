@@ -136,3 +136,38 @@ def test_multimodal_feature_extraction(spark, sf_dir):
     again = {r["doc_id"]: r["feature0"] for r in feats.collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["feature0"]
+
+
+class TestSaltedJoin:
+    def test_salted_join_equals_plain_join(self, spark):
+        """The salted join must be a pure shuffle-layout change:
+        identical output rows to the unsalted join on skewed data
+        (5 hot event_type keys × a per-type dimension)."""
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators.skew import salted_join
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "event_type", "value"
+        )
+        dim = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(
+                ["click", "view", "purchase", "signup", "error"]
+            )],
+            "event_type string, type_code int",
+        )
+        salted = salted_join(ev, dim, "event_type", n_salt=8)
+        plain = ev.join(dim, "event_type")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from jly_flink_spark.operators.skew import salted_join
+
+        l = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v int"
+        )
+        r = spark.createDataFrame([("a", 10)], "k string, w int")
+        out = salted_join(l, r, "k", n_salt=4, how="left").collect()
+        by_k = {row["k"]: row["w"] for row in out}
+        assert by_k == {"a": 10, "b": None}

@@ -177,3 +177,67 @@ class TestSessionize:
         }
         assert got == golden
         assert len(got) == 5  # 3 sessions for user 1, 2 for user 2
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream inner join with watermarks + time bound (the
+        Structured Streaming form of Flink's interval join): each
+        purchase joins views by the same user within [-60s, 0] of it.
+        Both sides buffer in watermark-bounded state; the identical
+        plan in batch is the golden result."""
+        base = 1_700_000_000
+        views = [
+            {"user_id": 1, "ts_s": base + o, "event_id": 100 + i}
+            for i, o in enumerate([0, 30, 120])
+        ] + [{"user_id": 2, "ts_s": base + 10, "event_id": 200}]
+        purchases = [
+            {"user_id": 1, "ts_s": base + 50, "order_id": 900},
+            {"user_id": 1, "ts_s": base + 125, "order_id": 901},
+            {"user_id": 2, "ts_s": base + 300, "order_id": 902},
+        ]
+        vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+        _write_json_files(vdir, [views])
+        _write_json_files(pdir, [purchases])
+
+        def load(dirname, schema, stream):
+            r = (
+                spark.readStream if stream else spark.read
+            ).schema(schema)
+            df = r.json(dirname)
+            return df.withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+
+        def join(v, p):
+            v = v.select(
+                F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                "event_id",
+            )
+            p = p.select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                "order_id",
+            )
+            if v.isStreaming:
+                v = v.withWatermark("v_ts", "10 seconds")
+                p = p.withWatermark("p_ts", "10 seconds")
+            return v.join(
+                p,
+                (F.col("v_user") == F.col("p_user"))
+                & (F.col("v_ts") <= F.col("p_ts"))
+                & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 60 seconds")),
+            ).select("p_user", "order_id", "event_id")
+
+        vs, ps = "user_id long, ts_s long, event_id long", "user_id long, ts_s long, order_id long"
+        got = {
+            (r["p_user"], r["order_id"], r["event_id"])
+            for r in _drain(
+                join(load(vdir, vs, True), load(pdir, ps, True)),
+                tmp_path,
+                "ssj",
+            )
+        }
+        golden = {
+            (r["p_user"], r["order_id"], r["event_id"])
+            for r in join(load(vdir, vs, False), load(pdir, ps, False)).collect()
+        }
+        assert got == golden
+        assert got == {(1, 900, 100), (1, 900, 101), (1, 901, 102)}
