@@ -77,12 +77,18 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: the run-to-run variance of a shared box
+    # exceeds the signal for sub-second queries; min-of-N is the
+    # standard estimator for "what the plan costs".
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        _force(spec.spark_fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(spec.spark_fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
