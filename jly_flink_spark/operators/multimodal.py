@@ -101,3 +101,88 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, media_type string, frame_idx int, "
+    "frame_payload binary, frame_bytes bigint"
+)
+
+
+def n_frames_for(media_type: str, n_bytes: int) -> int:
+    """Deterministic stub frame count: videos sample n_bytes%5+1
+    frames, other media contribute none. (A real implementation asks
+    the container format for duration/fps.)"""
+    return (n_bytes % 5 + 1) if media_type == "video" else 0
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Frame sampling: one input video row fans out to N frame rows
+    (1→N generator through mapInPandas). Frame extraction is STUBBED
+    as byte-range slices of the payload; a real build swaps in ffmpeg
+    keyframe extraction with the identical schema/fan-out contract.
+    Frames carry slim metadata; the full payload is NOT replicated
+    per frame — each frame holds only its slice."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "doc_id": [],
+                "media_type": [],
+                "frame_idx": [],
+                "frame_payload": [],
+                "frame_bytes": [],
+            }
+            for _, r in pdf.iterrows():
+                k = n_frames_for(r["media_type"], r["n_bytes"])
+                payload = r["payload"]
+                for i in range(k):
+                    chunk = payload[i * 16 : (i + 1) * 16]
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["media_type"].append(r["media_type"])
+                    rows["frame_idx"].append(i)
+                    rows["frame_payload"].append(chunk)
+                    rows["frame_bytes"].append(len(chunk))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "resized_payload binary, n_bytes bigint"
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize stub: clamp stub-decoded dimensions to ``max_dim`` and
+    emit a proportionally truncated payload (a real build calls
+    PIL.Image.thumbnail and re-encodes; schema and plan are identical).
+    Only image rows are resized — others pass through untouched, the
+    mixed-modality routing a real pipeline needs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "media_type": [], "width": [],
+                "height": [], "resized_payload": [], "n_bytes": [],
+            }
+            for _, r in pdf.iterrows():
+                w, h, _, _ = decode_image_stub(r["payload"])
+                payload = r["payload"]
+                if r["media_type"] == "image" and max(w, h) > max_dim:
+                    scale = max_dim / max(w, h)
+                    w, h = max(1, int(w * scale)), max(1, int(h * scale))
+                    payload = payload[: max(1, int(len(payload) * scale))]
+                out["doc_id"].append(r["doc_id"])
+                out["media_type"].append(r["media_type"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)

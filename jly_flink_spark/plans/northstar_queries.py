@@ -402,3 +402,46 @@ def multimodal_extract_features(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN media_type = 'video' THEN n_bytes % 5 + 1
+                     ELSE 0 END) AS BIGINT) AS n_frames
+FROM (
+  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+GROUP BY media_type
+""",
+    tags=("northstar", "multimodal", "pandas_udf"),
+    doc="Frame sampling (1→N fan-out via mapInPandas, ffmpeg-shaped "
+    "stub): per media type, media count and total sampled frames. The "
+    "frame-count formula is mirrored in SQL, so the whole generator "
+    "path is value-checked, not just rows-only.",
+)
+def multimodal_frame_counts(spark, sf_dir):
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    frames = multimodal.frame_sample(media)
+    frame_counts = frames.groupBy("media_type").agg(
+        F.count("*").alias("n_frames")
+    )
+    media_counts = media.groupBy("media_type").agg(
+        F.count("*").alias("n_media")
+    )
+    return (
+        media_counts.join(frame_counts, "media_type", "left")
+        .select(
+            "media_type",
+            F.col("n_media").cast("bigint").alias("n_media"),
+            F.coalesce(F.col("n_frames"), F.lit(0))
+            .cast("bigint")
+            .alias("n_frames"),
+        )
+    )

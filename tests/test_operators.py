@@ -171,3 +171,51 @@ class TestSaltedJoin:
         out = salted_join(l, r, "k", n_salt=4, how="left").collect()
         by_k = {row["k"]: row["w"] for row in out}
         assert by_k == {"a": 10, "b": None}
+
+
+class TestMultimodalTransforms:
+    def test_frame_sample_fanout(self, spark):
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators import multimodal
+
+        media = multimodal.documents_as_media(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        frames = multimodal.frame_sample(media).collect()
+        assert all(r["media_type"] == "video" for r in frames)
+        # empty payloads (empty docs) legitimately yield 0-byte frames
+        assert all(0 <= r["frame_bytes"] <= 16 for r in frames)
+        # fan-out matches the stub formula per video
+        videos = {
+            r["doc_id"]: r["n_bytes"]
+            for r in media.filter("media_type = 'video'").collect()
+        }
+        from collections import Counter
+
+        per_doc = Counter(r["doc_id"] for r in frames)
+        assert dict(per_doc) == {
+            d: multimodal.n_frames_for("video", n) for d, n in videos.items()
+        }
+
+    def test_resize_only_shrinks_images(self, spark):
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators import multimodal
+
+        media = multimodal.documents_as_media(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        resized = multimodal.resize_images(media, max_dim=32).collect()
+        by_type = {}
+        for r in resized:
+            by_type.setdefault(r["media_type"], []).append(r)
+        assert all(
+            max(r["width"], r["height"]) <= 32 for r in by_type["image"]
+        )
+        # non-images pass through with original byte length
+        orig = {
+            r["doc_id"]: r["n_bytes"]
+            for r in media.filter("media_type <> 'image'").collect()
+        }
+        for t in ("audio", "video"):
+            for r in by_type[t]:
+                assert r["n_bytes"] == orig[r["doc_id"]]
