@@ -774,3 +774,36 @@ def text_rolling_hash(spark, sf_dir):
         % F.lit(1_000_000_007),
     )
     return docs.select("doc_id", h.alias("rolling_hash"))
+
+
+register_sql(
+    "window_distribution_funcs",
+    """
+SELECT o_orderkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+""",
+    tags=("window", "distribution"),
+    doc="Distribution window functions (ntile/percent_rank/cume_dist) "
+    "— rank arithmetic over an unambiguous ORDER BY, so the derived "
+    "doubles are identical on both engines.",
+)
+
+register_sql(
+    "scalar_fuzzy_levenshtein",
+    """
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       levenshtein(a.p_brand, b.p_brand) AS dist
+FROM (SELECT DISTINCT p_brand FROM part) a
+JOIN (SELECT DISTINCT p_brand FROM part) b
+  ON a.p_brand < b.p_brand
+WHERE levenshtein(a.p_brand, b.p_brand) <= 2
+""",
+    tags=("scalar", "fuzzy", "dedup"),
+    doc="Edit-distance fuzzy matching over the distinct-value domain "
+    "(distinct first — never levenshtein the raw fact table; the "
+    "domain is tiny, the fact table is not).",
+)
