@@ -807,3 +807,34 @@ WHERE levenshtein(a.p_brand, b.p_brand) <= 2
     "(distinct first — never levenshtein the raw fact table; the "
     "domain is tiny, the fact table is not).",
 )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       len(json_keys(props)) AS n_entries,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       element_at(map(['type'], [event_type]), 'type')[1] AS type_copy
+FROM events
+""",
+    tags=("scalar", "map"),
+    doc="Map-type functions: JSON → map<string,string> (from_json), "
+    "map_keys, size, element_at lookups, map construction from "
+    "arrays. (DuckDB's element_at returns a list — unwrapped in the "
+    "oracle; Spark's returns the scalar.)",
+)
+def scalar_map_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    built = F.map_from_arrays(
+        F.array(F.lit("type")), F.array(F.col("event_type"))
+    )
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.element_at(built, "type").alias("type_copy"),
+    )
