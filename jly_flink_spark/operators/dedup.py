@@ -34,9 +34,14 @@ from ..io import ensure_min_parallelism
 from .text import fingerprint, normalized_text, tokens
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
-MINHASH_K = 8
+# Calibrated for the standard ~0.8-Jaccard near-dup threshold:
+# collision threshold s* = (1/B)^(1/R) = (1/4)^(1/6) ≈ 0.79. Fewer
+# rows per band (e.g. R=2 → s* ≈ 0.35) floods the candidate stage
+# with low-similarity pairs — the extra K md5s per token are orders
+# of magnitude cheaper than expanding those pairs.
+MINHASH_K = 24
 MINHASH_BANDS = 4
-MINHASH_ROWS = 2
+MINHASH_ROWS = 6
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
