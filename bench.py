@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact_corpus",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_cosine_ivf",
     "text_stats",
     "join_asof_events",
     "join_range_banded",

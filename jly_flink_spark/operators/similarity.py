@@ -21,6 +21,8 @@ arithmetic on those exact sums.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -177,6 +179,213 @@ def cosine_topk_lsh(
     )
     scored = (
         corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def _q(x: float) -> float:
+    """Driver-side mirror of the engine's quantized product term."""
+    import math
+
+    return math.floor(float(x) * float(x) * QUANT)
+
+
+def _cent_cos_structs(cent_rows, vec_col: str, norm2_col: str = "q_norm2"):
+    """Array of (cosine-to-centroid, -centroid_id) structs computed
+    against DRIVER-SIDE centroid literals — a pure per-row expression.
+
+    This is the 100-TB-critical choice: centroids are the index's
+    model state (n_list × d floats, kilobytes), so scoring against
+    them belongs in the scan's projection, not in a join. The corpus
+    is never shuffled — neither for assignment nor for probing.
+
+    `norm2_col` must hold the precomputed quantized squared norm —
+    referencing a column keeps the (interpreted-fold) norm out of the
+    16-way-replicated expression tree."""
+    import math
+
+    vec = F.col(vec_col)
+    vnorm = F.sqrt(F.col(norm2_col).cast("double"))
+    structs = []
+    for cid, cvec in cent_rows:
+        lit_arr = F.array(*[F.lit(float(x)) for x in cvec])
+        qn = max(sum(_q(x) for x in cvec), 1)
+        cos = _qdot(vec, lit_arr).cast("double") / (
+            vnorm * math.sqrt(qn)
+        )
+        structs.append(
+            F.named_struct(
+                F.lit("cos"), cos, F.lit("ncid"), F.lit(-cid)
+            )
+        )
+    return F.array(*structs)
+
+
+def _centroid_state(cent_rows):
+    """(ids, matrix, quantized-norms) numpy state for broadcast."""
+    import numpy as np
+
+    ids = np.array([cid for cid, _ in cent_rows], dtype="int64")
+    mat = np.array([v for _, v in cent_rows], dtype="float64")
+    qn = np.maximum(
+        np.floor(mat * mat * QUANT).astype("int64").sum(axis=1), 1
+    )
+    return ids, mat, qn
+
+
+def _assign_udf(spark, cent_rows):
+    """Arrow-batched assignment: list_id = argmax quantized cosine
+    against the broadcast centroid matrix. numpy computes the same
+    floor(x·y·1e8) int64 sums as the SQL expressions, so assignment
+    is engine-reproducible; np.argmax takes the FIRST max, matching
+    the lowest-centroid-id tie rule. A pure map over the scan — the
+    corpus is never shuffled for assignment."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(_centroid_state(cent_rows))
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        ids, cmat, cqn = bc.value
+        mat = np.array(list(vecs), dtype="float64")
+        qd = (
+            np.floor(mat[:, None, :] * cmat[None, :, :] * QUANT)
+            .astype("int64")
+            .sum(axis=2)
+        )
+        vq = np.maximum(
+            np.floor(mat * mat * QUANT).astype("int64").sum(axis=1), 1
+        )
+        cos = qd / (np.sqrt(vq)[:, None] * np.sqrt(cqn)[None, :])
+        return pd.Series(ids[np.argmax(cos, axis=1)])
+
+    return assign
+
+
+def ivf_seed_centroids(emb: DataFrame, n_list: int, vec_col: str) -> list:
+    """Seed centroids: the n_list smallest vec_ids (deterministic —
+    no RNG). orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-N, driver merge — no global sort); the collect is
+    n_list rows of model state, not data."""
+    rows = (
+        emb.select("vec_id", vec_col).orderBy("vec_id").limit(n_list).collect()
+    )
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_refine(emb: DataFrame, cent_rows, vec_col: str = "embedding") -> list:
+    """One distributed Lloyd step: centroid ← elementwise mean of its
+    members. Assignment is the broadcast-centroid pandas_udf (a map);
+    the mean is applyInPandas per list — ONE shuffle of (list_id,
+    vector), acceptable because index build is one-time and amortized
+    over every query served. The collect returns n_list mean vectors —
+    model state, independent of corpus size. Empty lists keep their
+    seed."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    assign = _assign_udf(spark, cent_rows)
+    assigned = emb.select(
+        assign(F.col(vec_col)).alias("list_id"), F.col(vec_col)
+    )
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(list(pdf[vec_col]), dtype="float64")
+        return pd.DataFrame(
+            {
+                "list_id": [int(pdf["list_id"].iloc[0])],
+                "mean_vec": [mat.mean(axis=0).tolist()],
+            }
+        )
+
+    means = assigned.groupBy("list_id").applyInPandas(
+        mean_vec, schema="list_id int, mean_vec array<double>"
+    )
+    got = {r["list_id"]: list(r["mean_vec"]) for r in means.collect()}
+    return [
+        (cid, got.get(cid, seed_vec)) for cid, seed_vec in cent_rows
+    ]
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_list: int = 16,
+    n_probe: int = 4,
+    refine: bool = True,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF(-Flat) index: corpus
+    vectors are binned into n_list centroid lists; each query probes
+    only its n_probe nearest lists and exact-scores those candidates.
+
+    Plan shape: the corpus is scanned ONCE with assignment computed in
+    the projection (an Arrow-batched numpy kernel over the broadcast
+    centroid matrix — no assignment join, no shuffle); probes are a
+    broadcast join on list_id; the only real shuffle is the final
+    per-query top-k window over (query_id, cand_id, score) rows. Work
+    drops from |corpus| to ~(n_probe/n_list)·|corpus| score
+    evaluations per query; at full scale the assigned corpus is
+    persisted partitionBy(list_id) and the probe becomes a
+    partition-pruned scan.
+
+    With n_probe == n_list this equals brute force exactly (the
+    unit-test invariant); with n_probe < n_list recall < 1 ⇒
+    rows-only correctness check, same contract as the LSH variant."""
+    from ..io import ensure_min_parallelism
+
+    cents = ivf_seed_centroids(emb, n_list, vec_col)
+    if refine:
+        cents = ivf_refine(emb, cents, vec_col)
+
+    assign = _assign_udf(emb.sparkSession, cents)
+    corpus = with_norm(
+        ensure_min_parallelism(emb.select("vec_id", vec_col)), vec_col
+    ).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("q_norm2").alias("cand_norm2"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    # query → its n_probe nearest lists, from the same centroid
+    # literals: sort the (cos, -cid) structs desc, keep n_probe
+    probe_arr = F.transform(
+        F.slice(
+            F.reverse(
+                F.array_sort(_cent_cos_structs(cents, vec_col))
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: -s["ncid"],
+    )
+    queries = with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)), vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("q_norm2").alias("query_norm2"),
+        F.explode(probe_arr).alias("list_id"),
+    )
+    dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("query_norm2").cast("double"))
+        * F.sqrt(F.col("cand_norm2").cast("double"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cosine"))
     )

@@ -346,6 +346,24 @@ def ann_cosine_lsh(spark, sf_dir):
 
 
 @register(
+    "ann_cosine_ivf",
+    oracle=None,  # approximate (n_probe < n_list ⇒ recall<1) — rows-only
+    tags=("northstar", "similarity", "approx"),
+    doc="IVF(-Flat) approximate cosine top-k: deterministic seed "
+    "centroids + one distributed Lloyd step, coarse-quantizer "
+    "assignment, n_probe-pruned probing. With n_probe == n_list it "
+    "equals brute force exactly (tested); at n_probe < n_list it is "
+    "the (n_probe/n_list)-cost scale path.",
+)
+def ann_cosine_ivf(spark, sf_dir):
+    return similarity.cosine_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_ANN_QUERY_IDS,
+        k=_ANN_K,
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle=f"""
 SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm

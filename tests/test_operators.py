@@ -106,6 +106,43 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert cos[1] > 0.99 and abs(cos[2]) < 1e-6
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    # 20 vectors on a few directions; probing every list must give
+    # exactly the exhaustive result (IVF prunes lists, nothing else).
+    vecs = [
+        (i, [float(i % 5) + 1.0, float(i % 3), float(i % 7) * 0.5])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["rnk"]): r["cand_id"]
+        for r in similarity.cosine_topk_bruteforce(
+            df, query_ids=[0, 7], k=4
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rnk"]): r["cand_id"]
+        for r in similarity.cosine_topk_ivf(
+            df, query_ids=[0, 7], k=4, n_list=4, n_probe=4
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_pruned_probe_subset_of_corpus(spark):
+    vecs = [
+        (i, [1.0 if i < 10 else 0.0, 0.0 if i < 10 else 1.0, float(i) / 20])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_ivf(
+        df, query_ids=[0], k=3, n_list=4, n_probe=2
+    ).collect()
+    assert 0 < len(out) <= 3
+    # query 0 points along x; its 2 probed lists hold only x-ish vecs
+    assert all(r["cand_id"] < 10 for r in out)
+
+
 def test_lsh_bucket_deterministic(spark):
     vecs = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
