@@ -82,6 +82,28 @@ class TestJoinStrategies:
         plan = plan_of(spark, "ann_cosine_topk")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_q10_top20_avoids_global_sort(self, spark):
+        """ORDER BY + LIMIT 20 must compile to TakeOrderedAndProject
+        (per-partition top-N, driver merge) — a global range-exchange
+        sort of every customer group would be the 100-TB bottleneck."""
+        plan = plan_of(spark, "tpch_q10_returned_items")
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_q19_pushes_common_bounds_below_join(self, spark):
+        """The disjunctive predicate mixes both sides; Catalyst must
+        still push the derived l_quantity bounds into the lineitem
+        scan rather than filtering 6B rows post-join."""
+        plan = plan_of(spark, "tpch_q19_disjunctive_revenue")
+        pushed = plan.split("PushedFilters")[1].split("\n")[0]
+        assert "l_quantity" in pushed
+
+    def test_q22_anti_join_is_broadcast_free_on_probe(self, spark):
+        """NOT EXISTS compiles to an anti hash join; customer rows
+        must not sort-merge against orders."""
+        plan = plan_of(spark, "tpch_q22_global_sales")
+        assert "SortMergeJoin LeftAnti" not in plan
+
     def test_asof_join_single_shuffle(self, spark):
         """The as-of union-and-sweep needs exactly one hash shuffle
         (the window over the union) plus zero join shuffles."""
