@@ -166,3 +166,26 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_within_watermark(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among all
+    rows whose event times fall within the watermark delay of each
+    other, and — unlike plain ``dropDuplicates`` on a stream — EVICTS
+    key state once the watermark passes, so state size is bounded by
+    the key arrival rate × delay instead of growing forever.
+
+    This is the built-in answer to streaming exactly-once dedup when
+    duplicates arrive close together (CDC redelivery, at-least-once
+    sources); `first_seen_filter` above is the unbounded-state custom
+    variant for keys that can reappear arbitrarily late.
+    """
+    return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -205,3 +205,73 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
         q.stop()
     want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches collapse to one row
+    each, matching batch dropDuplicates on the same key set."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.streaming.stateful import dedup_within_watermark
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # duplicate every row into a second file: redelivery simulation
+    src = str(tmp_path / "dup_stream")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    deduped = dedup_within_watermark(
+        sdf, ["event_id"], ts_col="ts", delay="10 minutes"
+    ).select("event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(r["event_id"] for r in events.select("event_id").collect())
+    assert got == want
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension must broadcast the dim per micro-batch (the streaming
+    mirror of the reference's T6 lookup, AdbSink.java:88-90)."""
+    from pyspark.sql import functions as F_
+    from jly_flink_spark.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    src = str(tmp_path / "enrich_stream")
+    events.write.parquet(src)
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("buy", "revenue")],
+        "event_type string, category string",
+    )
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    enriched = sdf.join(F_.broadcast(dim), "event_type", "left").select(
+        "event_id", "event_type", "category"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enrich_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 100
+    cats = {r["event_type"]: r["category"] for r in rows if r["category"]}
+    for et, cat in cats.items():
+        assert cat == ("revenue" if et == "buy" else "engagement")
