@@ -1,0 +1,256 @@
+"""Training-data-pipeline operators: deterministic splits, sampling,
+shuffling, batching — the data-management layer a large-scale
+pretraining pipeline needs on top of dedup/similarity/text analysis.
+
+All of them are hash-driven (md5) rather than RNG-driven: at 100 TB a
+split or sample MUST be (a) reproducible run-to-run, (b) stable under
+repartitioning, and (c) computable per-row with no coordination —
+properties `rand()` loses the moment the partitioning changes. md5
+gives every engine the identical answer, so each query here is
+value-hash oracle-checked (no rows-only escape hatch needed, unlike
+RNG sampling).
+
+The reference has no analog surface (SURVEY.md §2.2 — it is a CDC
+archival job); these extend the north-star set in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..io import load_table
+from .registry import register
+
+# md5-prefix uniform hash in [0, 1): first 8 hex chars as a fraction
+# of 16^8. Per-row, engine-independent, stable under repartitioning.
+_HASH_FRAC_SQL = (
+    "CAST(CAST('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8) AS BIGINT)"
+    " AS DOUBLE) / 4294967296"
+)
+
+
+def _hash_frac(key_col):
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+@register(
+    "train_test_split_hash",
+    oracle=f"""
+SELECT split, count(*) AS n_docs,
+       CAST(SUM(CAST(FLOOR(quality_hint * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_quality
+FROM (
+  SELECT CASE WHEN {_HASH_FRAC_SQL.format(key="doc_id")} < 0.8 THEN 'train'
+              WHEN {_HASH_FRAC_SQL.format(key="doc_id")} < 0.9 THEN 'valid'
+              ELSE 'test' END AS split,
+         length(text) * 1e-3 AS quality_hint
+  FROM documents
+)
+GROUP BY split
+""",
+    tags=("training", "split"),
+    doc="Deterministic 80/10/10 train/valid/test split by md5(doc_id) "
+    "prefix fraction — reproducible, repartition-stable, zero "
+    "coordination (every row decides its own split). The per-split "
+    "checksum proves membership, not just counts.",
+)
+def train_test_split_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frac = _hash_frac(F.col("doc_id"))
+    split = (
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            (F.length("text") * 1e-3).alias("quality_hint"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(
+                    F.floor(F.col("quality_hint") * 10000).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 10000
+            ).alias("sum_quality"),
+        )
+    )
+
+
+@register(
+    "sample_hash_10pct",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_HASH_FRAC_SQL.format(key="doc_id")} < 0.10
+""",
+    tags=("training", "sample"),
+    doc="Deterministic 10% Bernoulli sample by hash threshold — the "
+    "repartition-stable replacement for TABLESAMPLE/rand(): the "
+    "sampled set is a pure function of the key, so a re-run, a "
+    "different cluster, or a different engine draws the same rows.",
+)
+def sample_hash_10pct(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_hash_frac(F.col("doc_id")) < 0.10).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE {_HASH_FRAC_SQL.format(key="doc_id")} <
+      CASE lang WHEN 'en' THEN 0.10 ELSE 0.30 END
+GROUP BY lang
+""",
+    tags=("training", "sample", "stratified"),
+    doc="Stratified downsampling with per-class rates (10% of the "
+    "majority 'en' class, 30% otherwise) — class rebalancing as a "
+    "per-row hash decision: no groupBy, no shuffle, no sampleBy RNG; "
+    "the scan filter IS the sampler.",
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 0.10).otherwise(0.30)
+    return (
+        docs.filter(_hash_frac(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@register(
+    "shuffle_deterministic_order",
+    oracle=f"""
+SELECT doc_id, shuffle_key
+FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+ORDER BY shuffle_key
+LIMIT 100
+""",
+    tags=("training", "shuffle"),
+    doc="Deterministic global training order: sort by md5(key) — an "
+    "unbiased, reproducible permutation (a seeded shuffle every "
+    "engine agrees on). The LIMIT keeps the query a "
+    "TakeOrderedAndProject; the full-order variant is the same sort "
+    "written out with write.sortBy/range partitioning.",
+)
+def shuffle_deterministic_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+@register(
+    "batch_by_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY shuffle_key
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+)
+SELECT CAST(floor((cum_tokens - 1) / 2000) AS BIGINT) AS batch_id,
+       count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+FROM runs
+GROUP BY 1
+""",
+    tags=("training", "batching", "window"),
+    doc="Sequence packing by token budget: documents in deterministic "
+    "shuffle order are packed greedily into ~2000-token training "
+    "batches via a running-sum window. The single global window is "
+    "the honest semantics for contiguous batch ids; at 100 TB the "
+    "same packing runs per-shard (partitionBy(shard) window) with "
+    "shard-prefixed batch ids — same operator, sharded key.",
+)
+def batch_by_token_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda t: t != "",
+            )
+        ).alias("n_tokens"),
+    )
+    w = Window.orderBy("shuffle_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        runs.select(
+            F.floor((F.col("cum_tokens") - 1) / 2000)
+            .cast("bigint")
+            .alias("batch_id"),
+            "n_tokens",
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("batch_tokens"),
+        )
+    )
+
+
+@register(
+    "cdc_latest_state_compaction",
+    oracle="""
+SELECT user_id, event_type AS last_event_type, ts AS last_ts
+FROM (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("cdc", "window", "compaction"),
+    doc="Changelog compaction to latest state per key (the batch "
+    "companion of the reference's CDC stream: collapse a history of "
+    "change events to the current snapshot). One hash shuffle on the "
+    "key; ties broken by event_id for determinism. At scale this is "
+    "the standard materialized-view refresh pattern.",
+)
+def cdc_latest_state_compaction(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
