@@ -838,3 +838,128 @@ def scalar_map_funcs(spark, sf_dir):
         F.element_at(m, "k").cast("bigint").alias("k_val"),
         F.element_at(built, "type").alias("type_copy"),
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+    tags=("setop", "bag"),
+    doc="EXCEPT ALL (bag semantics — multiplicity-aware subtraction, "
+    "kept per-key as count differences, not row-by-row matching). "
+    "Catalyst plans it as a counted aggregation + generate, never a "
+    "sort of the full bags.",
+)
+def set_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return r.exceptAll(a)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("setop", "bag"),
+    doc="INTERSECT ALL (bag semantics): per-key min multiplicity of "
+    "the two sides.",
+)
+def set_intersect_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersectAll(op)
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+SELECT decile,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+""",
+    tags=("window", "ntile"),
+    doc="NTILE(10) decile bucketing of order values (tie-broken by "
+    "key for determinism) with per-bucket bounds — the window "
+    "companion of approx_percentile for building equi-depth "
+    "histograms.",
+)
+def window_ntile_deciles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "lateral_explode_props",
+    oracle="""
+SELECT prop_key, val_bucket, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types
+FROM (
+  SELECT event_type, k AS prop_key,
+         CAST(floor(CAST(json_extract_string(props, '$.' || k) AS DOUBLE) / 10) AS BIGINT) AS val_bucket
+  FROM (
+    SELECT event_type, props, unnest(json_keys(props)) AS k FROM events
+  )
+)
+GROUP BY prop_key, val_bucket
+""",
+    tags=("lateral", "explode", "json"),
+    doc="Lateral view / explode: JSON props parsed to a map and "
+    "exploded to one row per entry (Generate in the plan), then "
+    "aggregated by key and value bucket — the schema-on-read path for ragged event "
+    "attributes.",
+)
+def lateral_explode_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select(
+            "event_type",
+            F.explode(m).alias("prop_key", "prop_val"),
+        )
+        .select(
+            "event_type",
+            "prop_key",
+            F.floor(F.col("prop_val").cast("double") / 10)
+            .cast("bigint")
+            .alias("val_bucket"),
+        )
+        .groupBy("prop_key", "val_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+    )
