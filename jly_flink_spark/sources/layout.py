@@ -1,0 +1,88 @@
+"""Data-layout maintenance: compaction and sorted layouts.
+
+At 100 TB the dominant cost of a table is how it is laid out, not how
+it is computed: a partition with 50k tiny files pays 50k open/seek
+round-trips per scan, and an unsorted layout turns every selective
+scan into a full read because min/max footer stats prune nothing.
+These helpers are the two standard maintenance passes:
+
+- `compact_parquet`: rewrite a directory into ~target-row files
+  (repartition to the computed file count; `maxRecordsPerFile` caps
+  stragglers). The reference has no file sinks at all (SURVEY.md
+  §2.2), so this is additive scale infrastructure.
+- `write_sorted_layout`: hive-partition by low-cardinality keys and
+  sort rows *within* each file (`sortWithinPartitions`) so parquet
+  row-group min/max stats make selective scans skip — the poor
+  man's Z-order for single-column locality.
+
+Both are pure Spark writers — no custom file management; the
+atomicity story is the standard write-to-new-dir-then-swap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    df: DataFrame,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    precomputed_count: int | None = None,
+) -> int:
+    """Rewrite `df` as ~equal parquet files of at most
+    `target_rows_per_file` rows. Returns the file count written.
+
+    The count pass is one cheap aggregate (parquet row-group metadata
+    makes count(*) a footer read); the rewrite is one round-robin
+    repartition — the minimum possible data movement for an exact
+    file-count target. `maxRecordsPerFile` is belt-and-braces against
+    a skewed round-robin.
+    """
+    n = precomputed_count if precomputed_count is not None else df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(out_path)
+    )
+    return n_files
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    out_path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned, within-file-sorted layout.
+
+    repartition(partition_cols) routes each hive partition's rows to
+    `files_per_partition` tasks (avoiding the one-file-per-input-task
+    explosion `partitionBy` causes on a wide shuffle), then
+    `sortWithinPartitions` orders rows inside each task so every
+    written file has tight, non-overlapping-ish min/max footer stats
+    on the sort keys. Readers filtering on sort_cols then skip whole
+    row groups (predicate pushdown prunes on the stats).
+    """
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        # salt so one hive partition can fill several files in parallel
+        salt = (F.hash(*[F.col(c) for c in sort_cols]) % files_per_partition)
+        keys = keys + [salt]
+    # The file writer requires rows ordered by the partition columns;
+    # sorting (partition_cols, sort_cols) satisfies that requirement so
+    # Spark skips its own (unstable) writer sort, which would otherwise
+    # scramble the within-file order we just established.
+    (
+        df.repartition(*keys)
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )

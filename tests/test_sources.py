@@ -101,3 +101,77 @@ class TestBucketedJoin:
             import shutil
 
             shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+class TestLayoutMaintenance:
+    def test_compact_parquet_hits_file_target(self, spark, tmp_path):
+        """60k lineitem rows at 10k rows/file → exactly 6 files, same
+        content."""
+        import glob
+
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.sources.layout import compact_parquet
+
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        n = li.count()
+        out = str(tmp_path / "compacted")
+        n_files = compact_parquet(
+            li, out, target_rows_per_file=10_000, precomputed_count=n
+        )
+        assert n_files == -(-n // 10_000)
+        files = glob.glob(f"{out}/*.parquet")
+        assert len(files) == n_files
+        back = spark.read.parquet(out)
+        assert back.count() == n
+        # no file exceeds the cap
+        for f in files:
+            assert spark.read.parquet(f).count() <= 10_000
+
+    def test_sorted_layout_files_are_sorted_and_partitioned(
+        self, spark, tmp_path
+    ):
+        """Each hive partition dir holds files whose rows are sorted on
+        the sort key — the property parquet min/max pruning needs."""
+        import glob
+
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.sources.layout import write_sorted_layout
+
+        o = load_table(spark, "/root/testdata/sf0.01", "orders")
+        out = str(tmp_path / "sorted_layout")
+        write_sorted_layout(
+            o, out, partition_cols=["o_orderstatus"], sort_cols=["o_orderdate"]
+        )
+        part_dirs = glob.glob(f"{out}/o_orderstatus=*")
+        assert len(part_dirs) >= 2
+        import pyarrow.parquet as pq
+
+        for d in part_dirs:
+            for f in glob.glob(f"{d}/*.parquet"):
+                col = pq.read_table(f, columns=["o_orderdate"]).column(
+                    "o_orderdate"
+                )
+                vals = col.to_pylist()
+                assert vals == sorted(vals)
+
+    def test_sorted_layout_scan_prunes_partitions(self, spark, tmp_path):
+        """Reading with a partition-key filter must scan only the
+        matching hive partition (PartitionFilters in the plan)."""
+        import contextlib
+        import io as _io
+
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.sources.layout import write_sorted_layout
+
+        o = load_table(spark, "/root/testdata/sf0.01", "orders")
+        out = str(tmp_path / "pruned_layout")
+        write_sorted_layout(
+            o, out, partition_cols=["o_orderstatus"], sort_cols=["o_orderdate"]
+        )
+        df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("\n")[0]
