@@ -254,3 +254,65 @@ def cdc_latest_state_compaction(spark, sf_dir):
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(ts) - 2),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(ts) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 20),
+corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 20)
+SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared_shingles
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+""",
+    tags=("training", "contamination", "dedup"),
+    doc="Benchmark-contamination check: corpus documents sharing any "
+    "token 3-gram with the held-out set (doc_id < 20 stands in for "
+    "the eval benchmark). Shingle inverted index + broadcast semi "
+    "structure: the benchmark shingle set is tiny and broadcast, so "
+    "the corpus is scanned once and never shuffled on text — only "
+    "(doc_id, matched-shingle) pairs reach the counting shuffle. The "
+    "standard decontamination pass before training.",
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+    )
+    toks = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ts", i),
+            F.element_at("ts", i + 1),
+            F.element_at("ts", i + 2),
+        ),
+    )
+    shingles = toks.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("shingle")
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") < 20)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = shingles.filter(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
