@@ -260,3 +260,61 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    clustering step that turns near-dup PAIRS into duplicate GROUPS
+    (each component keeps one canonical representative: the min id).
+
+    Each iteration: every node adopts the minimum label among itself
+    and its neighbors; converges in O(graph diameter) rounds (near-dup
+    graphs are near-cliques, so typically 2-4). Per round: one hash
+    shuffle for the neighbor-min aggregation, one for the label join —
+    both on (node, label) pairs only, never on document payloads.
+    `localCheckpoint` truncates the lineage so the plan doesn't grow
+    exponentially with iterations (the classic iterative-algorithm
+    trap on Spark); convergence is detected by counting changed
+    labels, which also forces materialization of each round.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("neigh_label", F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        )
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "label").localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

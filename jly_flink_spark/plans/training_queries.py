@@ -316,3 +316,59 @@ def contamination_ngram_overlap(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+WITH RECURSIVE
+doc_toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_filter(string_split(lower(text), ' '), t -> t <> '')
+         )) AS tok
+  FROM documents
+),
+df AS (SELECT tok FROM doc_toks GROUP BY tok HAVING count(*) <= 1000),
+rare AS (SELECT dt.doc_id, dt.tok FROM doc_toks dt JOIN df USING (tok)),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+jac AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM rare a JOIN rare b USING (tok)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  ) s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION ALL SELECT doc_b, doc_a FROM jac
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+""",
+    tags=("training", "dedup", "iterative"),
+    doc="Duplicate-cluster assignment: connected components over the "
+    "exact-Jaccard(≥0.8) near-dup graph via iterative min-label "
+    "propagation (operators/dedup.py::connected_components — "
+    "O(diameter) rounds, localCheckpoint lineage truncation, "
+    "(node,label)-only shuffles). The oracle computes the same "
+    "components with a recursive-CTE transitive closure — feasible "
+    "at oracle scale, which is exactly why the engine side uses "
+    "propagation instead: closure is O(n·cluster), propagation "
+    "state is O(n).",
+)
+def dedup_connected_components(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(
+        docs, min_jaccard=0.8, max_shingle_df=1000
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(edges)

@@ -256,3 +256,29 @@ class TestMultimodalTransforms:
         for t in ("audio", "video"):
             for r in by_type[t]:
                 assert r["n_bytes"] == orig[r["doc_id"]]
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a path graph stresses the propagation depth (diameter = n-1)
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
