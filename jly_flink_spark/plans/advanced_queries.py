@@ -963,3 +963,55 @@ def lateral_explode_props(spark, sf_dir):
             F.count_distinct("event_type").alias("n_event_types"),
         )
     )
+
+
+@register(
+    "events_multigrain_rollup",
+    oracle="""
+SELECT day_bucket, hour_bucket,
+       CASE WHEN GROUPING(hour_bucket) = 1 THEN 'day' ELSE 'hour' END AS grain,
+       count(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_value
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+         date_trunc('hour', ts) AS hour_bucket,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((day_bucket), (day_bucket, hour_bucket))
+""",
+    tags=("rollup", "time", "groupby"),
+    doc="Hypertable-style multi-grain time rollup: hourly and daily "
+    "aggregates of the event stream in ONE pass via GROUPING SETS "
+    "over derived time buckets (grain disambiguated by GROUPING()). "
+    "Spark expands the sets map-side, so the fact scan happens once "
+    "— the continuous-aggregate refresh pattern for time-series "
+    "stores, batch form.",
+)
+def events_multigrain_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("hour_bucket") == 1, "day").otherwise("hour")
+    )
+    return (
+        bucketed.groupingSets(
+            [["day_bucket"], ["day_bucket", "hour_bucket"]],
+            "day_bucket",
+            "hour_bucket",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 10000).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000
+            ).alias("sum_value"),
+        )
+    )
