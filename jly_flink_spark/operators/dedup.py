@@ -283,9 +283,15 @@ def connected_components(
     labels, which also forces materialization of each round.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Materialize the symmetrized edge list ONCE: it is referenced by
+    # two actions per iteration, and without this the whole upstream
+    # edge-producing pipeline (e.g. LSH + verification) re-executes
+    # every round — the dominant cost for any non-trivial edge source.
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -317,4 +323,41 @@ def connected_components(
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def verify_candidates_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — stage 2 of the
+    standard dedup pipeline (LSH candidates → exact verify → cluster).
+
+    Unlike the all-pairs `jaccard_pairs`, the token joins here are
+    bounded by |candidates| × tokens-per-doc: the quadratic blowup was
+    already cut by LSH, so no document-frequency heuristic is needed
+    and the Jaccard is computed on the FULL token sets (a DF cap would
+    silently change the metric)."""
+    toks = doc_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    shared = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -320,7 +320,41 @@ def contamination_ngram_overlap(spark, sf_dir):
 
 @register(
     "dedup_connected_components",
-    oracle="""
+    oracle=None,  # set below — built from the shared minhash params
+    tags=("training", "dedup", "iterative"),
+    doc="The full dedup clustering pipeline: MinHash-LSH candidates → "
+    "exact-Jaccard(≥0.8) verification on full token sets → connected "
+    "components by iterative min-label propagation (O(diameter) "
+    "rounds, lineage-truncated, (node,label)-only shuffles). No "
+    "document-frequency heuristics anywhere: LSH already bounds the "
+    "candidate set, so verification is |candidates|·tokens work at "
+    "any corpus size. Oracle computes identical components via "
+    "recursive-CTE transitive closure.",
+)
+def dedup_connected_components(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_candidate_pairs(docs)
+    edges = dedup.verify_candidates_jaccard(
+        docs, candidates, min_jaccard=0.8
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(edges)
+
+
+def _cc_oracle() -> str:
+    from ..operators import dedup
+
+    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
+    mins = ", ".join(f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
+            b=b,
+            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
 WITH RECURSIVE
 doc_toks AS (
   SELECT doc_id,
@@ -329,15 +363,24 @@ doc_toks AS (
          )) AS tok
   FROM documents
 ),
-df AS (SELECT tok FROM doc_toks GROUP BY tok HAVING count(*) <= 1000),
-rare AS (SELECT dt.doc_id, dt.tok FROM doc_toks dt JOIN df USING (tok)),
+sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN doc_toks ta ON ta.doc_id = c.doc_a
+  JOIN doc_toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+),
 jac AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM rare a JOIN rare b USING (tok)
-    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-  ) s
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
   JOIN sizes sa ON sa.doc_id = s.doc_a
   JOIN sizes sb ON sb.doc_id = s.doc_b
   WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
@@ -352,23 +395,11 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
 SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
-""",
-    tags=("training", "dedup", "iterative"),
-    doc="Duplicate-cluster assignment: connected components over the "
-    "exact-Jaccard(≥0.8) near-dup graph via iterative min-label "
-    "propagation (operators/dedup.py::connected_components — "
-    "O(diameter) rounds, localCheckpoint lineage truncation, "
-    "(node,label)-only shuffles). The oracle computes the same "
-    "components with a recursive-CTE transitive closure — feasible "
-    "at oracle scale, which is exactly why the engine side uses "
-    "propagation instead: closure is O(n·cluster), propagation "
-    "state is O(n).",
-)
-def dedup_connected_components(spark, sf_dir):
-    from ..operators import dedup
+"""
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.jaccard_pairs(
-        docs, min_jaccard=0.8, max_shingle_df=1000
-    ).select("doc_a", "doc_b")
-    return dedup.connected_components(edges)
+
+# late-bind the generated oracle (kept in lockstep with the minhash
+# params so the two sides cannot drift)
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_connected_components"].oracle = _cc_oracle()
