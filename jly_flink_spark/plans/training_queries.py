@@ -403,3 +403,52 @@ SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["dedup_connected_components"].oracle = _cc_oracle()
+
+
+CHUNK_TOKENS = 16
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(ts[(i*{CHUNK_TOKENS}+1):((i+1)*{CHUNK_TOKENS})], ' ') AS chunk,
+       least(len(ts) - i*{CHUNK_TOKENS}, {CHUNK_TOKENS}) AS n_tokens
+FROM toks,
+     unnest(generate_series(0, CAST(floor((len(ts)-1)/{CHUNK_TOKENS}) AS INT))) AS g(i)
+WHERE len(ts) > 0
+""",
+    tags=("training", "udtf", "chunking"),
+    doc="Context-window chunking as a Python UDTF (the third "
+    "user-extensibility surface next to scalar pandas UDFs and "
+    "grouped applyInPandas): each document expands to fixed-size "
+    "token windows via LATERAL chunk_text(...). UDTFs run "
+    "row-partition-local — no shuffle; the expansion is the "
+    "streaming-friendly generate shape, not a collect-and-split.",
+)
+def udtf_chunk_documents(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str, max_tokens: int):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            for i in range(0, len(toks), max_tokens):
+                window = toks[i : i + max_tokens]
+                yield i // max_tokens, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_for_chunking")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM documents_for_chunking d,
+             LATERAL chunk_text(d.text, {CHUNK_TOKENS}) c
+        """
+    )
