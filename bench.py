@@ -47,6 +47,11 @@ HEADLINE = [
     "join_range_banded",
     "udf_mapinpandas_tokens",
     "window_range_30d",
+    "tpch_q10_returned_items",
+    "events_multigrain_rollup",
+    "batch_by_token_budget",
+    "contamination_ngram_overlap",
+    "train_test_split_hash",
 ]
 
 

@@ -15,6 +15,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from jly_flink_spark.config import demo_task_config
 from jly_flink_spark.pipeline import build_pipeline
 from jly_flink_spark.sources.envelopes import parse_envelope_json
@@ -174,3 +176,25 @@ def test_parser_never_throws_on_garbage(spark, lines):
     )
     out = build_pipeline(spark, parse_envelope_json(raw), CFG).collect()
     assert out == [] or all(r["id"] is not None for r in out)
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    """The hash sampler must pick the identical row set no matter how
+    the input is partitioned — the property rand()-based sampling
+    loses and the reason the training splits are hash-driven."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans.training_queries import _hash_frac
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = sorted(
+        r["doc_id"]
+        for r in docs.filter(_hash_frac(F.col("doc_id")) < 0.2).collect()
+    )
+    for n_parts in (1, 7, 64):
+        again = sorted(
+            r["doc_id"]
+            for r in docs.repartition(n_parts)
+            .filter(_hash_frac(F.col("doc_id")) < 0.2)
+            .collect()
+        )
+        assert again == base
