@@ -165,3 +165,49 @@ def read_envelope_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
+
+
+def parse_envelope_json_with_quarantine(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with a corrupt-record quarantine: returns (good, bad).
+
+    A malformed envelope (truncated JSON, wrong types) must never kill
+    the archival stream — the reference's parser silently nulls such
+    events out (ParseDeleteWithSource catches nothing: a bad payload
+    throws and fails the Flink task, StartJob.java:122-151; we upgrade
+    that to explicit quarantine). `bad` carries the raw line so the
+    poison messages are replayable after a fix — the DLQ pattern,
+    minus the queue.
+
+    Detection: PERMISSIVE-mode from_json with an explicit
+    columnNameOfCorruptRecord field — Spark fills that field with the
+    raw line iff the record failed to parse, and leaves it null for
+    every well-formed envelope (a null STRUCT is not a reliable
+    signal: PERMISSIVE parsing nulls the fields, not the struct).
+    """
+    quarantine_schema = T.StructType(
+        list(ENVELOPE_SCHEMA.fields)
+        + [T.StructField("_corrupt", T.StringType())]
+    )
+    v = F.col(value_col)
+    parsed = raw.withColumn(
+        "_env",
+        F.from_json(
+            v,
+            quarantine_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    bad = parsed.filter(F.col("_env._corrupt").isNotNull()).select(
+        *[c for c in raw.columns if c != value_col],
+        v.alias("raw_value"),
+    )
+    good = parsed.filter(F.col("_env._corrupt").isNull()).select(
+        *[c for c in raw.columns if c != value_col],
+        F.col("_env.op").alias("op"),
+        F.col("_env.ts_ms").alias("ts_ms"),
+        F.col("_env.source.table").alias("source_table"),
+        F.get_json_object(v, "$.before").alias("before"),
+    )
+    return good, bad

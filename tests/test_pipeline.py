@@ -100,3 +100,43 @@ def test_broadcast_join_in_plan(spark):
     df = _env(spark, [GOOD])
     plan = build_pipeline(spark, df, cfg)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestQuarantine:
+    def test_corrupt_envelopes_quarantined_not_fatal(self, spark):
+        from jly_flink_spark.sources.envelopes import (
+            parse_envelope_json_with_quarantine,
+        )
+
+        rows = [
+            ("src-0", '{"op":"d","ts_ms":1754000000000,'
+                      '"source":{"db":"x","table":"t"},"before":{"id":"1"}}'),
+            ("src-0", '{"op":"d","ts_ms":17540'),          # truncated
+            ("src-1", "not json at all"),                  # garbage
+            ("src-1", '{"op":"i","ts_ms":1754000001000,'
+                      '"source":{"db":"x","table":"t"},"before":{"id":"2"}}'),
+        ]
+        raw = spark.createDataFrame(rows, "instance_name string, value string")
+        good, bad = parse_envelope_json_with_quarantine(raw)
+        g = good.collect()
+        b = bad.collect()
+        assert len(g) == 2 and len(b) == 2
+        assert {r["op"] for r in g} == {"d", "i"}
+        # quarantine keeps the raw line for replay-after-fix
+        assert any("not json" in r["raw_value"] for r in b)
+
+    def test_quarantine_empty_on_clean_input(self, spark):
+        from jly_flink_spark.sources.envelopes import (
+            envelope_json_lines,
+            parse_envelope_json_with_quarantine,
+        )
+        from jly_flink_spark.sources.envelopes import synth_envelopes_from_events
+
+        from jly_flink_spark.io import load_table
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        env = synth_envelopes_from_events(events, n_instances=2)
+        raw = envelope_json_lines(env).withColumnRenamed("value", "value")
+        good, bad = parse_envelope_json_with_quarantine(raw)
+        assert bad.count() == 0
+        assert good.count() == env.count()
