@@ -1,0 +1,99 @@
+"""Incrementally-maintained rollup (continuous aggregate): a
+streaming hourly aggregate of the event stream upserted into a
+parquet store, partition-by-partition.
+
+The batch query `events_multigrain_rollup` recomputes the rollup from
+scratch; this is its streaming refresh: Structured Streaming keeps
+the running per-(window, key) aggregate in state, update-mode emits
+exactly the groups each micro-batch touched with their FULL
+recomputed values, and `foreachBatch` overwrites exactly those
+(window, key) partitions of the store — dynamic partition overwrite,
+so untouched history is never rewritten.
+
+Idempotency: replaying an epoch rewrites the same partitions with the
+same values (the state store, not the batch, is the source of truth
+for the aggregate), so the store converges under at-least-once
+delivery. This is the materialized-view maintenance pattern the
+reference's OLAP targets (AnalyticDB/StarRocks) do server-side;
+here it is explicit and file-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_plan(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The streaming aggregate: count + order-independent quantized
+    sum per (hour window, event_type). The watermark IS the lateness
+    SLA: windows older than max(event time) - watermark are finalized
+    and their state evicted; rows arriving later than that are
+    dropped by the aggregation (and with the partition-overwrite
+    upsert, an evicted window's re-created partial state would
+    CLOBBER the finalized partition — so size the watermark to the
+    real lateness bound, never below it)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 10000).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias(
+                "hour_key"
+            ),
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def upsert_writer(store_path: str):
+    """foreachBatch upsert: each updated (hour, event_type) group
+    replaces its own partition directory. Partitioning on BOTH the
+    window and the group key is what makes per-group overwrite safe —
+    an epoch that touches only some event_types of an hour must not
+    clobber the others."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_key", "event_type")
+            .parquet(store_path)
+        )
+
+    return write
+
+
+def run_hourly_rollup_once(
+    spark: SparkSession,
+    src_path: str,
+    src_schema,
+    store_path: str,
+    checkpoint: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Drain the file-source backlog into the rollup store and stop
+    (the batch-triggered form of the always-on continuous aggregate)."""
+    sdf = spark.readStream.schema(src_schema).parquet(src_path)
+    q = (
+        hourly_rollup_plan(sdf, watermark)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_writer(store_path))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -275,3 +275,69 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     cats = {r["event_type"]: r["category"] for r in rows if r["category"]}
     for et, cat in cats.items():
         assert cat == ("revenue" if et == "buy" else "engagement")
+
+
+class TestIncrementalRollup:
+    def _batch_truth(self, spark, events):
+        return {
+            (r["ws"], r["event_type"]): (r["n"], r["s"])
+            for r in events.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.sum(
+                        F.floor(F.col("value") * 10000).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 10000
+                ).alias("s"),
+            )
+            .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
+            .collect()
+        }
+
+    def test_rollup_store_matches_batch(self, spark, tmp_path):
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.streaming.rollup import run_hourly_rollup_once
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "src")
+        # two arrivals: history, then late-arriving remainder
+        first = events.filter(F.col("event_id") % 3 != 0)
+        rest = events.filter(F.col("event_id") % 3 == 0)
+        first.write.parquet(src)
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        # the synthetic events span ~1 month; the second arrival is
+        # arbitrarily 'late' relative to event time, so the lateness
+        # SLA (watermark) must cover the full span
+        run_hourly_rollup_once(
+            spark, src, events.schema, store, ckpt, watermark="90 days"
+        )
+        rest.write.mode("append").parquet(src)
+        run_hourly_rollup_once(
+            spark, src, events.schema, store, ckpt, watermark="90 days"
+        )
+
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got == self._batch_truth(spark, events)
+
+    def test_rollup_idempotent_when_no_new_data(self, spark, tmp_path):
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.streaming.rollup import run_hourly_rollup_once
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "src")
+        events.write.parquet(src)
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        run_hourly_rollup_once(spark, src, events.schema, store, ckpt)
+        before = sorted(
+            map(tuple, spark.read.parquet(store).collect())
+        )
+        # re-drain with nothing new: store must not change
+        run_hourly_rollup_once(spark, src, events.schema, store, ckpt)
+        after = sorted(map(tuple, spark.read.parquet(store).collect()))
+        assert after == before
