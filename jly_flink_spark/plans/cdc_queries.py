@@ -191,3 +191,68 @@ def cdc_guard_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(is_d & tbl_ok & before_ok & id_ok & ~ts_ok, "n_bad_ts"),
         cnt(is_d & tbl_ok & before_ok & id_ok & ts_ok, "n_archived"),
     )
+
+
+@register(
+    "cdc_apply_changes_merge",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'd'
+              WHEN c_custkey % 10 IN (1, 2) THEN 'u'
+              ELSE NULL END AS op,
+         c_acctbal + 100.0 AS new_acctbal
+  FROM customer
+  WHERE c_custkey % 10 IN (0, 1, 2)
+),
+merged AS (
+  SELECT c.c_custkey,
+         CASE WHEN ch.op = 'u' THEN ch.new_acctbal ELSE c.c_acctbal END AS acctbal
+  FROM customer c
+  LEFT JOIN changes ch USING (c_custkey)
+  WHERE ch.op IS DISTINCT FROM 'd'
+)
+SELECT count(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(acctbal * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_acctbal
+FROM merged
+""",
+    tags=("cdc", "merge", "upsert"),
+    doc="MERGE / apply-changes: a CDC batch (deletes for custkey%10=0, "
+    "updates for %10∈{1,2}) applied to the customer snapshot in one "
+    "pass — LEFT JOIN + delete-filter + CASE-update, the join-based "
+    "MERGE every lakehouse implements underneath. The complement of "
+    "the reference's pipeline (which ARCHIVES the deletes this "
+    "operator applies). Output is the merged table's count+checksum, "
+    "proving row set and values, not just shape.",
+)
+def cdc_apply_changes_merge(spark, sf_dir):
+    from ..io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 10
+    changes = c.filter(mod.isin(0, 1, 2)).select(
+        "c_custkey",
+        F.when(mod == 0, "d").when(mod.isin(1, 2), "u").alias("op"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+    )
+    merged = (
+        c.join(changes, "c_custkey", "left")
+        .filter(
+            F.col("op").isNull() | (F.col("op") != "d")
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "u", F.col("new_acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+        )
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("acctbal") * 10000).cast("decimal(38,0)")
+            ).cast("double")
+            / 10000
+        ).alias("sum_acctbal"),
+    )
