@@ -1015,3 +1015,125 @@ def events_multigrain_rollup(spark, sf_dir):
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL AS BOOLEAN) AS is_current
+FROM events
+WHERE user_id % 50 = 0
+""",
+    tags=("scd", "window", "cdc"),
+    doc="SCD Type-2 historization: a changelog becomes validity "
+    "intervals [valid_from, valid_to) via lead() over each key's "
+    "event-time order — one hash shuffle on the key, no self-join "
+    "(the naive interval build is a range self-join; lead() is "
+    "linear). is_current marks the open interval.",
+)
+def scd2_user_history(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_funnel_analysis",
+    oracle="""
+WITH stage_times AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS stage_click,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS stage_purchase
+FROM stage_times
+""",
+    tags=("funnel", "events", "conditional"),
+    doc="Ordered-funnel analysis (view → click → purchase, strictly "
+    "increasing first-occurrence times): ONE conditional-min "
+    "aggregation pass over the fact table, then per-user stage "
+    "predicates — no per-stage self-joins (the naive funnel is "
+    "k-way self-join; this is linear with a single key shuffle).",
+)
+def events_funnel_analysis(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t_of = lambda et: F.min(  # noqa: E731
+        F.when(F.col("event_type") == et, F.col("ts"))
+    )
+    stages = ev.groupBy("user_id").agg(
+        t_of("view").alias("t_view"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    has_view = F.col("t_view").isNotNull()
+    has_click = has_view & (F.col("t_click") > F.col("t_view"))
+    has_purch = has_click & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        one(has_view).alias("stage_view"),
+        one(has_click).alias("stage_click"),
+        one(has_purch).alias("stage_purchase"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+  FROM events e
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7) AS BIGINT)
+         AS weeks_since,
+       count(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("cohort", "retention", "events"),
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "counted per week-offset of later activity. Two aggregations "
+    "and one join, all shuffling on user_id — the cohort dim rides "
+    "along; no cross-week fan-out.",
+)
+def events_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    weeks_since = F.floor(
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
