@@ -175,3 +175,21 @@ class TestLayoutMaintenance:
         plan = buf.getvalue()
         assert "PartitionFilters" in plan
         assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_evolved_table(self, spark, tmp_path):
+        """A table whose later files gained a column must read as the
+        union schema with nulls backfilled (mergeSchema) — the append
+        pattern every long-lived dataset hits."""
+        out = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a")], "id long, name string"
+        ).write.parquet(out)
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        ).write.mode("append").parquet(out)
+        df = spark.read.option("mergeSchema", "true").parquet(out)
+        assert set(df.columns) == {"id", "name", "score"}
+        rows = {r["id"]: r["score"] for r in df.collect()}
+        assert rows == {1: None, 2: 9.5}
