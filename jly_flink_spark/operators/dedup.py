@@ -279,8 +279,11 @@ def connected_components(
     both on (node, label) pairs only, never on document payloads.
     `localCheckpoint` truncates the lineage so the plan doesn't grow
     exponentially with iterations (the classic iterative-algorithm
-    trap on Spark); convergence is detected by counting changed
-    labels, which also forces materialization of each round.
+    trap on Spark); each round is checkpointed FIRST and the
+    convergence count reads from the checkpoint, so the round's plan
+    executes exactly once. Raises if the graph has not converged
+    within max_iter (diameter > max_iter) — a silently split
+    component is a wrong answer, not a degraded one.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the symmetrized edge list ONCE: it is referenced by
@@ -298,6 +301,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -314,13 +318,20 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("old_label"),
             )
+            .localCheckpoint()
         )
         changed = new_labels.filter(
             F.col("label") != F.col("old_label")
         ).count()
-        labels = new_labels.select("node", "label").localCheckpoint()
+        labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import joins, similarity
+from ..functions import dsum
 from .registry import register, register_sql
 
 _Q = 10_000  # double-sum quantization (matches relational_queries)
@@ -1007,12 +1008,7 @@ def events_multigrain_rollup(spark, sf_dir):
         .agg(
             grain.alias("grain"),
             F.count("*").alias("n_events"),
-            (
-                F.sum(
-                    F.floor(F.col("value") * 10000).cast("decimal(38,0)")
-                ).cast("double")
-                / 10000
-            ).alias("sum_value"),
+            dsum(F.col("value"), "sum_value"),
         )
     )
 

@@ -247,12 +247,9 @@ def cdc_apply_changes_merge(spark, sf_dir):
             .alias("acctbal"),
         )
     )
+    from ..functions import dsum
+
     return merged.agg(
         F.count("*").alias("n_rows"),
-        (
-            F.sum(
-                F.floor(F.col("acctbal") * 10000).cast("decimal(38,0)")
-            ).cast("double")
-            / 10000
-        ).alias("sum_acctbal"),
+        dsum(F.col("acctbal"), "sum_acctbal"),
     )

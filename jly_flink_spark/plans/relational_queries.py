@@ -27,33 +27,11 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _dsum(col, alias: str):
-    """Order-independent, engine-independent double sum.
-
-    Two hazards break cross-engine value-hash parity on double sums:
-    (1) float addition is non-associative → partition order changes
-    the result; (2) double→decimal casts round ties differently
-    (Spark HALF_UP vs DuckDB HALF_EVEN — observed on real data).
-    Fix both: quantize each value with floor(x * 1e4) — a pure IEEE
-    double multiply + floor, bit-identical on any engine — then sum
-    exact integers (decimal(38,0), associative), then one double
-    division. Mirror in SQL:
-    CAST(SUM(CAST(FLOOR(x * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000
-    """
-    return _dsum_col(col).alias(alias)
-
-
-def _dsum_col(col):
-    e = col if not isinstance(col, str) else F.col(col)
-    return (
-        F.sum(F.floor(e * F.lit(10000)).cast("decimal(38,0)")).cast("double")
-        / 10000
-    )
-
-
-def _DSUM(expr: str) -> str:
-    """The SQL mirror of _dsum for oracle strings."""
-    return f"CAST(SUM(CAST(FLOOR(({expr}) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000"
+# Single parity-critical definition lives in jly_flink_spark.functions;
+# these aliases keep the existing query modules' call sites.
+from ..functions import dsum as _dsum  # noqa: E402,F401
+from ..functions import dsum_col as _dsum_col  # noqa: E402,F401
+from ..functions import dsum_sql as _DSUM  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

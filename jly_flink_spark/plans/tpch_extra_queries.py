@@ -257,14 +257,16 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#1'
   AND p.p_type NOT IN ('ECONOMY', 'STANDARD')
   AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-  AND l.l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey
   )
 GROUP BY p.p_brand, p.p_type, p.p_size
 """,
     tags=("tpch", "subquery", "distinct", "groupby"),
-    doc="TPC-H Q16 shape: parts/supplier relationship — NOT IN "
-    "anti-join against a filtered dim, multi-predicate part filter, "
+    doc="TPC-H Q16 shape: parts/supplier relationship — NOT EXISTS "
+    "anti-join against a filtered dim (NOT IN diverges from the "
+    "engine's left_anti on NULL keys), multi-predicate part filter, "
     "COUNT(DISTINCT) per group. partsupp is absent from the reduced "
     "schema; lineitem provides the part↔supplier relation.",
 )

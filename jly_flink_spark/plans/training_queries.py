@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..functions import dsum
 from ..io import load_table
+from ..operators.text import tokens
 from .registry import register
 
 # md5-prefix uniform hash in [0, 1): first 8 hex chars as a fraction
@@ -75,14 +77,7 @@ def train_test_split_hash(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            (
-                F.sum(
-                    F.floor(F.col("quality_hint") * 10000).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("double")
-                / 10000
-            ).alias("sum_quality"),
+            dsum(F.col("quality_hint"), "sum_quality"),
         )
     )
 
@@ -195,12 +190,7 @@ def batch_by_token_budget(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col("text")), " "),
-                lambda t: t != "",
-            )
-        ).alias("n_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
     w = Window.orderBy("shuffle_key").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -289,10 +279,9 @@ GROUP BY c.doc_id
 )
 def contamination_ngram_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    ts = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
-    )
-    toks = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 3)
     tri = F.transform(
         F.sequence(F.lit(1), F.size("ts") - 2),
         lambda i: F.concat_ws(

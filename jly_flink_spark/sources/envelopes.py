@@ -199,11 +199,16 @@ def parse_envelope_json_with_quarantine(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ),
     )
-    bad = parsed.filter(F.col("_env._corrupt").isNotNull()).select(
+    # A NULL value (e.g. a Kafka/Debezium tombstone) makes from_json
+    # return a null STRUCT — _corrupt is then null too, so testing
+    # _corrupt alone would misroute tombstones into `good` as all-null
+    # rows. Unparseable-or-absent both belong in quarantine.
+    is_bad = v.isNull() | F.col("_env._corrupt").isNotNull()
+    bad = parsed.filter(is_bad).select(
         *[c for c in raw.columns if c != value_col],
         v.alias("raw_value"),
     )
-    good = parsed.filter(F.col("_env._corrupt").isNull()).select(
+    good = parsed.filter(~is_bad).select(
         *[c for c in raw.columns if c != value_col],
         F.col("_env.op").alias("op"),
         F.col("_env.ts_ms").alias("ts_ms"),

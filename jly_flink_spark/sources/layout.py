@@ -73,7 +73,11 @@ def write_sorted_layout(
     keys = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
         # salt so one hive partition can fill several files in parallel
-        salt = (F.hash(*[F.col(c) for c in sort_cols]) % files_per_partition)
+        # pmod, not %: F.hash is int32 and negative ~half the time;
+        # % keeps the sign, which would double the salt domain
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in sort_cols]), files_per_partition
+        )
         keys = keys + [salt]
     # The file writer requires rows ordered by the partition columns;
     # sorting (partition_cols, sort_cols) satisfies that requirement so

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dsum
+
 
 def hourly_rollup_plan(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """The streaming aggregate: count + order-independent quantized
@@ -38,12 +40,7 @@ def hourly_rollup_plan(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            (
-                F.sum(
-                    F.floor(F.col("value") * 10000).cast("decimal(38,0)")
-                ).cast("double")
-                / 10000
-            ).alias("sum_value"),
+            dsum(F.col("value"), "sum_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias(

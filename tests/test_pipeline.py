@@ -116,11 +116,12 @@ class TestQuarantine:
             ("src-1", '{"op":"i","ts_ms":1754000001000,'
                       '"source":{"db":"x","table":"t"},"before":{"id":"2"}}'),
         ]
+        rows.append(("src-2", None))  # Kafka/Debezium tombstone
         raw = spark.createDataFrame(rows, "instance_name string, value string")
         good, bad = parse_envelope_json_with_quarantine(raw)
         g = good.collect()
         b = bad.collect()
-        assert len(g) == 2 and len(b) == 2
+        assert len(g) == 2 and len(b) == 3
         assert {r["op"] for r in g} == {"d", "i"}
         # quarantine keeps the raw line for replay-after-fix
         assert any("not json" in r["raw_value"] for r in b)
