@@ -1133,3 +1133,59 @@ def events_cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 3600
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WHERE user_id % 25 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island_id
+  FROM flagged
+)
+SELECT user_id, island_id,
+       min(ts) AS island_start, max(ts) AS island_end,
+       count(*) AS n_events
+FROM islands
+GROUP BY user_id, island_id
+""",
+    tags=("window", "islands", "sessionization"),
+    doc="Islands-and-gaps: contiguous activity runs per user, split "
+    "where the inter-event gap exceeds 60 minutes — lag() flags "
+    "island starts, a running sum numbers them, one aggregation "
+    "closes them. The window/batch mirror of the stateful streaming "
+    "sessionizer (streaming/stateful.py::sessionize); both shuffle "
+    "once on the key.",
+)
+def events_activity_islands(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_island = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > 3600), 1
+    ).otherwise(0)
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_island", new_island)
+        .withColumn("island_id", F.sum("new_island").over(wrun))
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

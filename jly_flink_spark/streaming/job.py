@@ -57,14 +57,47 @@ def start_archival_stream(
     checkpoint_dir: str,
     trigger_seconds: float = 5.0,
     max_files_per_trigger: int = 1,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the delete-archival stream (the Spark analog of
-    StartJob.main wiring + env.execute, StartJob.java:36-108)."""
-    target = streaming_pipeline(
-        spark, envelope_dir, cfg, max_files_per_trigger=max_files_per_trigger
+    StartJob.main wiring + env.execute, StartJob.java:36-108).
+
+    With `quarantine_dir`, malformed envelopes are split out inside
+    each micro-batch and appended there as parquet (raw line kept for
+    replay-after-fix) instead of poisoning the stream — one source,
+    one checkpoint, both outputs written in the same epoch, so the
+    quarantine inherits the stream's at-least-once guarantee."""
+    from pyspark.sql import functions as F
+
+    if quarantine_dir is None:
+        target = streaming_pipeline(
+            spark, envelope_dir, cfg,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return (
+            target.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+    from ..sources.envelopes import parse_envelope_json_with_quarantine
+
+    raw = read_envelope_stream(
+        spark, envelope_dir, max_files_per_trigger=max_files_per_trigger
+    ).select(
+        F.substring_index("value", "|", 1).alias("instance_name"),
+        F.expr("substring(value, instr(value, '|') + 1)").alias("value"),
     )
+
+    def split_and_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        good, bad = parse_envelope_json_with_quarantine(batch_df)
+        if bad.limit(1).count() > 0:
+            bad.write.mode("append").parquet(quarantine_dir)
+        sink(build_pipeline(spark, good, cfg), epoch_id)
+
     return (
-        target.writeStream.foreachBatch(sink)
+        raw.writeStream.foreachBatch(split_and_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
@@ -78,6 +111,7 @@ def run_archival_once(
     sink: DualSink,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    quarantine_dir: str | None = None,
 ) -> None:
     """Drain everything currently in the source and stop — the
     harness/run-to-completion mode (processAllAvailable ≈ the
@@ -90,6 +124,7 @@ def run_archival_once(
         checkpoint_dir,
         trigger_seconds=0.5,
         max_files_per_trigger=max_files_per_trigger,
+        quarantine_dir=quarantine_dir,
     )
     try:
         q.processAllAvailable()

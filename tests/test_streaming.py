@@ -341,3 +341,30 @@ class TestIncrementalRollup:
         run_hourly_rollup_once(spark, src, events.schema, store, ckpt)
         after = sorted(map(tuple, spark.read.parquet(store).collect()))
         assert after == before
+
+
+def test_stream_quarantine_splits_poison_messages(spark, tmp_path):
+    """A poison envelope in the stream lands in the quarantine dir
+    (raw line intact) while every well-formed event still archives."""
+    from jly_flink_spark.streaming.job import run_archival_once
+
+    env_dir = str(tmp_path / "envelopes")
+    _write_envelope_files(env_dir, EVENTS)
+    with open(f"{env_dir}/batch_poison.txt", "w") as f:
+        f.write("src-9|{broken json\n")
+    dirs = {
+        "adb": str(tmp_path / "adb"),
+        "sr": str(tmp_path / "sr"),
+        "ledger": str(tmp_path / "ledger"),
+    }
+    sink = _make_sink(dirs, spark)
+    qdir = str(tmp_path / "quarantine")
+    run_archival_once(
+        spark, env_dir, CFG, sink, str(tmp_path / "ckpt"),
+        quarantine_dir=qdir,
+    )
+    bad = spark.read.parquet(qdir).collect()
+    assert len(bad) == 1 and "{broken json" in bad[0]["raw_value"]
+    adb = spark.read.parquet(dirs["adb"])
+    # the three valid deletes still archived (ids 1, 3, 7)
+    assert sorted(r["id"] for r in adb.collect()) == ["1", "3", "7"]
