@@ -40,3 +40,28 @@ def dsum_sql(expr: str) -> str:
         f"CAST(SUM(CAST(FLOOR(({expr}) * {DSUM_SCALE}) AS DECIMAL(38,0)))"
         f" AS DOUBLE) / {DSUM_SCALE}"
     )
+
+
+# md5-prefix uniform hash in [0, 1): first 8 hex chars as a fraction
+# of 16^8. Per-row, engine-independent, stable under repartitioning —
+# the deterministic replacement for rand() in splits/samples. SQL
+# mirror: hash_frac_sql.
+HASH_FRAC_DENOM = 4_294_967_296  # 16^8
+
+
+def hash_frac(key_col) -> Column:
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(HASH_FRAC_DENOM))
+    )
+
+
+def hash_frac_sql(key: str) -> str:
+    return (
+        "CAST(CAST('0x' || substring(md5(CAST("
+        + key
+        + " AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / "
+        + str(HASH_FRAC_DENOM)
+    )

@@ -1189,3 +1189,59 @@ def events_activity_islands(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+SELECT grp,
+       count(*) AS n_rows,
+       count(val) AS n_nonnull,
+       sum(CASE WHEN val IS NOT DISTINCT FROM ref THEN 1 ELSE 0 END)
+         AS n_nullsafe_eq,
+       coalesce(min(val), -1) AS min_or_default,
+       max(nullif(val, 0)) AS max_nonzero
+FROM (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS grp,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(event_id % 13 AS BIGINT) END AS val,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(event_id % 11 AS BIGINT) END AS ref
+  FROM events
+)
+GROUP BY grp
+ORDER BY grp NULLS FIRST
+""",
+    tags=("scalar", "null"),
+    doc="NULL semantics end-to-end: NULL group keys form their own "
+    "group, count(col) vs count(*), null-safe equality (Spark <=> / "
+    "SQL IS NOT DISTINCT FROM — true when both sides are NULL), "
+    "coalesce/nullif, and NULLS FIRST ordering (Spark's default for "
+    "ascending, made explicit in the oracle).",
+)
+def scalar_null_semantics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    derived = ev.select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("grp"),
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise((F.col("event_id") % 13).cast("bigint"))
+        .alias("val"),
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise((F.col("event_id") % 11).cast("bigint"))
+        .alias("ref"),
+    )
+    return (
+        derived.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("val").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("val").eqNullSafe(F.col("ref")), 1).otherwise(0)
+            ).alias("n_nullsafe_eq"),
+            F.coalesce(F.min("val"), F.lit(-1)).alias("min_or_default"),
+            F.max(F.nullif(F.col("val"), F.lit(0))).alias("max_nonzero"),
+        )
+        .orderBy(F.col("grp").asc_nulls_first())
+    )

@@ -24,21 +24,13 @@ from ..io import load_table
 from ..operators.text import tokens
 from .registry import register
 
-# md5-prefix uniform hash in [0, 1): first 8 hex chars as a fraction
-# of 16^8. Per-row, engine-independent, stable under repartitioning.
-_HASH_FRAC_SQL = (
-    "CAST(CAST('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8) AS BIGINT)"
-    " AS DOUBLE) / 4294967296"
-)
+# Single parity-critical definition in jly_flink_spark.functions.
+from ..functions import hash_frac as _hash_frac  # noqa: E402
 
+def _hash_frac_sql(key: str) -> str:
+    from ..functions import hash_frac_sql
 
-def _hash_frac(key_col):
-    return (
-        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    return hash_frac_sql(key)
 
 
 @register(
@@ -47,8 +39,8 @@ def _hash_frac(key_col):
 SELECT split, count(*) AS n_docs,
        CAST(SUM(CAST(FLOOR(quality_hint * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS sum_quality
 FROM (
-  SELECT CASE WHEN {_HASH_FRAC_SQL.format(key="doc_id")} < 0.8 THEN 'train'
-              WHEN {_HASH_FRAC_SQL.format(key="doc_id")} < 0.9 THEN 'valid'
+  SELECT CASE WHEN {_hash_frac_sql("doc_id")} < 0.8 THEN 'train'
+              WHEN {_hash_frac_sql("doc_id")} < 0.9 THEN 'valid'
               ELSE 'test' END AS split,
          length(text) * 1e-3 AS quality_hint
   FROM documents
@@ -87,7 +79,7 @@ def train_test_split_hash(spark, sf_dir):
     oracle=f"""
 SELECT doc_id, lang
 FROM documents
-WHERE {_HASH_FRAC_SQL.format(key="doc_id")} < 0.10
+WHERE {_hash_frac_sql("doc_id")} < 0.10
 """,
     tags=("training", "sample"),
     doc="Deterministic 10% Bernoulli sample by hash threshold — the "
@@ -107,7 +99,7 @@ def sample_hash_10pct(spark, sf_dir):
     oracle=f"""
 SELECT lang, count(*) AS n_sampled
 FROM documents
-WHERE {_HASH_FRAC_SQL.format(key="doc_id")} <
+WHERE {_hash_frac_sql("doc_id")} <
       CASE lang WHEN 'en' THEN 0.10 ELSE 0.30 END
 GROUP BY lang
 """,
