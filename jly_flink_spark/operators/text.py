@@ -128,3 +128,23 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def trigram_shingles(text: Column) -> Column:
+    """Distinct token 3-gram shingles of the text (empty if < 3
+    tokens). The shared shingle definition for contamination checks —
+    SQL mirror: list_transform(generate_series(1, len(ts)-2),
+    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])."""
+    ts = tokens(text)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ts, i),
+            F.element_at(ts, i + 1),
+            F.element_at(ts, i + 2),
+        ),
+    )
+    return F.when(F.size(ts) >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )

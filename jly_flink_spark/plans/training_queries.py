@@ -271,20 +271,11 @@ GROUP BY c.doc_id
 )
 def contamination_ngram_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("ts")
-    ).filter(F.size("ts") >= 3)
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size("ts") - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("ts", i),
-            F.element_at("ts", i + 1),
-            F.element_at("ts", i + 2),
-        ),
-    )
-    shingles = toks.select(
-        "doc_id", F.explode(F.array_distinct(tri)).alias("shingle")
+    from ..operators.text import trigram_shingles
+
+    shingles = docs.select(
+        "doc_id",
+        F.explode(trigram_shingles(F.col("text"))).alias("shingle"),
     )
     bench = (
         shingles.filter(F.col("doc_id") < 20)
@@ -433,3 +424,170 @@ def udtf_chunk_documents(spark, sf_dir):
              LATERAL chunk_text(d.text, {CHUNK_TOKENS}) c
         """
     )
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=None,  # generated below from the shared fragments
+    tags=("training", "pipeline", "dedup", "headline"),
+    doc="The whole training-corpus preparation as ONE declarative "
+    "plan: exact dedup (keep canonical fingerprint row) → near-dup "
+    "removal (MinHash-LSH candidates, exact-Jaccard≥0.8 verify, "
+    "greedy keep-smallest — drop every doc_b of a verified pair) → "
+    "benchmark decontamination (no shared 3-gram with the held-out "
+    "set) → quality filter (score ≥ 0.7) → deterministic 90/10 hash "
+    "split → per-(split, lang) corpus stats. Catalyst sees the full "
+    "pipeline and prunes/pushes across stage boundaries; every stage "
+    "is a pure function of the input, so the whole composite is "
+    "value-hash checked against one oracle CTE chain.",
+)
+def pipeline_training_corpus(spark, sf_dir):
+    from ..operators import dedup
+    from ..operators.text import quality_score, trigram_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup (whitespace-normalized fingerprint, keep min id)
+    kept1 = dedup.exact_dedup_keep_first(docs)
+
+    # 2. near-dup removal: verified pairs always have doc_a < doc_b,
+    #    so dropping every doc_b keeps exactly the smallest doc of
+    #    each near-dup clique edge-wise (greedy keep-first)
+    cands = dedup.minhash_candidate_pairs(kept1)
+    near = dedup.verify_candidates_jaccard(kept1, cands, min_jaccard=0.8)
+    losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept2 = kept1.join(losers, "doc_id", "left_anti")
+
+    # 3. decontamination vs the held-out set (doc_id < 20, original
+    #    corpus): benchmark shingles broadcast; corpus docs keeping
+    #    any shared trigram are dropped, and the benchmark itself is
+    #    excluded from the training corpus
+    shingled = docs.select(
+        "doc_id", F.explode(trigram_shingles(F.col("text"))).alias("shingle")
+    )
+    bench_shingles = (
+        shingled.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    )
+    contaminated = (
+        shingled.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept3 = (
+        kept2.filter(F.col("doc_id") >= 20)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # 4. quality gate
+    kept4 = kept3.filter(quality_score(F.col("text")) >= 0.7)
+
+    # 5. deterministic split + corpus stats
+    split = F.when(_hash_frac(F.col("doc_id")) < 0.9, "train").otherwise(
+        "holdout"
+    )
+    from ..operators.text import token_count
+
+    return (
+        kept4.select(
+            split.alias("split"),
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _pipeline_oracle() -> str:
+    from ..functions import hash_frac_sql
+    from ..operators import dedup
+    from .northstar_queries import _FP, _QUALITY, _TOKS
+
+    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
+    mins = ", ".join(f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
+            b=b,
+            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    tri = (
+        "list_transform(generate_series(1, len(ts) - 2), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id, lang, text, {_FP} AS fp FROM documents
+),
+kept1 AS (
+  SELECT doc_id, lang, text FROM fp
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+),
+doc_toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM kept1
+),
+sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN doc_toks ta ON ta.doc_id = c.doc_a
+  JOIN doc_toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT s.doc_b AS doc_id
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_tok + sb.n_tok - n_shared) >= 0.8
+),
+kept2 AS (
+  SELECT k.* FROM kept1 k
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)
+),
+shingled AS (
+  SELECT doc_id, unnest(list_distinct({tri})) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+  WHERE len(ts) >= 3
+),
+bench_shingles AS (
+  SELECT DISTINCT shingle FROM shingled WHERE doc_id < 20
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM shingled s
+  JOIN bench_shingles b USING (shingle)
+  WHERE s.doc_id >= 20
+),
+kept3 AS (
+  SELECT k.* FROM kept2 k
+  WHERE k.doc_id >= 20
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)
+),
+kept4 AS (
+  SELECT doc_id, lang, text FROM kept3 WHERE ({_QUALITY}) >= 0.7
+)
+SELECT CASE WHEN {hash_frac_sql("doc_id")} < 0.9 THEN 'train'
+            ELSE 'holdout' END AS split,
+       lang,
+       count(*) AS n_docs,
+       sum(len({_TOKS})) AS total_tokens
+FROM kept4
+GROUP BY 1, 2
+"""
+
+
+from .registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["pipeline_training_corpus"].oracle = _pipeline_oracle()
