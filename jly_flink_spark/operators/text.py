@@ -130,12 +130,14 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def trigram_shingles(text: Column) -> Column:
-    """Distinct token 3-gram shingles of the text (empty if < 3
-    tokens). The shared shingle definition for contamination checks —
-    SQL mirror: list_transform(generate_series(1, len(ts)-2),
+def trigram_shingles(ts: Column) -> Column:
+    """Distinct token 3-gram shingles of a TOKEN-ARRAY column (empty
+    if < 3 tokens). Takes the materialized array, not the raw text:
+    an inline tokens(text) here would re-run the split+filter for
+    every element_at reference in the lambda — O(tokens²·len) per
+    row. Project tokens(text) into a column first. SQL mirror:
+    list_transform(generate_series(1, len(ts)-2),
     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])."""
-    ts = tokens(text)
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(0))),
         lambda i: F.concat_ws(

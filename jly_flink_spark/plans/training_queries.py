@@ -274,8 +274,10 @@ def contamination_ngram_overlap(spark, sf_dir):
     from ..operators.text import trigram_shingles
 
     shingles = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).select(
         "doc_id",
-        F.explode(trigram_shingles(F.col("text"))).alias("shingle"),
+        F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
     )
     bench = (
         shingles.filter(F.col("doc_id") < 20)
@@ -463,7 +465,9 @@ def pipeline_training_corpus(spark, sf_dir):
     #    any shared trigram are dropped, and the benchmark itself is
     #    excluded from the training corpus
     shingled = docs.select(
-        "doc_id", F.explode(trigram_shingles(F.col("text"))).alias("shingle")
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).select(
+        "doc_id", F.explode(trigram_shingles(F.col("ts"))).alias("shingle")
     )
     bench_shingles = (
         shingled.filter(F.col("doc_id") < 20).select("shingle").distinct()
