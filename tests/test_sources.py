@@ -193,3 +193,68 @@ class TestSchemaEvolution:
         assert set(df.columns) == {"id", "name", "score"}
         rows = {r["id"]: r["score"] for r in df.collect()}
         assert rows == {1: None, 2: 9.5}
+
+
+class TestBinaryFileIngestion:
+    def test_binary_file_source_feeds_multimodal_pipeline(
+        self, spark, tmp_path
+    ):
+        """Raw media files on disk → binaryFile source → the
+        multimodal feature extractor: the real ingestion path for
+        image/audio payloads (each file one row, content as binary,
+        path/length metadata free)."""
+        import os
+
+        from pyspark.sql import functions as F_
+
+        from jly_flink_spark.operators import multimodal
+
+        media_dir = str(tmp_path / "media")
+        os.makedirs(media_dir)
+        for i in range(6):
+            with open(f"{media_dir}/doc_{i}.bin", "wb") as f:
+                f.write((f"payload-{i}-" * (i + 1)).encode())
+
+        raw = spark.read.format("binaryFile").load(media_dir)
+        assert {"path", "length", "content"} <= set(raw.columns)
+        media = raw.select(
+            F_.regexp_extract(F_.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F_.lit("image").alias("media_type"),
+            F_.col("content").alias("payload"),
+            F_.length(F_.col("content")).alias("n_bytes"),
+        )
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 6
+        # deterministic features from the bytes, not the path
+        again = {r["doc_id"]: r["feature0"] for r in
+                 multimodal.extract_features(media).collect()}
+        for r in feats:
+            assert again[r["doc_id"]] == r["feature0"]
+
+
+class TestObserveMetrics:
+    def test_observe_counts_guard_drops_in_one_pass(self, spark):
+        """df.observe() attaches accumulator-style metrics to the
+        plan — the streaming-safe way to count guard drops without a
+        second scan (the reference logs dropped rows per event,
+        StartJob.java:128-151; observe() is the aggregate analog)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F_
+
+        from jly_flink_spark.io import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        obs = Observation("guards")
+        observed = ev.observe(
+            obs,
+            F_.count(F_.lit(1)).alias("n_total"),
+            F_.sum(
+                F_.when(F_.col("value") < 10, 1).otherwise(0)
+            ).alias("n_low"),
+        )
+        kept = observed.filter(F_.col("value") >= 10).count()
+        m = obs.get
+        assert m["n_total"] == ev.count()
+        assert m["n_total"] - m["n_low"] == kept
