@@ -1245,3 +1245,61 @@ def scalar_null_semantics(spark, sf_dir):
         )
         .orderBy(F.col("grp").asc_nulls_first())
     )
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=f"""
+WITH RECURSIVE norms AS (
+  SELECT vec_id,
+         sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QV}) AS BIGINT)) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * {_QV}) AS BIGINT)) AS qd
+  FROM prods GROUP BY vec_a, vec_b
+),
+pairs AS (
+  SELECT d.vec_a, d.vec_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE CAST(d.qd AS DOUBLE)
+        / (sqrt(CAST(na.qn AS DOUBLE)) * sqrt(CAST(nb.qn AS DOUBLE)))
+        >= {{thr}}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+""".replace("{thr}", "0.5"),
+    tags=("northstar", "dedup", "embedding", "iterative"),
+    doc="Semantic duplicate clusters: embedding-cosine(≥0.5) near-dup "
+    "pairs (vectorized numpy kernel) fed into connected components — "
+    "the cross-lingual/paraphrase dedup path, where token-based "
+    "minhash misses rewrites that embed nearby. Same cluster "
+    "machinery as the token pipeline; only the similarity metric "
+    "changes.",
+)
+def dedup_embedding_components(spark, sf_dir):
+    from ..operators import dedup
+
+    pairs = similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup.connected_components(pairs)

@@ -282,3 +282,8 @@ def test_connected_components_chain_converges(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(edges).count() == 0
