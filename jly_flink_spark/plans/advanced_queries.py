@@ -1303,3 +1303,39 @@ def dedup_embedding_components(spark, sf_dir):
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return dedup.connected_components(pairs)
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 200 THEN 21
+            ELSE CAST(floor(value / 10) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM events
+GROUP BY 1
+""",
+    tags=("histogram", "groupby"),
+    doc="Equi-width histogram via width_bucket (20 buckets over "
+    "[0, 200); out-of-range rows land in the 0/21 overflow buckets) "
+    "— the single-pass scan+groupBy companion of the NTILE "
+    "equi-depth variant. DuckDB has no width_bucket; the oracle "
+    "mirrors its bucket arithmetic explicitly.",
+)
+def events_value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20))
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
