@@ -192,44 +192,6 @@ def cosine_topk_lsh(
     )
 
 
-def _q(x: float) -> float:
-    """Driver-side mirror of the engine's quantized product term."""
-    import math
-
-    return math.floor(float(x) * float(x) * QUANT)
-
-
-def _cent_cos_structs(cent_rows, vec_col: str, norm2_col: str = "q_norm2"):
-    """Array of (cosine-to-centroid, -centroid_id) structs computed
-    against DRIVER-SIDE centroid literals — a pure per-row expression.
-
-    This is the 100-TB-critical choice: centroids are the index's
-    model state (n_list × d floats, kilobytes), so scoring against
-    them belongs in the scan's projection, not in a join. The corpus
-    is never shuffled — neither for assignment nor for probing.
-
-    `norm2_col` must hold the precomputed quantized squared norm —
-    referencing a column keeps the (interpreted-fold) norm out of the
-    16-way-replicated expression tree."""
-    import math
-
-    vec = F.col(vec_col)
-    vnorm = F.sqrt(F.col(norm2_col).cast("double"))
-    structs = []
-    for cid, cvec in cent_rows:
-        lit_arr = F.array(*[F.lit(float(x)) for x in cvec])
-        qn = max(sum(_q(x) for x in cvec), 1)
-        cos = _qdot(vec, lit_arr).cast("double") / (
-            vnorm * math.sqrt(qn)
-        )
-        structs.append(
-            F.named_struct(
-                F.lit("cos"), cos, F.lit("ncid"), F.lit(-cid)
-            )
-        )
-    return F.array(*structs)
-
-
 def _centroid_state(cent_rows):
     """(ids, matrix, quantized-norms) numpy state for broadcast."""
     import numpy as np
@@ -270,6 +232,22 @@ def _assign_udf(spark, cent_rows):
         return pd.Series(ids[np.argmax(cos, axis=1)])
 
     return assign
+
+
+def build_ivf_centroids(
+    emb: DataFrame,
+    n_list: int = 16,
+    refine: bool = True,
+    vec_col: str = "embedding",
+) -> list:
+    """Build the IVF index model state (seed + optional Lloyd step).
+    Deterministic for a given corpus, so safe to build once and
+    reuse/persist — the index-build/serve split every ANN system
+    has."""
+    cents = ivf_seed_centroids(emb, n_list, vec_col)
+    if refine:
+        cents = ivf_refine(emb, cents, vec_col)
+    return cents
 
 
 def ivf_seed_centroids(emb: DataFrame, n_list: int, vec_col: str) -> list:
@@ -326,6 +304,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     refine: bool = True,
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF(-Flat) index: corpus
     vectors are binned into n_list centroid lists; each query probes
@@ -343,12 +322,20 @@ def cosine_topk_ivf(
 
     With n_probe == n_list this equals brute force exactly (the
     unit-test invariant); with n_probe < n_list recall < 1 ⇒
-    rows-only correctness check, same contract as the LSH variant."""
+    rows-only correctness check, same contract as the LSH variant.
+
+    `centroids` lets the caller pass a prebuilt index (see
+    build_ivf_centroids) — in production the index is built once per
+    corpus version and served for every query batch, not rebuilt per
+    query."""
     from ..io import ensure_min_parallelism
 
-    cents = ivf_seed_centroids(emb, n_list, vec_col)
-    if refine:
-        cents = ivf_refine(emb, cents, vec_col)
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = ivf_seed_centroids(emb, n_list, vec_col)
+        if refine:
+            cents = ivf_refine(emb, cents, vec_col)
 
     assign = _assign_udf(emb.sparkSession, cents)
     corpus = with_norm(
@@ -359,25 +346,43 @@ def cosine_topk_ivf(
         F.col("q_norm2").alias("cand_norm2"),
         assign(F.col(vec_col)).alias("list_id"),
     )
-    # query → its n_probe nearest lists, from the same centroid
-    # literals: sort the (cos, -cid) structs desc, keep n_probe
-    probe_arr = F.transform(
-        F.slice(
-            F.reverse(
-                F.array_sort(_cent_cos_structs(cents, vec_col))
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: -s["ncid"],
+    # query → its n_probe nearest lists, computed DRIVER-SIDE in
+    # numpy: queries and centroids are both tiny (|Q| rows, n_list×d
+    # floats), so probe selection is pure model-state arithmetic —
+    # shipping it into Catalyst as a 16-way literal expression tree
+    # costs more in analysis than the whole computation.
+    import math
+
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", vec_col)
+        .collect()
     )
-    queries = with_norm(
-        emb.filter(F.col("vec_id").isin(query_ids)), vec_col
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        F.col("q_norm2").alias("query_norm2"),
-        F.explode(probe_arr).alias("list_id"),
+    ids_c, cmat, cqn = _centroid_state(cents)
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(list(r[vec_col]), dtype="float64")
+        qd = (
+            np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
+        )
+        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
+        cos = qd / (math.sqrt(vq) * np.sqrt(cqn))
+        order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
+        for cid in ids_c[order[:n_probe]]:
+            probe_rows.append(
+                (
+                    int(r["vec_id"]),
+                    [float(x) for x in r[vec_col]],
+                    int(vq),
+                    int(cid),
+                )
+            )
+    queries = emb.sparkSession.createDataFrame(
+        probe_rows,
+        "query_id long, query_vec array<float>, query_norm2 long, "
+        "list_id int",
     )
     dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
     cos = dot.cast("double") / (
@@ -387,7 +392,11 @@ def cosine_topk_ivf(
     scored = (
         corpus.join(F.broadcast(queries), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cos.alias("cosine"))
+        .select(
+            "query_id",
+            "cand_id",
+            cos.alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
