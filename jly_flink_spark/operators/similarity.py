@@ -436,6 +436,10 @@ def embedding_near_dup_pairs(
 
     spark = emb.sparkSession
     side = emb.select("vec_id", vec_col).collect()
+    if not side:  # empty corpus: 0-row frame with the output schema
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     ids = np.array([r["vec_id"] for r in side], dtype="int64")
     mat = np.array([r[vec_col] for r in side], dtype="float64")
     qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)

@@ -1339,3 +1339,59 @@ def events_value_histogram(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_argmin_argmax",
+    oracle="""
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("groupby", "argminmax"),
+    doc="ARG_MIN/ARG_MAX (min_by/max_by): the key of the extreme row "
+    "per group in the same single aggregation pass as the extremes "
+    "themselves — no self-join back to find 'which order was "
+    "cheapest'. Deterministic here because o_totalprice values are "
+    "distinct per status group at every SF.",
+)
+def agg_argmin_argmax(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id >> 4 AS shifted,
+       xor(event_id, 170) AS xored,
+       CAST(bit_count(CAST(event_id AS BIGINT)) AS INT) AS popcount
+FROM events
+WHERE event_id % 100 = 0
+""",
+    tags=("scalar", "bitwise"),
+    doc="Bitwise scalar surface: AND masks, right shift, XOR, "
+    "popcount — the hash/bucketing primitives (e.g. SimHash banding, "
+    "bloom probes) exposed directly.",
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright(eid, 4).alias("shifted"),
+        eid.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.bit_count(eid).alias("popcount"),
+    )

@@ -287,3 +287,34 @@ def test_connected_components_chain_converges(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.connected_components(edges).count() == 0
+
+
+class TestEmptyInputs:
+    """Operators must return empty, correctly-typed frames on empty
+    input — not throw. At 100 TB, empty partitions/filtered-out
+    inputs are routine, and the streaming paths hit them every idle
+    micro-batch."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string")
+
+    def test_dedup_ops_on_empty_corpus(self, spark):
+        docs = self._empty_docs(spark)
+        assert dedup.exact_dedup_groups(docs).count() == 0
+        assert dedup.exact_dedup_keep_first(docs).count() == 0
+        assert dedup.minhash_candidate_pairs(docs).count() == 0
+        assert dedup.simhash_dup_groups(docs).count() == 0
+        assert dedup.jaccard_pairs(docs).count() == 0
+
+    def test_similarity_on_empty_corpus(self, spark):
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        assert (
+            similarity.cosine_topk_bruteforce(emb, query_ids=[0]).count()
+            == 0
+        )
+        assert similarity.embedding_near_dup_pairs(emb).count() == 0
+
+    def test_text_stats_on_empty_corpus(self, spark):
+        assert text.text_stats(self._empty_docs(spark)).count() == 0
