@@ -1344,26 +1344,37 @@ def events_value_histogram(spark, sf_dir):
 @register(
     "agg_argmin_argmax",
     oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn_min,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS rn_max
+  FROM orders
+)
 SELECT o_orderstatus,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       min(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+       min(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
-FROM orders
+FROM ranked
 GROUP BY o_orderstatus
 """,
     tags=("groupby", "argminmax"),
     doc="ARG_MIN/ARG_MAX (min_by/max_by): the key of the extreme row "
     "per group in the same single aggregation pass as the extremes "
     "themselves — no self-join back to find 'which order was "
-    "cheapest'. Deterministic here because o_totalprice values are "
-    "distinct per status group at every SF.",
+    "cheapest'. The ordering struct (price, key) makes tie-breaks "
+    "deterministic — bare min_by on a tied price is "
+    "partitioning-dependent and would flake the value-hash gate.",
 )
 def agg_argmin_argmax(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    tie_safe = F.struct("o_totalprice", "o_orderkey")
     return o.groupBy("o_orderstatus").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", tie_safe).alias("cheapest_order"),
+        F.max_by("o_orderkey", tie_safe).alias("priciest_order"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
