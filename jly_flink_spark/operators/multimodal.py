@@ -97,9 +97,9 @@ def media_stats(media: DataFrame) -> DataFrame:
     prunes the binary column out of the scan entirely."""
     return media.groupBy("media_type").agg(
         F.count("*").alias("n_files"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.min("n_bytes").alias("min_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("n_bytes").cast("bigint").alias("min_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
     )
 
 

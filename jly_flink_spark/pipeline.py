@@ -44,10 +44,15 @@ def validity_guards(env: DataFrame) -> DataFrame:
     pre-image id, or non-positive ts_ms (StartJob.java:128-151).
 
     The reference logs-and-drops; here dropped rows simply fall out of
-    the filter (observable via `observe()` counters if needed)."""
+    the filter (observable via `observe()` counters if needed).
+
+    Blank = whitespace-only, matching Java's StringUtils.isBlank
+    (StartJob.java:129): tabs/newlines count as blank, so a plain
+    trim()-based test (which strips only ASCII spaces in Spark) is
+    NOT equivalent — hence the regex class test."""
     return env.filter(
         F.col("source_table").isNotNull()
-        & (F.trim(F.col("source_table")) != "")
+        & ~F.col("source_table").rlike(r"^\s*$")
         & F.col("before").isNotNull()
         & F.get_json_object(F.col("before"), "$.id").isNotNull()
         & (F.col("ts_ms") > 0)

@@ -400,8 +400,10 @@ def embedding_norm_stats(spark, sf_dir):
 @register(
     "multimodal_media_stats",
     oracle="""
-SELECT media_type, count(*) AS n_files, sum(n_bytes) AS total_bytes,
-       min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+SELECT media_type, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
 FROM (
   SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
          octet_length(encode(text)) AS n_bytes
