@@ -412,77 +412,126 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
     vec_col: str = "embedding",
+    rows_per_block: int = 1024,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (vec_a < vec_b)
     with quantized cosine >= threshold.
 
-    This is the exact all-pairs baseline (one side broadcast, the
-    other streamed — the corpus is never shuffled on vector data).
-    All-pairs is O(n²) by definition; at corpus scale the same
-    threshold semantics run through the LSH bucket prefilter
-    (`cosine_topk_lsh`'s bucketing) with this operator as the
-    per-bucket verifier.
+    Distributed blocked all-pairs — nothing corpus-sized ever touches
+    the driver. Each vector gets a deterministic block id
+    (crc32(vec_id) % B); a row in block p is replicated to the B
+    unordered block-pairs {p, q}, and one `applyInPandas` task per
+    block-pair runs the vectorized numpy kernel over its ≤
+    2·rows_per_block vectors. Every unordered vector pair lands in
+    exactly one block-pair group (same block → (p,p); different →
+    (min,max)), so the result is the exact all-pairs set.
 
-    Execution: vectorized Arrow/numpy inside mapInPandas. A per-pair
+    Scale: shuffle volume is B·n vectors and the O(n²) pair work is
+    spread over B(B+1)/2 independent tasks of bounded size — the
+    standard blocked self-join. At corpus scale the LSH bucket
+    prefilter (`cosine_topk_lsh`'s bucketing) cuts the candidate set
+    first and this kernel verifies per bucket.
+
+    Execution: Arrow/numpy inside applyInPandas. A per-pair
     zip_with+aggregate expression is CodegenFallback (interpreted) in
     Spark, so for n·m·d element products the batched numpy kernel is
     the fast path — while computing the *identical* quantized
     arithmetic (floor(x·y·1e8) per element, exact int64 sums), so the
     result still hash-matches the SQL oracle bit for bit."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from ..io import ensure_min_parallelism
 
-    spark = emb.sparkSession
-    side = emb.select("vec_id", vec_col).collect()
-    if not side:  # empty corpus: 0-row frame with the output schema
-        return spark.createDataFrame(
-            [], "vec_a long, vec_b long, cosine double"
+    src = ensure_min_parallelism(emb.select("vec_id", vec_col))
+    if n_blocks is None:
+        # one cheap column-pruned count job sizes the blocking; at a
+        # fixed deployment scale callers pass n_blocks explicitly
+        n_blocks = max(1, math.ceil(src.count() / rows_per_block))
+
+    blk = F.pmod(
+        F.crc32(F.col("vec_id").cast("string")), F.lit(n_blocks)
+    ).cast("int")
+    targets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda q: F.struct(
+            F.least(F.col("blk"), q).cast("int").alias("bi"),
+            F.greatest(F.col("blk"), q).cast("int").alias("bj"),
+        ),
+    )
+    exploded = (
+        src.withColumn("blk", blk)
+        .withColumn("pk", F.explode(targets))
+        .select(
+            F.col("pk.bi").alias("bi"),
+            F.col("pk.bj").alias("bj"),
+            "blk",
+            "vec_id",
+            vec_col,
         )
-    ids = np.array([r["vec_id"] for r in side], dtype="int64")
-    mat = np.array([r[vec_col] for r in side], dtype="float64")
-    qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, qn))
+    )
 
-    def score(batches):
-        b_ids, b_mat, b_qn = bc.value
-        b_sqrt = np.sqrt(b_qn.astype("float64"))
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            a_mat = np.array(list(pdf[vec_col]), dtype="float64")
-            a_qn = np.floor(a_mat * a_mat * QUANT).astype("int64").sum(axis=1)
-            a_sqrt = np.sqrt(a_qn.astype("float64"))
-            # chunk the (n_a × n_b × d) product tensor to bound memory
-            # (~17 MB of float64 per chunk, × concurrent workers)
-            step = max(1, 2**21 // max(1, b_mat.shape[0] * b_mat.shape[1]))
-            for lo in range(0, len(a_ids), step):
-                hi = lo + step
-                qd = (
-                    np.floor(
-                        a_mat[lo:hi, None, :] * b_mat[None, :, :] * QUANT
+    def verify(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        mat = np.array(list(pdf[vec_col]), dtype="float64")
+        qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
+        sq = np.sqrt(qn.astype("float64"))
+        if bi == bj:
+            a_sel = b_sel = np.arange(len(ids))
+        else:
+            blks = pdf["blk"].to_numpy(dtype="int64")
+            a_sel = np.nonzero(blks == bi)[0]
+            b_sel = np.nonzero(blks == bj)[0]
+        a_ids, b_ids = ids[a_sel], ids[b_sel]
+        a_mat, b_mat = mat[a_sel], mat[b_sel]
+        a_sq, b_sq = sq[a_sel], sq[b_sel]
+        out = []
+        # chunk the (n_a × n_b × d) product tensor to bound memory
+        # (~17 MB of float64 per chunk, × concurrent workers)
+        step = max(1, 2**21 // max(1, b_mat.shape[0] * b_mat.shape[1]))
+        for lo in range(0, len(a_ids), step):
+            hi = lo + step
+            qd = (
+                np.floor(a_mat[lo:hi, None, :] * b_mat[None, :, :] * QUANT)
+                .astype("int64")
+                .sum(axis=2)
+            )
+            cos = qd.astype("float64") / (
+                a_sq[lo:hi, None] * b_sq[None, :]
+            )
+            if bi == bj:
+                keep = (a_ids[lo:hi, None] < b_ids[None, :]) & (
+                    cos >= threshold
+                )
+                ia, ib = np.nonzero(keep)
+                va, vb = a_ids[lo:hi][ia], b_ids[ib]
+            else:
+                ia, ib = np.nonzero(cos >= threshold)
+                u, v = a_ids[lo:hi][ia], b_ids[ib]
+                va, vb = np.minimum(u, v), np.maximum(u, v)
+            if len(ia):
+                out.append(
+                    pd.DataFrame(
+                        {"vec_a": va, "vec_b": vb, "cosine": cos[ia, ib]}
                     )
-                    .astype("int64")
-                    .sum(axis=2)
                 )
-                cos = qd.astype("float64") / (
-                    a_sqrt[lo:hi, None] * b_sqrt[None, :]
-                )
-                ia, ib = np.nonzero(
-                    (a_ids[lo:hi, None] < b_ids[None, :])
-                    & (cos >= threshold)
-                )
-                if len(ia):
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": a_ids[lo:hi][ia],
-                            "vec_b": b_ids[ib],
-                            "cosine": cos[ia, ib],
-                        }
-                    )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
 
-    a = ensure_min_parallelism(emb.select("vec_id", vec_col))
-    return a.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double"
+    )
 
 
 def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
