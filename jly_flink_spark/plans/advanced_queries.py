@@ -492,10 +492,11 @@ def text_term_topk(spark, sf_dir):
         F.count_distinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_total"),
     )
-    w = Window.orderBy(F.col("n_total").desc(), F.col("tok"))
+    # sort+limit compiles to TakeOrderedAndProject (per-partition
+    # top-25, driver merge) — no global window, no single-task sort
     return (
-        stats.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 25)
+        stats.orderBy(F.col("n_total").desc(), F.col("tok"))
+        .limit(25)
         .select("tok", "n_docs", "n_total")
     )
 

@@ -172,10 +172,14 @@ GROUP BY 1
     tags=("training", "batching", "window"),
     doc="Sequence packing by token budget: documents in deterministic "
     "shuffle order are packed greedily into ~2000-token training "
-    "batches via a running-sum window. The single global window is "
-    "the honest semantics for contiguous batch ids; at 100 TB the "
-    "same packing runs per-shard (partitionBy(shard) window) with "
-    "shard-prefixed batch ids — same operator, sharded key.",
+    "batches via a running-sum window — computed as a SHARDED prefix "
+    "sum, never a global single-task window. The shard is the first "
+    "hex digit of the md5 shuffle key, so lexicographic (shard, key) "
+    "order IS global key order: per-shard running sums (16-way "
+    "parallel window) plus broadcast per-shard offsets reconstruct "
+    "the bit-exact global cumulative sum, and batch ids stay globally "
+    "contiguous. At 100 TB widen the shard prefix (2 hex digits → "
+    "256 shards); the offsets side stays model-state-sized.",
 )
 def batch_by_token_budget(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -183,11 +187,30 @@ def batch_by_token_budget(spark, sf_dir):
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
+    ).withColumn("shard", F.substring("shuffle_key", 1, 1))
+    local_w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.orderBy("shuffle_key").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    # per-shard totals → exclusive prefix offsets; 16 rows, so the
+    # global-order window here is trivially cheap
+    off_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("shard_tokens").over(off_w), F.lit(0)),
+        )
+        .select("shard", "offset")
+    )
+    runs = local.join(F.broadcast(offsets), "shard").withColumn(
+        "cum_tokens", F.col("local_cum") + F.col("offset")
+    )
     return (
         runs.select(
             F.floor((F.col("cum_tokens") - 1) / 2000)
