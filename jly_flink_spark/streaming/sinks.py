@@ -111,7 +111,15 @@ class SrStyleSink:
     with Spark's replay identity substituted: (query_id, epoch_id)
     is stable across micro-batch replays, so labels are deterministic
     and replays dedup — the property the reference gets from nanos+uid
-    only within a single attempt."""
+    only within a single attempt.
+
+    Chunk CONTENTS are deterministic too, not just labels: rows are
+    sorted by the full row key before chunking (sortWithinPartitions
+    below), so a replayed epoch re-produces byte-identical chunks
+    under the same labels. Without the sort, shuffle row order could
+    differ across task retries and a replayed chunk would carry
+    different rows under an already-committed label — silent row
+    loss masked by the 'Label Already Exists' skip."""
 
     transport: LocalDirTransport
     batch_size: int = 100  # SinkConfig.java:20 default
@@ -149,13 +157,16 @@ class SrStyleSink:
 
         transport = self.transport
         # Repartition by routing key so each destination table's rows
-        # co-locate (the groupingBy at SrSink.java:93), then load per
-        # partition. coalesce(1) per epoch would serialize like the
-        # reference's parallelism-1; we keep it parallel (bag + labels
-        # make order irrelevant).
+        # co-locate (the groupingBy at SrSink.java:93), then sort
+        # within each partition on the full row so chunk membership is
+        # a pure function of (epoch contents, batch_size) — replay-
+        # deterministic. coalesce(1) per epoch would serialize like
+        # the reference's parallelism-1; we keep it parallel (bag +
+        # labels make order irrelevant).
         (
             batch_df.select(*SINK_COLUMNS)
             .repartition("db_tb_name")
+            .sortWithinPartitions(*SINK_COLUMNS)
             .foreachPartition(load_partition)
         )
 

@@ -141,9 +141,20 @@ def sessionize(
                 closed.append((start, last, n, qsum))
                 start, last, n, qsum = t, t, 1, v
             else:
-                last, n, qsum = t, n + 1, qsum + v
+                # Merge. A late-but-within-watermark event from a
+                # later batch can have t < last (or even t < start);
+                # min/max keeps the session interval monotone —
+                # the end never moves backwards, the live session
+                # never wrongly closes at an earlier time.
+                start = min(start, t)
+                last = max(last, t)
+                n, qsum = n + 1, qsum + v
         state.update((start, last, n, qsum))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # Clamp strictly above the current watermark:
+        # setTimeoutTimestamp at/below the watermark is invalid when a
+        # late event leaves last + gap behind the stream's progress.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {

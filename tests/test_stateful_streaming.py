@@ -179,6 +179,50 @@ class TestSessionize:
         assert len(got) == 5  # 3 sessions for user 1, 2 for user 2
 
 
+class TestSessionizeLateEvents:
+    def test_late_event_within_watermark_merges(self, spark, tmp_path):
+        """A late-but-within-watermark event arriving in a LATER batch
+        with t earlier than the session's current end must merge into
+        the live session without moving its end backwards. (Regression:
+        the merge used `last = t` unconditionally, so the next on-time
+        event could wrongly close the session at the earlier time.)"""
+        gap_s = 60
+        base = 1_700_000_000
+        batches = [
+            [{"user_id": 1, "ts_s": base + o, "value": 1.5} for o in (0, 30)],
+            # t=+10 is LATE (session end is already +30) but inside the
+            # 100 s watermark; +80 is on-time and within gap of +30.
+            [{"user_id": 1, "ts_s": base + o, "value": 1.5} for o in (10, 80)],
+            [{"user_id": 1, "ts_s": base + 100_000, "value": 0.0}],
+        ]
+        src = str(tmp_path / "late_src")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema("user_id long, ts_s long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+            .select("user_id", "ts", "value")
+        )
+        rows = _drain(
+            sessionize(
+                stream, "user_id", "ts", "value", gap_s,
+                watermark="100 seconds",
+            ),
+            tmp_path,
+            "late",
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["q_sum"])
+            for r in rows
+        }
+        # One merged session [+0, +80] with all four events.
+        assert got == {
+            (1, base * 1000, (base + 80) * 1000, 4, 4 * 15000)
+        }
+
+
 class TestStreamStreamJoin:
     def test_interval_join_matches_batch(self, spark, tmp_path):
         """Stream-stream inner join with watermarks + time bound (the
