@@ -26,11 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _already_verified() -> set[str]:
+    """Names with a green row (hash match, or completed rows-only
+    check) in ANY prior round's CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                seen.add(name)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries WITHOUT a green row in any prior round's
+    CORRECTNESS_r*.json come first: if the driver's run is capped or
+    time-budgeted, coverage rotates until every registered query has
+    been value-checked at least once. Registration order is preserved
+    within each group, so the ordering is deterministic."""
     from jly_flink_spark.plans import queries_map
 
-    return queries_map()
+    qm = queries_map()
+    verified = _already_verified()
+    order = {n: i for i, n in enumerate(qm)}
+    names = sorted(qm, key=lambda n: (n in verified, order[n]))
+    return {n: qm[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

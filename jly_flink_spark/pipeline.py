@@ -50,12 +50,49 @@ def validity_guards(env: DataFrame) -> DataFrame:
     (StartJob.java:129): tabs/newlines count as blank, so a plain
     trim()-based test (which strips only ASCII spaces in Spark) is
     NOT equivalent — hence the regex class test."""
+    c = guard_conditions(env)
     return env.filter(
-        F.col("source_table").isNotNull()
-        & ~F.col("source_table").rlike(r"^\s*$")
-        & F.col("before").isNotNull()
-        & F.get_json_object(F.col("before"), "$.id").isNotNull()
-        & (F.col("ts_ms") > 0)
+        c["tbl_ok"] & c["before_ok"] & c["id_ok"] & c["ts_ok"]
+    )
+
+
+def guard_conditions(env: DataFrame) -> dict:
+    """The four T2 guard predicates as named Columns, shared by the
+    batch filter, the drop-accounting query, and the streaming
+    observe() counters (StartJob.java:128-151)."""
+    return {
+        "is_delete": F.col("op") == OP_DELETE,
+        "tbl_ok": F.col("source_table").isNotNull()
+        & ~F.col("source_table").rlike(r"^\s*$"),
+        "before_ok": F.col("before").isNotNull(),
+        "id_ok": F.get_json_object(F.col("before"), "$.id").isNotNull(),
+        "ts_ok": F.col("ts_ms") > 0,
+    }
+
+
+def observe_guard_drops(env: DataFrame, name: str = "guards") -> DataFrame:
+    """T2 observability on a (possibly streaming) envelope frame:
+    attach `observe()` counters cascading in guard order — the Spark
+    analog of the reference's per-violation log lines
+    (StartJob.java:128-151). Counters surface per micro-batch in
+    StreamingQueryProgress.observedMetrics[name]; the cascade puts
+    every delete envelope in exactly one bucket, so the counts
+    reconcile with rows archived per epoch."""
+    c = guard_conditions(env)
+
+    def cnt(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    d, tbl, bef, idk, ts = (
+        c["is_delete"], c["tbl_ok"], c["before_ok"], c["id_ok"], c["ts_ok"]
+    )
+    return env.observe(
+        name,
+        cnt(d & ~tbl, "n_blank_table"),
+        cnt(d & tbl & ~bef, "n_null_before"),
+        cnt(d & tbl & bef & ~idk, "n_no_id"),
+        cnt(d & tbl & bef & idk & ~ts, "n_bad_ts"),
+        cnt(d & tbl & bef & idk & ts, "n_archived"),
     )
 
 

@@ -171,14 +171,13 @@ FROM env
     "streaming job the equivalent counters ride on df.observe().)",
 )
 def cdc_guard_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import guard_conditions
+
     env = _envelopes(spark, sf_dir)
-    is_d = F.col("op") == "d"
-    tbl_ok = F.col("source_table").isNotNull() & ~F.col(
-        "source_table"
-    ).rlike(r"^\s*$")
-    before_ok = F.col("before").isNotNull()
-    id_ok = F.get_json_object(F.col("before"), "$.id").isNotNull()
-    ts_ok = F.col("ts_ms") > 0
+    c = guard_conditions(env)
+    is_d, tbl_ok, before_ok, id_ok, ts_ok = (
+        c["is_delete"], c["tbl_ok"], c["before_ok"], c["id_ok"], c["ts_ok"]
+    )
 
     def cnt(cond, alias):
         return F.count(F.when(cond, 1)).alias(alias)

@@ -46,7 +46,12 @@ def streaming_pipeline(
             F.expr("substring(value, instr(value, '|') + 1)").alias("value"),
         )
     )
-    return build_pipeline(spark, parsed, cfg)
+    # T2 log-and-drop observability (StartJob.java:128-151): per-epoch
+    # guard-drop counters ride on the stream via observe() and surface
+    # in StreamingQueryProgress.observedMetrics["guards"].
+    from ..pipeline import observe_guard_drops
+
+    return build_pipeline(spark, observe_guard_drops(parsed), cfg)
 
 
 def start_archival_stream(

@@ -81,6 +81,76 @@ class AdbStyleSink:
         self.ledger.commit(label)
 
 
+@dataclass
+class JdbcAdbSink:
+    """Real JDBC code path for the ADB batch sink (reference
+    sink/AdbSink.java:111-127: buffered INSERT batch inside a
+    transaction per flush).
+
+    The reference's MySQL/AnalyticDB URL params
+    (`rewriteBatchedStatements=true`, `useServerPrepStmts`,
+    `serverTimezone=Asia/Shanghai` — AdbSink.java:63,73-77) belong on
+    the caller-supplied `url`; tests run against embedded Derby (the
+    JDBC driver Spark itself bundles), which exercises the identical
+    `df.write.jdbc` code path.
+
+    Delivery: effectively-once per epoch via DELETE-then-INSERT keyed
+    on (query_id, epoch_id) — a replayed or half-written epoch is
+    wiped and rewritten, the transactional analog of the reference's
+    transaction-per-flush. The epoch/query columns ride along in the
+    target table, so the cleanup is a single indexed DELETE."""
+
+    url: str
+    table: str = "delete_archive"
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _execute(self, spark, sql: str) -> None:
+        """Run one DDL/DML statement over the JVM's DriverManager —
+        the same connection machinery df.write.jdbc uses."""
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def write(self, batch_df: DataFrame, epoch_id: int, query_id: str = "q") -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        stamped = batch_df.select(*SINK_COLUMNS).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        ).withColumn("query_id", F.lit(query_id))
+        try:
+            # Spark's JDBC writer emits the table name as given
+            # (unquoted) but QUOTES every column identifier, so the
+            # cleanup must match: bare table, quoted columns.
+            # CAST the string column: Spark maps StringType to CLOB
+            # on Derby, and CLOB does not compare to a CHAR literal.
+            self._execute(
+                spark,
+                f"DELETE FROM {self.table} "
+                f'WHERE "epoch_id" = {int(epoch_id)} '
+                f'AND CAST("query_id" AS VARCHAR(128)) = \'{query_id}\'',
+            )
+        except Exception as e:
+            # Tolerate only the very first epoch (table not created
+            # yet); anything else is a real cleanup failure and must
+            # surface — swallowing it would let replays duplicate.
+            if "does not exist" not in str(e):
+                raise
+        (
+            stamped.write.mode("append")
+            .option("driver", self.driver)
+            .jdbc(self.url, self.table)
+        )
+
+
 class LocalDirTransport:
     """Offline stand-in for the Stream Load HTTP endpoint: records
     each labelled JSON-array payload as a file. Duplicate label →
@@ -99,6 +169,80 @@ class LocalDirTransport:
         with open(target, "w", encoding="utf-8") as f:
             f.write(payload)
         return {"Status": "Success", "NumberLoadedRows": payload.count('"id"')}
+
+
+class HttpStreamLoadTransport:
+    """Real Stream Load HTTP transport, reproducing the reference
+    client's wire contract (utils/SrStreamLoadClient.java:44-93):
+
+    - PUT http://<fe>/api/<db>/<table>/_stream_load
+    - Basic auth header (user:password)
+    - label header (dedup key registered by the FE)
+    - format=json + strip_outer_array=true + jsonpaths column mapping
+      (the payload is a JSON array of row objects)
+    - Expect: 100-continue
+    - 307 handling: the FE redirects the PUT to a backend node;
+      HTTP clients do not transparently re-send a PUT body on 307
+      (the reference re-issues manually, SrStreamLoadClient.java:70-79),
+      so the request is re-built once against the Location target.
+
+    Duck-typed like LocalDirTransport: `put(db_tb_name, label,
+    payload) -> dict` (the parsed JSON response body), so SrStyleSink
+    takes either transport unchanged."""
+
+    JSONPATHS = '["$.id", "$.record_del_time", "$.fb_no", "$.data_json"]'
+
+    def __init__(
+        self,
+        fe_url: str,
+        db: str,
+        user: str = "root",
+        password: str = "",
+        timeout_s: float = 30.0,
+    ):
+        self.fe_url = fe_url.rstrip("/")
+        self.db = db
+        self.user = user
+        self.password = password
+        self.timeout_s = timeout_s
+
+    def _auth_header(self) -> str:
+        import base64
+
+        token = base64.b64encode(
+            f"{self.user}:{self.password}".encode("utf-8")
+        ).decode("ascii")
+        return f"Basic {token}"
+
+    def _request(
+        self, url: str, label: str, body: bytes, follow_redirect: bool = True
+    ) -> dict:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, method="PUT")
+        req.add_header("Authorization", self._auth_header())
+        req.add_header("label", label)
+        req.add_header("format", "json")
+        req.add_header("strip_outer_array", "true")
+        req.add_header("jsonpaths", self.JSONPATHS)
+        req.add_header("Expect", "100-continue")
+        req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 307 and follow_redirect:
+                target = e.headers.get("Location")
+                if not target:
+                    raise
+                # one manual re-issue, like the reference client
+                return self._request(target, label, body, follow_redirect=False)
+            raise
+
+    def put(self, db_tb_name: str, label: str, payload: str) -> dict:
+        url = f"{self.fe_url}/api/{self.db}/{db_tb_name}/_stream_load"
+        return self._request(url, label, payload.encode("utf-8"))
 
 
 @dataclass
@@ -121,7 +265,7 @@ class SrStyleSink:
     different rows under an already-committed label — silent row
     loss masked by the 'Label Already Exists' skip."""
 
-    transport: LocalDirTransport
+    transport: object  # LocalDirTransport | HttpStreamLoadTransport
     batch_size: int = 100  # SinkConfig.java:20 default
 
     def write(self, batch_df: DataFrame, epoch_id: int, query_id: str = "q") -> None:

@@ -343,6 +343,223 @@ class TestIncrementalRollup:
         assert after == before
 
 
+def test_observe_guard_drop_counters(spark, stream_dirs):
+    """T2 log-and-drop observability (StartJob.java:128-151): the
+    archival stream exposes per-epoch guard-drop counters via
+    observe(); summed over epochs they reconcile exactly with the
+    fixture's known violations and archived rows."""
+    from jly_flink_spark.streaming.job import start_archival_stream
+
+    sink = _make_sink(stream_dirs, spark)
+    q = start_archival_stream(
+        spark,
+        stream_dirs["env"],
+        CFG,
+        sink,
+        stream_dirs["ckpt"],
+        trigger_seconds=0.5,
+    )
+    try:
+        q.processAllAvailable()
+        totals = {}
+        for p in q.recentProgress:
+            guards = (p.get("observedMetrics") or {}).get("guards")
+            if guards is not None:  # a Row per observed epoch
+                for k, v in guards.asDict().items():
+                    totals[k] = totals.get(k, 0) + v
+    finally:
+        q.stop()
+    # EVENTS fixture: 1 blank-table, 1 null-before, 1 bad-ts delete
+    # dropped; 3 deletes archived (ids 1, 3, 7); no missing-id case.
+    assert totals == {
+        "n_blank_table": 1,
+        "n_null_before": 1,
+        "n_no_id": 0,
+        "n_bad_ts": 1,
+        "n_archived": 3,
+    }
+
+
+class TestJdbcAdbSink:
+    """The real df.write.jdbc code path (AdbSink.java:111-127) against
+    embedded Derby — the JDBC driver Spark bundles."""
+
+    def _target(self, spark, ids):
+        rows = [
+            ("src-0", "d", 1754000000000 + i, "t_orders", f'{{"id":"{i}"}}')
+            for i in ids
+        ]
+        return build_pipeline(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "instance_name string, op string, ts_ms long, "
+                "source_table string, before string",
+            ),
+            CFG,
+        )
+
+    def test_epoch_replay_idempotent(self, spark, tmp_path):
+        from jly_flink_spark.streaming.sinks import JdbcAdbSink
+
+        url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+        sink = JdbcAdbSink(url=url, table="delete_archive")
+        target = self._target(spark, [1, 2])
+
+        sink.write(target, epoch_id=0)
+        sink.write(target, epoch_id=0)  # replayed epoch: wiped + rewritten
+        read = (
+            spark.read.option("driver", sink.driver)
+            .jdbc(url, "delete_archive")
+        )
+        assert read.count() == 2
+        assert sorted(r["id"] for r in read.collect()) == ["1", "2"]
+
+        sink.write(self._target(spark, [3]), epoch_id=1)
+        read = (
+            spark.read.option("driver", sink.driver)
+            .jdbc(url, "delete_archive")
+        )
+        assert sorted(r["id"] for r in read.collect()) == ["1", "2", "3"]
+        per_epoch = {
+            r["epoch_id"]: r["n"]
+            for r in read.groupBy("epoch_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert per_epoch == {0: 2, 1: 1}
+
+
+@pytest.fixture()
+def stream_load_stub():
+    """A local FE/BE stub: PUTs to /api/... answer 307 with a Location
+    pointing at the /be/... path (like a StarRocks FE handing the load
+    to a backend); the BE registers labels and answers 'Label Already
+    Exists' on duplicates."""
+    import http.server
+    import threading
+
+    labels: dict = {}
+    log: list = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_PUT(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            log.append(
+                {"path": self.path, "headers": dict(self.headers), "body": body}
+            )
+            if not self.path.startswith("/be/"):
+                self.send_response(307)
+                self.send_header(
+                    "Location",
+                    f"http://127.0.0.1:{self.server.server_port}/be{self.path}",
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            label = self.headers.get("label")
+            if label in labels:
+                resp = {"Status": "Label Already Exists"}
+            else:
+                labels[label] = body
+                resp = {"Status": "Success"}
+            data = json.dumps(resp).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, labels, log
+    srv.shutdown()
+
+
+class TestHttpStreamLoadTransport:
+    def test_wire_contract_and_redirect(self, stream_load_stub):
+        import base64
+
+        from jly_flink_spark.streaming.sinks import HttpStreamLoadTransport
+
+        srv, labels, log = stream_load_stub
+        t = HttpStreamLoadTransport(
+            f"http://127.0.0.1:{srv.server_port}",
+            db="demo",
+            user="u",
+            password="pw",
+        )
+        payload = json.dumps(
+            [{"id": "1", "record_del_time": "t", "fb_no": "FB0",
+              "data_json": "{}"}]
+        )
+        assert t.put("demo_t_orders", "lab_1", payload)["Status"] == "Success"
+        # duplicate label → dedup (SrSink.java:126-129)
+        assert (
+            t.put("demo_t_orders", "lab_1", payload)["Status"]
+            == "Label Already Exists"
+        )
+        # FE got the PUT, then the client re-issued it at the redirect
+        # target with body + headers intact (SrStreamLoadClient.java:70-79)
+        fe, be = log[0], log[1]
+        assert fe["path"] == "/api/demo/demo_t_orders/_stream_load"
+        assert be["path"] == "/be/api/demo/demo_t_orders/_stream_load"
+        assert be["body"] == payload.encode("utf-8")
+        expect_auth = "Basic " + base64.b64encode(b"u:pw").decode()
+        for req in (fe, be):
+            # HTTP header names are case-insensitive (urllib
+            # capitalizes them; a real FE lowercases on receipt)
+            h = {k.lower(): v for k, v in req["headers"].items()}
+            assert h["authorization"] == expect_auth
+            assert h["format"] == "json"
+            assert h["strip_outer_array"] == "true"
+            assert "$.id" in h["jsonpaths"]
+            assert h["label"] == "lab_1"
+
+    def test_sr_sink_through_http(self, spark, stream_load_stub):
+        from jly_flink_spark.streaming.sinks import HttpStreamLoadTransport
+
+        srv, labels, log = stream_load_stub
+        transport = HttpStreamLoadTransport(
+            f"http://127.0.0.1:{srv.server_port}", db="demo"
+        )
+        sink = SrStyleSink(transport, batch_size=2)
+        rows = [
+            ("src-0", "d", 1754000000000 + i, "t_orders", f'{{"id":"{i}"}}')
+            for i in range(5)
+        ]
+        target = build_pipeline(
+            spark,
+            spark.createDataFrame(
+                rows,
+                "instance_name string, op string, ts_ms long, "
+                "source_table string, before string",
+            ),
+            CFG,
+        )
+        sink.write(target, epoch_id=3)
+        loaded = [json.loads(v) for v in labels.values()]
+        ids = sorted(r["id"] for chunk in loaded for r in chunk)
+        assert ids == ["0", "1", "2", "3", "4"]
+        assert sorted(len(c) for c in loaded) == [1, 2, 2]
+        n_labels = len(labels)
+        sink.write(target, epoch_id=3)  # replay: all labels dedup
+        assert len(labels) == n_labels
+        ids = sorted(
+            r["id"]
+            for chunk in (json.loads(v) for v in labels.values())
+            for r in chunk
+        )
+        assert ids == ["0", "1", "2", "3", "4"]
+
+
 def test_stream_quarantine_splits_poison_messages(spark, tmp_path):
     """A poison envelope in the stream lands in the quarantine dir
     (raw line intact) while every well-formed event still archives."""
