@@ -906,14 +906,19 @@ GROUP BY decile
     doc="NTILE(10) decile bucketing of order values (tie-broken by "
     "key for determinism) with per-bucket bounds — the window "
     "companion of approx_percentile for building equi-depth "
-    "histograms.",
+    "histograms. Deciles come from the sharded global-rank operator "
+    "(operators/ranking.py), not a single-task global window.",
 )
 def window_ntile_deciles(spark, sf_dir):
+    from ..operators.ranking import global_rank_analytics
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = global_rank_analytics(
+        o, "o_totalprice", tiebreak=("o_orderkey",), ntile=10
+    )
     return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        ranked.select(
+            "o_totalprice", F.col("g_ntile").alias("decile")
         )
         .groupBy("decile")
         .agg(

@@ -556,19 +556,25 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
 FROM supplier
 """,
     tags=("window",),
-    doc="rank / dense_rank / ntile analytics.",
+    doc="rank / dense_rank / ntile analytics — computed by the "
+    "sharded global-rank operator (operators/ranking.py): range "
+    "partition + per-shard windows + broadcast prefix offsets, no "
+    "single-task global window.",
 )
 def window_rank_dense(spark, sf_dir):
+    from ..operators.ranking import global_rank_analytics
+
     s = _t(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc())
-    wt = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return s.select(
+    out = global_rank_analytics(
+        s, "s_acctbal", desc=True, tiebreak=("s_suppkey",), ntile=4
+    )
+    return out.select(
         "s_suppkey",
         "s_nationkey",
         "s_acctbal",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.col("g_rank").cast("long").alias("rnk"),
+        F.col("g_dense_rank").cast("long").alias("drnk"),
+        F.col("g_ntile").alias("quartile"),
     )
 
 

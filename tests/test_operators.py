@@ -318,3 +318,51 @@ class TestEmptyInputs:
 
     def test_text_stats_on_empty_corpus(self, spark):
         assert text.text_stats(self._empty_docs(spark)).count() == 0
+
+
+class TestGlobalRankAnalytics:
+    """The sharded global-rank operator must equal the single-task
+    global window bit for bit — including tie peer-groups that the
+    range partitioner must keep within one shard, and the ntile
+    remainder-bucket arithmetic."""
+
+    def test_matches_global_window_with_ties(self, spark):
+        from pyspark.sql import Window
+        from jly_flink_spark.operators.ranking import global_rank_analytics
+
+        # 97 rows, heavy ties (val = i % 7), k=5 → n%k != 0 exercises
+        # the remainder buckets; n_shards > distinct values forces
+        # tie groups to straddle would-be boundaries.
+        rows = [(i, float(i % 7)) for i in range(97)]
+        df = spark.createDataFrame(rows, "id long, val double")
+
+        got = global_rank_analytics(
+            df, "val", desc=True, tiebreak=("id",), n_shards=8, ntile=5
+        ).select("id", "g_row_number", "g_rank", "g_dense_rank", "g_ntile")
+
+        w = Window.orderBy(F.col("val").desc())
+        wt = Window.orderBy(F.col("val").desc(), F.col("id"))
+        want = df.select(
+            "id",
+            F.row_number().over(wt).alias("g_row_number"),
+            F.rank().over(w).alias("g_rank"),
+            F.dense_rank().over(w).alias("g_dense_rank"),
+            F.ntile(5).over(wt).alias("g_ntile"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_fewer_rows_than_tiles(self, spark):
+        from jly_flink_spark.operators.ranking import global_rank_analytics
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, val double"
+        )
+        got = global_rank_analytics(
+            df, "val", tiebreak=("id",), n_shards=4, ntile=10
+        )
+        # N < k: every row its own bucket, bucket = row_number
+        assert sorted(
+            (r["g_row_number"], r["g_ntile"]) for r in got.collect()
+        ) == [(1, 1), (2, 2), (3, 3)]
