@@ -258,3 +258,86 @@ class TestObserveMetrics:
         m = obs.get
         assert m["n_total"] == ev.count()
         assert m["n_total"] - m["n_low"] == kept
+
+
+class TestKafkaCdcFrontend:
+    """envelopes_from_kafka over Kafka-shaped record frames (the
+    production Debezium topology; the kafka scan itself needs the
+    connector package, but the transformation is source-agnostic)."""
+
+    def _kafka_frame(self, spark, records):
+        # (topic, value) with the kafka source's full column set
+        rows = [
+            (
+                None,
+                v.encode("utf-8") if v is not None else None,
+                t,
+                0,
+                i,
+            )
+            for i, (t, v) in enumerate(records)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, "
+            "offset long",
+        )
+
+    def test_wrapped_bare_and_tombstone(self, spark):
+        from jly_flink_spark.sources.kafka_cdc import envelopes_from_kafka
+
+        bare = (
+            '{"op":"d","ts_ms":1754000000000,'
+            '"source":{"db":"demo","table":"t_orders"},'
+            '"before":{"id":"1","amount":"10.50"}}'
+        )
+        wrapped = (
+            '{"schema":{"type":"struct"},"payload":'
+            '{"op":"d","ts_ms":1754000001000,'
+            '"source":{"db":"demo","table":"t_items"},'
+            '"before":{"id":"2"}}}'
+        )
+        kdf = self._kafka_frame(
+            spark,
+            [
+                ("src-0.demo.t_orders", bare),
+                ("src-1.demo.t_items", wrapped),
+                ("src-0.demo.t_orders", None),  # tombstone
+            ],
+        )
+        env = envelopes_from_kafka(kdf)
+        rows = {r["instance_name"]: r for r in env.collect()}
+        assert set(rows) == {"src-0", "src-1"}  # tombstone dropped
+        r0, r1 = rows["src-0"], rows["src-1"]
+        assert (r0["op"], r0["ts_ms"], r0["source_table"]) == (
+            "d", 1754000000000, "t_orders",
+        )
+        # decimal-as-string survives verbatim in the raw pre-image
+        assert '"amount":"10.50"' in r0["before"]
+        assert (r1["op"], r1["source_table"]) == ("d", "t_items")
+
+    def test_feeds_the_pipeline(self, spark):
+        from jly_flink_spark.config import demo_task_config
+        from jly_flink_spark.pipeline import build_pipeline
+        from jly_flink_spark.sources.kafka_cdc import envelopes_from_kafka
+
+        records = [
+            (
+                "src-0.demo.t_orders",
+                '{"op":"d","ts_ms":1754000000000,'
+                '"source":{"db":"demo","table":"t_orders"},'
+                '"before":{"id":"9"}}',
+            ),
+            (
+                "src-0.demo.t_orders",
+                '{"op":"i","ts_ms":1754000001000,'
+                '"source":{"db":"demo","table":"t_orders"},'
+                '"after":{"id":"10"}}',
+            ),
+        ]
+        env = envelopes_from_kafka(self._kafka_frame(spark, records))
+        target = build_pipeline(spark, env, demo_task_config())
+        got = target.collect()
+        assert [r["id"] for r in got] == ["9"]
+        assert got[0]["db_tb_name"] == "demo_t_orders"
+        assert got[0]["fb_no"] == "FB0"
