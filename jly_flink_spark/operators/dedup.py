@@ -37,11 +37,73 @@ from .text import fingerprint, normalized_text, tokens
 # Calibrated for the standard ~0.8-Jaccard near-dup threshold:
 # collision threshold s* = (1/B)^(1/R) = (1/4)^(1/6) ≈ 0.79. Fewer
 # rows per band (e.g. R=2 → s* ≈ 0.35) floods the candidate stage
-# with low-similarity pairs — the extra K md5s per token are orders
-# of magnitude cheaper than expanding those pairs.
+# with low-similarity pairs — K cheap per-token hashes are orders of
+# magnitude cheaper than expanding those pairs.
 MINHASH_K = 24
 MINHASH_BANDS = 4
 MINHASH_ROWS = 6
+
+# The K hash family is Kirsch–Mitzenmacher double hashing over ONE
+# md5 per token: h_i(tok) = (a + i·b) mod 2^56, where a and b are the
+# first/second 56-bit halves of md5(tok). One digest instead of K —
+# the dominant per-token cost drops K-fold — while (a + i·b) keeps
+# the h_i pairwise-independent enough for minhash (the same family
+# Bloom filters use). 56 bits so i·b stays inside signed 64-bit for
+# i < 64 on every engine.
+MINHASH_MOD = 1 << 56
+
+
+def _km_halves(tok):
+    """(a, b) 56-bit halves of md5(tok) as bigint Columns."""
+    d = F.md5(tok)
+    a = F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint")
+    b = F.conv(F.substring(d, 17, 14), 16, 10).cast("bigint")
+    return a, b
+
+
+def _sql_hex_to_int(start: int) -> str:
+    """DuckDB fragment: 14 hex chars of column `d` starting at
+    1-based `start` → BIGINT (mirror of F.conv; DuckDB has no conv,
+    so the digit positional sum is spelled out)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substring(d, {start + j}, 1)) - 1)"
+        f" * {16 ** (13 - j)}"
+        for j in range(14)
+    )
+
+
+def minhash_sigs_sql(doc_toks_rel: str = "doc_toks") -> str:
+    """DuckDB body of the `sigs` CTE — generated from the SAME
+    constants as the Spark plan so the two sides cannot drift."""
+    mins = ", ".join(
+        f"min((a + {i} * b) % {MINHASH_MOD}) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+    return (
+        f"SELECT doc_id, {mins} FROM ("
+        f"SELECT doc_id, ({_sql_hex_to_int(1)}) AS a, "
+        f"({_sql_hex_to_int(17)}) AS b "
+        f"FROM (SELECT doc_id, md5(tok) AS d FROM {doc_toks_rel})"
+        f") GROUP BY doc_id"
+    )
+
+
+def minhash_bands_sql(sigs_rel: str = "sigs") -> str:
+    """DuckDB body of the `bands` CTE (UNION ALL of per-band keys,
+    '-'-separated so variable-length decimal values cannot collide)."""
+    return " UNION ALL ".join(
+        "SELECT doc_id, {key} AS band_key FROM {rel}".format(
+            key=" || '-' || ".join(
+                [f"'b{b}'"]
+                + [
+                    f"CAST(h{b * MINHASH_ROWS + r} AS VARCHAR)"
+                    for r in range(MINHASH_ROWS)
+                ]
+            ),
+            rel=sigs_rel,
+        )
+        for b in range(MINHASH_BANDS)
+    )
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,28 +145,33 @@ def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc MinHash signature: h_i(doc) = min over tokens of
-    md5(tok || '#' || i), i in [0, K). One groupBy on doc_id (partial
-    min aggregation map-side)."""
+    (a + i·b) mod 2^56 with (a, b) the halves of ONE md5(tok) —
+    Kirsch–Mitzenmacher double hashing, so the per-token cost is one
+    digest, not K. One groupBy on doc_id (partial min aggregation
+    map-side)."""
     toks = doc_tokens(docs, text_col)
+    a, b = _km_halves(F.col("tok"))
     mins = [
-        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min((a + F.lit(i) * b) % F.lit(MINHASH_MOD)).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
     return toks.groupBy("doc_id").agg(*mins)
 
 
 def minhash_bands(signatures: DataFrame) -> DataFrame:
-    """Band keys: concat R consecutive minhashes per band.
+    """Band keys: '-'-joined R consecutive minhashes per band (the
+    separator keeps variable-length decimal values collision-free).
 
     All B band keys are emitted from ONE pass over the signatures via
     array+explode — a per-band select/union would make Spark recompute
     the whole signature aggregation B times."""
     band_keys = F.array(
         *[
-            F.concat(
-                F.lit(f"b{b}:"),
+            F.concat_ws(
+                "-",
+                F.lit(f"b{b}"),
                 *[
-                    F.col(f"h{b * MINHASH_ROWS + r}")
+                    F.col(f"h{b * MINHASH_ROWS + r}").cast("string")
                     for r in range(MINHASH_ROWS)
                 ],
             )

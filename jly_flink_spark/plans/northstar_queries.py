@@ -76,21 +76,10 @@ doc_toks AS (
 
 
 def _minhash_oracle() -> str:
-    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
-    mins = ", ".join(
-        f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
-            b=b,
-            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
     return f"""
 WITH {_DOC_TOKS_CTE},
-sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
-bands AS ({band_selects})
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_key)
 WHERE a.doc_id < b.doc_id

@@ -347,15 +347,6 @@ def dedup_connected_components(spark, sf_dir):
 def _cc_oracle() -> str:
     from ..operators import dedup
 
-    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
-    mins = ", ".join(f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k))
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
-            b=b,
-            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
     return f"""
 WITH RECURSIVE
 doc_toks AS (
@@ -365,8 +356,8 @@ doc_toks AS (
          )) AS tok
   FROM documents
 ),
-sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
-bands AS ({band_selects}),
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band_key)
@@ -539,15 +530,6 @@ def _pipeline_oracle() -> str:
     from ..operators import dedup
     from .northstar_queries import _FP, _QUALITY, _TOKS
 
-    k, bands, rows = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS
-    mins = ", ".join(f"min(md5(tok || '#{i}')) AS h{i}" for i in range(k))
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
-            b=b,
-            cols=" || ".join(f"h{b * rows + r}" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
     tri = (
         "list_transform(generate_series(1, len(ts) - 2), "
         "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
@@ -563,8 +545,8 @@ kept1 AS (
 doc_toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM kept1
 ),
-sigs AS (SELECT doc_id, {mins} FROM doc_toks GROUP BY doc_id),
-bands AS ({band_selects}),
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band_key)
