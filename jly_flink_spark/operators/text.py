@@ -150,3 +150,22 @@ def trigram_shingles(ts: Column) -> Column:
     return F.when(F.size(ts) >= 3, F.array_distinct(tri)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def trigram_all(ts: Column) -> Column:
+    """ALL token 3-grams (with multiplicity) of a token-array column —
+    repetition analysis needs the counts that the distinct shingle set
+    throws away. Empty if < 3 tokens; same caller contract as
+    `trigram_shingles` (pass a materialized array column)."""
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ts, i),
+            F.element_at(ts, i + 1),
+            F.element_at(ts, i + 2),
+        ),
+    )
+    return F.when(F.size(ts) >= 3, tri).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -387,6 +387,124 @@ def embedding_norm_stats(spark, sf_dir):
 
 
 @register(
+    "text_repetition_buckets",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tg
+  FROM toks WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY doc_id, tg),
+per_doc AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS ratio
+  FROM cnt GROUP BY doc_id
+)
+SELECT CAST(least(floor(ratio * 10), 9) AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM per_doc GROUP BY 1
+""",
+    tags=("northstar", "text", "quality"),
+    doc="Gopher-style repetition score: per document, the share of "
+    "trigram occurrences taken by the single most-frequent trigram "
+    "(boilerplate/looping-text detector), bucketed ×10 into a "
+    "histogram. Counts aggregate BEFORE any wide op, so the explode "
+    "never shuffles raw trigram rows across stages.",
+)
+def text_repetition_buckets(spark, sf_dir):
+    from ..io import ensure_min_parallelism
+    from ..operators.text import tokens, trigram_all
+
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 3)
+    tri = toks.select(
+        "doc_id", F.explode(trigram_all(F.col("ts"))).alias("tg")
+    )
+    cnt = tri.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("ratio")
+    )
+    return (
+        per_doc.select(
+            F.least(F.floor(F.col("ratio") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH scaled AS (
+  SELECT label,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+errs AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding, v ->
+           CAST(floor(
+             (CAST(v AS DOUBLE)
+              - floor(CAST(v AS DOUBLE) * 127.0 / scale) * scale / 127.0)
+             * (CAST(v AS DOUBLE)
+              - floor(CAST(v AS DOUBLE) * 127.0 / scale) * scale / 127.0)
+             * 1000000000000.0) AS BIGINT))) AS BIGINT) AS q_err
+  FROM scaled
+)
+SELECT label, count(*) AS n_vecs, CAST(sum(q_err) AS BIGINT) AS total_qerr
+FROM errs GROUP BY label
+""",
+    tags=("northstar", "embedding", "quantization"),
+    doc="Int8 embedding quantization audit: symmetric per-vector "
+    "absmax scaling (v → floor(v·127/scale)), reconstruction error "
+    "accumulated as quantized integers (floor(err²·1e12)) so the "
+    "total is fold-order-independent and engine-exact. The storage "
+    "4× cut every embedding corpus takes at scale, with its error "
+    "accounted for rather than assumed.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absmax = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = F.greatest(absmax, F.lit(1e-12))
+
+    def err2(v):
+        vd = v.cast("double")
+        deq = F.floor(vd * 127.0 / scale) * scale / 127.0
+        return F.floor((vd - deq) * (vd - deq) * F.lit(1e12)).cast(
+            "bigint"
+        )
+
+    q_err = F.aggregate(
+        F.transform(x, err2),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", q_err.alias("q_err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("q_err").cast("bigint").alias("total_qerr"),
+        )
+    )
+
+
+@register(
     "multimodal_media_stats",
     oracle="""
 SELECT media_type, CAST(count(*) AS BIGINT) AS n_files,
