@@ -30,6 +30,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sharded_local_ranks(
+    df: DataFrame,
+    key: str,
+    desc: bool = False,
+    tiebreak: tuple[str, ...] = (),
+    n_shards: int = 32,
+) -> DataFrame:
+    """Stage 1 of the decomposition (exposed so plan tests can pin
+    its shape — the checkpoint in `global_rank_analytics` hides the
+    lineage behind an RDD scan): range partition on the key, stamp
+    `_shard`, compute per-shard `_lrn`/`_lrk`/`_ldr`."""
+    sort_key = F.col(key).desc() if desc else F.col(key).asc()
+    tb = [F.col(c) for c in tiebreak]
+    ranged = df.repartitionByRange(n_shards, sort_key).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w_full = Window.partitionBy("_shard").orderBy(sort_key, *tb)
+    w_peer = Window.partitionBy("_shard").orderBy(sort_key)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(w_full))
+        .withColumn("_lrk", F.rank().over(w_peer))
+        .withColumn("_ldr", F.dense_rank().over(w_peer))
+    )
+
+
 def global_rank_analytics(
     df: DataFrame,
     key: str,
@@ -46,19 +71,7 @@ def global_rank_analytics(
     semantics); `row_number`/`ntile` follow the full
     (key, *tiebreak) total order.
     """
-    sort_key = F.col(key).desc() if desc else F.col(key).asc()
-    tb = [F.col(c) for c in tiebreak]
-
-    ranged = df.repartitionByRange(n_shards, sort_key).withColumn(
-        "_shard", F.spark_partition_id()
-    )
-    w_full = Window.partitionBy("_shard").orderBy(sort_key, *tb)
-    w_peer = Window.partitionBy("_shard").orderBy(sort_key)
-    local = (
-        ranged.withColumn("_lrn", F.row_number().over(w_full))
-        .withColumn("_lrk", F.rank().over(w_peer))
-        .withColumn("_ldr", F.dense_rank().over(w_peer))
-    )
+    local = sharded_local_ranks(df, key, desc, tiebreak, n_shards)
     # _shard comes from spark_partition_id(), which is only stable if
     # the sharded frame is computed ONCE: the stats branch and the
     # final join would otherwise recompute the range partitioning

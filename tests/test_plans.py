@@ -130,6 +130,64 @@ class TestShuffleBudget:
         assert n_exchanges(plan) <= budget, plan
 
 
+class TestScaleShapes:
+    """Plan shapes of the round-2 distributed rewrites: the properties
+    that distinguish them from their single-task/driver-side
+    predecessors must hold structurally, not by luck."""
+
+    def test_near_dup_pairs_no_driver_collect_shape(self, spark):
+        """Blocked all-pairs: the plan must contain the block-pair
+        groupBy (FlatMapGroupsInPandas), and NO broadcast of the
+        corpus (the old driver-collect path broadcast it)."""
+        plan = plan_of(spark, "dedup_embedding_cosine")
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BroadcastExchange" not in plan
+
+    def test_global_rank_is_range_sharded(self, spark):
+        """Sharded rank: the local stage must range-partition (shard
+        order = key order) and window per shard; the assembled
+        operator joins the offsets via broadcast. (Two plans because
+        the checkpoint hides stage 1's lineage in the full plan.)"""
+        import contextlib
+        import io
+
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators.ranking import sharded_local_ranks
+
+        s = load_table(spark, SF_DIR, "supplier")
+        local = sharded_local_ranks(
+            s, "s_acctbal", desc=True, tiebreak=("s_suppkey",)
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            local.explain("formatted")
+        stage1 = buf.getvalue()
+        assert "rangepartitioning(" in stage1
+        # every window partitions by the shard — none are global
+        assert "windowspecdefinition(_shard#" in stage1
+
+        plan = plan_of(spark, "window_rank_dense")
+        assert "BroadcastExchange" in plan
+
+    def test_token_budget_window_is_sharded(self, spark):
+        """The running sum must window over the shard key, not a
+        global empty partition spec."""
+        df = REGISTRY["batch_by_token_budget"].spark_fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # every windowspecdefinition must carry a partition expression
+        for frag in analyzed.split("windowspecdefinition(")[1:]:
+            head = frag.split(")")[0]
+            assert "shard" in head or "_shard" in head, analyzed
+
+    def test_minhash_signature_aggregates_mapside(self, spark):
+        """KM minhash: one partial_min-capable HashAggregate per
+        signature column — the groupBy(doc_id) must partial-aggregate
+        before its exchange (24 mins per doc per map task, not raw
+        token rows into the shuffle)."""
+        plan = plan_of(spark, "dedup_minhash_candidates")
+        assert "partial_min" in plan
+
+
 class TestCodegen:
     # text_stats is deliberately absent: its higher-order functions
     # (filter/aggregate lambdas) are CodegenFallback in Spark — still
