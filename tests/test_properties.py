@@ -198,3 +198,96 @@ def test_hash_sample_stable_under_repartition(spark):
             .collect()
         )
         assert again == base
+
+
+# ---------------------------------------------------------------------------
+# Round-2 distributed-operator properties
+# ---------------------------------------------------------------------------
+
+
+class TestDistributedOperatorProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+        ),
+        n_shards=st.integers(min_value=1, max_value=9),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    def test_sharded_rank_equals_global_window(
+        self, spark, vals, n_shards, k
+    ):
+        """For any value multiset (ties included), any shard count and
+        any ntile k, the sharded decomposition must equal the
+        single-task global window bit for bit."""
+        from pyspark.sql import Window
+
+        from jly_flink_spark.operators.ranking import global_rank_analytics
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "id long, val double",
+        )
+        got = global_rank_analytics(
+            df, "val", desc=False, tiebreak=("id",),
+            n_shards=n_shards, ntile=k,
+        ).select("id", "g_row_number", "g_rank", "g_dense_rank", "g_ntile")
+        w = Window.orderBy(F.col("val"))
+        wt = Window.orderBy(F.col("val"), F.col("id"))
+        want = df.select(
+            "id",
+            F.row_number().over(wt).alias("g_row_number"),
+            F.rank().over(w).alias("g_rank"),
+            F.dense_rank().over(w).alias("g_dense_rank"),
+            F.ntile(k).over(wt).alias("g_ntile"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_vecs=st.integers(min_value=0, max_value=40),
+        n_blocks=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_blocked_all_pairs_invariant_to_blocking(
+        self, spark, n_vecs, n_blocks, seed
+    ):
+        """The exact near-dup pair set must not depend on the block
+        count — blocking is a physical choice, not a semantic one."""
+        import random
+
+        from jly_flink_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(n_vecs)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.2, n_blocks=n_blocks
+            ).collect()
+        )
+        base = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.2, n_blocks=1
+            ).collect()
+        )
+        assert got == base
