@@ -366,6 +366,32 @@ def ann_cosine_ivf(spark, sf_dir):
 
 
 @register(
+    "ann_cosine_ivf_exact",
+    oracle=_ann_oracle(),
+    tags=("northstar", "similarity"),
+    doc="IVF with n_probe == n_list: every list probed, so the result "
+    "equals brute force EXACTLY and the whole IVF machinery "
+    "(assignment UDF, probe selection, per-list scoring) is "
+    "value-hash-checked against the brute-force oracle — the "
+    "correctness anchor for the pruned ann_cosine_ivf variant.",
+)
+def ann_cosine_ivf_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _IVF_INDEX_CACHE.get(sf_dir)
+    if cents is None:
+        cents = similarity.build_ivf_centroids(emb)
+        _IVF_INDEX_CACHE[sf_dir] = cents
+    return similarity.cosine_topk_ivf(
+        emb,
+        query_ids=_ANN_QUERY_IDS,
+        k=_ANN_K,
+        n_list=16,
+        n_probe=16,
+        centroids=cents,
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle=f"""
 SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm
@@ -542,6 +568,63 @@ def multimodal_extract_features(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         text,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+dec AS (
+  SELECT media_type, n,
+         CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(generate_series(1, least(n, 64)),
+                    i -> ascii(substring(text, i, 1)))) END AS checksum
+  FROM media
+),
+feat AS (
+  SELECT media_type,
+         16 + checksum % 64 AS width,
+         16 + n % 64 AS height,
+         CAST((checksum * 31 + n) % 1000 AS DOUBLE) / 1000.0 AS feature0
+  FROM dec
+)
+SELECT media_type,
+       count(*) AS n_media,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(sum(CAST(floor(feature0 * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_q_feature
+FROM feat GROUP BY media_type
+""",
+    tags=("northstar", "multimodal", "pandas_udf"),
+    doc="Value-hash check of the ACTUAL mapInPandas decode path: the "
+    "stub decoder's arithmetic (byte-checksum dimensions, rational "
+    "feature) is mirrored in SQL over the same payload bytes (the "
+    "corpus is ASCII, so char codes == bytes), turning the "
+    "previously rows-only decode into an end-to-end value check of "
+    "the Arrow batch plumbing. A real decoder swaps the kernel; this "
+    "pins that the distributed machinery delivers every byte to it "
+    "intact.",
+)
+def multimodal_decode_stats(spark, sf_dir):
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(
+            F.floor(F.col("feature0") * 1000 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("sum_q_feature"),
+    )
 
 
 @register(
