@@ -557,11 +557,36 @@ def multimodal_media_stats(spark, sf_dir):
 
 @register(
     "multimodal_extract_features",
-    oracle=None,  # mapInPandas decode stub — genuinely non-SQL; rows-only
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         text,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, media_type, n,
+         CASE WHEN n = 0 THEN 0 ELSE
+           list_sum(list_transform(generate_series(1, least(n, 64)),
+                    i -> ascii(substring(text, i, 1)))) END AS checksum
+  FROM media
+)
+SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+       CAST(16 + checksum % 64 AS INT) AS width,
+       CAST(16 + n % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((checksum * 31 + n) % 1000 AS DOUBLE) / 1000.0 AS feature0
+FROM dec
+""",
     tags=("northstar", "multimodal", "pandas_udf"),
     doc="Arrow-batched mapInPandas feature extraction over opaque "
-    "binary payloads (decode stubbed deterministically — no media "
-    "libs in this container; the distributed plumbing is real).",
+    "binary payloads. The decode is a deterministic stub (no media "
+    "libs in this container) whose arithmetic is mirrored in SQL "
+    "over the same bytes (ASCII corpus: char codes == bytes), so "
+    "the full per-row output — not just aggregates — is "
+    "value-hash-checked; a real decoder swaps the kernel without "
+    "touching the plan.",
 )
 def multimodal_extract_features(spark, sf_dir):
     media = multimodal.documents_as_media(
