@@ -759,11 +759,21 @@ WHERE s_nationkey IN (
 
 @register(
     "text_rolling_hash",
-    oracle=None,  # fold-based char hash not expressible in DuckDB SQL — rows-only
+    oracle="""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length(text)),
+                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007
+  ) AS rolling_hash
+FROM documents
+""",
     tags=("northstar", "text", "fingerprint"),
     doc="Polynomial rolling-hash fingerprint (h = h*31 + code mod p) "
     "over the document's characters via the aggregate() higher-order "
-    "function — pure JVM fold, deterministic; rows-only check.",
+    "function — pure JVM fold; mirrored in DuckDB with list_reduce "
+    "over the same char codes, so the fold is value-hash-checked.",
 )
 def text_rolling_hash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
