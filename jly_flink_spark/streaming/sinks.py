@@ -58,9 +58,13 @@ class LabelLedger:
 
 @dataclass
 class AdbStyleSink:
-    """Parquet-append archival keyed by epoch, standing in for the
-    JDBC batch sink. Epoch idempotency: an epoch already in the ledger
-    is skipped wholesale (the reference instead relies on MySQL
+    """Parquet archival keyed by epoch, standing in for the JDBC
+    batch sink. Epoch idempotency: an epoch already in the ledger is
+    skipped wholesale; an epoch NOT in the ledger overwrites its own
+    `epoch_id=<n>` partition directory, so a crash between a partial
+    write and the ledger commit replays clean instead of appending
+    duplicates — the parquet analog of the JDBC sink's
+    DELETE-then-INSERT (the reference instead relies on MySQL
     transaction-per-flush, AdbSink.java:104-127)."""
 
     out_dir: str
@@ -72,11 +76,14 @@ class AdbStyleSink:
         label = f"adb_{query_id}_{epoch_id}"
         if self.ledger.seen(label):
             return  # replayed epoch — already committed
+        epoch_dir = os.path.join(
+            self.out_dir, "data", f"epoch_id={int(epoch_id)}"
+        )
         (
             batch_df.select(*SINK_COLUMNS)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("db_tb_name")
-            .parquet(os.path.join(self.out_dir, "data"))
+            .parquet(epoch_dir)
         )
         self.ledger.commit(label)
 

@@ -380,6 +380,39 @@ def test_observe_guard_drop_counters(spark, stream_dirs):
     }
 
 
+def test_adb_partial_epoch_replay_is_clean(spark, stream_dirs):
+    """A crash between a partial parquet write and the ledger commit
+    must not duplicate rows on replay: the epoch overwrites its own
+    partition directory (parquet analog of DELETE-then-INSERT)."""
+    sink = AdbStyleSink(stream_dirs["adb"])
+    rows = [
+        ("src-0", "d", 1754000000000 + i, "t_orders", f'{{"id":"{i}"}}')
+        for i in range(2)
+    ]
+    target = build_pipeline(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "instance_name string, op string, ts_ms long, "
+            "source_table string, before string",
+        ),
+        CFG,
+    )
+    # simulate the crashed attempt: files exist, ledger was never
+    # committed
+    epoch_dir = os.path.join(stream_dirs["adb"], "data", "epoch_id=5")
+    target.limit(1).write.partitionBy("db_tb_name").parquet(epoch_dir)
+
+    sink.write(target, epoch_id=5)  # replay of the failed epoch
+    data_dir = os.path.join(stream_dirs["adb"], "data")
+    assert sorted(
+        r["id"] for r in spark.read.parquet(data_dir).collect()
+    ) == ["0", "1"]
+
+    sink.write(target, epoch_id=5)  # committed epoch: no-op
+    assert spark.read.parquet(data_dir).count() == 2
+
+
 class TestJdbcAdbSink:
     """The real df.write.jdbc code path (AdbSink.java:111-127) against
     embedded Derby — the JDBC driver Spark bundles."""
