@@ -366,3 +366,29 @@ class TestGlobalRankAnalytics:
         assert sorted(
             (r["g_row_number"], r["g_ntile"]) for r in got.collect()
         ) == [(1, 1), (2, 2), (3, 3)]
+
+
+class TestLshSkewGuard:
+    def test_degenerate_bucket_is_capped(self, spark, monkeypatch):
+        """A pathological LSH bucket (many identical docs hashing to
+        one band key) must be excluded from pair expansion by
+        MAX_LSH_BUCKET — exact dedup owns identical content; the
+        quadratic pair blowup must never run."""
+        monkeypatch.setattr(dedup, "MAX_LSH_BUCKET", 5)
+        same = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+        # a twin pair (bucket of 2, under the cap) must still surface —
+        # identical text makes the band collision deterministic
+        twins = [
+            (100, "one two three four five six seven"),
+            (101, "one two three four five six seven"),
+        ]
+        docs = spark.createDataFrame(
+            same + twins, "doc_id long, text string"
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_candidate_pairs(docs).collect()
+        }
+        # the small bucket surfaces; no pair from the size-10 clone set
+        assert (100, 101) in pairs
+        assert not any(a < 10 and b < 10 for a, b in pairs)

@@ -463,6 +463,41 @@ class TestJdbcAdbSink:
         assert per_epoch == {0: 2, 1: 1}
 
 
+def test_stream_end_to_end_through_jdbc(spark, stream_dirs, tmp_path):
+    """The archival stream draining into the REAL JDBC code path
+    (foreachBatch → JdbcAdbSink → embedded Derby), with a restart to
+    prove offset + epoch idempotency across the full wiring."""
+    from jly_flink_spark.streaming.sinks import JdbcAdbSink
+
+    url = f"jdbc:derby:{tmp_path}/stream_derby;create=true"
+    jdbc_sink = JdbcAdbSink(url=url, table="delete_archive")
+    sink = DualSink(adb=jdbc_sink)
+    run_archival_once(
+        spark, stream_dirs["env"], CFG, sink, stream_dirs["ckpt"]
+    )
+    read = lambda: (  # noqa: E731
+        spark.read.option("driver", jdbc_sink.driver)
+        .jdbc(url, "delete_archive")
+    )
+    assert sorted(r["id"] for r in read().collect()) == sorted(EXPECTED_IDS)
+    # restart from the same checkpoint with one new envelope
+    with open(
+        os.path.join(stream_dirs["env"], "batch_8888.txt"), "w"
+    ) as f:
+        f.write(
+            _envelope_line(
+                "src-1", "d", 1754000009000, "t_orders", {"id": "99"}
+            )
+            + "\n"
+        )
+    run_archival_once(
+        spark, stream_dirs["env"], CFG, sink, stream_dirs["ckpt"]
+    )
+    assert sorted(r["id"] for r in read().collect()) == sorted(
+        EXPECTED_IDS | {"99"}
+    )
+
+
 @pytest.fixture()
 def stream_load_stub():
     """A local FE/BE stub: PUTs to /api/... answer 307 with a Location
