@@ -78,3 +78,26 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each parquet table as a temp view for `spark.sql` use."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join/agg keys —
+    the storage-level answer to repeated shuffles: two tables
+    bucketed the same way join with ZERO exchanges, and a groupBy on
+    the bucket keys skips its shuffle too. At 100 TB this is how the
+    nightly fact tables should land so every downstream join is
+    co-located. Registered as an external table (option(path)), so it
+    works against the in-memory catalog — no Hive metastore needed."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .saveAsTable(table)
+    )

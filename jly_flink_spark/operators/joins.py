@@ -97,6 +97,44 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: the classic salting rewrite for a
+    hot-keyed fact side joining a dimension too big to broadcast.
+
+    The left (fact) side gets a deterministic salt in [0, n_salts);
+    the right side is replicated once per salt value; the join key
+    becomes (key, salt), so one hot key's rows spread over n_salts
+    shuffle partitions instead of hammering one task. The salt only
+    routes — it never changes which rows match — so results are
+    identical to the plain join (value-checked by the registered
+    query's oracle). Inner/left joins only: a right row's matches
+    stay complete because every salt partition carries a copy.
+
+    AQE's skew-join handles moderate skew automatically; explicit
+    salting is for the pathological keys AQE's split thresholds miss
+    or where deterministic partition sizing is required.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l = left.withColumn("__salt", salt)
+    # explode cannot nest inside a cast; sequence(int, int) already
+    # yields array<int>, matching the left side's int salt
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")
+
+
 def band_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -203,6 +203,40 @@ def join_broadcast_agg(spark, sf_dir):
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       CAST(sum(length(d.o_orderpriority)) AS BIGINT) AS sum_len
+FROM orders o
+JOIN (SELECT DISTINCT o_orderpriority FROM orders) d
+  USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "skew", "salting"),
+    doc="Salted skew join (operators/joins.py::salted_join): the fact "
+    "side joins on a 5-value key — pathological skew for a hash "
+    "join. Salting spreads each hot key over n_salts partitions by "
+    "widening the join key to (key, salt) with the dim replicated "
+    "per salt. The oracle is the PLAIN join: salting must be "
+    "invisible in the result, and the value-hash proves it.",
+)
+def join_salted_skew(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    dim = o.select("o_orderpriority").distinct()
+    # the salt hashes ALL left columns — the unique o_orderkey must be
+    # present or every row of a hot key would land on one salt value
+    joined = salted_join(
+        o.select("o_orderkey", "o_orderpriority"), dim, "o_orderpriority"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.length("o_orderpriority")).cast("bigint").alias("sum_len"),
+    )
+
+
+@register(
     "join_cross",
     oracle="""
 SELECT r1.r_name AS from_region, r2.r_name AS to_region
