@@ -123,6 +123,12 @@ class TestShuffleBudget:
             # buckets + skew-spread repartition + distinct = 4 total
             ("dedup_minhash_candidates", 5),
             ("set_union_all", 1),  # union itself must not shuffle
+            # supply groupBy + per-part min + top-100 range sort
+            ("tpch_q2_min_cost_supplier", 3),
+            # broadcast dims collapse the 8-way join; one group shuffle
+            ("tpch_q8_market_share", 2),
+            # semi/anti self-joins reuse the l_orderkey partitioning
+            ("tpch_q21_waiting_suppliers", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
