@@ -11,6 +11,7 @@ from . import streaming_queries  # noqa: F401
 from . import advanced_queries  # noqa: F401
 from . import tpch_extra_queries  # noqa: F401
 from . import training_queries  # noqa: F401
+from . import curation_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map
 
 __all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

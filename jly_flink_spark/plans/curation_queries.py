@@ -1,0 +1,405 @@
+"""Data-curation operators: PII redaction, composite quality
+filtering, weighted mixture sampling, per-label embedding centroids.
+
+The curation layer a pretraining pipeline runs between raw ingest and
+tokenization. Like the rest of the training-data suite these are
+reference-free additions (SURVEY.md §2.2 north-star set — the
+reference is a CDC archival job, `StartJob.java`, with no analog
+surface) and every one is value-hash oracle-checked.
+
+Scale notes (100 TB):
+- PII redaction and quality scoring are pure per-row column
+  expressions — single scan, zero shuffle, whole-stage codegen.
+- Mixture sampling shuffles only the per-domain COUNTS (a handful of
+  rows); the corpus itself is filtered in place by a per-row hash
+  threshold against a broadcast rate table — no corpus shuffle.
+- Label centroids shuffle (label, dim) partial sums via posexplode —
+  map-side combine reduces each partition to |labels|×|dims| rows
+  before the exchange, so shuffle volume is O(partitions × labels ×
+  dims), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql, hash_frac, hash_frac_sql
+from ..io import load_table
+from ..operators.text import STOPWORDS_EN, tokens
+from .registry import register
+
+# --------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------
+# Patterns kept to the regex subset (character classes + bounded
+# repetition, no lookaround) where Java regex (Spark) and RE2 (DuckDB)
+# agree on every match.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The synthetic corpus is PII-free word salad, so the query plants
+# deterministic PII (email / phone / IPv4) on doc_id-selected rows
+# first — the redaction machinery then has real work to do and the
+# oracle can verify hit counts and redacted-char totals exactly.
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(CAST(FLOOR(doc_id / 7) AS BIGINT) % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                 ELSE '' END AS with_pii
+  FROM documents
+), hits AS (
+  SELECT lang, with_pii,
+         len(regexp_extract_all(with_pii, '{EMAIL_RE}')) AS email_hits,
+         len(regexp_extract_all(with_pii, '{PHONE_RE}')) AS phone_hits,
+         len(regexp_extract_all(with_pii, '{IP_RE}')) AS ip_hits,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(with_pii, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS redacted
+  FROM planted
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN email_hits + phone_hits + ip_hits > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+       CAST(SUM(phone_hits) AS BIGINT) AS phone_hits,
+       CAST(SUM(ip_hits) AS BIGINT) AS ip_hits,
+       CAST(SUM(length(with_pii) - length(redacted)) AS BIGINT)
+         AS chars_redacted
+FROM hits
+GROUP BY lang
+"""
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_PII_ORACLE,
+    tags=("curation", "pii", "text"),
+    doc="Regex PII redaction (email / phone / IPv4 → typed tokens) "
+    "with per-language hit accounting. Deterministic synthetic PII is "
+    "planted on doc_id-selected rows so redaction counts are exactly "
+    "verifiable. Pure column expressions: one scan, zero shuffle "
+    "before the final tiny per-lang aggregate.",
+)
+def text_pii_redaction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    with_pii = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (F.floor(did / 7) % 256).cast("string"),
+                F.lit("."),
+                (did % 254 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(with_pii, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    per_doc = docs.select(
+        "lang",
+        with_pii.alias("with_pii"),
+        F.regexp_count(with_pii, F.lit(EMAIL_RE)).alias("email_hits"),
+        F.regexp_count(with_pii, F.lit(PHONE_RE)).alias("phone_hits"),
+        F.regexp_count(with_pii, F.lit(IP_RE)).alias("ip_hits"),
+        redacted.alias("redacted"),
+    )
+    any_pii = (
+        F.col("email_hits") + F.col("phone_hits") + F.col("ip_hits") > 0
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("email_hits").cast("long").alias("email_hits"),
+        F.sum("phone_hits").cast("long").alias("phone_hits"),
+        F.sum("ip_hits").cast("long").alias("ip_hits"),
+        F.sum(F.length("with_pii") - F.length("redacted"))
+        .cast("long")
+        .alias("chars_redacted"),
+    )
+
+
+# --------------------------------------------------------------------
+# Composite quality filter
+# --------------------------------------------------------------------
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+# Score terms are written in the SAME operation order on both engines:
+# every term is a double op on exactly-representable int inputs, so
+# the composite double is bit-identical and the keep threshold compare
+# cannot straddle engines.
+_QUALITY_ORACLE = f"""
+WITH sig AS (
+  SELECT lang,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS n_sw,
+         list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+  FROM (
+    SELECT lang,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+  )
+), scored AS (
+  SELECT lang,
+         0.35 * least(CAST(n_tok AS DOUBLE) / 200.0, 1.0)
+         + 0.25 * (CAST(n_distinct AS DOUBLE) / greatest(n_tok, 1))
+         + 0.25 * least(CAST(n_sw AS DOUBLE) / greatest(n_tok, 1) * 5.0, 1.0)
+         + 0.15 * least(CAST(COALESCE(tok_chars, 0) AS DOUBLE)
+                        / greatest(n_tok, 1) / 6.0, 1.0) AS score
+  FROM sig
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN score >= 0.41 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN score >= 0.41 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       {dsum_sql("CASE WHEN score >= 0.41 THEN score ELSE 0 END")}
+         AS sum_score_kept
+FROM scored
+GROUP BY lang
+"""
+
+
+@register(
+    "quality_filter_composite",
+    oracle=_QUALITY_ORACLE,
+    tags=("curation", "quality", "text"),
+    doc="Composite document-quality filter: length, lexical diversity "
+    "(distinct-token ratio), stopword density, and mean token length "
+    "folded into one [0,1] score with a keep threshold. All signals "
+    "are JVM column expressions over one tokenization — single scan, "
+    "no Python, no shuffle before the per-lang rollup.",
+)
+def quality_filter_composite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    sig = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+            "n_sw"
+        ),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+    )
+    n_tok_safe = F.greatest(F.col("n_tok"), F.lit(1))
+    score = (
+        0.35 * F.least(F.col("n_tok").cast("double") / 200.0, F.lit(1.0))
+        + 0.25 * (F.col("n_distinct").cast("double") / n_tok_safe)
+        + 0.25
+        * F.least(
+            F.col("n_sw").cast("double") / n_tok_safe * 5.0, F.lit(1.0)
+        )
+        + 0.15
+        * F.least(
+            F.coalesce(F.col("tok_chars"), F.lit(0)).cast("double")
+            / n_tok_safe
+            / 6.0,
+            F.lit(1.0),
+        )
+    )
+    keep = score >= 0.41
+    return (
+        sig.select("lang", score.alias("score"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            dsum(
+                F.when(F.col("keep"), F.col("score")).otherwise(F.lit(0.0)),
+                "sum_score_kept",
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Weighted mixture sampling
+# --------------------------------------------------------------------
+# Domain = source id mod 3 (the synthetic corpus has sources src0..N);
+# target mixture web:books:code = 0.5:0.3:0.2 over a 20% global
+# sample. Per-domain rate = weight * target_rows / domain_rows, capped
+# at 1 — i.e. the standard "epochs per source" mixture computation.
+_MIXTURE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE CAST(substring(source, 4) AS INTEGER) % 3
+              WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              ELSE 'code' END AS domain
+  FROM documents
+), counts AS (
+  SELECT domain, count(*) AS n_domain FROM d GROUP BY domain
+), tot AS (
+  SELECT count(*) AS n_total FROM d
+), rates AS (
+  SELECT domain, n_domain,
+         least(1.0,
+               CASE domain WHEN 'web' THEN 0.5
+                    WHEN 'books' THEN 0.3 ELSE 0.2 END
+               * (0.2 * CAST(n_total AS DOUBLE))
+               / CAST(n_domain AS DOUBLE)) AS rate
+  FROM counts, tot
+), sampled AS (
+  SELECT d.domain, count(*) AS n_sampled
+  FROM d JOIN rates USING (domain)
+  WHERE {hash_frac_sql("doc_id")} < rate
+  GROUP BY d.domain
+)
+SELECT rates.domain,
+       CAST(n_domain AS BIGINT) AS n_domain,
+       CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(FLOOR(rate * 10000) AS BIGINT) AS rate_q
+FROM rates LEFT JOIN sampled ON rates.domain = sampled.domain
+"""
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=_MIXTURE_ORACLE,
+    tags=("curation", "sample", "mixture"),
+    doc="Weighted data-mixture sampling: per-domain rates derived "
+    "from target mixture weights and actual domain sizes (epochs-per-"
+    "source), applied as a per-row hash threshold. Only the per-"
+    "domain COUNTS shuffle (a handful of rows, broadcast back); the "
+    "corpus is filtered in place with zero corpus shuffle — the "
+    "mixture plan that works at 100 TB.",
+)
+def mixture_weighted_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dom_idx = F.substring(F.col("source"), 4, 10).cast("int") % 3
+    domain = (
+        F.when(dom_idx == 0, "web")
+        .when(dom_idx == 1, "books")
+        .otherwise("code")
+    )
+    d = docs.select("doc_id", domain.alias("domain"))
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    total = d.agg(F.count("*").alias("n_total"))
+    weight = (
+        F.when(F.col("domain") == "web", 0.5)
+        .when(F.col("domain") == "books", 0.3)
+        .otherwise(0.2)
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_domain",
+        F.least(
+            F.lit(1.0),
+            weight
+            * (0.2 * F.col("n_total").cast("double"))
+            / F.col("n_domain").cast("double"),
+        ).alias("rate"),
+    )
+    sampled = (
+        d.join(F.broadcast(rates.select("domain", "rate")), "domain")
+        .filter(hash_frac(F.col("doc_id")) < F.col("rate"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "domain", "left")
+        .select(
+            "domain",
+            F.col("n_domain").cast("long").alias("n_domain"),
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.floor(F.col("rate") * 10000).cast("long").alias("rate_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Per-label embedding centroids
+# --------------------------------------------------------------------
+EMB_DIM = 64  # synthetic embeddings table dimension (TESTDATA.md)
+
+_CENTROID_ORACLE = f"""
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS i)
+)
+SELECT label, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {dsum_sql("val")} / count(*) AS centroid
+FROM ex
+GROUP BY label, pos
+"""
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=_CENTROID_ORACLE,
+    tags=("curation", "embedding", "centroid"),
+    doc="Per-label embedding centroids (the class-prototype step "
+    "behind clustering-based curation and IVF seeding): posexplode to "
+    "(label, dim, value), partial-aggregated per partition before the "
+    "exchange, so shuffle volume is O(partitions × labels × dims) "
+    "regardless of corpus size. Quantized sums keep the mean "
+    "fold-order- and engine-independent.",
+)
+def embedding_label_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        dsum(F.col("val").cast("double"), "qsum"),
+    )
+    return agg.select(
+        "label",
+        "pos",
+        "n_vecs",
+        (F.col("qsum") / F.col("n_vecs")).alias("centroid"),
+    )
