@@ -289,17 +289,14 @@ WITH d AS (
                * (0.2 * CAST(n_total AS DOUBLE))
                / CAST(n_domain AS DOUBLE)) AS rate
   FROM counts, tot
-), sampled AS (
-  SELECT d.domain, count(*) AS n_sampled
-  FROM d JOIN rates USING (domain)
-  WHERE {hash_frac_sql("doc_id")} < rate
-  GROUP BY d.domain
 )
-SELECT rates.domain,
-       CAST(n_domain AS BIGINT) AS n_domain,
-       CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
-       CAST(FLOOR(rate * 10000) AS BIGINT) AS rate_q
-FROM rates LEFT JOIN sampled ON rates.domain = sampled.domain
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_domain,
+       CAST(SUM(CASE WHEN {hash_frac_sql("doc_id")} < rate
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(FLOOR(max(rate) * 10000) AS BIGINT) AS rate_q
+FROM d JOIN rates USING (domain)
+GROUP BY domain
 """
 
 
@@ -332,7 +329,6 @@ def mixture_weighted_sample(spark, sf_dir):
     )
     rates = counts.crossJoin(F.broadcast(total)).select(
         "domain",
-        "n_domain",
         F.least(
             F.lit(1.0),
             weight
@@ -340,21 +336,22 @@ def mixture_weighted_sample(spark, sf_dir):
             / F.col("n_domain").cast("double"),
         ).alias("rate"),
     )
-    sampled = (
-        d.join(F.broadcast(rates.select("domain", "rate")), "domain")
-        .filter(hash_frac(F.col("doc_id")) < F.col("rate"))
-        .groupBy("domain")
-        .agg(F.count("*").alias("n_sampled"))
-    )
+    # Single corpus pass: broadcast the tiny rate table back onto the
+    # docs and fold the sample decision into the aggregate — no second
+    # corpus scan for the sampled counts, no outer join, and domains
+    # that sample zero rows still appear (every doc row is present).
     return (
-        rates.join(sampled, "domain", "left")
-        .select(
-            "domain",
-            F.col("n_domain").cast("long").alias("n_domain"),
-            F.coalesce(F.col("n_sampled"), F.lit(0))
+        d.join(F.broadcast(rates), "domain")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_domain"),
+            F.sum(
+                F.when(hash_frac(F.col("doc_id")) < F.col("rate"), 1)
+                .otherwise(0)
+            )
             .cast("long")
             .alias("n_sampled"),
-            F.floor(F.col("rate") * 10000).cast("long").alias("rate_q"),
+            F.floor(F.max("rate") * 10000).cast("long").alias("rate_q"),
         )
     )
 

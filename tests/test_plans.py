@@ -20,17 +20,28 @@ from jly_flink_spark.plans import REGISTRY
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
     df = REGISTRY[name].spark_fn(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+        df.explain(mode)
     return buf.getvalue()
 
 
 def n_exchanges(plan: str) -> int:
-    # Count shuffle exchanges only — broadcast exchanges are the point.
-    return plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    """Count SHUFFLE exchanges (broadcast exchanges are the point and
+    don't count). Only the simple-mode plan spells the partitioning
+    inline ('Exchange hashpartitioning(...)'); formatted mode names
+    every exchange bare '(n) Exchange', which once made this helper
+    return 0 for everything and the budget pins vacuous — so refuse
+    formatted input outright."""
+    if "Arguments:" in plan:  # detail section ⇒ formatted-mode plan
+        raise ValueError("n_exchanges needs the simple-mode plan")
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
 
 
 class TestPushdown:
@@ -69,7 +80,7 @@ class TestJoinStrategies:
     def test_cdc_pipeline_has_no_shuffle(self, spark):
         """The whole parse→filter→project→enrich pipeline is
         shuffle-free: scan-local work + one broadcast."""
-        plan = plan_of(spark, "cdc_delete_archive")
+        plan = plan_of(spark, "cdc_delete_archive", mode="simple")
         assert n_exchanges(plan) == 0
 
     def test_broadcast_agg_join(self, spark):
@@ -107,7 +118,7 @@ class TestJoinStrategies:
     def test_asof_join_single_shuffle(self, spark):
         """The as-of union-and-sweep needs exactly one hash shuffle
         (the window over the union) plus zero join shuffles."""
-        plan = plan_of(spark, "join_asof_events")
+        plan = plan_of(spark, "join_asof_events", mode="simple")
         assert "SortMergeJoin" not in plan
         assert n_exchanges(plan) <= 1
 
@@ -129,10 +140,18 @@ class TestShuffleBudget:
             ("tpch_q8_market_share", 2),
             # semi/anti self-joins reuse the l_orderkey partitioning
             ("tpch_q21_waiting_suppliers", 3),
+            # per-row column expressions; one per-lang rollup shuffle
+            ("text_pii_redaction", 1),
+            ("quality_filter_composite", 1),
+            # posexplode + map-side partial agg; one (label,pos) shuffle
+            ("embedding_label_centroids", 1),
+            # per-domain counts + sampled counts + final join re-shuffle;
+            # all three exchanges carry O(|domains|) rows, never the corpus
+            ("mixture_weighted_sample", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
-        plan = plan_of(spark, name)
+        plan = plan_of(spark, name, mode="simple")
         assert n_exchanges(plan) <= budget, plan
 
 
