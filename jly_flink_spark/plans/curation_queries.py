@@ -400,3 +400,189 @@ def embedding_label_centroids(spark, sf_dir):
         "n_vecs",
         (F.col("qsum") / F.col("n_vecs")).alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------
+# Cross-source near-dup overlap
+# --------------------------------------------------------------------
+_XSRC_ORACLE = """
+WITH {doc_toks},
+df AS (SELECT tok, count(*) AS dfreq FROM doc_toks GROUP BY tok),
+rare AS (SELECT d.doc_id, d.tok FROM doc_toks d
+         JOIN df ON df.tok = d.tok AND df.dfreq <= 1000),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT s.doc_a, s.doc_b,
+         CAST(s.n_shared AS DOUBLE)
+           / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) AS jaccard
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE CAST(s.n_shared AS DOUBLE)
+        / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) >= 0.5
+),
+lab AS (
+  SELECT p.jaccard, da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {sum_jac} AS sum_jaccard
+FROM lab
+GROUP BY least(sa, sb), greatest(sa, sb)
+"""
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle=None,  # assembled at import (needs the shared doc_toks CTE)
+    tags=("curation", "dedup", "provenance"),
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "(exact token-set Jaccard ≥ 0.5, df-capped skew guard) labeled "
+    "with each side's source, rolled up to unordered (source_a, "
+    "source_b) cells. The curation analytic that tells you which "
+    "sources copy each other — the direct input to down-weighting "
+    "mirrored sources in the mixture. Adds only two 2-column joins "
+    "and an O(|sources|²) rollup on top of the pair machinery.",
+)
+def dedup_cross_source_overlap(spark, sf_dir):
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, min_jaccard=0.5, max_shingle_df=1000)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dsum(F.col("jaccard"), "sum_jaccard"),
+        )
+    )
+
+
+def _finalize_xsrc_oracle() -> None:
+    from .northstar_queries import _DOC_TOKS_CTE
+    from .registry import REGISTRY
+
+    REGISTRY["dedup_cross_source_overlap"].oracle = _XSRC_ORACLE.format(
+        doc_toks=_DOC_TOKS_CTE, sum_jac=dsum_sql("jaccard")
+    )
+
+
+_finalize_xsrc_oracle()
+
+
+# --------------------------------------------------------------------
+# Boilerplate-chunk removal (CCNet-style repeated-text filtering)
+# --------------------------------------------------------------------
+CHUNK_TOKENS = 3  # tokens per non-overlapping chunk
+BOILER_MIN_DF = 3  # chunk is boilerplate when seen in ≥ this many docs
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), spine AS (
+  SELECT unnest(generate_series(1, CAST(CEIL(
+    (SELECT max(len(ts)) FROM toks) / {CHUNK_TOKENS}.0) AS INT))) AS i
+), chunks AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_slice(ts,
+           (i - 1) * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS}), ' ')) AS h,
+         len(list_slice(ts,
+           (i - 1) * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS})) AS clen
+  FROM toks, spine
+  WHERE (i - 1) * {CHUNK_TOKENS} + 1 <= len(ts)
+), boiler AS (
+  SELECT h FROM chunks GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS chunks_dropped,
+       CAST(SUM(clen) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN b.h IS NULL THEN clen ELSE 0 END) AS BIGINT)
+         AS tokens_after
+FROM chunks c LEFT JOIN boiler b ON c.h = b.h
+GROUP BY lang
+"""
+
+
+@register(
+    "text_boilerplate_chunks",
+    oracle=_BOILER_ORACLE,
+    tags=("curation", "boilerplate", "text"),
+    doc="Repeated-chunk boilerplate filtering (the CCNet/RefinedWeb "
+    "pattern at chunk granularity): hash non-overlapping "
+    f"{CHUNK_TOKENS}-token chunks, find chunks appearing in ≥ "
+    f"{BOILER_MIN_DF} distinct docs (headers, footers, license "
+    "blocks), and report per-language token retention. Scale shape: "
+    "chunk document-frequency is a map-side-combined groupBy on "
+    "32-byte hashes; the boilerplate set is heavy-hitters-small and "
+    "broadcast back — the corpus itself is never shuffled.",
+)
+def text_boilerplate_chunks(spark, sf_dir):
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", "lang", F.explode(chunk_structs).alias("c"))
+        .select("doc_id", "lang", F.col("c.h").alias("h"),
+                F.col("c.clen").alias("clen"))
+        .filter(F.col("clen") > 0)
+    )
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("h", F.lit(1).alias("is_boiler"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "h", "left")
+    return marked.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_dropped"),
+        F.sum("clen").cast("long").alias("tokens_before"),
+        F.sum(F.when(F.col("is_boiler").isNull(), F.col("clen")).otherwise(0))
+        .cast("long")
+        .alias("tokens_after"),
+    )

@@ -148,6 +148,11 @@ class TestShuffleBudget:
             # per-domain counts + sampled counts + final join re-shuffle;
             # all three exchanges carry O(|domains|) rows, never the corpus
             ("mixture_weighted_sample", 3),
+            # jaccard pair machinery (8) + one O(|sources|²) rollup
+            ("dedup_cross_source_overlap", 9),
+            # chunk-df groupBy (2-phase distinct) + per-lang rollup;
+            # the corpus rows themselves never shuffle (broadcast anti)
+            ("text_boilerplate_chunks", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
