@@ -58,14 +58,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered so queries WITHOUT a green row in any prior round's
     CORRECTNESS_r*.json come first: if the driver's run is capped or
     time-budgeted, coverage rotates until every registered query has
-    been value-checked at least once. Registration order is preserved
-    within each group, so the ordering is deterministic."""
-    from jly_flink_spark.plans import queries_map
+    been value-checked at least once. Within the unverified group,
+    the families the round-1 verdict flagged as the coverage gap
+    (training-data suite, TPC-H shapes, multimodal, curation) run
+    before the rest. Ties preserve registration order, so the
+    ordering is deterministic."""
+    from jly_flink_spark.plans import REGISTRY, queries_map
 
     qm = queries_map()
     verified = _already_verified()
     order = {n: i for i, n in enumerate(qm)}
-    names = sorted(qm, key=lambda n: (n in verified, order[n]))
+
+    def priority(n: str) -> int:
+        tags = set(REGISTRY[n].tags)
+        if (
+            tags & {"training", "curation", "pipeline"}
+            or n.startswith(("tpch_", "multimodal_"))
+        ):
+            return 0
+        return 1
+
+    names = sorted(
+        qm, key=lambda n: (n in verified, priority(n), order[n])
+    )
     return {n: qm[n] for n in names}
 
 
