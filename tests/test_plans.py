@@ -153,6 +153,11 @@ class TestShuffleBudget:
             # chunk-df groupBy (2-phase distinct) + per-lang rollup;
             # the corpus rows themselves never shuffle (broadcast anti)
             ("text_boilerplate_chunks", 4),
+            # static plan duplicates the vocab subtree (tok groupBy ×2
+            # + scalar-total SinglePartition ×2 + doc agg); AQE's
+            # ReusedExchange collapses the duplicates at runtime —
+            # pinned by test_unigram_lm_reuses_vocab_exchange below
+            ("text_unigram_logprob", 6),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -208,6 +213,16 @@ class TestScaleShapes:
         for frag in analyzed.split("windowspecdefinition(")[1:]:
             head = frag.split(")")[0]
             assert "shard" in head or "_shard" in head, analyzed
+
+    def test_unigram_lm_reuses_vocab_exchange(self, spark):
+        """The LM-build and scoring branches share the token-groupBy
+        subtree; at runtime AQE must collapse the duplicated vocab
+        exchange (ReusedExchange), so the exploded corpus is read
+        twice (build + score), never a third time for the total."""
+        df = REGISTRY["text_unigram_logprob"].spark_fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
 
     def test_minhash_signature_aggregates_mapside(self, spark):
         """KM minhash: one partial_min-capable HashAggregate per
