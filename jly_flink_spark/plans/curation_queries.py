@@ -698,3 +698,160 @@ def text_unigram_logprob(spark, sf_dir):
         (F.col("sum_logprob_micro").cast("double") / F.col("n_tokens"))
         .alias("mean_logprob_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# BM25 retrieval scoring (quality-classifier / nearest-benchmark
+# retrieval pattern)
+# --------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Terms span the corpus df range: 'dup' is discriminative (~5% df),
+# the rest are common — so idf weighting, not raw tf, decides the
+# ranking and the query actually exercises the scoring model.
+BM25_QUERY_TERMS = ("dup", "window", "stream", "spark")
+BM25_TOPK = 20
+
+# Cross-engine determinism: the ONLY transcendental is ln() in the
+# idf, computed once per query term (4 distinct values), quantized to
+# integer micro-nats with boundary margin asserted by
+# tests/test_operators.py::test_bm25_idf_quantization_margin. All
+# other arithmetic is IEEE-754 double +,-,*,/ written with IDENTICAL
+# parenthesization on both engines (exact-rounded ops on identical
+# inputs are bit-identical), then rounded to integer micro-units, so
+# the per-doc sum is exact BIGINT arithmetic. Lucene's ln(1 + ...)
+# idf variant keeps every score positive, so HALF_UP (Spark) and
+# half-away-from-zero (DuckDB) rounding agree.
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(count(*) AS DOUBLE) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN {BM25_QUERY_TERMS!r}
+  GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok,
+         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6)
+              AS BIGINT) AS idf_micro
+  FROM (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+       AS dfq, stats
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(round(CAST(idf_micro AS DOUBLE) *
+              ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}) /
+               (CAST(tf AS DOUBLE) + {BM25_K1!r} *
+                ({1.0 - BM25_B!r} + {BM25_B!r} *
+                 (CAST(dl AS DOUBLE) / avgdl))))) AS BIGINT) AS s_micro
+  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS terms_hit,
+       CAST(sum(s_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("curation", "ranking", "text"),
+    doc="BM25 top-k retrieval over the corpus for a fixed term query "
+    "(Lucene idf variant, k1=1.2 b=0.75) — the scoring half of "
+    "retrieval-based curation: rank training docs against a probe "
+    "query (benchmark contamination probes, quality-classifier "
+    "nearest-neighbor seeds). Scores quantized to integer micro-units "
+    "so ranking and hash are engine-exact. Scale shape: ONE corpus "
+    "token shuffle (per-doc tf vector via map-side-combined groupBy), "
+    "then everything downstream is doc-sized or term-sized; idf/avgdl "
+    "are broadcast one-row frames; top-k is TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def text_bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    # One corpus-wide groupBy: per-doc length AND per-query-term tf in
+    # the same map-side-combined aggregation — the token explosion is
+    # never shuffled, only (doc_id, dl, tf...) partials are.
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"),
+    )
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    melted = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(
+            f"stack({len(BM25_QUERY_TERMS)}, {stack_args}) AS (tok, tf)"
+        ),
+    ).filter(F.col("tf") > 0)
+    idf = (
+        melted.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = (
+        melted.join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_micro").cast("double")
+                * (
+                    (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(BM25_K1)
+                        * (
+                            F.lit(1.0 - BM25_B)
+                            + F.lit(BM25_B)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    per_doc_score = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("terms_hit"),
+        F.sum("s_micro").cast("long").alias("score_micro"),
+    )
+    return per_doc_score.orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    ).limit(BM25_TOPK)
