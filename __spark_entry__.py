@@ -28,10 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _already_verified() -> set[str]:
     """Names with a green row (hash match, or completed rows-only
-    check) in ANY prior round's CORRECTNESS_r*.json."""
+    check) in ANY prior round's CORRECTNESS_r*.json — **whose
+    implementation is unchanged since that green row**.
+
+    VERIFIED_HASHES.json (maintained by tools/update_verified_hashes.py
+    right after each round) pins every green name to the impl_hash
+    (md5 of query-fn source + oracle SQL) it was verified at. A pin
+    that no longer matches the registry means the query was rewritten:
+    its old green row certifies deleted code, so it re-enters the
+    unverified-first rotation.
+    """
     import glob
     import json
     import os
+
+    from jly_flink_spark.plans import REGISTRY
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
@@ -49,7 +60,20 @@ def _already_verified() -> set[str]:
                 and row.get("spark_rows") is not None
             ):
                 seen.add(name)
-    return seen
+
+    try:
+        with open(
+            os.path.join(here, "VERIFIED_HASHES.json"), encoding="utf-8"
+        ) as f:
+            pinned = json.load(f)
+    except (OSError, ValueError):
+        return seen  # no sidecar — fall back to green-row-only logic
+    return {
+        n
+        for n in seen
+        if n in REGISTRY
+        and pinned.get(n) == REGISTRY[n].impl_hash
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

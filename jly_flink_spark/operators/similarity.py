@@ -412,7 +412,7 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
     vec_col: str = "embedding",
-    rows_per_block: int = 256,
+    rows_per_block: int = 32768,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (vec_a < vec_b)
@@ -428,14 +428,20 @@ def embedding_near_dup_pairs(
     (min,max)), so the result is the exact all-pairs set.
 
     Scale: shuffle volume is B·n vectors and the O(n²) pair work is
-    spread over B(B+1)/2 independent tasks of bounded size — the
-    standard blocked self-join. `rows_per_block` trades replication
-    (B·n shuffle rows) against task fan-out (B(B+1)/2 tasks): the
-    default targets enough tasks to saturate a few dozen cores at
-    small corpora; at real scale pass `n_blocks` ≈ √(2·cluster_cores)
-    so every core gets a block-pair. The LSH bucket prefilter
-    (`cosine_topk_lsh`'s bucketing) cuts the candidate set first at
-    corpus scale, with this kernel as the per-bucket verifier.
+    spread over B(B+1)/2 independent tasks — the standard blocked
+    self-join, so B is the knob that trades replication (B·n shuffle
+    rows) against task fan-out. The default picks the SMALLEST B that
+    both saturates the cluster (B(B+1)/2 ≳ defaultParallelism, i.e.
+    B ≈ √(2·cores)) and bounds per-task memory (≤ `rows_per_block`
+    rows per block; the numpy kernel additionally chunks its product
+    tensor) — minimizing B minimizes the dominant cost, the B·n
+    replicated shuffle. Sizing needs the corpus row count, taken from
+    a column-pruned count on the UN-repartitioned scan (no shuffle,
+    no data columns); at a fixed deployment scale pass `n_blocks`
+    from table stats and no count job runs at all. The LSH bucket
+    prefilter (`cosine_topk_lsh`'s bucketing) cuts the candidate set
+    first at corpus scale, with this kernel as the per-bucket
+    verifier.
 
     Execution: Arrow/numpy inside applyInPandas. A per-pair
     zip_with+aggregate expression is CodegenFallback (interpreted) in
@@ -450,11 +456,18 @@ def embedding_near_dup_pairs(
 
     from ..io import ensure_min_parallelism
 
-    src = ensure_min_parallelism(emb.select("vec_id", vec_col))
     if n_blocks is None:
-        # one cheap column-pruned count job sizes the blocking; at a
-        # fixed deployment scale callers pass n_blocks explicitly
-        n_blocks = max(1, math.ceil(src.count() / rows_per_block))
+        # Column-pruned count on the raw scan (reads no data pages,
+        # no shuffle); callers at fixed deployment scale pass
+        # n_blocks explicitly and skip even this.
+        n = emb.count()
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(
+            1,
+            math.ceil(math.sqrt(2 * par)),
+            math.ceil(n / rows_per_block),
+        )
+    src = ensure_min_parallelism(emb.select("vec_id", vec_col))
 
     blk = F.pmod(
         F.crc32(F.col("vec_id").cast("string")), F.lit(n_blocks)

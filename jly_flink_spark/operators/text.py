@@ -32,7 +32,12 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Number of tokens under the shared definition, computed WITHOUT
+    materializing the token array: non-empty segments between single
+    spaces are exactly the maximal runs of non-space characters, so
+    regexp_count('[^ ]+') gives the same number with one regex scan
+    and no per-row array allocation (lowercasing can't change it)."""
+    return F.regexp_count(text, F.lit(r"[^ ]+"))
 
 
 def char_count(text: Column) -> Column:

@@ -232,7 +232,10 @@ FROM documents
 """,
     tags=("udf", "pandas", "text"),
     doc="mapInPandas scalar path (Arrow-batched): per-doc token/char "
-    "counts computed in Python, matching the SQL tokenizer exactly.",
+    "counts computed with vectorized pandas .str ops (no per-row "
+    "Python loop), matching the SQL tokenizer exactly: tokens are "
+    "the non-empty runs between single-space splits, i.e. "
+    "count(' '-separated non-space runs).",
 )
 def udf_mapinpandas_tokens(spark, sf_dir):
     import pandas as pd
@@ -240,14 +243,14 @@ def udf_mapinpandas_tokens(spark, sf_dir):
     def stats(batches):
         for pdf in batches:
             texts = pdf["text"]
+            # len(list_filter(split(s,' '), t->t<>'')) ≡ number of
+            # maximal runs of non-space chars — countable without
+            # materializing per-row token lists.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": [
-                        sum(1 for t in s.lower().split(" ") if t)
-                        for s in texts
-                    ],
-                    "n_chars": [len(s) for s in texts],
+                    "n_tokens": texts.str.count(r"[^ ]+").astype("int64"),
+                    "n_chars": texts.str.len().astype("int64"),
                 }
             )
 
@@ -270,22 +273,35 @@ def udf_mapinpandas_tokens(spark, sf_dir):
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+       quantile_cont(l_quantity, 0.25) AS qty_q25,
+       quantile_cont(l_quantity, 0.50) AS qty_q50,
+       quantile_cont(l_quantity, 0.75) AS qty_q75,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
     tags=("groupby", "stats"),
     doc="Exact interpolated percentiles (sort-based aggregate). "
     "l_quantity is integral, so the q*(n-1) interpolation is exact "
-    "double arithmetic on both engines.",
+    "double arithmetic on both engines. Spark computes the three "
+    "quartiles as ONE array-percentile pass (one sort per group) and "
+    "unpacks to scalar columns — the driver's pandas canonicalizer "
+    "cannot hash a raw array column.",
 )
 def agg_percentiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias(
-            "qty_quartiles"
-        ),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("_q"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("_q", 1).alias("qty_q25"),
+            F.element_at("_q", 2).alias("qty_q50"),
+            F.element_at("_q", 3).alias("qty_q75"),
+            "n",
+        )
     )
 
 
@@ -540,7 +556,7 @@ def unpivot_lineitem_measures(spark, sf_dir):
 @register(
     "gen_date_spine",
     oracle="""
-SELECT d AS day, count(o_orderkey) AS n_orders
+SELECT strftime(d, '%Y-%m-%d') AS day, count(o_orderkey) AS n_orders
 FROM (
   SELECT unnest(generate_series(DATE '1998-07-01', DATE '1998-08-01',
                                 INTERVAL 1 DAY))::DATE AS d
@@ -551,7 +567,10 @@ GROUP BY d
     tags=("generator", "temporal"),
     doc="Generator function: a date spine via sequence()+explode, "
     "left-joined to facts so empty days surface as zero — the "
-    "gap-filling pattern for time series.",
+    "gap-filling pattern for time series. The day column is emitted "
+    "as a yyyy-MM-dd string on BOTH engines: DuckDB's fetchdf "
+    "widens DATE to a midnight timestamp, so raw DATE outputs are "
+    "not comparable across the driver's pandas bridge.",
 )
 def gen_date_spine(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -574,6 +593,9 @@ def gen_date_spine(spark, sf_dir):
         )
         .groupBy("day")
         .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n_orders"
+        )
     )
 
 
@@ -825,7 +847,7 @@ WHERE levenshtein(a.p_brand, b.p_brand) <= 2
     "scalar_map_funcs",
     oracle="""
 SELECT event_id,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
        len(json_keys(props)) AS n_entries,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        element_at(map(['type'], [event_type]), 'type')[1] AS type_copy
@@ -845,7 +867,7 @@ def scalar_map_funcs(spark, sf_dir):
     )
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("prop_keys"),
         F.size(m).alias("n_entries"),
         F.element_at(m, "k").cast("bigint").alias("k_val"),
         F.element_at(built, "type").alias("type_copy"),
@@ -1072,12 +1094,13 @@ WITH stage_times AS (
   GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS stage_click,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS stage_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                  AND t_purchase > t_click
-                THEN 1 ELSE 0 END) AS stage_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
 FROM stage_times
 """,
     tags=("funnel", "events", "conditional"),
@@ -1165,9 +1188,9 @@ WITH flagged AS (
 ),
 islands AS (
   SELECT user_id, ts,
-         sum(new_island) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island_id
+              AS BIGINT) AS island_id
   FROM flagged
 )
 SELECT user_id, island_id,
@@ -1213,8 +1236,8 @@ def events_activity_islands(spark, sf_dir):
 SELECT grp,
        count(*) AS n_rows,
        count(val) AS n_nonnull,
-       sum(CASE WHEN val IS NOT DISTINCT FROM ref THEN 1 ELSE 0 END)
-         AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN val IS NOT DISTINCT FROM ref THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq,
        coalesce(min(val), -1) AS min_or_default,
        max(nullif(val, 0)) AS max_nonzero
 FROM (

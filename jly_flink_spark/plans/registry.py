@@ -13,6 +13,8 @@ Contract per entry:
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -28,6 +30,24 @@ class QuerySpec:
     oracle: Optional[str]
     tags: tuple[str, ...] = ()
     doc: str = ""
+    impl_hash: str = ""  # md5(query fn source + oracle SQL) — a green
+    # CORRECTNESS row certifies THIS hash; rewrites re-enter the
+    # unverified-first rotation (see __spark_entry__.queries).
+
+
+def _impl_hash(fn_source: str, oracle: Optional[str]) -> str:
+    h = hashlib.md5()
+    h.update(fn_source.encode("utf-8", errors="replace"))
+    h.update(b"\x00")
+    h.update((oracle or "").encode("utf-8", errors="replace"))
+    return h.hexdigest()
+
+
+def _source_of(fn: Callable) -> str:
+    try:
+        return inspect.getsource(fn)
+    except (OSError, TypeError):  # exec'd / builtin — fall back to name
+        return getattr(fn, "__qualname__", repr(fn))
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -53,6 +73,7 @@ def register(
         REGISTRY[name] = QuerySpec(
             name=name, spark_fn=wrapped, oracle=oracle, tags=tags,
             doc=doc or (fn.__doc__ or ""),
+            impl_hash=_impl_hash(_source_of(fn), oracle),
         )
         return wrapped
 
@@ -76,12 +97,14 @@ def register_sql(
         return spark.sql(sql)
 
     spark_fn.__name__ = name
+    resolved_oracle = sql if oracle == "__same__" else oracle
     REGISTRY[name] = QuerySpec(
         name=name,
         spark_fn=spark_fn,
-        oracle=sql if oracle == "__same__" else oracle,
+        oracle=resolved_oracle,
         tags=tags,
         doc=doc,
+        impl_hash=_impl_hash(sql, resolved_oracle),
     )
     return spark_fn
 

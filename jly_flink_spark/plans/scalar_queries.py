@@ -68,13 +68,15 @@ def scalar_string_funcs(spark, sf_dir):
 SELECT doc_id,
        regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
        regexp_replace(text, '[0-9]+', '#') AS no_digits,
-       string_split(lang, '-') AS lang_parts,
+       array_to_string(string_split(lang, '-'), '|') AS lang_parts,
        CAST(regexp_matches(text, 'the') AS INTEGER) AS has_the
 FROM documents
 """,
     tags=("scalar", "string", "regexp"),
     doc="Regex extract/replace/match + split (split ↔ string_split; "
-    "rlike ↔ regexp_matches).",
+    "rlike ↔ regexp_matches). The split result is re-joined with '|' "
+    "on BOTH engines: raw array columns are not hashable by the "
+    "driver's pandas canonicalizer.",
 )
 def scalar_regexp_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -82,7 +84,7 @@ def scalar_regexp_split(spark, sf_dir):
         "doc_id",
         F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
         F.regexp_replace("text", r"[0-9]+", "#").alias("no_digits"),
-        F.split("lang", "-").alias("lang_parts"),
+        F.array_join(F.split("lang", "-"), "|").alias("lang_parts"),
         F.col("text").rlike("the").cast("int").alias("has_the"),
     )
 
@@ -259,13 +261,21 @@ SELECT vec_id,
        len(embedding) AS dim,
        embedding[1] AS first_val,
        embedding[64] AS last_val,
-       embedding[1:4] AS head4,
+       array_to_string(
+         list_transform(embedding[1:4],
+                        x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                       AS BIGINT) AS VARCHAR)),
+         ',') AS head4,
        list_contains(embedding, 0.0) AS has_zero
 FROM embeddings
 """,
     tags=("scalar", "array"),
     doc="Array primitives over the embedding column: size, index, "
-    "slice, contains (1-indexed on both engines).",
+    "slice, contains (1-indexed on both engines). The slice is "
+    "serialized element-wise via floor(x*1000) — bit-deterministic "
+    "double arithmetic, so the string is engine-independent, unlike "
+    "raw float formatting — because the driver's pandas canonicalizer "
+    "cannot hash raw array columns.",
 )
 def scalar_array_funcs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -274,7 +284,13 @@ def scalar_array_funcs(spark, sf_dir):
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", 64).alias("last_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.floor(x.cast("double") * 1000).cast("string"),
+            ),
+            ",",
+        ).alias("head4"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias(
             "has_zero"
         ),

@@ -21,7 +21,7 @@ from pyspark.sql import Window
 
 from ..functions import dsum
 from ..io import load_table
-from ..operators.text import tokens
+from ..operators.text import token_count, tokens
 from .registry import register
 
 # Single parity-critical definition in jly_flink_spark.functions.
@@ -165,7 +165,7 @@ runs AS (
   FROM toks
 )
 SELECT CAST(floor((cum_tokens - 1) / 2000) AS BIGINT) AS batch_id,
-       count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
 FROM runs
 GROUP BY 1
 """,
@@ -186,7 +186,7 @@ def batch_by_token_budget(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        token_count(F.col("text")).alias("n_tokens"),
     ).withColumn("shard", F.substring("shuffle_key", 1, 1))
     # Both the per-shard window and the offsets branch consume toks;
     # cut lineage so tokenization (the expensive regex scan) runs
@@ -599,12 +599,18 @@ SELECT CASE WHEN {hash_frac_sql("doc_id")} < 0.9 THEN 'train'
             ELSE 'holdout' END AS split,
        lang,
        count(*) AS n_docs,
-       sum(len({_TOKS})) AS total_tokens
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
 FROM kept4
 GROUP BY 1, 2
 """
 
 
 from .registry import REGISTRY as _REG2  # noqa: E402
+from .registry import _impl_hash, _source_of  # noqa: E402
 
 _REG2["pipeline_training_corpus"].oracle = _pipeline_oracle()
+# The oracle is attached after registration, so refresh the impl hash
+# to cover the real (source, oracle) pair.
+_REG2["pipeline_training_corpus"].impl_hash = _impl_hash(
+    _source_of(pipeline_training_corpus), _pipeline_oracle()
+)

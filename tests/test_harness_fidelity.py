@@ -1,0 +1,105 @@
+"""The oracle harness must see what the driver sees.
+
+Round 2 shipped five correctness failures that were invisible locally
+because the old harness compared DuckDB via ``fetchall()`` (ints stay
+ints, lists are handled) while the driver goes through pandas
+``fetchdf()`` (HUGEINT → float64, list cells crash ``sort_values``).
+These tests plant one instance of each bug class and assert the
+harness now FAILS on them — if someone reverts the harness to a
+dtype-blind comparison, this file goes red.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jly_flink_spark.plans.registry import REGISTRY, QuerySpec
+
+from .oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _with_temp_spec(spark, spec: QuerySpec):
+    REGISTRY[spec.name] = spec
+    try:
+        return compare_query(spark, spec.name, SF)
+    finally:
+        del REGISTRY[spec.name]
+
+
+def test_uncast_integer_sum_is_detected(spark):
+    """DuckDB sum(INTEGER) → HUGEINT → fetchdf float64 must mismatch
+    Spark's int64 — the round-2 failure class (a)."""
+
+    def spark_fn(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        return df.agg(F.sum("r_regionkey").alias("s"))
+
+    res = _with_temp_spec(
+        spark,
+        QuerySpec(
+            name="_harness_probe_uncast_sum",
+            spark_fn=spark_fn,
+            oracle="SELECT sum(r_regionkey) AS s FROM region",
+        ),
+    )
+    assert not res.ok, "harness must flag uncast integer SUM (HUGEINT→float64)"
+
+    res_cast = _with_temp_spec(
+        spark,
+        QuerySpec(
+            name="_harness_probe_cast_sum",
+            spark_fn=spark_fn,
+            oracle="SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region",
+        ),
+    )
+    assert res_cast.ok, str(res_cast)
+
+
+def test_array_output_column_is_detected(spark):
+    """List-typed output cells crash the driver's sort_values — the
+    round-2 failure class (b). Both engines returning identical arrays
+    must STILL fail."""
+
+    def spark_fn(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        return df.select(
+            "r_regionkey", F.array(F.lit(1), F.lit(2)).alias("arr")
+        )
+
+    res = _with_temp_spec(
+        spark,
+        QuerySpec(
+            name="_harness_probe_array_col",
+            spark_fn=spark_fn,
+            oracle="SELECT r_regionkey, [1, 2] AS arr FROM region",
+        ),
+    )
+    assert not res.ok, "harness must flag array-typed output columns"
+    assert any("array" in p for p in res.problems)
+
+
+def test_raw_date_output_is_tolerated(spark):
+    """DuckDB fetchdf widens DATE to a midnight timestamp while Spark
+    yields datetime.date. The driver hash-matched raw DATE outputs in
+    rounds 1–2 (scalar_date_funcs), so its pandas bridge widens both
+    sides — the harness must apply the same tolerance, not fail."""
+
+    def spark_fn(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            df.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .count()
+            .select("d")
+        )
+
+    res = _with_temp_spec(
+        spark,
+        QuerySpec(
+            name="_harness_probe_raw_date",
+            spark_fn=spark_fn,
+            oracle="SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders",
+        ),
+    )
+    assert res.ok, str(res)
