@@ -34,8 +34,9 @@ CAPTURE = os.path.join(
 KAFKA_SCHEMA = "topic string, key string, value string"
 
 # What the reference pipeline must archive from this capture: ONLY
-# deletes, only configured tables (t_orders/t_items — t_audit is not
-# in the task config), id from the pre-image, fb_no by instance.
+# deletes, only subscribed tables (t_orders/t_items — t_audit is not
+# in the task config, so its topic is never subscribed), id from the
+# pre-image, fb_no by instance.
 EXPECTED = {
     ("101", "demo_t_orders", "FB0"),
     ("7", "demo_t_items", "FB1"),
@@ -43,13 +44,22 @@ EXPECTED = {
 }
 
 
-def _records():
+def _records(subscribed_only: bool = False):
     with open(CAPTURE, encoding="utf-8") as f:
-        return [json.loads(line) for line in f if line.strip()]
+        recs = [json.loads(line) for line in f if line.strip()]
+    if subscribed_only:
+        # Table scoping is SOURCE-side, exactly like the reference's
+        # MySqlSource.tableList (StartJob.java:66): the production
+        # wiring subscribes only to `<prefix>.<db>.<table>` topics of
+        # configured tables (read_mysql_cdc_stream's subscribePattern)
+        # — unconfigured tables never enter the stream.
+        tables = set(demo_task_config().tables)
+        recs = [r for r in recs if r["topic"].split(".")[-1] in tables]
+    return recs
 
 
-def _batch_frame(spark):
-    recs = _records()
+def _batch_frame(spark, subscribed_only: bool = False):
+    recs = _records(subscribed_only)
     return spark.createDataFrame(
         [(r["topic"], r["key"], r["value"]) for r in recs], KAFKA_SCHEMA
     )
@@ -88,12 +98,25 @@ def test_capture_fixture_is_realistic():
 
 
 def test_capture_batch_through_pipeline(spark):
-    env = envelopes_from_kafka(_batch_frame(spark))
+    env = envelopes_from_kafka(_batch_frame(spark, subscribed_only=True))
     target = build_pipeline(spark, env, demo_task_config())
     got = {
         (r["id"], r["db_tb_name"], r["fb_no"]) for r in target.collect()
     }
     assert got == EXPECTED
+
+
+def test_unsubscribed_table_is_scoped_at_source_not_pipeline(spark):
+    """The pipeline itself is table-agnostic (the reference never sees
+    unconfigured tables — MySqlSource.tableList scopes them at the
+    source): feeding the FULL capture surfaces the t_audit delete too,
+    which is why production wiring must subscribe per-table topics."""
+    env = envelopes_from_kafka(_batch_frame(spark))
+    target = build_pipeline(spark, env, demo_task_config())
+    got = {
+        (r["id"], r["db_tb_name"], r["fb_no"]) for r in target.collect()
+    }
+    assert got == EXPECTED | {("900", "demo_t_audit", "FB1")}
 
 
 def test_capture_decimal_string_survives(spark):
@@ -115,7 +138,7 @@ def test_capture_streaming_end_to_end(spark, tmp_path):
     src_dir.mkdir()
     # split across two files → two micro-batches with
     # maxFilesPerTrigger=1, proving the adapter is incremental
-    recs = _records()
+    recs = _records(subscribed_only=True)
     half = len(recs) // 2
     for i, chunk in enumerate((recs[:half], recs[half:])):
         with open(src_dir / f"part_{i}.jsonl", "w", encoding="utf-8") as f:
