@@ -408,6 +408,25 @@ def cosine_topk_ivf(
     )
 
 
+def default_block_count(
+    n_rows: int, parallelism: int, rows_per_block: int = 32768
+) -> int:
+    """Block count for the blocked all-pairs self-join: the SMALLEST B
+    that saturates the cluster (B(B+1)/2 ≳ parallelism ⇒ B ≈ √(2·p))
+    and bounds per-task memory (≤ rows_per_block rows per block).
+    Minimizing B minimizes the dominant cost — the B·n replicated
+    shuffle. (Sizing by a small fixed block length instead, e.g.
+    n/256, replicates the corpus hundreds of times: the round-2 bench
+    breach.)"""
+    import math
+
+    return max(
+        1,
+        math.ceil(math.sqrt(2 * parallelism)),
+        math.ceil(n_rows / rows_per_block),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -460,12 +479,10 @@ def embedding_near_dup_pairs(
         # Column-pruned count on the raw scan (reads no data pages,
         # no shuffle); callers at fixed deployment scale pass
         # n_blocks explicitly and skip even this.
-        n = emb.count()
-        par = emb.sparkSession.sparkContext.defaultParallelism
-        n_blocks = max(
-            1,
-            math.ceil(math.sqrt(2 * par)),
-            math.ceil(n / rows_per_block),
+        n_blocks = default_block_count(
+            emb.count(),
+            emb.sparkSession.sparkContext.defaultParallelism,
+            rows_per_block,
         )
     src = ensure_min_parallelism(emb.select("vec_id", vec_col))
 

@@ -178,6 +178,30 @@ class TestScaleShapes:
         assert "FlatMapGroupsInPandas" in plan
         assert "BroadcastExchange" not in plan
 
+    def test_near_dup_blocking_is_parallelism_sized(self):
+        """The default block count must come from cluster parallelism
+        (~sqrt(2*cores)) until the memory cap kicks in — NOT from a
+        small fixed block length (n/256 replicated the corpus ~235x
+        through the explode at sf0.1: the r2 2x bench breach)."""
+        from jly_flink_spark.operators.similarity import (
+            default_block_count,
+        )
+
+        # parallelism-dominated regime: B is independent of n
+        assert default_block_count(60_000, 32) == 8
+        assert default_block_count(1_000, 32) == 8
+        assert default_block_count(60_000, 1000) == 45
+        # memory-cap regime: B grows linearly with n, never n/256
+        assert default_block_count(10_000_000, 32) == 306
+        assert default_block_count(0, 32) >= 1
+
+    def test_near_dup_pairs_shuffle_budget(self, spark):
+        """Replication explode is narrow; the whole operator pays at
+        most the small-input fan-out repartition plus the one
+        block-pair exchange."""
+        plan = plan_of(spark, "dedup_embedding_cosine", mode="simple")
+        assert n_exchanges(plan) <= 2, plan
+
     def test_global_rank_is_range_sharded(self, spark):
         """Sharded rank: the local stage must range-partition (shard
         order = key order) and window per shard; the assembled
