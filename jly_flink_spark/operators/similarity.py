@@ -112,15 +112,26 @@ def _hyperplane_sign(vec, plane_idx: int):
     """Sign bit of <vec, r_p> where r_p is a deterministic pseudo-random
     hyperplane: component j of plane p = (md5-digit(p, j) - 7.5).
     Uses only md5/substring/arithmetic so the construction is
-    reproducible anywhere (and costs no shuffle — pure per-row expr)."""
+    reproducible anywhere (and costs no shuffle — pure per-row expr).
+
+    The dot product is QUANTIZED like every other cross-engine score
+    here (sum of floor(x_j·comp_j·QUANT) as int64, single IEEE
+    multiplies then exact integer addition), so the sign — and hence
+    every LSH bucket id — is bit-identical on any engine that mirrors
+    the expression, making LSH candidate sets oracle-checkable."""
     # dot(vec, plane) via element index: fold over positions
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     prods = F.transform(
         idx,
-        lambda j: F.element_at(vec, j + 1).cast("double")
-        * _plane_component(plane_idx, j),
+        lambda j: F.floor(
+            F.element_at(vec, j + 1).cast("double")
+            * _plane_component(plane_idx, j)
+            * F.lit(QUANT)
+        ).cast("long"),
     )
-    s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    s = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
     return (s >= 0).cast("int")
 
 

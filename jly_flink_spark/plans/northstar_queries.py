@@ -318,13 +318,100 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _lsh_oracle(n_planes: int = 6) -> str:
+    """Exact DuckDB mirror of the LSH path: the hyperplanes are
+    md5-derived and the sign sums are quantized int64 (see
+    similarity._hyperplane_sign), so bucket ids — and therefore the
+    approximate result itself — are bit-identical across engines.
+    This turns an 'approximate ⇒ rows-only' entry into a value-hash
+    check of the whole bucketing + same-bucket scoring machinery."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    comp = (
+        "(CAST(strpos('0123456789abcdef', substring(md5('plane' || "
+        "CAST(p AS VARCHAR) || '#' || CAST(j - 1 AS VARCHAR)), 1, 1)) "
+        "- 1 AS DOUBLE) - 7.5)"
+    )
+    qprod = (
+        f"CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    nprod = (
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH plane_sums AS (
+  SELECT vec_id, p,
+         sum(CAST(floor(CAST(x AS DOUBLE) * {comp} * {_QUANT}) AS BIGINT))
+           AS psum
+  FROM (
+    SELECT vec_id,
+           unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS j
+    FROM embeddings
+  )
+  CROSS JOIN (SELECT unnest(range(0, {n_planes})) AS p) planes
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN psum >= 0 THEN (CAST(1 AS BIGINT) << p)
+                  ELSE 0 END) AS bucket
+  FROM plane_sums GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+  WHERE e.vec_id IN ({ids})
+),
+cands AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+),
+prods AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         unnest(q.embedding) AS qx, unnest(c.embedding) AS ex
+  FROM q JOIN cands c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT query_id, cand_id, sum({qprod}) AS qdot
+  FROM prods GROUP BY query_id, cand_id
+),
+norms AS (
+  SELECT vec_id, sum({nprod}) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+           AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id)
+              AS INTEGER) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
 @register(
     "ann_cosine_lsh",
-    oracle=None,  # approximate (recall<1) — rows-only check
+    oracle=_lsh_oracle(),
     tags=("northstar", "similarity", "approx"),
     doc="LSH-bucketed approximate cosine top-k (random-hyperplane "
     "signs from md5-derived deterministic planes) — the 100-TB scale "
-    "path; approximate ⇒ rows-only.",
+    "path. Approximate w.r.t. the EXACT top-k (recall<1), but fully "
+    "deterministic: quantized sign sums make bucket ids bit-identical "
+    "across engines, so the whole bucketed pipeline is value-hash "
+    "checked against a DuckDB mirror (same upgrade pattern as "
+    "ann_cosine_ivf_exact).",
 )
 def ann_cosine_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(
