@@ -700,6 +700,134 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+BIGRAM_MIN_COUNT = 2  # bigram vocab cutoff (below ⇒ OOV-smoothed)
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+), uni AS (
+  SELECT tok, count(*) AS ucnt
+  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(ucnt) AS DOUBLE) AS n_total FROM uni
+), vq AS (
+  SELECT b.bg,
+         CAST(round(ln(CAST(b.bcnt AS DOUBLE) / CAST(u.ucnt AS DOUBLE))
+                    * 1e6) AS BIGINT) AS lp
+  FROM (SELECT bg, count(*) AS bcnt FROM grams
+        GROUP BY bg HAVING count(*) >= {BIGRAM_MIN_COUNT}) b
+  JOIN uni u ON u.tok = string_split(b.bg, ' ')[1]
+), oov AS (
+  SELECT CAST(round(ln(0.5e0 / n_total) * 1e6) AS BIGINT) AS oov_micro
+  FROM tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_bigrams,
+       CAST(sum(coalesce(lp, oov_micro)) AS BIGINT) AS sum_logprob_micro,
+       CAST(sum(coalesce(lp, oov_micro)) AS DOUBLE) / count(*)
+         AS mean_logprob_micro
+FROM grams LEFT JOIN vq USING (bg), oov
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("curation", "quality", "text"),
+    doc="Bigram-LM document scoring: logP(t_i | t_(i-1)) = "
+    "ln(count(bigram)/count(prefix unigram)) from corpus statistics, "
+    f"OOV-smoothed below bigram count {BIGRAM_MIN_COUNT}, summed per "
+    "doc in quantized micro-nats (round(ln·1e6) absorbs libm ulp "
+    "differences, the text_unigram_logprob pattern one order up). "
+    "Sequence-aware where the unigram score is bag-of-words: "
+    "word-salad whose unigrams are common still scores low. Scale "
+    "shape: bigrams are built per-row with zip_with over offset "
+    "slices (no self-join on token position); the bigram vocab is a "
+    "map-side-combined groupBy joined once against the unigram "
+    "counts (vocab-sized work); the scored pass left-joins the "
+    "corpus bigrams against the broadcast cutoff vocab — the corpus "
+    "is never shuffled, and the per-doc agg combines map-side.",
+)
+def text_bigram_logprob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    # Per-row bigram construction: zip the token array with itself
+    # offset by one. Tokens cannot contain spaces, so ' '-joining is
+    # an injective pair encoding.
+    bgs = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.filter(F.size(ts) >= 2).select(
+        "doc_id", F.explode(bgs).alias("bg")
+    )
+    uni = (
+        docs.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    total = uni.agg(F.sum("ucnt").cast("double").alias("n_total"))
+    vocab_q = (
+        grams.groupBy("bg")
+        .agg(F.count("*").alias("bcnt"))
+        .filter(F.col("bcnt") >= BIGRAM_MIN_COUNT)
+        .join(uni, F.split(F.col("bg"), " ").getItem(0) == F.col("tok"))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    F.col("bcnt").cast("double")
+                    / F.col("ucnt").cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    oov_micro = (
+        F.round(F.log(F.lit(0.5) / F.col("n_total")) * 1e6).cast("long")
+    )
+    scored = (
+        grams.join(F.broadcast(vocab_q), "bg", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("lp").isNull().cast("int").alias("oov"),
+            F.coalesce(F.col("lp"), oov_micro).alias("lp_eff"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("oov").cast("long").alias("oov_bigrams"),
+            F.sum("lp_eff").cast("long").alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "oov_bigrams",
+            "sum_logprob_micro",
+            (
+                F.col("sum_logprob_micro").cast("double")
+                / F.col("n_bigrams")
+            ).alias("mean_logprob_micro"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # BM25 retrieval scoring (quality-classifier / nearest-benchmark
 # retrieval pattern)

@@ -653,3 +653,55 @@ def test_stream_quarantine_splits_poison_messages(spark, tmp_path):
     adb = spark.read.parquet(dirs["adb"])
     # the three valid deletes still archived (ids 1, 3, 7)
     assert sorted(r["id"] for r in adb.collect()) == ["1", "3", "7"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream event-time interval join (views ⋈ clicks within
+    [0, 30 min] per user) produces exactly the batch join's rows once
+    both watermarks pass — the operator family the batch
+    join_asof_events / join_range_banded queries cover in SQL form."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.streaming.joins import interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+
+    def joined(v, c):
+        return interval_join(
+            v, c, on=["user_id"], left_ts="vts", right_ts="cts",
+            lower="0 seconds", upper="30 minutes",
+            left_watermark="5 minutes", right_watermark="5 minutes",
+        ).select("l_vid", "r_cid")
+
+    want = {
+        (r["l_vid"], r["r_cid"]) for r in joined(views, clicks).collect()
+    }
+    assert want, "fixture must produce at least one joined pair"
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+    vstream = spark.readStream.schema(views.schema).parquet(vdir)
+    cstream = spark.readStream.schema(clicks.schema).parquet(cdir)
+    q = (
+        joined(vstream, cstream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["l_vid"], r["r_cid"])
+            for r in spark.sql("SELECT * FROM sj_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
