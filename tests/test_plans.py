@@ -158,6 +158,11 @@ class TestShuffleBudget:
             # ReusedExchange collapses the duplicates at runtime —
             # pinned by test_unigram_lm_reuses_vocab_exchange below
             ("text_unigram_logprob", 6),
+            # bigram LM: corpus bigram groupBy + final doc agg + the
+            # duplicated unigram-count subtree (tok groupBy ×2 +
+            # scalar-total SinglePartition) — AQE ReusedExchange
+            # collapses the duplicate at runtime, pinned below
+            ("text_bigram_logprob", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -244,6 +249,15 @@ class TestScaleShapes:
         exchange (ReusedExchange), so the exploded corpus is read
         twice (build + score), never a third time for the total."""
         df = REGISTRY["text_unigram_logprob"].spark_fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+
+    def test_bigram_lm_reuses_unigram_exchange(self, spark):
+        """Same contract one order up: the bigram vocab join and the
+        scalar total both consume the unigram token counts; AQE must
+        collapse the duplicated tok exchange at runtime."""
+        df = REGISTRY["text_bigram_logprob"].spark_fn(spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan, plan
