@@ -450,6 +450,72 @@ def udtf_chunk_documents(spark, sf_dir):
     )
 
 
+CHUNK_STRIDE = 8  # overlap = CHUNK_TOKENS - CHUNK_STRIDE tokens
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), sized AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(floor((len(ts) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                              / {CHUNK_STRIDE}) + 1 AS BIGINT) END AS k
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(
+         ts[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_TOKENS})], ' ')
+         AS chunk,
+       CAST(least(n - i*{CHUNK_STRIDE}, {CHUNK_TOKENS}) AS INTEGER)
+         AS n_tokens
+FROM sized, unnest(generate_series(0, CAST(k - 1 AS INT))) AS g(i)
+""",
+    tags=("training", "chunking"),
+    doc="Sliding-window chunking with overlap (window "
+    f"{CHUNK_TOKENS}, stride {CHUNK_STRIDE}): the standard "
+    "pretraining context-window prep where each chunk shares "
+    f"{CHUNK_TOKENS - CHUNK_STRIDE} boundary tokens with its "
+    "neighbor so no span is ever split across a context boundary. "
+    "Pure generate-shape expressions (sequence + posexplode + "
+    "slice): per-row fan-out with zero shuffle and no Python — the "
+    "declarative counterpart of udtf_chunk_documents' UDTF path. "
+    "The last window is start-clamped, covering the tail exactly "
+    "once more.",
+)
+def chunk_documents_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    n = F.size(ts)
+    k = F.when(n <= w, F.lit(1).cast("long")).otherwise(
+        F.floor((n - w + s - 1) / F.lit(s)).cast("long") + 1
+    )
+    sized = docs.filter(n > 0).select(
+        "doc_id", ts.alias("ts"), n.alias("n"), k.alias("k")
+    )
+    exploded = sized.select(
+        "doc_id",
+        "ts",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.col("k") - 1)
+        ).alias("chunk_id", "i"),
+    )
+    start = (F.col("i") * s).cast("int")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(F.slice("ts", start + 1, w), " ").alias("chunk"),
+        F.least(F.col("n") - start, F.lit(w)).cast("int").alias("n_tokens"),
+    )
+
+
 @register(
     "pipeline_training_corpus",
     oracle=None,  # generated below from the shared fragments
