@@ -705,3 +705,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_interval_join_negative_lower_matches_plain_join(spark):
+    """interval_join on BATCH frames must equal the hand-written range
+    join, including a negative lower bound (right events allowed
+    slightly before the left)."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.streaming.joins import interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    got = {
+        (r["l_vid"], r["r_cid"])
+        for r in interval_join(
+            views, clicks, on=["user_id"], left_ts="vts", right_ts="cts",
+            lower="-5 minutes", upper="30 minutes",
+        ).select("l_vid", "r_cid").collect()
+    }
+    want = {
+        (r["vid"], r["cid"])
+        for r in views.join(
+            clicks,
+            (views["user_id"] == clicks["user_id"])
+            & (clicks["cts"] >= views["vts"] - F.expr("INTERVAL 5 minutes"))
+            & (clicks["cts"] <= views["vts"] + F.expr("INTERVAL 30 minutes")),
+        ).select("vid", "cid").collect()
+    }
+    assert got == want and got, "negative lower bound must widen the window"
