@@ -173,10 +173,10 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_NEARDUP_T}
     "dedup_embedding_cosine",
     oracle=_NEARDUP_ORACLE,
     tags=("northstar", "dedup", "embedding"),
-    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline, "
-    "broadcast side + streamed corpus; quantized-exact). The LSH "
-    "bucketing of ann_cosine_lsh is the same operator's 100-TB "
-    "prefilter.",
+    doc="Embedding-cosine near-dup pairs: exact blocked all-pairs "
+    "self-join (parallelism-sized crc32 blocks, one numpy kernel "
+    "task per block-pair; quantized-exact). The LSH bucketing of "
+    "ann_cosine_lsh is the same operator's 100-TB prefilter.",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
