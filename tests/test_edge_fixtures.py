@@ -1,0 +1,110 @@
+"""Boundary-case correctness on CRAFTED fixtures, oracle-compared.
+
+The synthetic sf* documents are all comfortably longer than the
+chunking window, so window/stride boundary arithmetic (empty text,
+one token, exactly-window, window+1, exact multiples, ragged tails)
+never gets exercised by the driver's gate. This suite builds a tiny
+documents.parquet with exactly those shapes, symlinks the remaining
+tables from sf0.001, and runs the SAME registered query + DuckDB
+oracle through the harness — both engines on both the crafted corpus
+and the boundary semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from jly_flink_spark.io import TABLES
+
+from .oracle_harness import compare_query
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# window=16, stride=8 (training_queries.CHUNK_TOKENS/CHUNK_STRIDE)
+_CASES = [
+    (0, ""),                       # empty → no chunks at all
+    (1, "   "),                    # whitespace-only → zero tokens
+    (2, "one"),                    # single token
+    (3, " ".join(f"t{i}" for i in range(15))),   # window-1
+    (4, " ".join(f"t{i}" for i in range(16))),   # exactly window
+    (5, " ".join(f"t{i}" for i in range(17))),   # window+1 → 2 chunks
+    (6, " ".join(f"t{i}" for i in range(24))),   # window+stride
+    (7, " ".join(f"t{i}" for i in range(25))),   # +1 past that
+    (8, " ".join(f"t{i}" for i in range(32))),   # 2 windows exactly
+    (9, " ".join(f"t{i}" for i in range(33))),   # ragged tail of 1
+    (10, "a  b   c"),              # runs of spaces → empty splits
+    (11, "x\ty z\nw"),             # tabs/newlines are token chars
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(
+            os.path.join(SF_SRC, f"{t}.parquet"),
+            os.path.join(str(d), f"{t}.parquet"),
+        )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [c[0] for c in _CASES],
+            "text": [c[1] for c in _CASES],
+            "lang": ["en"] * len(_CASES),
+            "source": ["edge"] * len(_CASES),
+            "n_chars": [len(c[1]) for c in _CASES],
+        }
+    )
+    pdf.to_parquet(os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "chunk_documents_overlap",
+        "udtf_chunk_documents",
+        "batch_by_token_budget",
+        "text_token_bpe",
+        "udf_mapinpandas_tokens",
+        "text_bigram_logprob",
+        "text_unigram_logprob",
+    ],
+)
+def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
+    res = compare_query(spark, name, edge_sf_dir)
+    assert res.ok, str(res)
+
+
+def test_overlap_chunks_cover_every_token(spark, edge_sf_dir):
+    """Structural invariant on the crafted corpus: chunk 0 starts at
+    token 1, consecutive chunks start stride apart, and the union of
+    windows covers all n tokens (tail included exactly once more)."""
+    from jly_flink_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["chunk_documents_overlap"]
+        .spark_fn(spark, edge_sf_dir)
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc  # token-less docs drop
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        # every chunk except the last is a full window; the last
+        # covers the remaining tail (start-clamped, 1..16 tokens)
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == 16
+        assert 1 <= chunks[-1]["n_tokens"] <= 16
+        # overlap: chunk i's last (16-8) tokens == chunk i+1's first
+        for a, b in zip(chunks, chunks[1:]):
+            a_toks = a["chunk"].split(" ")
+            b_toks = b["chunk"].split(" ")
+            assert a_toks[8:] == b_toks[: len(a_toks) - 8]
