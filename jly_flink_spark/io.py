@@ -80,6 +80,34 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table hive-partitioned by low-cardinality columns —
+    the storage-level answer to repeated scans: a filter on a
+    partition column prunes whole directories before any file is
+    opened (`PartitionFilters` in the read plan), so a day's query
+    over a year of data reads 1/365th of it. At 100 TB this is how
+    fact tables should land: partition by coarse time/grain (never a
+    high-cardinality key — millions of tiny directories kill the
+    driver's file index), then `sortWithinPartitions` on the common
+    filter/join columns so min/max page stats prune within files
+    too. Complements `write_bucketed` (partitioning prunes scans,
+    bucketing removes join/agg shuffles)."""
+    # Co-locate each hive partition's rows in one task before the
+    # write: without this every task emits a file into every value's
+    # directory (tasks × values small files); with it each directory
+    # gets one well-sorted file. At very large per-partition volume,
+    # add a salt column to the repartition to cap file size.
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     path: str,

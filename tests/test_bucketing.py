@@ -61,3 +61,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """write_partitioned: a filter on the partition column must reach
+    the scan as a PartitionFilter (directories pruned before any file
+    opens), results must equal the unpartitioned filter, and each
+    partition directory must hold ONE data file (no tasks×values
+    small-file explosion)."""
+    import glob
+    import os
+
+    from jly_flink_spark.io import write_partitioned
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(events, path, ["day"], sort_cols=["user_id", "ts"])
+
+    some_day = events.groupBy("day").count().orderBy(F.desc("count")).first()["day"]
+    back = spark.read.parquet(path).filter(F.col("day") == F.lit(some_day))
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan and "isnotnull(day" in plan, plan
+
+    want = events.filter(F.col("day") == F.lit(some_day)).count()
+    assert back.count() == want and want > 0
+
+    day_dirs = glob.glob(os.path.join(path, "day=*"))
+    assert len(day_dirs) > 1  # actually partitioned
+    for d in day_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
