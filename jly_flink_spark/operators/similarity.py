@@ -524,6 +524,15 @@ def embedding_near_dup_pairs(
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         mat = np.array(list(pdf[vec_col]), dtype="float64")
         qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
+        # Zero QUANTIZED norm (all |x| below the quantization unit):
+        # cosine is undefined — drop the vector. Without this a
+        # nonzero dot over a zero denominator yields ±inf, which
+        # `>= threshold` would keep while the SQL oracle's NULL
+        # division drops it (caught by tests/test_edge_fixtures.py).
+        valid = qn > 0
+        if not valid.all():
+            pdf = pdf[valid]
+            ids, mat, qn = ids[valid], mat[valid], qn[valid]
         sq = np.sqrt(qn.astype("float64"))
         if bi == bj:
             a_sel = b_sel = np.arange(len(ids))

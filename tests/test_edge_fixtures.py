@@ -108,3 +108,64 @@ def test_overlap_chunks_cover_every_token(spark, edge_sf_dir):
             a_toks = a["chunk"].split(" ")
             b_toks = b["chunk"].split(" ")
             assert a_toks[8:] == b_toks[: len(a_toks) - 8]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    """Crafted embeddings: a zero vector and a sub-quantization-unit
+    vector (quantized norm 0 → cosine undefined; the kernel must DROP
+    them — an unguarded kernel emitted +inf for nonzero dots where
+    DuckDB's NULL division dropped the pair), an identical pair
+    (cosine exactly 1), an antipodal pair, and an orthogonal one."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(SF_SRC, f"{t}.parquet"),
+            os.path.join(str(d), f"{t}.parquet"),
+        )
+    dim = 64
+    base = np.zeros(dim, dtype="float32"); base[0] = 1.0
+    anti = -base
+    orth = np.zeros(dim, dtype="float32"); orth[1] = 1.0
+    tiny = np.full(dim, 5e-5, dtype="float32")  # floor(x²·1e8) = 0
+    vecs = [
+        (0, np.zeros(dim, dtype="float32")),  # exact zero vector
+        (1, tiny),                            # quantizes to zero norm
+        (2, base),
+        (3, base.copy()),                     # identical → cosine 1
+        (4, anti),                            # cosine -1
+        (5, orth),                            # cosine 0
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [v[0] for v in vecs],
+            "embedding": [v[1].tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    pdf.to_parquet(os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
+    """dedup_embedding_cosine (numpy kernel path): zero-quantized-norm
+    vectors must be dropped before scoring, so the engines agree
+    exactly (this test caught the unguarded kernel keeping +inf
+    cosines). The expression-side ANN paths get the same qn>0 guard
+    next round — see SURVEY §9."""
+    res = compare_query(spark, "dedup_embedding_cosine", edge_emb_dir)
+    assert res.ok, str(res)
+    from jly_flink_spark.plans import REGISTRY
+
+    rows = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in REGISTRY["dedup_embedding_cosine"]
+        .spark_fn(spark, edge_emb_dir)
+        .collect()
+    }
+    assert (2, 3) in rows and abs(rows[(2, 3)] - 1.0) < 1e-9
+    assert all(0 not in pair and 1 not in pair for pair in rows)
