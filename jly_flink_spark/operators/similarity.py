@@ -56,6 +56,16 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("q_norm2", _qnorm2(F.col(vec_col)))
 
 
+def drop_zero_norm(emb_with_norm: DataFrame) -> DataFrame:
+    """Drop vectors whose QUANTIZED norm is zero (every |x| below the
+    quantization unit): cosine is undefined for them, and under
+    Spark's default ANSI mode the division would otherwise throw at
+    runtime (DuckDB returns NULL). No testdata vector triggers this —
+    the filter exists for real-corpus robustness, mirroring the same
+    guard inside the near-dup numpy kernel."""
+    return emb_with_norm.filter(F.col("q_norm2") > 0)
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     query_ids: list[int],
@@ -71,18 +81,19 @@ def cosine_topk_bruteforce(
     candidate, score) rows reach the window shuffle."""
     from ..io import ensure_min_parallelism
 
-    corpus = with_norm(ensure_min_parallelism(emb), vec_col).select(
+    corpus = drop_zero_norm(
+        with_norm(ensure_min_parallelism(emb), vec_col)
+    ).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         F.col("q_norm2").alias("cand_norm2"),
     )
-    queries = (
+    queries = drop_zero_norm(
         with_norm(emb.filter(F.col("vec_id").isin(query_ids)), vec_col)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            F.col("q_norm2").alias("query_norm2"),
-        )
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("q_norm2").alias("query_norm2"),
     )
     dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
     cos = dot.cast("double") / (
@@ -169,14 +180,16 @@ def cosine_topk_lsh(
     bucketed = ensure_min_parallelism(emb).withColumn(
         "bucket", lsh_bucket(F.col(vec_col), n_planes)
     )
-    corpus = with_norm(bucketed, vec_col).select(
+    corpus = drop_zero_norm(with_norm(bucketed, vec_col)).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         F.col("q_norm2").alias("cand_norm2"),
         "bucket",
     )
-    queries = with_norm(
-        bucketed.filter(F.col("vec_id").isin(query_ids)), vec_col
+    queries = drop_zero_norm(
+        with_norm(
+            bucketed.filter(F.col("vec_id").isin(query_ids)), vec_col
+        )
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col(vec_col).alias("query_vec"),
@@ -349,8 +362,11 @@ def cosine_topk_ivf(
             cents = ivf_refine(emb, cents, vec_col)
 
     assign = _assign_udf(emb.sparkSession, cents)
-    corpus = with_norm(
-        ensure_min_parallelism(emb.select("vec_id", vec_col)), vec_col
+    corpus = drop_zero_norm(
+        with_norm(
+            ensure_min_parallelism(emb.select("vec_id", vec_col)),
+            vec_col,
+        )
     ).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
@@ -375,10 +391,14 @@ def cosine_topk_ivf(
     probe_rows = []
     for r in q_rows:
         v = np.array(list(r[vec_col]), dtype="float64")
+        vq = int(np.floor(v * v * QUANT).astype("int64").sum())
+        if vq <= 0:
+            # zero QUANTIZED norm: cosine undefined — drop the query,
+            # same contract as drop_zero_norm on the corpus side
+            continue
         qd = (
             np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
         )
-        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
         cos = qd / (math.sqrt(vq) * np.sqrt(cqn))
         order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
         for cid in ids_c[order[:n_probe]]:

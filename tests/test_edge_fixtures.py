@@ -169,3 +169,23 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
     }
     assert (2, 3) in rows and abs(rows[(2, 3)] - 1.0) < 1e-9
     assert all(0 not in pair and 1 not in pair for pair in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf"]
+)
+def test_ann_paths_survive_zero_norm_vectors(spark, edge_emb_dir, name):
+    """The expression-side ANN paths must not raise under Spark's
+    default ANSI mode when the corpus (or the query set — ids 0/1 ARE
+    in _ANN_QUERY_IDS) contains zero-quantized-norm vectors, and such
+    vectors must appear in no result row. The oracle-side mirror of
+    this guard lands next round (SURVEY §9); until then this is an
+    engine-only contract."""
+    from jly_flink_spark.plans import REGISTRY
+
+    rows = REGISTRY[name].spark_fn(spark, edge_emb_dir).collect()
+    ids_seen = {r["query_id"] for r in rows} | {r["cand_id"] for r in rows}
+    assert not ids_seen & {0, 1}, rows
+    # the identical pair must surface for the valid query ids
+    by_query = {r["query_id"] for r in rows}
+    assert {2, 3} <= by_query, rows
