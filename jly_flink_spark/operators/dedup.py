@@ -183,6 +183,87 @@ def minhash_bands(signatures: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signature_rowwise(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-ROW MinHash signature — no explode, no groupBy: md5 each
+    distinct token once into an array, then K array_min passes over
+    the cheap (a + i·b) arithmetic. Values are IDENTICAL to
+    `minhash_signatures` (min over an array ≡ min aggregation over
+    the exploded rows; duplicates can't change a min), but the plan
+    is completely stateless — which is what a STREAMING frame needs:
+    append mode, no aggregation state, no watermark. Token-less docs
+    are dropped, matching the batch pipeline (explode emits nothing
+    for them)."""
+    tok_arr = F.array_distinct(tokens(F.col(text_col)))
+    digests = F.transform(tok_arr, F.md5)
+
+    def a_of(h):
+        return F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint")
+
+    def b_of(h):
+        return F.conv(F.substring(h, 17, 14), 16, 10).cast("bigint")
+
+    def h_i(i):
+        # closure factory, NOT a default arg: F.transform passes the
+        # ARRAY INDEX as the second argument to any two-parameter
+        # lambda, which would silently replace a `lambda h, i=i` bind
+        return lambda h: (a_of(h) + F.lit(i) * b_of(h)) % F.lit(
+            MINHASH_MOD
+        )
+
+    sig_cols = [
+        F.array_min(F.transform(digests, h_i(i))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return docs.filter(F.size(tok_arr) > 0).select("doc_id", *sig_cols)
+
+
+def persist_lsh_index(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist the corpus's LSH band table (band_key, doc_id) — the
+    serving artifact for INCREMENTAL dedup: newly ingested documents
+    probe this index instead of re-hashing the whole corpus. Rebuild
+    per corpus version; at 100 TB sort by band_key at write time so
+    per-file min/max statistics prune the probe join's scan."""
+    bands = minhash_bands(minhash_signatures(docs, text_col))
+    bands.sortWithinPartitions("band_key").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def stream_near_dup_candidates(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingest near-dup detection: each arriving document's
+    bands (computed with the stateless row-wise signature) probe the
+    persisted corpus index; any shared band emits a candidate pair
+    (new doc, corpus doc). Works identically on a streaming frame
+    (stream-static join, append mode, zero streaming state) and a
+    batch frame. One pair may surface once per shared band —
+    downstream verification (`verify_candidates_jaccard`) is
+    idempotent, so dedup of candidates is the consumer's choice (a
+    watermarked dropDuplicates in streaming, distinct in batch)."""
+    bands_new = minhash_bands(
+        minhash_signature_rowwise(new_docs, text_col)
+    )
+    return (
+        bands_new.join(
+            index_bands.withColumnRenamed("doc_id", "corpus_doc_id"),
+            "band_key",
+        )
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            "corpus_doc_id",
+            "band_key",
+        )
+    )
+
+
 # Skew guard for degenerate LSH buckets (e.g. empty-text docs all
 # hashing identically): a bucket of n docs emits n(n-1)/2 pairs, so one
 # pathological key can dominate the whole job. Buckets larger than this

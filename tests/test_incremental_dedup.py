@@ -1,0 +1,98 @@
+"""Incremental (streaming) near-dup detection against a persisted
+LSH index — the continuous-ingest form of the batch MinHash pipeline:
+new documents probe the corpus band table instead of re-hashing the
+corpus, with ZERO streaming state (stateless row-wise signatures +
+stream-static join).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.io import load_table
+from jly_flink_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rowwise_signature_equals_aggregated(spark):
+    """The stateless per-row signature must be bit-identical to the
+    explode+groupBy signature on the whole corpus — same hash family,
+    same mins, different plan shape."""
+    docs = load_table(spark, SF_DIR, "documents")
+    agg = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(dedup.MINHASH_K))
+           for r in dedup.minhash_signatures(docs).collect()}
+    row = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(dedup.MINHASH_K))
+           for r in dedup.minhash_signature_rowwise(docs).collect()}
+    assert agg == row and len(agg) > 0
+
+
+@pytest.fixture()
+def lsh_index(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "lsh_index")
+    dedup.persist_lsh_index(docs, path)
+    return docs, path
+
+
+def _new_docs(spark, docs, copy_ids, offset=100_000):
+    copies = (
+        docs.filter(F.col("doc_id").isin(copy_ids))
+        .select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    novel = spark.createDataFrame(
+        [(999_999, "zzqx vprw kjtt mmnb wwrr ddss ppqq lloo")],
+        "doc_id long, text string",
+    )
+    return copies.unionByName(novel)
+
+
+def test_batch_probe_finds_exact_copies(spark, lsh_index):
+    docs, path = lsh_index
+    copy_ids = [3, 17, 42]
+    new = _new_docs(spark, docs, copy_ids)
+    index = spark.read.parquet(path)
+    cands = dedup.stream_near_dup_candidates(new, index)
+    pairs = {
+        (r["new_doc_id"], r["corpus_doc_id"]) for r in cands.collect()
+    }
+    # every exact copy must surface its source (identical text ⇒
+    # identical signature ⇒ every band collides)
+    for cid in copy_ids:
+        assert (cid + 100_000, cid) in pairs
+    # the novel gibberish doc must not match anything
+    assert not any(a == 999_999 for a, _ in pairs)
+
+
+def test_streaming_probe_matches_batch(spark, lsh_index, tmp_path):
+    docs, path = lsh_index
+    copy_ids = [3, 17, 42]
+    new = _new_docs(spark, docs, copy_ids)
+
+    index = spark.read.parquet(path)
+    want = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in dedup.stream_near_dup_candidates(new, index).collect()
+    }
+
+    src = str(tmp_path / "incoming")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (
+        dedup.stream_near_dup_candidates(stream, index)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["new_doc_id"], r["corpus_doc_id"])
+            for r in spark.sql("SELECT * FROM inc_dedup").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want and got
