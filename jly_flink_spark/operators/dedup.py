@@ -233,6 +233,23 @@ def persist_lsh_index(
     ).parquet(path)
 
 
+def append_to_lsh_index(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Index maintenance — the write-back half of incremental dedup:
+    after a micro-batch's documents are admitted to the corpus,
+    append their bands so FUTURE arrivals dedup against them too.
+    Uses the stateless row-wise signature (same values as the batch
+    pipeline), so it can run inside a foreachBatch alongside the
+    probe. Appends are per-batch atomic in parquet; periodic index
+    rebuild (`persist_lsh_index`) compacts the accumulated small
+    files at 100 TB."""
+    bands = minhash_bands(minhash_signature_rowwise(new_docs, text_col))
+    bands.sortWithinPartitions("band_key").write.mode("append").parquet(
+        path
+    )
+
+
 def stream_near_dup_candidates(
     new_docs: DataFrame,
     index_bands: DataFrame,

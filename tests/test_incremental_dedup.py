@@ -96,3 +96,27 @@ def test_streaming_probe_matches_batch(spark, lsh_index, tmp_path):
     finally:
         q.stop()
     assert got == want and got
+
+
+def test_index_append_makes_prior_arrivals_visible(spark, lsh_index):
+    """foreachBatch-style maintenance: after batch 1's docs are
+    appended to the index, batch 2's copies of THOSE docs (not in the
+    original corpus) surface as candidates."""
+    docs, path = lsh_index
+    batch1 = (
+        docs.filter(F.col("doc_id") == 5)
+        .select((F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    )
+    dedup.append_to_lsh_index(batch1, path)
+
+    batch2 = batch1.select(
+        (F.col("doc_id") + 300_000).alias("doc_id"), "text"
+    )
+    pairs = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in dedup.stream_near_dup_candidates(
+            batch2, spark.read.parquet(path)
+        ).collect()
+    }
+    assert (500_005, 200_005) in pairs  # batch-2 copy vs batch-1 doc
+    assert (500_005, 5) in pairs  # and vs the original corpus doc
