@@ -26,6 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _is_green_row(row) -> bool:
+    """A CORRECTNESS row counts as green when the value hash matched,
+    or when a declared rows-only check completed. The ONE definition
+    of 'green' — tools/update_verified_hashes.py imports this, so the
+    pin set and the rotation can never disagree on the predicate."""
+    return isinstance(row, dict) and (
+        row.get("hash_match") is True
+        or (
+            row.get("err") == "no_oracle"
+            and row.get("spark_rows") is not None
+        )
+    )
+
+
 def _already_verified() -> set[str]:
     """Names with a green row (hash match, or completed rows-only
     check) in ANY prior round's CORRECTNESS_r*.json — **whose
@@ -53,12 +67,7 @@ def _already_verified() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            ):
+            if _is_green_row(row):
                 seen.add(name)
 
     try:

@@ -53,12 +53,19 @@ MINHASH_ROWS = 6
 MINHASH_MOD = 1 << 56
 
 
-def _km_halves(tok):
-    """(a, b) 56-bit halves of md5(tok) as bigint Columns."""
-    d = F.md5(tok)
+def _km_halves_of_digest(d):
+    """(a, b) 56-bit halves of an md5 hex digest Column. The ONLY
+    Spark-side definition of the half offsets — `_sql_hex_to_int` is
+    its DuckDB mirror; `tests/test_incremental_dedup.py` pins the
+    batch/rowwise agreement that depends on them matching."""
     a = F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint")
     b = F.conv(F.substring(d, 17, 14), 16, 10).cast("bigint")
     return a, b
+
+
+def _km_halves(tok):
+    """(a, b) 56-bit halves of md5(tok) as bigint Columns."""
+    return _km_halves_of_digest(F.md5(tok))
 
 
 def _sql_hex_to_int(start: int) -> str:
@@ -196,27 +203,33 @@ def minhash_signature_rowwise(
     are dropped, matching the batch pipeline (explode emits nothing
     for them)."""
     tok_arr = F.array_distinct(tokens(F.col(text_col)))
-    digests = F.transform(tok_arr, F.md5)
-
-    def a_of(h):
-        return F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint")
-
-    def b_of(h):
-        return F.conv(F.substring(h, 17, 14), 16, 10).cast("bigint")
+    # Materialize the digest array under ONE alias referenced by all
+    # K mins: inlining `transform(array_distinct(tokens(..)), md5)`
+    # into each of the 24 columns would tokenize+digest every row up
+    # to 24 times (higher-order fns are CodegenFallback — no common-
+    # subexpression elimination rescues the duplicates, and Catalyst
+    # keeps a non-cheap alias referenced 24 times materialized).
+    staged = docs.filter(F.size(tok_arr) > 0).select(
+        "doc_id", F.transform(tok_arr, F.md5).alias("_digests")
+    )
 
     def h_i(i):
         # closure factory, NOT a default arg: F.transform passes the
         # ARRAY INDEX as the second argument to any two-parameter
         # lambda, which would silently replace a `lambda h, i=i` bind
-        return lambda h: (a_of(h) + F.lit(i) * b_of(h)) % F.lit(
-            MINHASH_MOD
-        )
+        def expr(h):
+            a, b = _km_halves_of_digest(h)
+            return (a + F.lit(i) * b) % F.lit(MINHASH_MOD)
+
+        return expr
 
     sig_cols = [
-        F.array_min(F.transform(digests, h_i(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("_digests"), h_i(i))).alias(
+            f"h{i}"
+        )
         for i in range(MINHASH_K)
     ]
-    return docs.filter(F.size(tok_arr) > 0).select("doc_id", *sig_cols)
+    return staged.select("doc_id", *sig_cols)
 
 
 def persist_lsh_index(

@@ -359,14 +359,22 @@ buckets AS (
                   ELSE 0 END) AS bucket
   FROM plane_sums GROUP BY vec_id
 ),
+norms AS (
+  SELECT vec_id, sum({nprod}) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
 q AS (
   SELECT e.vec_id, e.embedding, b.bucket
   FROM embeddings e JOIN buckets b USING (vec_id)
-  WHERE e.vec_id IN ({ids})
+  JOIN norms n USING (vec_id)
+  WHERE e.vec_id IN ({ids}) AND n.qn > 0
 ),
 cands AS (
   SELECT e.vec_id, e.embedding, b.bucket
   FROM embeddings e JOIN buckets b USING (vec_id)
+  JOIN norms n USING (vec_id)
+  WHERE n.qn > 0
 ),
 prods AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -376,11 +384,6 @@ prods AS (
 dots AS (
   SELECT query_id, cand_id, sum({qprod}) AS qdot
   FROM prods GROUP BY query_id, cand_id
-),
-norms AS (
-  SELECT vec_id, sum({nprod}) AS qn
-  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-  GROUP BY vec_id
 ),
 scored AS (
   SELECT d.query_id, d.cand_id,
@@ -411,7 +414,9 @@ SELECT query_id, cand_id, cosine, rnk FROM (
     "deterministic: quantized sign sums make bucket ids bit-identical "
     "across engines, so the whole bucketed pipeline is value-hash "
     "checked against a DuckDB mirror (same upgrade pattern as "
-    "ann_cosine_ivf_exact).",
+    "ann_cosine_ivf_exact). The oracle also mirrors the engine's "
+    "zero-quantized-norm drop (qn > 0), so both sides agree even on "
+    "corpora with degenerate vectors.",
 )
 def ann_cosine_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(

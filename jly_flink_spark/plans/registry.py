@@ -33,6 +33,12 @@ class QuerySpec:
     impl_hash: str = ""  # md5(query fn source + oracle SQL) — a green
     # CORRECTNESS row certifies THIS hash; rewrites re-enter the
     # unverified-first rotation (see __spark_entry__.queries).
+    # LIMITATION: the hash does NOT cover the operators/ helpers the
+    # fn calls, so a helper rewrite leaves pins valid — deliberate
+    # (hashing helpers would re-queue every query on any edit and
+    # blow the driver's slot cap). The safety net for helper changes
+    # is the full local oracle sweep, which value-checks every query
+    # regardless of pins; run it after touching operators/.
 
 
 def _impl_hash(fn_source: str, oracle: Optional[str]) -> str:

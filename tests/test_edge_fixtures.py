@@ -171,6 +171,15 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
     assert all(0 not in pair and 1 not in pair for pair in rows)
 
 
+def test_lsh_oracle_agrees_on_degenerate_vectors(spark, edge_emb_dir):
+    """ann_cosine_lsh's oracle mirrors the engine's zero-norm drop
+    (qn > 0 on both query and candidate sides), so the full
+    value-hash comparison holds even on a corpus with zero and
+    sub-quantization-unit vectors — not just on clean driver data."""
+    res = compare_query(spark, "ann_cosine_lsh", edge_emb_dir)
+    assert res.ok, str(res)
+
+
 @pytest.mark.parametrize(
     "name", ["ann_cosine_topk", "ann_cosine_lsh", "ann_cosine_ivf"]
 )

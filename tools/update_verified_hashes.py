@@ -10,11 +10,25 @@ run it immediately after a round, while the code equals what the
 driver verified. Names whose stored hash no longer matches the
 registry are treated as unverified by `__spark_entry__.queries()`.
 
+Stale-pin refresh: a pin that no longer matches the registry is
+refreshed to the current hash ONLY when the name is green in the
+MOST RECENT round's CORRECTNESS file — i.e. the latest driver run
+verified the current implementation (this is why the tool must run
+right after the round). Older green rows cannot refresh a stale pin;
+without this rule a rewritten-then-re-verified query would stay
+"stale" and burn driver slots every round forever.
+
 Usage:
     python -m tools.update_verified_hashes [--exclude name1,name2]
 
 --exclude: green names known to have been rewritten since their green
 row (do not pin; they re-enter the rotation).
+
+Known limitation (by design): impl_hash covers the registered query
+fn's source + oracle SQL, NOT the operators/ helpers it calls — a
+helper rewrite leaves pins valid. The safety net for helper changes
+is the full local oracle sweep (`python -m tests.oracle_harness`),
+which value-checks every query regardless of pins.
 """
 
 from __future__ import annotations
@@ -23,28 +37,26 @@ import argparse
 import glob
 import json
 import os
+import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIDECAR = os.path.join(HERE, "VERIFIED_HASHES.json")
 
+sys.path.insert(0, HERE)
 
-def green_names() -> set[str]:
-    seen: set[str] = set()
+from __spark_entry__ import _is_green_row  # noqa: E402
+
+
+def _rounds() -> list[dict]:
+    """CORRECTNESS files' contents, oldest → newest."""
+    out = []
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
-                data = json.load(f)
+                out.append(json.load(f))
         except (OSError, ValueError):
             continue
-        for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            ):
-                seen.add(name)
-    return seen
+    return out
 
 
 def main() -> None:
@@ -62,20 +74,35 @@ def main() -> None:
         pinned = {}
 
     current = {n: spec.impl_hash for n, spec in REGISTRY.items()}
-    greens = green_names()
+    rounds = _rounds()
+    greens_all = {
+        name
+        for data in rounds
+        for name, row in data.items()
+        if _is_green_row(row)
+    }
+    greens_latest = (
+        {name for name, row in rounds[-1].items() if _is_green_row(row)}
+        if rounds
+        else set()
+    )
 
-    added, stale = [], []
-    for name in sorted(greens):
+    added, refreshed, stale = [], [], []
+    for name in sorted(greens_all):
         if name in exclude or name not in current:
             continue
         if name not in pinned:
             pinned[name] = current[name]
             added.append(name)
         elif pinned[name] != current[name]:
-            # pinned hash describes an older implementation; keep the
-            # pin (it still names what was verified) — the rotation
-            # sees the mismatch and re-queues the query.
-            stale.append(name)
+            if name in greens_latest:
+                # the latest driver run verified THIS implementation
+                pinned[name] = current[name]
+                refreshed.append(name)
+            else:
+                # old green row on a rewritten query — keep the pin
+                # naming what was verified; rotation re-queues it
+                stale.append(name)
 
     for name in list(pinned):
         if name not in current:
@@ -85,7 +112,14 @@ def main() -> None:
         json.dump(pinned, f, indent=1, sort_keys=True)
         f.write("\n")
 
-    print(f"pinned: {len(pinned)}  (+{len(added)} new)")
+    print(
+        f"pinned: {len(pinned)}  (+{len(added)} new, "
+        f"{len(refreshed)} refreshed)"
+    )
+    if refreshed:
+        print("refreshed (latest round re-verified the rewrite):")
+        for n in refreshed:
+            print(" ", n)
     if stale:
         print("stale (rewritten since green — will re-verify):")
         for n in stale:
