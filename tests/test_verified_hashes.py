@@ -1,0 +1,60 @@
+"""The pin-maintenance logic that decides which queries re-enter the
+driver's correctness rotation — wrong behavior here either wastes
+driver slots (never-refreshable stale pins) or certifies deleted code
+(green rows outliving rewrites), so every branch is pinned."""
+
+from __future__ import annotations
+
+from tools.update_verified_hashes import compute_pins
+
+GREEN = {"hash_match": True, "spark_rows": 1, "err": None}
+ROWS_ONLY = {"hash_match": None, "spark_rows": 1, "err": "no_oracle"}
+RED = {"hash_match": False, "spark_rows": 1, "err": None}
+
+
+def test_new_green_names_are_pinned_at_current_hash():
+    pins, added, refreshed, stale = compute_pins(
+        {}, {"q1": "h1", "q2": "h2"}, [{"q1": GREEN, "q2": ROWS_ONLY}]
+    )
+    assert pins == {"q1": "h1", "q2": "h2"}
+    assert set(added) == {"q1", "q2"} and not refreshed and not stale
+
+
+def test_red_rows_never_pin():
+    pins, added, *_ = compute_pins({}, {"q1": "h1"}, [{"q1": RED}])
+    assert pins == {} and not added
+
+
+def test_stale_pin_without_fresh_green_stays_stale():
+    """A rewrite after an OLD green row must re-queue the query: the
+    pin keeps naming the verified (old) implementation."""
+    pins, added, refreshed, stale = compute_pins(
+        {"q1": "old"}, {"q1": "new"}, [{"q1": GREEN}, {"q2": GREEN}]
+    )
+    assert pins["q1"] == "old"
+    assert stale == ["q1"] and not refreshed
+
+
+def test_stale_pin_refreshes_when_latest_round_is_green():
+    """Once the latest driver run verifies the rewritten query, the
+    pin must move to the current hash — otherwise the query burns a
+    driver slot every round forever."""
+    pins, added, refreshed, stale = compute_pins(
+        {"q1": "old"},
+        {"q1": "new"},
+        [{"q1": GREEN}, {"q1": GREEN}],  # latest round green again
+    )
+    assert pins["q1"] == "new"
+    assert refreshed == ["q1"] and not stale
+
+
+def test_excluded_names_are_not_pinned():
+    pins, added, *_ = compute_pins(
+        {}, {"q1": "h1"}, [{"q1": GREEN}], exclude={"q1"}
+    )
+    assert pins == {} and not added
+
+
+def test_unregistered_names_are_dropped():
+    pins, *_ = compute_pins({"gone": "h"}, {"q1": "h1"}, [{"q1": GREEN}])
+    assert "gone" not in pins

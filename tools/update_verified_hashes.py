@@ -59,22 +59,21 @@ def _rounds() -> list[dict]:
     return out
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--exclude", default="", help="comma-separated names")
-    args = ap.parse_args()
-    exclude = {n for n in args.exclude.split(",") if n}
+def compute_pins(
+    pinned: dict[str, str],
+    current: dict[str, str],
+    rounds: list[dict],
+    exclude: set[str] = frozenset(),
+) -> tuple[dict[str, str], list[str], list[str], list[str]]:
+    """Pure pin-update logic → (new_pins, added, refreshed, stale).
 
-    from jly_flink_spark.plans import REGISTRY
-
-    try:
-        with open(SIDECAR, encoding="utf-8") as f:
-            pinned: dict[str, str] = json.load(f)
-    except (OSError, ValueError):
-        pinned = {}
-
-    current = {n: spec.impl_hash for n, spec in REGISTRY.items()}
-    rounds = _rounds()
+    - unpinned green name → pin at the current hash
+    - pinned but hash changed: refresh ONLY if the LATEST round is
+      green for it (that run verified the current implementation);
+      otherwise keep the old pin (rotation re-queues the query)
+    - names gone from the registry are dropped
+    """
+    pins = dict(pinned)
     greens_all = {
         name
         for data in rounds
@@ -91,22 +90,40 @@ def main() -> None:
     for name in sorted(greens_all):
         if name in exclude or name not in current:
             continue
-        if name not in pinned:
-            pinned[name] = current[name]
+        if name not in pins:
+            pins[name] = current[name]
             added.append(name)
-        elif pinned[name] != current[name]:
+        elif pins[name] != current[name]:
             if name in greens_latest:
-                # the latest driver run verified THIS implementation
-                pinned[name] = current[name]
+                pins[name] = current[name]
                 refreshed.append(name)
             else:
-                # old green row on a rewritten query — keep the pin
-                # naming what was verified; rotation re-queues it
                 stale.append(name)
 
-    for name in list(pinned):
+    for name in list(pins):
         if name not in current:
-            del pinned[name]
+            del pins[name]
+    return pins, added, refreshed, stale
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exclude", default="", help="comma-separated names")
+    args = ap.parse_args()
+    exclude = {n for n in args.exclude.split(",") if n}
+
+    from jly_flink_spark.plans import REGISTRY
+
+    try:
+        with open(SIDECAR, encoding="utf-8") as f:
+            old_pins: dict[str, str] = json.load(f)
+    except (OSError, ValueError):
+        old_pins = {}
+
+    current = {n: spec.impl_hash for n, spec in REGISTRY.items()}
+    pinned, added, refreshed, stale = compute_pins(
+        old_pins, current, _rounds(), exclude
+    )
 
     with open(SIDECAR, "w", encoding="utf-8") as f:
         json.dump(pinned, f, indent=1, sort_keys=True)
