@@ -67,7 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         if sink_to_sr
         else None
     )
-    sink = DualSink(adb, sr)
+    # query_id namespaces the idempotency labels / JDBC cleanup keys:
+    # per-task (db alias), so two tasks sharing sink targets can never
+    # collide on epoch numbers.
+    sink = DualSink(adb, sr, query_id=f"task_{args.db_listened}")
 
     spark = get_spark(f"save-del-his-{args.db_listened}")
     if args.once:

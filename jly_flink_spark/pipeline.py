@@ -66,7 +66,13 @@ def guard_conditions(env: DataFrame) -> dict:
         & ~F.col("source_table").rlike(r"^\s*$"),
         "before_ok": F.col("before").isNotNull(),
         "id_ok": F.get_json_object(F.col("before"), "$.id").isNotNull(),
-        "ts_ok": F.col("ts_ms") > 0,
+        # null-safe: a well-formed envelope MISSING ts_ms parses to
+        # NULL; a bare `ts_ms > 0` is then NULL, which a filter drops
+        # (correct) but a counting bucket skips — the row would land
+        # in NO observe()/drop-stats bucket and the per-epoch
+        # reconciliation (counters sum = delete count) silently
+        # undercounts. coalesce puts NULL ts in the bad-ts bucket.
+        "ts_ok": F.coalesce(F.col("ts_ms") > 0, F.lit(False)),
     }
 
 

@@ -156,7 +156,7 @@ SELECT
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
                    AND NOT regexp_matches(source_table, '^\\s*$') AND before IS NOT NULL
                    AND json_extract_string(before, '$.id') IS NOT NULL
-                   AND ts_ms <= 0) AS n_bad_ts,
+                   AND (ts_ms <= 0 OR ts_ms IS NULL)) AS n_bad_ts,
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
                    AND NOT regexp_matches(source_table, '^\\s*$') AND before IS NOT NULL
                    AND json_extract_string(before, '$.id') IS NOT NULL

@@ -53,8 +53,11 @@ _NULL_BEFORE_MOD = 89  # null before guard (StartJob.java:134-137)
 _NO_ID_MOD = 71  # null before.id guard (StartJob.java:140-144)
 
 
+SYNTH_N_INSTANCES = 3  # shared with SYNTH_ENVELOPES_ORACLE_SQL below
+
+
 def synth_envelopes_from_events(
-    events: DataFrame, n_instances: int = 3
+    events: DataFrame, n_instances: int = SYNTH_N_INSTANCES
 ) -> DataFrame:
     """Derive a deterministic flattened CDC-envelope table from `events`.
 
@@ -97,7 +100,7 @@ def synth_envelopes_from_events(
 # the events view; epoch_ms(ts) mirrors F.unix_millis.
 SYNTH_ENVELOPES_ORACLE_SQL = f"""
 SELECT
-  'src-' || CAST(event_id % 3 AS VARCHAR) AS instance_name,
+  'src-' || CAST(event_id % {SYNTH_N_INSTANCES} AS VARCHAR) AS instance_name,
   CASE WHEN event_id % 5 IN (0, 1) THEN 'd'
        WHEN event_id % 5 = 2 THEN 'i'
        ELSE 'u' END AS op,
@@ -167,18 +170,21 @@ def read_envelope_stream(
     )
 
 
-def parse_envelope_json_with_quarantine(
+def parse_envelope_json_flagged(
     raw: DataFrame, value_col: str = "value"
-) -> tuple[DataFrame, DataFrame]:
-    """Parse with a corrupt-record quarantine: returns (good, bad).
+) -> DataFrame:
+    """Parse with an in-row corrupt-record flag: ONE frame carrying
+    the envelope columns, the raw line, and `_is_bad`.
 
     A malformed envelope (truncated JSON, wrong types) must never kill
     the archival stream — the reference's parser silently nulls such
     events out (ParseDeleteWithSource catches nothing: a bad payload
     throws and fails the Flink task, StartJob.java:122-151; we upgrade
-    that to explicit quarantine). `bad` carries the raw line so the
+    that to explicit quarantine). The raw line rides along so the
     poison messages are replayable after a fix — the DLQ pattern,
-    minus the queue.
+    minus the queue. Keeping good and bad in one frame lets the
+    streaming job parse each micro-batch ONCE for the observe()
+    counters, the quarantine write, and the pipeline.
 
     Detection: PERMISSIVE-mode from_json with an explicit
     columnNameOfCorruptRecord field — Spark fills that field with the
@@ -204,15 +210,37 @@ def parse_envelope_json_with_quarantine(
     # _corrupt alone would misroute tombstones into `good` as all-null
     # rows. Unparseable-or-absent both belong in quarantine.
     is_bad = v.isNull() | F.col("_env._corrupt").isNotNull()
-    bad = parsed.filter(is_bad).select(
+    flagged = parsed.select(
         *[c for c in raw.columns if c != value_col],
         v.alias("raw_value"),
-    )
-    good = parsed.filter(~is_bad).select(
-        *[c for c in raw.columns if c != value_col],
+        is_bad.alias("_is_bad"),
         F.col("_env.op").alias("op"),
         F.col("_env.ts_ms").alias("ts_ms"),
         F.col("_env.source.table").alias("source_table"),
         F.get_json_object(v, "$.before").alias("before"),
+    )
+    return flagged
+
+
+def parse_envelope_json_with_quarantine(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with a corrupt-record quarantine: returns (good, bad) —
+    the two-filter view of `parse_envelope_json_flagged`; the
+    streaming job keeps the ONE flagged frame instead so a single
+    parse serves observe() counters, the quarantine write, and the
+    pipeline (no per-epoch re-parse)."""
+    flagged = parse_envelope_json_flagged(raw, value_col)
+    passthrough = [
+        c
+        for c in flagged.columns
+        if c not in ("raw_value", "_is_bad", "op", "ts_ms",
+                     "source_table", "before")
+    ]
+    bad = flagged.filter(F.col("_is_bad")).select(
+        *passthrough, "raw_value"
+    )
+    good = flagged.filter(~F.col("_is_bad")).select(
+        *passthrough, "op", "ts_ms", "source_table", "before"
     )
     return good, bad

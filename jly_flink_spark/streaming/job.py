@@ -86,7 +86,8 @@ def start_archival_stream(
             .start()
         )
 
-    from ..sources.envelopes import parse_envelope_json_with_quarantine
+    from ..pipeline import observe_guard_drops
+    from ..sources.envelopes import parse_envelope_json_flagged
 
     raw = read_envelope_stream(
         spark, envelope_dir, max_files_per_trigger=max_files_per_trigger
@@ -94,15 +95,36 @@ def start_archival_stream(
         F.substring_index("value", "|", 1).alias("instance_name"),
         F.expr("substring(value, instr(value, '|') + 1)").alias("value"),
     )
+    # Parse ONCE in the streaming projection (flag column, no split):
+    # the T2 guard counters then ride the stream exactly as in the
+    # non-quarantine path (bad rows have NULL op, so the guard
+    # cascade skips them), plus a quarantine counter — and the
+    # foreachBatch below only filters the already-parsed frame
+    # instead of re-running from_json up to three times per epoch.
+    flagged = observe_guard_drops(
+        parse_envelope_json_flagged(raw)
+    ).observe(
+        "quarantine",
+        F.count(F.when(F.col("_is_bad"), 1)).alias("n_quarantined"),
+    )
 
     def split_and_sink(batch_df: DataFrame, epoch_id: int) -> None:
-        good, bad = parse_envelope_json_with_quarantine(batch_df)
-        if bad.limit(1).count() > 0:
-            bad.write.mode("append").parquet(quarantine_dir)
-        sink(build_pipeline(spark, good, cfg), epoch_id)
+        batch_df.persist()
+        try:
+            bad = batch_df.filter(F.col("_is_bad")).select(
+                "instance_name", "raw_value"
+            )
+            if bad.limit(1).count() > 0:
+                bad.write.mode("append").parquet(quarantine_dir)
+            good = batch_df.filter(~F.col("_is_bad")).select(
+                "instance_name", "op", "ts_ms", "source_table", "before"
+            )
+            sink(build_pipeline(spark, good, cfg), epoch_id)
+        finally:
+            batch_df.unpersist()
 
     return (
-        raw.writeStream.foreachBatch(split_and_sink)
+        flagged.writeStream.foreachBatch(split_and_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()

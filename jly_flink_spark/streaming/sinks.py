@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
@@ -127,7 +127,16 @@ class JdbcAdbSink:
             conn.close()
 
     def write(self, batch_df: DataFrame, epoch_id: int, query_id: str = "q") -> None:
+        import re
+
         from pyspark.sql import functions as F
+
+        # query_id/table are interpolated into the cleanup SQL; keep
+        # them identifier-shaped so config values can't smuggle SQL.
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", query_id):
+            raise ValueError(f"query_id not identifier-safe: {query_id!r}")
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", self.table):
+            raise ValueError(f"table not identifier-safe: {self.table!r}")
 
         spark = batch_df.sparkSession
         stamped = batch_df.select(*SINK_COLUMNS).withColumn(
@@ -149,7 +158,14 @@ class JdbcAdbSink:
             # Tolerate only the very first epoch (table not created
             # yet); anything else is a real cleanup failure and must
             # surface — swallowing it would let replays duplicate.
-            if "does not exist" not in str(e):
+            # Dialect-tolerant match: Derby says "does not exist",
+            # MySQL/AnalyticDB "doesn't exist" (1146 / SQLState
+            # 42S02), Postgres "relation ... does not exist".
+            low = str(e).lower()
+            if not any(
+                marker in low
+                for marker in ("does not exist", "doesn't exist", "42s02")
+            ):
                 raise
         (
             stamped.write.mode("append")
@@ -168,14 +184,26 @@ class LocalDirTransport:
         os.makedirs(root, exist_ok=True)
 
     def put(self, db_tb_name: str, label: str, payload: str) -> dict:
+        import json as _json
+
         tbl_dir = os.path.join(self.root, db_tb_name)
         os.makedirs(tbl_dir, exist_ok=True)
         target = os.path.join(tbl_dir, f"{label}.json")
         if os.path.exists(target):
             return {"Status": "Label Already Exists"}
-        with open(target, "w", encoding="utf-8") as f:
+        # Atomic commit: a crash mid-write must NOT leave a partial
+        # file at the label path — replay would see it as committed
+        # ('Label Already Exists') and the truncated payload would be
+        # accepted forever. Temp-write + rename is the same
+        # visibility contract a real FE's label registration gives.
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(payload)
-        return {"Status": "Success", "NumberLoadedRows": payload.count('"id"')}
+        os.replace(tmp, target)
+        return {
+            "Status": "Success",
+            "NumberLoadedRows": len(_json.loads(payload)),
+        }
 
 
 class HttpStreamLoadTransport:
@@ -327,17 +355,24 @@ class DualSink:
     """Fan out every micro-batch to both sinks — the reference wires
     AdbSink always and SrSink behind --sink_to_sr (StartJob.java:
     94-104; C3). One source read, two writes, exactly as the Flink
-    job replicates records to both sink operators."""
+    job replicates records to both sink operators.
+
+    `query_id` is the idempotency namespace: labels and the JDBC
+    cleanup key are (query_id, epoch_id, ...)-scoped, so TWO
+    independent streaming queries sharing one sink target MUST use
+    distinct query_ids — otherwise query B's epoch 0 collides with
+    query A's already-committed epoch 0 label and is silently
+    skipped. The job wiring passes the task's db alias."""
 
     adb: AdbStyleSink
     sr: SrStyleSink | None = None
-    calls: list = field(default_factory=list)
+    query_id: str = "q"
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            self.adb.write(batch_df, epoch_id)
+            self.adb.write(batch_df, epoch_id, self.query_id)
             if self.sr is not None:
-                self.sr.write(batch_df, epoch_id)
+                self.sr.write(batch_df, epoch_id, self.query_id)
         finally:
             batch_df.unpersist()

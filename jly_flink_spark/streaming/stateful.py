@@ -70,7 +70,10 @@ def first_seen_filter(
     )
 
 
-_SESSION_STATE = "start long, last long, n long, qsum long"
+_SESSION_STATE = (
+    "starts array<long>, lasts array<long>, "
+    "ns array<long>, qsums array<long>"
+)
 
 
 def sessionize(
@@ -85,12 +88,22 @@ def sessionize(
     """Event-time sessionization: one output row per closed session
     `(key, session_start, session_end, n_events, q_sum)`.
 
-    A session closes when the event-time watermark passes
-    ``last_ts + gap`` (event-time timer), exactly like the batch
-    `session_window()` semantics. ``q_sum`` is the quantized integer
-    sum of ``value_col`` (floor(v*quant)), keeping stream and batch
-    results bit-identical.
-    """
+    A session closes ONLY when the event-time watermark passes
+    ``last_ts + gap`` — exactly the batch `session_window()`
+    semantics. The state therefore holds a LIST of open candidate
+    sessions, not one: an in-batch gap larger than `gap` starts a new
+    candidate but must NOT emit the earlier one (a late-but-in-
+    watermark event may still extend it — or bridge two candidates
+    into one), and an event more than `gap` BEFORE every candidate
+    opens its own candidate instead of being glued to a session it
+    does not belong to. Candidates are interval-merged (sorted by
+    start; neighbors with `next.start − cur.last ≤ gap` coalesce), so
+    arrival order never changes the result — only the watermark does,
+    which is the same guarantee `session_window()` gives batch data.
+    ``q_sum`` is the quantized integer sum of ``value_col``
+    (floor(v·quant)), keeping stream and batch results bit-identical.
+    State per key is O(open candidates), bounded by the watermark
+    delay / gap ratio."""
     gap_ms = gap_seconds * 1000
 
     out_schema = (
@@ -98,21 +111,42 @@ def sessionize(
         "n_events long, q_sum long"
     )
 
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(sessions),
+                "session_start": [s[0] for s in sessions],
+                "session_end": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "q_sum": [s[3] for s in sessions],
+            }
+        )
+
+    def _split_ready(sessions, wm_ms):
+        """(closed, still_open) by whether the watermark passed
+        last+gap. Sessions are kept sorted by start."""
+        closed = [s for s in sessions if s[1] + gap_ms <= wm_ms]
+        kept = [s for s in sessions if s[1] + gap_ms > wm_ms]
+        return closed, kept
+
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+
         if state.hasTimedOut:
-            start, last, n, qsum = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "session_start": [start],
-                    "session_end": [last],
-                    "n_events": [n],
-                    "q_sum": [qsum],
-                }
-            )
+            starts, lasts, ns, qsums = state.get
+            sessions = sorted(zip(starts, lasts, ns, qsums))
+            closed, kept = _split_ready(sessions, wm_ms)
+            if kept:
+                state.update(tuple(map(list, zip(*kept))))
+                state.setTimeoutTimestamp(
+                    max(min(s[1] for s in kept) + gap_ms, wm_ms + 1)
+                )
+            else:
+                state.remove()
+            if closed:
+                yield _emit(key, closed)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -124,47 +158,39 @@ def sessionize(
         import numpy as np
 
         qv = np.floor(rows[value_col].to_numpy() * quant).astype("int64")
-        order = ts_ms.argsort(kind="stable").to_numpy()
 
+        sessions = []
         if state.exists:
-            start, last, n, qsum = state.get
-        else:
-            start, last, n, qsum = None, None, 0, 0
-
-        closed = []
-        for i in order:
-            t = int(ts_ms.iloc[i])
-            v = int(qv[i])
-            if start is None:
-                start, last, n, qsum = t, t, 1, v
-            elif t - last > gap_ms:
-                closed.append((start, last, n, qsum))
-                start, last, n, qsum = t, t, 1, v
+            starts, lasts, ns, qsums = state.get
+            sessions = [list(s) for s in zip(starts, lasts, ns, qsums)]
+        sessions += [
+            [int(t), int(t), 1, int(v)] for t, v in zip(ts_ms, qv)
+        ]
+        # interval-merge: new events extend, bridge, or precede the
+        # open candidates purely by event time — arrival order is
+        # irrelevant by construction
+        sessions.sort()
+        merged = [sessions[0]]
+        for s in sessions[1:]:
+            cur = merged[-1]
+            if s[0] - cur[1] <= gap_ms:
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+                cur[3] += s[3]
             else:
-                # Merge. A late-but-within-watermark event from a
-                # later batch can have t < last (or even t < start);
-                # min/max keeps the session interval monotone —
-                # the end never moves backwards, the live session
-                # never wrongly closes at an earlier time.
-                start = min(start, t)
-                last = max(last, t)
-                n, qsum = n + 1, qsum + v
-        state.update((start, last, n, qsum))
+                merged.append(s)
+
+        closed, kept = _split_ready(merged, wm_ms)
+        # every new event is at/after the watermark, so at least the
+        # candidate holding the newest event stays open
+        state.update(tuple(map(list, zip(*kept))))
         # Clamp strictly above the current watermark:
-        # setTimeoutTimestamp at/below the watermark is invalid when a
-        # late event leaves last + gap behind the stream's progress.
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last + gap_ms, wm_ms + 1))
+        # setTimeoutTimestamp at/below the watermark is invalid.
+        state.setTimeoutTimestamp(
+            max(min(s[1] for s in kept) + gap_ms, wm_ms + 1)
+        )
         if closed:
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]] * len(closed),
-                    "session_start": [c[0] for c in closed],
-                    "session_end": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
-                    "q_sum": [c[3] for c in closed],
-                }
-            )
+            yield _emit(key, closed)
 
     return (
         df.withWatermark(ts_col, watermark)

@@ -285,3 +285,70 @@ class TestStreamStreamJoin:
         }
         assert got == golden
         assert got == {(1, 900, 100), (1, 900, 101), (1, 901, 102)}
+
+
+class TestSessionizeWatermarkSemantics:
+    """The two failure modes of an eager single-candidate sessionizer
+    (review findings, round 3): sessions must close on WATERMARK, not
+    on in-batch gaps, and far-earlier late events must open their own
+    session instead of gluing to one they don't belong to."""
+
+    def _run(self, spark, tmp_path, batches, gap_s, wm, name):
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema("user_id long, ts_s long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+            .select("user_id", "ts", "value")
+        )
+        rows = _drain(
+            sessionize(stream, "user_id", "ts", "value", gap_s,
+                       watermark=wm),
+            tmp_path,
+            name,
+        )
+        return {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in rows
+        }
+
+    def test_in_batch_gap_does_not_close_early(self, spark, tmp_path):
+        """batch1 has t=0 and t=31 (gap 30s apart-plus): an eager
+        implementation emits [0,0] immediately; then batch2's late
+        t=25 (within the 100s watermark) BRIDGES the two candidates —
+        the correct output is ONE session [0,31] with 3 events,
+        exactly what batch session_window computes on {0,25,31}."""
+        base = 1_700_000_000
+        got = self._run(
+            spark, tmp_path,
+            [
+                [{"user_id": 1, "ts_s": base + o, "value": 1.0}
+                 for o in (0, 31)],
+                [{"user_id": 1, "ts_s": base + 25, "value": 1.0}],
+                [{"user_id": 1, "ts_s": base + 100_000, "value": 0.0}],
+            ],
+            gap_s=30, wm="100 seconds", name="bridge",
+        )
+        assert got == {(1, base * 1000, (base + 31) * 1000, 3)}
+
+    def test_far_earlier_late_event_opens_own_session(self, spark, tmp_path):
+        """batch1 t=100; batch2's late t=40 is MORE than gap (30s)
+        before it — merging would bridge a 60s silence. Correct:
+        two sessions [40,40] and [100,100]."""
+        base = 1_700_000_000
+        got = self._run(
+            spark, tmp_path,
+            [
+                [{"user_id": 1, "ts_s": base + 100, "value": 1.0}],
+                [{"user_id": 1, "ts_s": base + 40, "value": 1.0}],
+                [{"user_id": 1, "ts_s": base + 100_000, "value": 0.0}],
+            ],
+            gap_s=30, wm="120 seconds", name="split",
+        )
+        assert got == {
+            (1, (base + 40) * 1000, (base + 40) * 1000, 1),
+            (1, (base + 100) * 1000, (base + 100) * 1000, 1),
+        }
