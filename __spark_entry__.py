@@ -26,15 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _is_green_row(row) -> bool:
+def _is_green_row(row, has_oracle: bool = False) -> bool:
     """A CORRECTNESS row counts as green when the value hash matched,
-    or when a declared rows-only check completed. The ONE definition
-    of 'green' — tools/update_verified_hashes.py imports this, so the
+    or when a declared rows-only check completed — but a rows-only
+    completion certifies nothing for a name that NOW has an oracle:
+    the oracle was added after that row ran, and counting the old row
+    as green would retire the oracle unexecuted (the round-3 verdict's
+    `multimodal_extract_features` blind spot). The ONE definition of
+    'green' — tools/update_verified_hashes.py imports this, so the
     pin set and the rotation can never disagree on the predicate."""
     return isinstance(row, dict) and (
         row.get("hash_match") is True
         or (
-            row.get("err") == "no_oracle"
+            not has_oracle
+            and row.get("err") == "no_oracle"
             and row.get("spark_rows") is not None
         )
     )
@@ -67,7 +72,10 @@ def _already_verified() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if _is_green_row(row):
+            spec = REGISTRY.get(name)
+            if _is_green_row(
+                row, has_oracle=spec is not None and spec.oracle is not None
+            ):
                 seen.add(name)
 
     try:

@@ -58,3 +58,42 @@ def test_excluded_names_are_not_pinned():
 def test_unregistered_names_are_dropped():
     pins, *_ = compute_pins({"gone": "h"}, {"q1": "h1"}, [{"q1": GREEN}])
     assert "gone" not in pins
+
+
+def test_excluded_names_lose_existing_pins():
+    """--exclude must drop an existing pin, not just skip re-pinning:
+    the whole point of excluding is to force the query back into the
+    driver's rotation."""
+    pins, *_ = compute_pins(
+        {"q1": "h1"}, {"q1": "h1"}, [{"q1": GREEN}], exclude={"q1"}
+    )
+    assert pins == {}
+
+
+def test_rows_only_row_does_not_certify_name_with_oracle():
+    """The round-3 blind spot: a query verified rows-only in r1, then
+    given a full value-hash oracle in r2, must NOT stay pinned on the
+    old rows-only row — the new oracle has never been driver-run."""
+    pins, added, *_ = compute_pins(
+        {"q1": "h1"},
+        {"q1": "h1"},
+        [{"q1": ROWS_ONLY}],
+        with_oracle={"q1"},
+    )
+    assert pins == {} and not added
+
+
+def test_rows_only_row_still_certifies_oracle_less_name():
+    """Declared no-oracle queries (HLL internals, libm transcendentals)
+    keep their rows-only green — nothing stricter to run."""
+    pins, added, *_ = compute_pins(
+        {}, {"q1": "h1"}, [{"q1": ROWS_ONLY}], with_oracle=set()
+    )
+    assert pins == {"q1": "h1"} and added == ["q1"]
+
+
+def test_hash_green_row_certifies_regardless_of_oracle():
+    pins, added, *_ = compute_pins(
+        {}, {"q1": "h1"}, [{"q1": GREEN}], with_oracle={"q1"}
+    )
+    assert pins == {"q1": "h1"}

@@ -64,6 +64,7 @@ def compute_pins(
     current: dict[str, str],
     rounds: list[dict],
     exclude: set[str] = frozenset(),
+    with_oracle: set[str] = frozenset(),
 ) -> tuple[dict[str, str], list[str], list[str], list[str]]:
     """Pure pin-update logic → (new_pins, added, refreshed, stale).
 
@@ -72,16 +73,25 @@ def compute_pins(
       green for it (that run verified the current implementation);
       otherwise keep the old pin (rotation re-queues the query)
     - names gone from the registry are dropped
+    - excluded names are dropped from pins (they re-enter rotation)
+    - a pin with NO supporting green row is dropped — happens when a
+      rows-only row stops counting because the name (in `with_oracle`)
+      gained an oracle after that row ran; the query re-enters the
+      rotation so the driver executes the new oracle
     """
     pins = dict(pinned)
     greens_all = {
         name
         for data in rounds
         for name, row in data.items()
-        if _is_green_row(row)
+        if _is_green_row(row, has_oracle=name in with_oracle)
     }
     greens_latest = (
-        {name for name, row in rounds[-1].items() if _is_green_row(row)}
+        {
+            name
+            for name, row in rounds[-1].items()
+            if _is_green_row(row, has_oracle=name in with_oracle)
+        }
         if rounds
         else set()
     )
@@ -101,7 +111,7 @@ def compute_pins(
                 stale.append(name)
 
     for name in list(pins):
-        if name not in current:
+        if name not in current or name in exclude or name not in greens_all:
             del pins[name]
     return pins, added, refreshed, stale
 
@@ -121,8 +131,11 @@ def main() -> None:
         old_pins = {}
 
     current = {n: spec.impl_hash for n, spec in REGISTRY.items()}
+    with_oracle = {
+        n for n, spec in REGISTRY.items() if spec.oracle is not None
+    }
     pinned, added, refreshed, stale = compute_pins(
-        old_pins, current, _rounds(), exclude
+        old_pins, current, _rounds(), exclude, with_oracle
     )
 
     with open(SIDECAR, "w", encoding="utf-8") as f:
