@@ -146,12 +146,16 @@ norms AS (
   GROUP BY vec_id
 ),
 scored AS (
+  -- qn > 0 on BOTH sides mirrors the engine's zero-quantized-norm
+  -- drop (similarity.drop_zero_norm): cosine is undefined there, and
+  -- keeping such rows would shift row_number ranks vs the Spark plan.
   SELECT d.query_id, d.cand_id,
          CAST(d.qdot AS DOUBLE)
            / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE))) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nc ON nc.vec_id = d.cand_id
+  WHERE nq.qn > 0 AND nc.qn > 0
 )
 SELECT query_id, cand_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -155,8 +155,7 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
     """dedup_embedding_cosine (numpy kernel path): zero-quantized-norm
     vectors must be dropped before scoring, so the engines agree
     exactly (this test caught the unguarded kernel keeping +inf
-    cosines). The expression-side ANN paths get the same qn>0 guard
-    next round — see SURVEY §9."""
+    cosines)."""
     res = compare_query(spark, "dedup_embedding_cosine", edge_emb_dir)
     assert res.ok, str(res)
     from jly_flink_spark.plans import REGISTRY
@@ -171,12 +170,17 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
     assert all(0 not in pair and 1 not in pair for pair in rows)
 
 
-def test_lsh_oracle_agrees_on_degenerate_vectors(spark, edge_emb_dir):
-    """ann_cosine_lsh's oracle mirrors the engine's zero-norm drop
-    (qn > 0 on both query and candidate sides), so the full
-    value-hash comparison holds even on a corpus with zero and
-    sub-quantization-unit vectors — not just on clean driver data."""
-    res = compare_query(spark, "ann_cosine_lsh", edge_emb_dir)
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_lsh", "ann_cosine_topk", "ann_cosine_ivf_exact"]
+)
+def test_ann_oracles_agree_on_degenerate_vectors(spark, edge_emb_dir, name):
+    """Every SQL-expressible ANN oracle mirrors the engine's
+    zero-norm drop (qn > 0 on both query and candidate sides), so the
+    full value-hash comparison holds even on a corpus with zero and
+    sub-quantization-unit vectors — not just on clean driver data.
+    Before _ann_oracle gained the guard, NULL-cosine rows shifted its
+    row_number ranks on exactly this corpus."""
+    res = compare_query(spark, name, edge_emb_dir)
     assert res.ok, str(res)
 
 
@@ -187,9 +191,7 @@ def test_ann_paths_survive_zero_norm_vectors(spark, edge_emb_dir, name):
     """The expression-side ANN paths must not raise under Spark's
     default ANSI mode when the corpus (or the query set — ids 0/1 ARE
     in _ANN_QUERY_IDS) contains zero-quantized-norm vectors, and such
-    vectors must appear in no result row. The oracle-side mirror of
-    this guard lands next round (SURVEY §9); until then this is an
-    engine-only contract."""
+    vectors must appear in no result row."""
     from jly_flink_spark.plans import REGISTRY
 
     rows = REGISTRY[name].spark_fn(spark, edge_emb_dir).collect()
