@@ -88,6 +88,38 @@ class AdbStyleSink:
         self.ledger.commit(label)
 
 
+# Table-missing SQLStates across the dialects the sink targets:
+# MySQL/AnalyticDB 42S02 (ER_NO_SUCH_TABLE), Derby 42X05
+# (table/view does not exist), Postgres 42P01 (undefined_table).
+_MISSING_TABLE_SQLSTATES = {"42S02", "42X05", "42P01"}
+
+
+def _is_missing_table_error(e: Exception) -> bool:
+    """True iff the JDBC failure means the TARGET TABLE does not
+    exist. Decide on the structured SQLState from the Java exception
+    chain when available — a bare substring match on the message
+    would also swallow a genuine failure whose text merely MENTIONS
+    such a state (e.g. a wrapped error referencing another
+    statement). The message-anchor fallback runs only when no
+    SQLState is exposed anywhere in the chain."""
+    java_exc = getattr(e, "java_exception", None)
+    for _ in range(8):  # bounded walk of the cause chain
+        if java_exc is None:
+            break
+        try:
+            state = java_exc.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            return str(state).upper() in _MISSING_TABLE_SQLSTATES
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    low = str(e).lower()
+    return "does not exist" in low or "doesn't exist" in low
+
+
 @dataclass
 class JdbcAdbSink:
     """Real JDBC code path for the ADB batch sink (reference
@@ -158,14 +190,7 @@ class JdbcAdbSink:
             # Tolerate only the very first epoch (table not created
             # yet); anything else is a real cleanup failure and must
             # surface — swallowing it would let replays duplicate.
-            # Dialect-tolerant match: Derby says "does not exist",
-            # MySQL/AnalyticDB "doesn't exist" (1146 / SQLState
-            # 42S02), Postgres "relation ... does not exist".
-            low = str(e).lower()
-            if not any(
-                marker in low
-                for marker in ("does not exist", "doesn't exist", "42s02")
-            ):
+            if not _is_missing_table_error(e):
                 raise
         (
             stamped.write.mode("append")

@@ -104,6 +104,13 @@ def sessionize(
     (floor(v·quant)), keeping stream and batch results bit-identical.
     State per key is O(open candidates), bounded by the watermark
     delay / gap ratio."""
+    if gap_seconds <= 0:
+        raise ValueError(
+            f"sessionize requires gap_seconds > 0, got {gap_seconds}: "
+            "with a zero gap every event closes instantly and the "
+            "operator degenerates to per-event rows — use a plain "
+            "projection instead"
+        )
     gap_ms = gap_seconds * 1000
 
     out_schema = (
@@ -124,9 +131,14 @@ def sessionize(
 
     def _split_ready(sessions, wm_ms):
         """(closed, still_open) by whether the watermark passed
-        last+gap. Sessions are kept sorted by start."""
-        closed = [s for s in sessions if s[1] + gap_ms <= wm_ms]
-        kept = [s for s in sessions if s[1] + gap_ms > wm_ms]
+        last+gap. Close STRICTLY (last + gap < wm): the merge rule is
+        inclusive (ts - last <= gap), and the late filter keeps events
+        with ts >= wm, so an event at exactly ts == last + gap == wm
+        can still arrive and must merge into the candidate — closing
+        at <= would have already emitted it, splitting the session.
+        Sessions are kept sorted by start."""
+        closed = [s for s in sessions if s[1] + gap_ms < wm_ms]
+        kept = [s for s in sessions if s[1] + gap_ms >= wm_ms]
         return closed, kept
 
     def fn(
@@ -181,14 +193,20 @@ def sessionize(
                 merged.append(s)
 
         closed, kept = _split_ready(merged, wm_ms)
-        # every new event is at/after the watermark, so at least the
-        # candidate holding the newest event stays open
-        state.update(tuple(map(list, zip(*kept))))
-        # Clamp strictly above the current watermark:
-        # setTimeoutTimestamp at/below the watermark is invalid.
-        state.setTimeoutTimestamp(
-            max(min(s[1] for s in kept) + gap_ms, wm_ms + 1)
-        )
+        # Every new event is at/after the watermark and gap > 0, so
+        # the candidate holding the newest event normally stays open —
+        # but mirror the timed-out branch anyway instead of assuming:
+        # writing zip(*[]) state would corrupt the state row and
+        # min() over it would kill the streaming query.
+        if kept:
+            state.update(tuple(map(list, zip(*kept))))
+            # Clamp strictly above the current watermark:
+            # setTimeoutTimestamp at/below the watermark is invalid.
+            state.setTimeoutTimestamp(
+                max(min(s[1] for s in kept) + gap_ms, wm_ms + 1)
+            )
+        elif state.exists:
+            state.remove()
         if closed:
             yield _emit(key, closed)
 

@@ -352,3 +352,40 @@ class TestSessionizeWatermarkSemantics:
             (1, (base + 40) * 1000, (base + 40) * 1000, 1),
             (1, (base + 100) * 1000, (base + 100) * 1000, 1),
         }
+
+    def test_zero_gap_rejected_at_api_boundary(self, spark):
+        """gap_seconds=0 degenerates every event to its own instantly-
+        closed session AND voids the 'newest candidate stays open'
+        assumption the state write relies on — reject it up front
+        instead of corrupting state mid-stream (round-3 advice)."""
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, 0, 1.0)], "user_id long, ts_s long, value double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+        for bad in (0, -5):
+            with pytest.raises(ValueError, match="gap_seconds"):
+                sessionize(df, "user_id", "ts", "value", bad)
+
+    def test_event_exactly_at_gap_boundary_merges(self, spark, tmp_path):
+        """Close-vs-merge boundary consistency (round-3 advice): the
+        merge rule is inclusive (ts - last <= gap), so a candidate
+        must stay OPEN while an in-watermark event at exactly
+        ts == last + gap could still arrive. batch1 t=0; batch2
+        advances the watermark so that wm == last + gap exactly;
+        batch3's t=30 (== last + gap, >= wm → not late) must merge
+        into [0,30], not land in a session of its own."""
+        base = 1_700_000_000
+        got = self._run(
+            spark, tmp_path,
+            [
+                [{"user_id": 1, "ts_s": base, "value": 1.0}],
+                # wm after this batch = (base+40) - 10s delay = base+30
+                # == last(base) + gap(30): candidate must NOT close.
+                [{"user_id": 2, "ts_s": base + 40, "value": 1.0}],
+                [{"user_id": 1, "ts_s": base + 30, "value": 1.0}],
+                [{"user_id": 1, "ts_s": base + 100_000, "value": 0.0}],
+            ],
+            gap_s=30, wm="10 seconds", name="gapedge",
+        )
+        assert (1, base * 1000, (base + 30) * 1000, 2) in got

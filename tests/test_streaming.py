@@ -462,6 +462,69 @@ class TestJdbcAdbSink:
         }
         assert per_epoch == {0: 2, 1: 1}
 
+    def test_cleanup_failure_mentioning_sqlstate_still_raises(self):
+        """The first-epoch 'table missing' tolerance must decide on
+        the STRUCTURED SQLState, not a substring: a genuine cleanup
+        failure whose message merely mentions 42S02 (e.g. a wrapped
+        error referencing another statement) must surface — silently
+        swallowing it would let replays duplicate rows."""
+        from jly_flink_spark.streaming.sinks import _is_missing_table_error
+
+        class FakeJavaExc:
+            def __init__(self, state, cause=None):
+                self._state, self._cause = state, cause
+
+            def getSQLState(self):
+                return self._state
+
+            def getCause(self):
+                return self._cause
+
+        class FakePy4JError(Exception):
+            def __init__(self, msg, java_exception=None):
+                super().__init__(msg)
+                self.java_exception = java_exception
+
+        # genuine failure that MENTIONS the state in its text → raise
+        assert not _is_missing_table_error(
+            FakePy4JError(
+                "lock timeout while running cleanup (statement X "
+                "earlier failed with SQLState 42S02)",
+                FakeJavaExc("40XL1"),
+            )
+        )
+        # real table-missing states, incl. one behind a stateless wrapper
+        for st in ("42S02", "42X05", "42P01"):
+            assert _is_missing_table_error(
+                FakePy4JError("boom", FakeJavaExc(st))
+            )
+        assert _is_missing_table_error(
+            FakePy4JError("boom", FakeJavaExc(None, FakeJavaExc("42S02")))
+        )
+        # no structured state anywhere → anchored message fallback only
+        assert _is_missing_table_error(
+            FakePy4JError("Table 'x.delete_archive' doesn't exist")
+        )
+        assert not _is_missing_table_error(
+            FakePy4JError("deadlock found; see SQLState 42s02 docs")
+        )
+
+    def test_first_epoch_without_table_is_tolerated(self, spark, tmp_path):
+        """End-to-end on real Derby: the very first write (no table
+        yet) must survive the DELETE-cleanup failing with Derby's
+        actual 42X05, proving the SQLState walk matches what the
+        bundled driver really throws."""
+        from jly_flink_spark.streaming.sinks import JdbcAdbSink
+
+        url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+        sink = JdbcAdbSink(url=url, table="delete_archive")
+        sink.write(self._target(spark, [7]), epoch_id=0)
+        read = (
+            spark.read.option("driver", sink.driver)
+            .jdbc(url, "delete_archive")
+        )
+        assert [r["id"] for r in read.collect()] == ["7"]
+
 
 def test_stream_end_to_end_through_jdbc(spark, stream_dirs, tmp_path):
     """The archival stream draining into the REAL JDBC code path
