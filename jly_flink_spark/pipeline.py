@@ -82,8 +82,11 @@ def observe_guard_drops(env: DataFrame, name: str = "guards") -> DataFrame:
     analog of the reference's per-violation log lines
     (StartJob.java:128-151). Counters surface per micro-batch in
     StreamingQueryProgress.observedMetrics[name]; the cascade puts
-    every delete envelope in exactly one bucket, so the counts
-    reconcile with rows archived per epoch."""
+    every envelope — delete or not — in exactly one bucket, so the
+    counts reconcile with TOTAL input rows per epoch (n_not_delete +
+    guard buckets + n_archived = rows seen), catching silent row loss
+    anywhere in the chain, e.g. across a Debezium snapshot→binlog
+    phase transition where most rows are op:"r" reads."""
     c = guard_conditions(env)
 
     def cnt(cond, alias):
@@ -94,6 +97,7 @@ def observe_guard_drops(env: DataFrame, name: str = "guards") -> DataFrame:
     )
     return env.observe(
         name,
+        cnt(~d, "n_not_delete"),
         cnt(d & ~tbl, "n_blank_table"),
         cnt(d & tbl & ~bef, "n_null_before"),
         cnt(d & tbl & bef & ~idk, "n_no_id"),

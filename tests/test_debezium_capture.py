@@ -36,11 +36,17 @@ KAFKA_SCHEMA = "topic string, key string, value string"
 # What the reference pipeline must archive from this capture: ONLY
 # deletes, only subscribed tables (t_orders/t_items — t_audit is not
 # in the task config, so its topic is never subscribed), id from the
-# pre-image, fb_no by instance.
+# pre-image, fb_no by instance. 301 is the snapshot→binlog case (read
+# in the snapshot phase, deleted in the binlog phase), 700/701 the
+# two-table single transaction, 800 the post-ADD-COLUMN delete.
 EXPECTED = {
     ("101", "demo_t_orders", "FB0"),
     ("7", "demo_t_items", "FB1"),
     ("55", "demo_t_orders", "FB2"),
+    ("301", "demo_t_items", "FB0"),
+    ("700", "demo_t_orders", "FB2"),
+    ("701", "demo_t_items", "FB2"),
+    ("800", "demo_t_items", "FB1"),
 }
 
 
@@ -95,6 +101,30 @@ def test_capture_fixture_is_realistic():
     srcs = [p["source"] for p in payloads]
     assert {s["connector"] for s in srcs} == {"mysql"}
     assert any(s.get("gtid") for s in srcs)
+    # snapshot → binlog phase transition: the snapshot phase markers
+    # ("first"/"true" … "last") must precede binlog-phase events
+    assert {"first", "last"} <= {s["snapshot"] for s in srcs}
+    # a transaction block spanning TWO tables (same tx id)
+    tx_tables = {
+        (p["transaction"]["id"], p["source"]["table"])
+        for p in payloads
+        if p.get("transaction")
+    }
+    by_tx: dict[str, set] = {}
+    for txid, tbl in tx_tables:
+        by_tx.setdefault(txid, set()).add(tbl)
+    assert any(len(tbls) >= 2 for tbls in by_tx.values()), (
+        "needs one transaction spanning two tables"
+    )
+    # mid-stream schema change: a column appearing in later envelopes
+    # of a table that earlier envelopes of the SAME table lack
+    items_fields = [
+        set(p["before"] or p["after"] or {})
+        for p in payloads
+        if p["source"]["table"] == "t_items"
+    ]
+    assert any("discount" in f for f in items_fields)
+    assert any(f and "discount" not in f for f in items_fields)
 
 
 def test_capture_batch_through_pipeline(spark):
@@ -130,17 +160,16 @@ def test_capture_decimal_string_survives(spark):
     assert any('"amount":"19.99"' in b for b in befores)
 
 
-def test_capture_streaming_end_to_end(spark, tmp_path):
-    """Replay the capture through a real Structured Streaming query:
-    file source (one Kafka-shaped record per line) → envelope adapter
-    → reference pipeline → memory sink."""
+def _run_capture_stream(spark, tmp_path, chunks, queryName):
+    """Replay Kafka-shaped record chunks as one file each → one
+    micro-batch each (maxFilesPerTrigger=1) through the envelope
+    adapter + reference pipeline into a memory sink. Returns
+    (archived tuples, per-epoch guard-counter Rows)."""
+    from jly_flink_spark.pipeline import observe_guard_drops
+
     src_dir = tmp_path / "capture"
     src_dir.mkdir()
-    # split across two files → two micro-batches with
-    # maxFilesPerTrigger=1, proving the adapter is incremental
-    recs = _records(subscribed_only=True)
-    half = len(recs) // 2
-    for i, chunk in enumerate((recs[:half], recs[half:])):
+    for i, chunk in enumerate(chunks):
         with open(src_dir / f"part_{i}.jsonl", "w", encoding="utf-8") as f:
             for r in chunk:
                 f.write(json.dumps(r) + "\n")
@@ -150,22 +179,125 @@ def test_capture_streaming_end_to_end(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(src_dir))
     )
-    target = build_pipeline(
-        spark, envelopes_from_kafka(stream), demo_task_config()
-    )
+    env = observe_guard_drops(envelopes_from_kafka(stream))
+    target = build_pipeline(spark, env, demo_task_config())
     q = (
         target.writeStream.format("memory")
-        .queryName("debezium_capture")
+        .queryName(queryName)
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
     try:
         q.processAllAvailable()
+        epochs = [
+            (p.get("observedMetrics") or {}).get("guards")
+            for p in q.recentProgress
+        ]
     finally:
         q.stop()
     got = {
         (r["id"], r["db_tb_name"], r["fb_no"])
-        for r in spark.sql("SELECT * FROM debezium_capture").collect()
+        for r in spark.sql(f"SELECT * FROM {queryName}").collect()
     }
+    return got, [e for e in epochs if e is not None]
+
+
+def test_capture_streaming_end_to_end(spark, tmp_path):
+    """Replay the capture through a real Structured Streaming query:
+    file source (one Kafka-shaped record per line) → envelope adapter
+    → reference pipeline → memory sink, split across two micro-batches
+    to prove the adapter is incremental."""
+    recs = _records(subscribed_only=True)
+    half = len(recs) // 2
+    got, _ = _run_capture_stream(
+        spark, tmp_path, (recs[:half], recs[half:]), "debezium_capture"
+    )
     assert got == EXPECTED
+
+
+def test_snapshot_to_binlog_phase_transition(spark, tmp_path):
+    """Debezium's snapshot phase (op:"r", snapshot first…last) then
+    the binlog phase, split at the phase boundary exactly as a
+    restarted connector would deliver them. Snapshot reads must NOT
+    archive (they are not deletes) but MUST be counted — and the
+    binlog-phase delete of a row the snapshot read archives with the
+    snapshot-consistent pre-image intact."""
+    recs = _records(subscribed_only=True)
+
+    def phase(r):
+        doc = json.loads(r["value"]) if r["value"] else None
+        if doc is None:
+            return "binlog"  # tombstones trail their binlog delete
+        p = doc.get("payload", doc)
+        return (
+            "snapshot"
+            if p["source"]["snapshot"] in ("true", "first", "last")
+            else "binlog"
+        )
+
+    snap = [r for r in recs if phase(r) == "snapshot"]
+    binlog = [r for r in recs if phase(r) == "binlog"]
+    assert snap and binlog
+    got, epochs = _run_capture_stream(
+        spark, tmp_path, (snap, binlog), "debezium_phases"
+    )
+    assert got == EXPECTED
+    # every record of every epoch lands in exactly one counter bucket:
+    # archived + dropped(guards) + non-delete ops; nothing vanishes
+    tot = {}
+    for e in epochs:
+        for k, v in e.asDict().items():
+            tot[k] = tot.get(k, 0) + v
+    n_input = len([r for r in recs if r["value"] is not None])
+    accounted = tot["n_archived"] + tot["n_not_delete"] + (
+        tot["n_blank_table"] + tot["n_null_before"] + tot["n_no_id"]
+        + tot["n_bad_ts"]
+    )
+    assert accounted == n_input, (tot, n_input)
+    assert tot["n_archived"] == len(EXPECTED)
+    # the snapshot-read row's delete carried the snapshot pre-image
+    row = [t for t in got if t[0] == "301"]
+    assert row == [("301", "demo_t_items", "FB0")]
+
+
+def test_multi_table_transaction_across_micro_batches(spark, tmp_path):
+    """One MySQL transaction touching t_orders AND t_items whose two
+    events arrive in DIFFERENT micro-batches (Kafka gives no
+    transactional batching across topics): both deletes must archive
+    exactly once, with the batch boundary falling mid-transaction."""
+    recs = _records(subscribed_only=True)
+
+    def tx_order(r):
+        if not r["value"]:
+            return None
+        doc = json.loads(r["value"])
+        p = doc.get("payload", doc)
+        tx = p.get("transaction")
+        return tx and tx.get("total_order")
+
+    split = next(i for i, r in enumerate(recs) if tx_order(r) == 2)
+    assert any(tx_order(r) == 1 for r in recs[:split])  # straddles
+    got, _ = _run_capture_stream(
+        spark, tmp_path, (recs[:split], recs[split:]), "debezium_tx"
+    )
+    assert got == EXPECTED
+    assert {t for t in got if t[0] in ("700", "701")} == {
+        ("700", "demo_t_orders", "FB2"),
+        ("701", "demo_t_items", "FB2"),
+    }
+
+
+def test_schema_change_rides_through_verbatim(spark, tmp_path):
+    """Mid-stream ALTER TABLE ADD COLUMN: envelopes after the DDL
+    carry the new column in schema block and row images. The raw-JSON
+    pre-image path (S2) must surface the new column verbatim in the
+    archived `before` — no fixed schema to fall out of."""
+    env = envelopes_from_kafka(_batch_frame(spark, subscribed_only=True))
+    target = build_pipeline(spark, env, demo_task_config())
+    row = target.filter(F.col("id") == "800").collect()
+    assert len(row) == 1
+    pre_image = json.loads(row[0]["data_json"])
+    # the new column is present, and decimals are still strings
+    assert pre_image["discount"] == "0.2000"
+    assert pre_image["unit_price"] == "9.9900"

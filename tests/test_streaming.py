@@ -369,15 +369,18 @@ def test_observe_guard_drop_counters(spark, stream_dirs):
                     totals[k] = totals.get(k, 0) + v
     finally:
         q.stop()
-    # EVENTS fixture: 1 blank-table, 1 null-before, 1 bad-ts delete
-    # dropped; 3 deletes archived (ids 1, 3, 7); no missing-id case.
+    # EVENTS fixture: 2 non-deletes (i/u), 1 blank-table, 1
+    # null-before, 1 bad-ts delete dropped; 3 deletes archived
+    # (ids 1, 3, 7); no missing-id case. Buckets sum to len(EVENTS).
     assert totals == {
+        "n_not_delete": 2,
         "n_blank_table": 1,
         "n_null_before": 1,
         "n_no_id": 0,
         "n_bad_ts": 1,
         "n_archived": 3,
     }
+    assert sum(totals.values()) == len(EVENTS)
 
 
 def test_adb_partial_epoch_replay_is_clean(spark, stream_dirs):
