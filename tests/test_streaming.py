@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from jly_flink_spark.config import demo_task_config
 from jly_flink_spark.pipeline import build_pipeline
-from jly_flink_spark.streaming.job import run_archival_once
+from jly_flink_spark.streaming.job import (
+    run_archival_once,
+    start_archival_stream,
+)
 from jly_flink_spark.streaming.sinks import (
     AdbStyleSink,
     DualSink,
@@ -414,6 +417,101 @@ def test_adb_partial_epoch_replay_is_clean(spark, stream_dirs):
 
     sink.write(target, epoch_id=5)  # committed epoch: no-op
     assert spark.read.parquet(data_dir).count() == 2
+
+
+class _CrashOnLabelTransport:
+    """LocalDirTransport wrapper that raises when asked to commit one
+    specific label — a deterministic mid-epoch crash AFTER earlier
+    chunks of the same partition already committed (SrSink.java's
+    flush-then-snapshot window, K4/K5). Label matching works across
+    Python worker processes because the committed state lives on
+    disk, not in this object."""
+
+    def __init__(self, inner, crash_label_suffix):
+        self.inner = inner
+        self.crash_label_suffix = crash_label_suffix
+
+    def put(self, db_tb_name, label, payload):
+        if label.endswith(self.crash_label_suffix):
+            raise RuntimeError(f"injected crash before commit of {label}")
+        return self.inner.put(db_tb_name, label, payload)
+
+
+def test_sink_crash_mid_epoch_recovers_exactly_once(spark, tmp_path):
+    """Kill the streaming query MID-EPOCH — after some Stream-Load
+    chunks committed but before the epoch finished — then restart
+    from the checkpoint. Deterministic labels + sorted-before-chunk
+    contents must yield exactly-once table contents: committed chunks
+    dedup byte-identically, the crashed chunk commits on replay, and
+    the ADB side (whose epoch completed before the SR crash) skips
+    wholesale via its ledger."""
+    env_dir = str(tmp_path / "env")
+    # one epoch: 4 t_orders deletes (2 chunks at batch_size=2) + 2
+    # t_items deletes (1 chunk) — crash on the orders SECOND chunk,
+    # so chunk 0 is a committed partial when the query dies
+    events = [
+        ("src-0", "d", 1754000000000 + i, "t_orders",
+         {"id": str(i), "v": f"{i}.5"})
+        for i in range(1, 5)
+    ] + [
+        ("src-1", "d", 1754000010000 + i, "t_items", {"id": str(i)})
+        for i in range(5, 7)
+    ]
+    _write_envelope_files(env_dir, events, per_file=len(events))
+
+    sr_root = str(tmp_path / "sr")
+    ckpt = str(tmp_path / "ckpt")
+    local = LocalDirTransport(sr_root)
+    crashing = DualSink(
+        AdbStyleSink(str(tmp_path / "adb")),
+        SrStyleSink(
+            _CrashOnLabelTransport(local, "_demo_t_orders_1"),
+            batch_size=2,
+        ),
+    )
+    q = start_archival_stream(
+        spark, env_dir, CFG, crashing, ckpt, trigger_seconds=0.5
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # the crash window is real: some chunks committed, not all
+    committed = sorted(
+        os.path.relpath(f, sr_root)
+        for f in glob.glob(os.path.join(sr_root, "*", "*.json"))
+    )
+    assert any("_demo_t_orders_0" in f for f in committed)
+    assert not any("_demo_t_orders_1" in f for f in committed)
+    pre_crash_bytes = {
+        f: open(os.path.join(sr_root, f), "rb").read() for f in committed
+    }
+
+    # restart from the same checkpoint with a healthy transport
+    healthy = DualSink(
+        AdbStyleSink(str(tmp_path / "adb")),
+        SrStyleSink(local, batch_size=2),
+    )
+    run_archival_once(spark, env_dir, CFG, healthy, ckpt)
+
+    # exactly-once: every delete loaded once, across both sinks
+    loaded = []
+    for f in glob.glob(os.path.join(sr_root, "*", "*.json")):
+        with open(f) as fh:
+            loaded += [r["id"] for r in json.load(fh)]
+    assert sorted(loaded) == [str(i) for i in range(1, 7)]
+    adb_rows = spark.read.parquet(
+        os.path.join(str(tmp_path / "adb"), "data")
+    )
+    assert sorted(r["id"] for r in adb_rows.collect()) == [
+        str(i) for i in range(1, 7)
+    ]
+    # replay re-produced byte-identical chunks: pre-crash files
+    # untouched (same labels, same sorted contents)
+    for f, blob in pre_crash_bytes.items():
+        assert open(os.path.join(sr_root, f), "rb").read() == blob
 
 
 class TestJdbcAdbSink:
