@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Iterable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,16 +107,61 @@ def observe_guard_drops(env: DataFrame, name: str = "guards") -> DataFrame:
     )
 
 
-def project_target(env: DataFrame) -> DataFrame:
+def _normalized_json(col: F.Column) -> F.Column:
+    """Compact JSON re-serialization of an opaque JSON string column —
+    the analog of the reference re-serializing the parsed pre-image
+    through fastjson (StartJob.java:146): compact separators, key
+    insertion order preserved, non-ASCII unescaped, value types (and
+    decimal-as-string values) untouched. Arrow-batched pandas UDF: a
+    typed from_json/to_json round-trip can't express this for
+    schemaless pre-images without corrupting nested values. Rows that
+    are not parseable JSON pass through verbatim (the id guard has
+    already ensured $.id extracts, so these are edge-malformed tails,
+    not the common case)."""
+    import json
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return json.dumps(
+                    json.loads(v),
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+            except ValueError:
+                return v
+
+        return s.map(one)
+
+    return norm(col)
+
+
+def project_target(
+    env: DataFrame, normalize_data_json: bool = False
+) -> DataFrame:
     """T3: build the target row (StartJob.java:146-163):
     id = before.id as string, record_del_time = timestamp(ts_ms),
-    data_json = the pre-image verbatim, carry table_name + instance."""
+    data_json = the pre-image, carry table_name + instance.
+
+    `data_json` default is the pre-image VERBATIM (documented
+    deviation: same information as the reference, byte formatting may
+    differ); `normalize_data_json=True` opts into the reference's
+    fastjson-style compact re-serialization for consumers comparing
+    bytes — at the price of a pandas UDF in the archival path."""
+    data_json = (
+        _normalized_json(F.col("before"))
+        if normalize_data_json
+        else F.col("before")
+    )
     return env.select(
         F.col("instance_name"),
         F.col("source_table").alias("table_name"),
         F.get_json_object(F.col("before"), "$.id").alias("id"),
         F.timestamp_millis(F.col("ts_ms")).alias("record_del_time"),
-        F.col("before").alias("data_json"),
+        data_json.alias("data_json"),
     )
 
 
@@ -162,15 +208,19 @@ def build_pipeline(
     spark: SparkSession,
     envelopes: DataFrame,
     cfg: TaskConfig,
+    normalize_data_json: bool = False,
 ) -> DataFrame:
     """Compose T1→T7 over an already-unioned envelope DataFrame.
 
     The reference parses/filters per source stream then unions
     (StartJob.java:52-92); with `instance_name` as a column the union
     is implicit and the plan is identical — one scan, one filter chain,
-    one broadcast join (SURVEY.md T5 note)."""
+    one broadcast join (SURVEY.md T5 note). `normalize_data_json`:
+    see `project_target`."""
     deletes = validity_guards(delete_filter(envelopes))
-    projected = project_target(deletes)
+    projected = project_target(
+        deletes, normalize_data_json=normalize_data_json
+    )
     enriched = enrich_and_route(projected, sources_dim(spark, cfg), cfg.db_alias)
     return target_rows(enriched)
 

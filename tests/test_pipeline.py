@@ -71,6 +71,27 @@ def test_pipeline_golden_row(spark):
     assert row["record_del_time"] == dt.datetime(2025, 7, 31, 22, 13, 20)
 
 
+def test_normalize_data_json_flag(spark):
+    """Opt-in fastjson-style re-serialization (StartJob.java:146):
+    compact separators, key order preserved, non-ASCII unescaped,
+    decimal STRINGS untouched; default stays byte-verbatim."""
+    cfg = demo_task_config()
+    sloppy = (
+        "src-0", "d", 1754000000000, "t_orders",
+        '{ "id" : "42",\n  "amount": "12.3400",'
+        ' "note": "héllo", "nested": { "a": [1, 2] } }',
+    )
+    verbatim = build_pipeline(spark, _env(spark, [sloppy]), cfg).collect()
+    assert verbatim[0]["data_json"] == sloppy[4]
+    normal = build_pipeline(
+        spark, _env(spark, [sloppy]), cfg, normalize_data_json=True
+    ).collect()
+    assert normal[0]["data_json"] == (
+        '{"id":"42","amount":"12.3400","note":"héllo",'
+        '"nested":{"a":[1,2]}}'
+    )
+
+
 def test_unknown_instance_gets_null_fb_no(spark):
     # Reference: map.get() returns null for unknown instance; left join parity.
     cfg = demo_task_config()
