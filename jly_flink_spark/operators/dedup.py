@@ -425,6 +425,124 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+# Wide-SimHash Hamming search parameters (Manku/Jain/Das Sarma,
+# "Detecting Near-Duplicates for Web Crawling", WWW'07): a 60-bit
+# signature (15 md5 hex digits x 4 bits — 60 not 64 so the value
+# stays positive in signed int64 on every engine) split into 4 bands
+# of 15 bits. Pigeonhole: two signatures within Hamming distance
+# K_HAMMING=3 differ in at most 3 bands, so they MUST agree exactly
+# on at least one 15-bit band — banding finds all such pairs with
+# 2^15 bucket values per band (uniform, md5-derived), never an
+# all-pairs comparison.
+SIMHASH_WIDE_HEX = 15
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+K_HAMMING = 3
+
+
+def simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document — `simhash16` widened to
+    SIMHASH_WIDE_HEX md5 hex digits so Hamming-distance banding has
+    real bucket cardinality (2^15 values per band; 16-bit signatures
+    would give 16 and collapse at scale). Same bit-majority votes,
+    same single groupBy, exact int64 arithmetic throughout."""
+    toks = doc_tokens(docs, text_col)
+    h = F.md5(F.col("tok"))
+    digit = lambda j: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)
+        )
+        - 1
+    )
+    votes = []
+    for j in range(SIMHASH_WIDE_HEX):
+        d = digit(j)
+        bits = [
+            (d >= 8).cast("int"),
+            ((d % 8) >= 4).cast("int"),
+            ((d % 4) >= 2).cast("int"),
+            (d % 2),
+        ]
+        for k, bit in enumerate(bits):
+            votes.append(F.sum(bit * 2 - 1).alias(f"v{j * 4 + k}"))
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(SIMHASH_WIDE_HEX * 4):
+        bit = (F.col(f"v{i}") >= 0).cast("bigint") * (2**i)
+        sig = bit if sig is None else sig + bit
+    return voted.select("doc_id", sig.alias("sig"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, text_col: str = "text", k: int = K_HAMMING
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance `k` of the 60-bit
+    SimHash: (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+
+    Plan shape (the 100-TB path): one groupBy builds signatures, one
+    explode emits 4 (band_idx, band_val) rows per doc carrying the
+    signature, one shuffle co-groups each band bucket, and pairs
+    expand inside buckets with the same skew guards as the MinHash
+    path (MAX_LSH_BUCKET cap — an over-full bucket is a giant
+    duplicate group, exact dedup's job; posexplode+suffix-slice for
+    C(n,2) expansion spread across tasks). The Hamming verify is
+    bit_count(xor) on two int64s — no token re-reading, no second
+    pass over the corpus. Signatures ride inside the buckets as
+    (doc_id, sig) structs, so the verify needs NO join back to the
+    corpus."""
+    sigs = simhash_wide(docs, text_col)
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("sig"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+                .alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        F.struct("doc_id", "sig").alias("ds"),
+        F.explode(band_vals).alias("bv"),
+    ).select("ds", "bv.band_idx", "bv.band_val")
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_set("ds")).alias("members"))
+        .filter(
+            (F.size("members") > 1)
+            & (F.size("members") <= MAX_LSH_BUCKET)
+        )
+    )
+    pairs = (
+        buckets.select(
+            "band_idx",
+            "band_val",
+            F.posexplode("members").alias("pos", "a"),
+            "members",
+        )
+        .repartition("band_idx", "band_val", "a")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(members, pos + 2, size(members))")
+            ).alias("b"),
+        )
+    )
+    ham = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    ).cast("bigint")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
 def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Near-dup groups = identical 16-bit simhash (collision-prone by
     design at 16 bits — it's the grouping stage; verification joins

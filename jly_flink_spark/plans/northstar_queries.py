@@ -228,6 +228,68 @@ def dedup_simhash_groups(spark, sf_dir):
     return dedup.simhash_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_hamming_oracle() -> str:
+    """DuckDB mirror of `dedup.simhash_hamming_pairs`: 60-bit simhash
+    (15 md5 hex digits), 4×15-bit banding, bucket-size cap, Hamming
+    verify via bit_count(xor) — bit-identical to the Spark plan."""
+    digit = (
+        "(instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
+    )
+    votes = []
+    for j in range(dedup.SIMHASH_WIDE_HEX):
+        d = digit.format(j=j + 1)
+        bits = [
+            f"(CASE WHEN {d} >= 8 THEN 1 ELSE 0 END)",
+            f"(CASE WHEN ({d} % 8) >= 4 THEN 1 ELSE 0 END)",
+            f"(CASE WHEN ({d} % 4) >= 2 THEN 1 ELSE 0 END)",
+            f"({d} % 2)",
+        ]
+        for kk, bit in enumerate(bits):
+            votes.append(f"sum({bit} * 2 - 1) AS v{j * 4 + kk}")
+    sig = " + ".join(
+        f"CAST(v{i} >= 0 AS BIGINT) * {2**i}"
+        for i in range(dedup.SIMHASH_WIDE_HEX * 4)
+    )
+    mask = (1 << dedup.SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH {_DOC_TOKS_CTE},
+voted AS (SELECT doc_id, {", ".join(votes)} FROM doc_toks GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS sig FROM voted),
+bands AS (
+  SELECT doc_id, sig, t.b AS band_idx,
+         (sig >> ({dedup.SIMHASH_BAND_BITS} * t.b)) & {mask} AS band_val
+  FROM sigs, range({dedup.SIMHASH_BANDS}) t(b)
+),
+buckets AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2
+  HAVING count(*) > 1 AND count(*) <= {dedup.MAX_LSH_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+JOIN buckets k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+WHERE bit_count(xor(a.sig, b.sig)) <= {dedup.K_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=_simhash_hamming_oracle(),
+    tags=("northstar", "dedup", "simhash"),
+    doc="Manku-style near-dup pairs within Hamming distance 3 of a "
+    "60-bit SimHash: 4×15-bit banding (pigeonhole-complete for k=3), "
+    "bucket-capped pair expansion, bit_count(xor) verify — the "
+    "web-scale dedup shape, never an all-pairs comparison.",
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register(
     "dedup_jaccard_pairs",
     oracle=f"""

@@ -133,6 +133,10 @@ class TestShuffleBudget:
             # tokens→sigs reuses the doc_id fan-out exchange; band
             # buckets + skew-spread repartition + distinct = 4 total
             ("dedup_minhash_candidates", 5),
+            # sig groupBy + band buckets + skew-spread repartition +
+            # distinct; the Hamming verify shuffles NOTHING extra —
+            # signatures ride inside the buckets as structs
+            ("dedup_simhash_hamming", 4),
             ("set_union_all", 1),  # union itself must not shuffle
             # supply groupBy + per-part min + top-100 range sort
             ("tpch_q2_min_cost_supplier", 3),
