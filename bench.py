@@ -132,13 +132,17 @@ def main() -> None:
                 "parallelism (B ~ sqrt(2*cores) blocks, so the "
                 "replicated shuffle is B*n rows) plus a column-pruned "
                 "sizing count on the raw scan — removes the driver "
-                "bottleneck entirely"
+                "bottleneck entirely. Measured at 10x data: 5.1x wall, "
+                "zero stragglers (docs/SCALE_PROBE.md)"
             ),
             "batch_by_token_budget": (
                 "r01 ran a single-task global window; now a sharded "
                 "prefix sum (16-way parallel) with broadcast offsets — "
                 "pays a localCheckpoint of the slim token projection "
-                "so tokenization scans the corpus once, not per branch"
+                "so tokenization scans the corpus once, not per branch. "
+                "The sf0.1 delta (~0.2s absolute) is multi-job "
+                "orchestration overhead, flat in data size "
+                "(docs/SCALE_PROBE.md)"
             ),
             "events_multigrain_rollup": (
                 "plan unchanged since r01 (single-pass GROUPING SETS, "

@@ -48,8 +48,12 @@ SRC_SF = "/root/testdata/sf0.1"
 QUERIES = [
     "dedup_exact_corpus",
     "dedup_minhash_candidates",
+    "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "ann_cosine_ivf",
+    # the two bench entries that trade sf0.1 fixed overhead for scale
+    # architecture — their decade ratio is the evidence the trade won
+    "batch_by_token_budget",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
