@@ -301,41 +301,58 @@ def stream_near_dup_candidates(
 MAX_LSH_BUCKET = 10_000
 
 
+def _expand_bucket_pairs(
+    items: DataFrame, key_cols: list[str], member_col: str
+) -> DataFrame:
+    """Shared LSH bucket machinery (one definition of the 100-TB skew
+    story, used by the MinHash AND SimHash-Hamming paths): group
+    members per bucket key, drop singleton and over-cap buckets
+    (MAX_LSH_BUCKET — an over-full bucket is a giant duplicate group,
+    exact dedup's job), and expand exactly the C(n,2) ordered pairs
+    via sorted-bucket posexplode + suffix-slice (no n² generate-then-
+    filter). The repartition between the two explodes is the skew
+    fix: a degenerate bucket of n members otherwise expands entirely
+    inside ONE task; spread by (key, a), each task expands one
+    suffix. Output columns (a, b); callers rename, verify, and
+    distinct (a pair can share several buckets)."""
+    buckets = (
+        items.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(member_col)).alias("members"))
+        .filter(
+            (F.size("members") > 1)
+            & (F.size("members") <= MAX_LSH_BUCKET)
+        )
+    )
+    return (
+        buckets.select(
+            *key_cols,
+            F.posexplode("members").alias("pos", "a"),
+            "members",
+        )
+        .repartition(*key_cols, "a")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(members, pos + 2, size(members))")
+            ).alias("b"),
+        )
+    )
+
+
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
 
     One shuffle on band_key (uniform by construction — keys are
-    hashes), pairs expanded within each bucket. This beats a bands⋈
-    bands self-join twice over: the signature pipeline is computed
-    once, not twice, and the bucket is materialized once instead of
-    hash-joined."""
+    hashes), pairs expanded within each bucket by
+    `_expand_bucket_pairs`. This beats a bands⋈bands self-join twice
+    over: the signature pipeline is computed once, not twice, and the
+    bucket is materialized once instead of hash-joined."""
     bands = minhash_bands(minhash_signatures(docs, text_col))
-    buckets = (
-        bands.groupBy("band_key")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(
-            (F.size("ids") > 1) & (F.size("ids") <= MAX_LSH_BUCKET)
-        )
-    )
-    # Sorted bucket + posexplode + suffix-slice emits exactly the
-    # C(n,2) ordered pairs (no n² generate-then-filter). The
-    # repartition between the two explodes is the skew fix: a
-    # degenerate bucket of n docs otherwise expands entirely inside
-    # ONE task; spread by (band_key, doc_a), each task expands one
-    # suffix.
     return (
-        buckets.select(
-            "band_key",
-            F.posexplode("ids").alias("pos", "doc_a"),
-            "ids",
-        )
-        .repartition("band_key", "doc_a")
+        _expand_bucket_pairs(bands, ["band_key"], "doc_id")
         .select(
-            "doc_a",
-            F.explode(
-                F.expr("slice(ids, pos + 2, size(ids))")
-            ).alias("doc_b"),
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
         )
         .distinct()
     )
@@ -389,8 +406,12 @@ def jaccard_pairs(
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document via bit-majority over token md5s.
+def _simhash(
+    docs: DataFrame, text_col: str, n_hex: int, out_col: str
+) -> DataFrame:
+    """SimHash of 4·n_hex bits via bit-majority over token md5s — the
+    ONE Spark-side definition of the vote/fold arithmetic (the DuckDB
+    mirrors in plans/northstar_queries share a builder the same way).
 
     Uses only md5 + substring + arithmetic (no engine-private hash),
     so an oracle can reproduce it verbatim: hex digit j of md5(tok)
@@ -405,7 +426,7 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - 1
     )
     votes = []
-    for j in range(4):  # 4 hex chars → 16 bits
+    for j in range(n_hex):
         d = digit(j)
         bits = [
             (d >= 8).cast("int"),
@@ -419,10 +440,16 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
     voted = toks.groupBy("doc_id").agg(*votes)
     sig = None
-    for i in range(16):
+    for i in range(n_hex * 4):
         bit = (F.col(f"v{i}") >= 0).cast("bigint") * (2**i)
         sig = bit if sig is None else sig + bit
-    return voted.select("doc_id", sig.alias("simhash"))
+    return voted.select("doc_id", sig.alias(out_col))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (4 md5 hex digits) — the grouping-stage width;
+    see `_simhash` for the arithmetic."""
+    return _simhash(docs, text_col, 4, "simhash")
 
 
 # Wide-SimHash Hamming search parameters (Manku/Jain/Das Sarma,
@@ -441,36 +468,12 @@ K_HAMMING = 3
 
 
 def simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """60-bit SimHash per document — `simhash16` widened to
-    SIMHASH_WIDE_HEX md5 hex digits so Hamming-distance banding has
-    real bucket cardinality (2^15 values per band; 16-bit signatures
-    would give 16 and collapse at scale). Same bit-majority votes,
-    same single groupBy, exact int64 arithmetic throughout."""
-    toks = doc_tokens(docs, text_col)
-    h = F.md5(F.col("tok"))
-    digit = lambda j: (  # noqa: E731
-        F.instr(
-            F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)
-        )
-        - 1
-    )
-    votes = []
-    for j in range(SIMHASH_WIDE_HEX):
-        d = digit(j)
-        bits = [
-            (d >= 8).cast("int"),
-            ((d % 8) >= 4).cast("int"),
-            ((d % 4) >= 2).cast("int"),
-            (d % 2),
-        ]
-        for k, bit in enumerate(bits):
-            votes.append(F.sum(bit * 2 - 1).alias(f"v{j * 4 + k}"))
-    voted = toks.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(SIMHASH_WIDE_HEX * 4):
-        bit = (F.col(f"v{i}") >= 0).cast("bigint") * (2**i)
-        sig = bit if sig is None else sig + bit
-    return voted.select("doc_id", sig.alias("sig"))
+    """60-bit SimHash — `simhash16` widened to SIMHASH_WIDE_HEX md5
+    hex digits so Hamming-distance banding has real bucket
+    cardinality (2^15 values per band; 16-bit signatures would give
+    16 and collapse at scale). Same bit-majority arithmetic
+    (`_simhash`), exact int64 throughout."""
+    return _simhash(docs, text_col, SIMHASH_WIDE_HEX, "sig")
 
 
 def simhash_hamming_pairs(
@@ -490,6 +493,14 @@ def simhash_hamming_pairs(
     pass over the corpus. Signatures ride inside the buckets as
     (doc_id, sig) structs, so the verify needs NO join back to the
     corpus."""
+    if k > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"simhash_hamming_pairs: k={k} exceeds the banding's "
+            f"completeness bound (k <= {SIMHASH_BANDS - 1}): with "
+            f"{SIMHASH_BANDS} bands, {SIMHASH_BANDS} differing bits "
+            "can touch every band and such a pair would be silently "
+            "missed — widen SIMHASH_BANDS instead"
+        )
     sigs = simhash_wide(docs, text_col)
     band_vals = F.array(
         *[
@@ -506,29 +517,7 @@ def simhash_hamming_pairs(
         F.struct("doc_id", "sig").alias("ds"),
         F.explode(band_vals).alias("bv"),
     ).select("ds", "bv.band_idx", "bv.band_val")
-    buckets = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.array_sort(F.collect_set("ds")).alias("members"))
-        .filter(
-            (F.size("members") > 1)
-            & (F.size("members") <= MAX_LSH_BUCKET)
-        )
-    )
-    pairs = (
-        buckets.select(
-            "band_idx",
-            "band_val",
-            F.posexplode("members").alias("pos", "a"),
-            "members",
-        )
-        .repartition("band_idx", "band_val", "a")
-        .select(
-            "a",
-            F.explode(
-                F.expr("slice(members, pos + 2, size(members))")
-            ).alias("b"),
-        )
-    )
+    pairs = _expand_bucket_pairs(bands, ["band_idx", "band_val"], "ds")
     ham = F.bit_count(
         F.col("a.sig").bitwiseXOR(F.col("b.sig"))
     ).cast("bigint")

@@ -93,8 +93,14 @@ def observe_guard_drops(env: DataFrame, name: str = "guards") -> DataFrame:
     def cnt(cond, alias):
         return F.count(F.when(cond, 1)).alias(alias)
 
-    d, tbl, bef, idk, ts = (
-        c["is_delete"], c["tbl_ok"], c["before_ok"], c["id_ok"], c["ts_ok"]
+    # Null-safe delete test: a malformed envelope parses to op=NULL
+    # (the quarantine path feeds exactly such rows through here), and
+    # `op == 'd'` is then NULL — `~NULL` is NULL too, so without the
+    # coalesce the row would land in NO bucket and the total-rows
+    # reconciliation would report phantom loss.
+    d = F.coalesce(c["is_delete"], F.lit(False))
+    tbl, bef, idk, ts = (
+        c["tbl_ok"], c["before_ok"], c["id_ok"], c["ts_ok"]
     )
     return env.observe(
         name,
@@ -111,13 +117,20 @@ def _normalized_json(col: F.Column) -> F.Column:
     """Compact JSON re-serialization of an opaque JSON string column —
     the analog of the reference re-serializing the parsed pre-image
     through fastjson (StartJob.java:146): compact separators, key
-    insertion order preserved, non-ASCII unescaped, value types (and
-    decimal-as-string values) untouched. Arrow-batched pandas UDF: a
-    typed from_json/to_json round-trip can't express this for
-    schemaless pre-images without corrupting nested values. Rows that
-    are not parseable JSON pass through verbatim (the id guard has
-    already ensured $.id extracts, so these are edge-malformed tails,
-    not the common case)."""
+    insertion order preserved, non-ASCII unescaped. Strings (including
+    every decimal — decimal.handling.mode=string stringifies numerics
+    at the source), booleans, nulls, and integers of ANY width
+    (Python ints are unbounded) survive byte-exact; the one caveat is
+    non-integer JSON float literals, which re-render via Python float
+    (1E2 → 100.0, >17 significant digits round) — rare in Debezium
+    pre-images precisely because of the string decimal mode, but a
+    consumer byte-comparing float-bearing payloads should stay on the
+    verbatim default. Arrow-batched pandas UDF: a typed
+    from_json/to_json round-trip can't express this for schemaless
+    pre-images without corrupting nested values. Rows that are not
+    parseable JSON pass through verbatim (the id guard has already
+    ensured $.id extracts, so these are edge-malformed tails, not the
+    common case)."""
     import json
 
     @F.pandas_udf("string")

@@ -86,12 +86,15 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def _simhash_oracle() -> str:
+def _simhash_sig_sql(n_hex: int) -> tuple[str, str]:
+    """(votes, sig) SQL fragments of the 4·n_hex-bit SimHash — the
+    ONE DuckDB-side definition of the vote/fold arithmetic, mirroring
+    `dedup._simhash` and shared by both simhash oracles."""
     digit = (
         "(instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
     )
     votes = []
-    for j in range(4):
+    for j in range(n_hex):
         d = digit.format(j=j + 1)
         bits = [
             f"(CASE WHEN {d} >= 8 THEN 1 ELSE 0 END)",
@@ -102,11 +105,16 @@ def _simhash_oracle() -> str:
         for kk, bit in enumerate(bits):
             votes.append(f"sum({bit} * 2 - 1) AS v{j * 4 + kk}")
     sig = " + ".join(
-        f"CAST(v{i} >= 0 AS BIGINT) * {2**i}" for i in range(16)
+        f"CAST(v{i} >= 0 AS BIGINT) * {2**i}" for i in range(n_hex * 4)
     )
+    return ", ".join(votes), sig
+
+
+def _simhash_oracle() -> str:
+    votes, sig = _simhash_sig_sql(4)
     return f"""
 WITH {_DOC_TOKS_CTE},
-voted AS (SELECT doc_id, {", ".join(votes)} FROM doc_toks GROUP BY doc_id),
+voted AS (SELECT doc_id, {votes} FROM doc_toks GROUP BY doc_id),
 sigs AS (SELECT doc_id, {sig} AS simhash FROM voted)
 SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
 FROM sigs GROUP BY simhash HAVING count(*) > 1
@@ -232,28 +240,11 @@ def _simhash_hamming_oracle() -> str:
     """DuckDB mirror of `dedup.simhash_hamming_pairs`: 60-bit simhash
     (15 md5 hex digits), 4×15-bit banding, bucket-size cap, Hamming
     verify via bit_count(xor) — bit-identical to the Spark plan."""
-    digit = (
-        "(instr('0123456789abcdef', substring(md5(tok), {j}, 1)) - 1)"
-    )
-    votes = []
-    for j in range(dedup.SIMHASH_WIDE_HEX):
-        d = digit.format(j=j + 1)
-        bits = [
-            f"(CASE WHEN {d} >= 8 THEN 1 ELSE 0 END)",
-            f"(CASE WHEN ({d} % 8) >= 4 THEN 1 ELSE 0 END)",
-            f"(CASE WHEN ({d} % 4) >= 2 THEN 1 ELSE 0 END)",
-            f"({d} % 2)",
-        ]
-        for kk, bit in enumerate(bits):
-            votes.append(f"sum({bit} * 2 - 1) AS v{j * 4 + kk}")
-    sig = " + ".join(
-        f"CAST(v{i} >= 0 AS BIGINT) * {2**i}"
-        for i in range(dedup.SIMHASH_WIDE_HEX * 4)
-    )
+    votes, sig = _simhash_sig_sql(dedup.SIMHASH_WIDE_HEX)
     mask = (1 << dedup.SIMHASH_BAND_BITS) - 1
     return f"""
 WITH {_DOC_TOKS_CTE},
-voted AS (SELECT doc_id, {", ".join(votes)} FROM doc_toks GROUP BY doc_id),
+voted AS (SELECT doc_id, {votes} FROM doc_toks GROUP BY doc_id),
 sigs AS (SELECT doc_id, {sig} AS sig FROM voted),
 bands AS (
   SELECT doc_id, sig, t.b AS band_idx,

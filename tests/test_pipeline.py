@@ -79,15 +79,20 @@ def test_normalize_data_json_flag(spark):
     sloppy = (
         "src-0", "d", 1754000000000, "t_orders",
         '{ "id" : "42",\n  "amount": "12.3400",'
-        ' "note": "héllo", "nested": { "a": [1, 2] } }',
+        ' "note": "héllo", "big": 123456789012345678901234567890,'
+        ' "nested": { "a": [1, 2] } }',
     )
     verbatim = build_pipeline(spark, _env(spark, [sloppy]), cfg).collect()
     assert verbatim[0]["data_json"] == sloppy[4]
     normal = build_pipeline(
         spark, _env(spark, [sloppy]), cfg, normalize_data_json=True
     ).collect()
+    # ints of any width are exact (Python ints are unbounded);
+    # decimal STRINGS are untouched — the float-literal caveat is
+    # documented on _normalized_json
     assert normal[0]["data_json"] == (
         '{"id":"42","amount":"12.3400","note":"héllo",'
+        '"big":123456789012345678901234567890,'
         '"nested":{"a":[1,2]}}'
     )
 

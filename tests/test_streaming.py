@@ -36,6 +36,9 @@ EVENTS = [
     ("src-2", "d", 1754000005000, "t_orders", None),  # null before guard
     ("src-0", "u", 1754000006000, "t_orders", {"id": "6"}),
     ("src-1", "d", 1754000007000, "t_orders", {"id": "7", "n": "1"}),
+    # op=null (malformed envelope): must land in n_not_delete, not in
+    # NO bucket — `~(NULL == 'd')` is NULL without the coalesce
+    ("src-2", None, 1754000008000, "t_orders", {"id": "8"}),
 ]
 
 
@@ -372,11 +375,11 @@ def test_observe_guard_drop_counters(spark, stream_dirs):
                     totals[k] = totals.get(k, 0) + v
     finally:
         q.stop()
-    # EVENTS fixture: 2 non-deletes (i/u), 1 blank-table, 1
+    # EVENTS fixture: 3 non-deletes (i/u/null-op), 1 blank-table, 1
     # null-before, 1 bad-ts delete dropped; 3 deletes archived
     # (ids 1, 3, 7); no missing-id case. Buckets sum to len(EVENTS).
     assert totals == {
-        "n_not_delete": 2,
+        "n_not_delete": 3,
         "n_blank_table": 1,
         "n_null_before": 1,
         "n_no_id": 0,

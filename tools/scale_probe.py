@@ -65,6 +65,16 @@ def build_corpus(out_dir: str, factor: int) -> None:
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    # symlinks FIRST, embeddings LAST: main() uses embeddings.parquet
+    # as the build-complete marker, so an interrupted build (missing
+    # symlinks/documents) is rebuilt, never resumed half-made
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), dst)
+
     docs = pd.read_parquet(os.path.join(SRC_SF, "documents.parquet"))
     n_docs = len(docs)
     doc_parts = []
@@ -99,13 +109,6 @@ def build_corpus(out_dir: str, factor: int) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-    ).split():
-        dst = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), dst)
-
 
 def _rest(spark, path: str):
     port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
@@ -115,13 +118,23 @@ def _rest(spark, path: str):
         return json.loads(r.read().decode("utf-8"))
 
 
-def stage_report(spark, after_stage: int) -> list[dict]:
-    """Completed stages newer than `after_stage`, with task-time
-    quantiles (REST taskSummary) and shuffle volumes."""
+def stage_report(
+    spark, after_stage: int
+) -> tuple[list[dict], int]:
+    """(report, max_stage_seen): completed stages newer than
+    `after_stage` with task-time quantiles (REST taskSummary) and
+    shuffle volumes. max_stage_seen covers EVERY listed stage — also
+    small and taskSummary-failed ones — so the caller's watermark
+    always advances past this run and a skipped stage can never be
+    misattributed to the next query's report."""
     out = []
+    max_seen = after_stage
     for st in _rest(spark, "/stages?status=COMPLETE"):
         sid = st["stageId"]
-        if sid <= after_stage or st["numCompleteTasks"] < MIN_TASKS:
+        if sid <= after_stage:
+            continue
+        max_seen = max(max_seen, sid)
+        if st["numCompleteTasks"] < MIN_TASKS:
             continue
         try:
             summ = _rest(
@@ -146,7 +159,7 @@ def stage_report(spark, after_stage: int) -> list[dict]:
                 ),
             }
         )
-    return out
+    return out, max_seen
 
 
 def main() -> None:
@@ -184,14 +197,9 @@ def main() -> None:
         # same-session sf0.1 reference, measured back-to-back with the
         # scaled run — the cleanest apples-to-apples ratio available
         ref_wall = run(name, SRC_SF)
-        last_stage = max(
-            (s["stage"] for s in stage_report(spark, last_stage)),
-            default=last_stage,
-        )
+        _, last_stage = stage_report(spark, last_stage)
         wall = run(name, corpus)
-        stages = stage_report(spark, last_stage)
-        if stages:
-            last_stage = max(s["stage"] for s in stages)
+        stages, last_stage = stage_report(spark, last_stage)
         results[name] = {
             "wall_s": round(wall, 2),
             "ref_wall_s": round(ref_wall, 2),

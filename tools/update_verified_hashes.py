@@ -48,14 +48,22 @@ from __spark_entry__ import _is_green_row  # noqa: E402
 
 
 def _rounds() -> list[dict]:
-    """CORRECTNESS files' contents, oldest → newest."""
+    """CORRECTNESS files' contents, oldest → newest.
+
+    An unreadable/corrupt file ABORTS instead of being skipped: pins
+    are now dropped when their supporting green row disappears, so
+    silently omitting a round would wipe every pin that round alone
+    supports — a transient read hiccup must not destroy the pin set."""
     out = []
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
                 out.append(json.load(f))
-        except (OSError, ValueError):
-            continue
+        except (OSError, ValueError) as e:
+            raise SystemExit(
+                f"refusing to update pins: {path} is unreadable ({e}); "
+                "fix or remove the file and re-run"
+            )
     return out
 
 
