@@ -291,3 +291,54 @@ class TestDistributedOperatorProperties:
             ).collect()
         )
         assert got == base
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_docs=st.integers(min_value=0, max_value=30),
+    vocab=st.integers(min_value=2, max_value=8),
+    doc_len=st.integers(min_value=0, max_value=12),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_simhash_hamming_banding_complete(
+    spark, n_docs, vocab, doc_len, seed
+):
+    """Property form of the banding-completeness claim: on random
+    small-vocabulary corpora (deliberately collision-prone — tiny
+    vocabularies make many signature pairs land within Hamming ≤ 3),
+    the banded pair set must equal brute-force all-pairs Hamming ≤ k
+    over the same 60-bit signatures, for every generated corpus."""
+    import random
+
+    from jly_flink_spark.operators import dedup
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{rng.randrange(vocab)}" for _ in range(doc_len)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["sig"] for r in dedup.simhash_wide(docs).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b, (sigs[a] ^ sigs[b]).bit_count())
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= dedup.K_HAMMING
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_hamming_pairs(docs).collect()
+    }
+    assert banded == brute
