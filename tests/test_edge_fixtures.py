@@ -73,6 +73,10 @@ def edge_sf_dir(tmp_path_factory):
         "udf_mapinpandas_tokens",
         "text_bigram_logprob",
         "text_unigram_logprob",
+        # near-identical tiny docs → dense Hamming pairs; empty and
+        # whitespace-only docs have NO signature (token-less) and must
+        # drop identically on both engines
+        "dedup_simhash_hamming",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
