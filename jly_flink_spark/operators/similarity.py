@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -378,23 +378,41 @@ def cosine_topk_ivf(
     # floats), so probe selection is pure model-state arithmetic —
     # shipping it into Catalyst as a 16-way literal expression tree
     # costs more in analysis than the whole computation.
-    import math
-
-    import numpy as np
-
     q_rows = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", vec_col)
         .collect()
     )
+    queries = _probe_frame(
+        emb.sparkSession, q_rows, cents, n_probe, vec_col
+    )
+    return _topk_from_probes(corpus, queries, k)
+
+
+def _probe_frame(
+    spark: SparkSession,
+    q_rows,
+    cents: list,
+    n_probe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query rows → probe frame (query_id, query_vec, query_norm2,
+    list_id): each query fanned out to its n_probe nearest centroid
+    lists, computed DRIVER-SIDE in numpy (queries and centroids are
+    both model-state-sized). Zero-quantized-norm queries drop —
+    cosine undefined, same contract as drop_zero_norm on the corpus
+    side. Shared by the in-memory IVF path and the persisted-layout
+    serving paths (batch + streaming)."""
+    import math
+
+    import numpy as np
+
     ids_c, cmat, cqn = _centroid_state(cents)
     probe_rows = []
     for r in q_rows:
         v = np.array(list(r[vec_col]), dtype="float64")
         vq = int(np.floor(v * v * QUANT).astype("int64").sum())
         if vq <= 0:
-            # zero QUANTIZED norm: cosine undefined — drop the query,
-            # same contract as drop_zero_norm on the corpus side
             continue
         qd = (
             np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
@@ -410,11 +428,19 @@ def cosine_topk_ivf(
                     int(cid),
                 )
             )
-    queries = emb.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         probe_rows,
         "query_id long, query_vec array<float>, query_norm2 long, "
         "list_id int",
     )
+
+
+def _topk_from_probes(
+    corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Score a (cand_id, cand_vec, cand_norm2, list_id) corpus against
+    a broadcast probe frame and keep each query's top-k: the one real
+    shuffle is the per-query top-k window over candidate scores."""
     dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
     cos = dot.cast("double") / (
         F.sqrt(F.col("query_norm2").cast("double"))
@@ -466,6 +492,84 @@ def persist_ivf_corpus(
         assign(F.col(vec_col)).alias("list_id"),
     )
     write_partitioned(corpus, path, ["list_id"])
+
+
+def serve_ann_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    layout_path: str,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for a REQUEST BATCH of query vectors
+    (columns `vec_id`, `vec_col`) against the persisted IVF layout —
+    the serving-side read path matching `persist_ivf_corpus`'s write
+    path. The probe scan is partition-pruned to the union of the
+    batch's probe lists (~n_probe/n_list of the corpus bytes), the
+    probe frame broadcasts (request-sized), and the only shuffle is
+    the per-query top-k window. The `.collect()` is the request
+    batch itself — serving requests are driver-sized by definition;
+    the corpus never is."""
+    q_rows = queries_df.select("vec_id", vec_col).collect()
+    queries = _probe_frame(spark, q_rows, centroids, n_probe, vec_col)
+    lists = [
+        r["list_id"] for r in queries.select("list_id").distinct().collect()
+    ]
+    corpus = (
+        spark.read.parquet(layout_path)
+        .filter(F.col("list_id").isin(lists))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col(vec_col).alias("cand_vec"),
+            F.col("q_norm2").alias("cand_norm2"),
+            "list_id",
+        )
+    )
+    return _topk_from_probes(corpus, queries, k)
+
+
+def serve_ann_stream(
+    queries_sdf: DataFrame,
+    layout_path: str,
+    centroids: list,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+):
+    """Streaming ANN serving: a stream of query vectors probes the
+    persisted IVF layout per micro-batch and appends epoch-stamped
+    results — the similarity-search analog of the incremental-dedup
+    stream (`dedup.stream_near_dup_candidates`): index built once,
+    arrivals served incrementally, no streaming state (each request
+    is independent, so recovery is plain source-offset replay and
+    results are keyed by (epoch_id, query_id) for idempotent
+    consumers). Per-epoch work = one partition-pruned scan of the
+    probed lists + a broadcast join — corpus-sized nothing ever
+    shuffles or accumulates. Returns the StreamingQuery."""
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        (
+            serve_ann_topk(
+                spark, batch_df, layout_path, centroids, k, n_probe,
+                vec_col,
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        queries_sdf.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def default_block_count(

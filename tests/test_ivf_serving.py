@@ -132,3 +132,95 @@ def test_served_probe_reproduces_ivf_topk(spark, served):
     scored.sort(key=lambda t: (-t[1], t[0]))
     got = {(vid, i + 1) for i, (vid, _) in enumerate(scored[:K])}
     assert got == want
+
+
+def test_batch_serve_matches_inmemory_ivf(spark, served):
+    """serve_ann_topk over the persisted layout must reproduce the
+    in-memory cosine_topk_ivf exactly for the same centroids/queries
+    — same probe selection, same quantized scoring, same tie rule."""
+    emb, cents, path = served
+    qids = [3, 7, 11]
+    want = {
+        (r["query_id"], r["cand_id"], r["rnk"])
+        for r in cosine_topk_ivf(
+            emb, qids, k=K, n_list=N_LIST, n_probe=N_PROBE,
+            centroids=cents,
+        ).collect()
+    }
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        (r["query_id"], r["cand_id"], r["rnk"])
+        for r in similarity.serve_ann_topk(
+            spark, queries, path, cents, k=K, n_probe=N_PROBE
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_serve_matches_batch(spark, served, tmp_path):
+    """Query vectors arriving over TWO micro-batches must produce the
+    same per-query top-k as one batch serve — the streaming path is
+    stateless per request, so the epoch split cannot change results."""
+    emb, cents, path = served
+    qids_by_epoch = [[3, 7], [11]]
+    src = tmp_path / "queries"
+    src.mkdir()
+    for i, qids in enumerate(qids_by_epoch):
+        rows = emb.filter(F.col("vec_id").isin(qids)).select(
+            "vec_id", "embedding"
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"staging_{i}")
+        )
+    # lay the files into one stream-source dir, one file per epoch
+    import glob as _glob
+    import shutil
+
+    stream_dir = tmp_path / "stream_src"
+    stream_dir.mkdir()
+    for i in range(len(qids_by_epoch)):
+        part = _glob.glob(str(src / f"staging_{i}" / "part-*.parquet"))[0]
+        shutil.copy(part, str(stream_dir / f"batch_{i}.parquet"))
+
+    out_dir = str(tmp_path / "results")
+    q = similarity.serve_ann_stream(
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir)),
+        path,
+        cents,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        k=K,
+        n_probe=N_PROBE,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["query_id"], r["cand_id"], r["rnk"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_ids = [i for qs in qids_by_epoch for i in qs]
+    want = {
+        (r["query_id"], r["cand_id"], r["rnk"])
+        for r in similarity.serve_ann_topk(
+            spark,
+            emb.filter(F.col("vec_id").isin(all_ids)),
+            path,
+            cents,
+            k=K,
+            n_probe=N_PROBE,
+        ).collect()
+    }
+    assert got == want and got
+    # every query answered in exactly one epoch
+    epochs = {
+        (r["query_id"], r["epoch_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len({q for q, _ in epochs}) == len(all_ids)
