@@ -223,6 +223,69 @@ def sessionize(
     )
 
 
+_LATEST_STATE = "ts long, tie long, val string"
+
+
+def latest_state_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming changelog compaction to latest state per key — the
+    incremental form of the batch `cdc_latest_state_compaction` query
+    (row_number()=1 by (ts, tie) desc) and the classic CDC upsert
+    materialization: each micro-batch emits one row per key whose
+    latest value CHANGED, so a downstream upsert sink (JDBC merge,
+    compacted topic, `foreachBatch` overwrite-by-key) maintains the
+    current-state view without ever reprocessing history.
+
+    Ordering is (ts, tie) lexicographic — `tie` (e.g. event_id) makes
+    last-wins deterministic under equal timestamps, exactly matching
+    the batch query's ORDER BY ts DESC, tie DESC. A late event older
+    than the key's current state produces NO emission (stale update
+    suppressed). State per key is one (ts, tie, value) triple — the
+    materialized view itself, sharded by the groupBy hash shuffle;
+    unbounded only in the number of KEYS, like any upsert view
+    (use a TTL timeout variant if keys churn forever)."""
+    out_schema = (
+        f"{key_col} long, last_ts long, last_tie long, "
+        f"{value_col} string"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            for ts, tie, val in zip(
+                pdf[ts_col], pdf[tie_col], pdf[value_col]
+            ):
+                cand = (int(ts), int(tie), str(val))
+                if best is None or cand[:2] > best[:2]:
+                    best, changed = cand, True
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "last_ts": [best[0]],
+                    "last_tie": [best[1]],
+                    value_col: [best[2]],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(
     sdf: DataFrame,
     keys: list[str],

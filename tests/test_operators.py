@@ -63,6 +63,32 @@ def test_simhash_identical_docs_collide(docs):
     assert 0 <= sigs[1] < 2**16
 
 
+def test_bucket_cap_drops_degenerate_buckets(spark, monkeypatch):
+    """The shared LSH skew guard: a bucket larger than MAX_LSH_BUCKET
+    (a giant duplicate group — exact dedup's job) must be dropped
+    whole, emitting NO pairs, on the one helper both the MinHash and
+    SimHash-Hamming paths use."""
+    rows = [(i, "b0", ) for i in range(5)]
+    items = spark.createDataFrame(rows, "doc_id long, band_key string")
+    monkeypatch.setattr(dedup, "MAX_LSH_BUCKET", 3)
+    assert dedup._expand_bucket_pairs(
+        items, ["band_key"], "doc_id"
+    ).count() == 0
+    monkeypatch.setattr(dedup, "MAX_LSH_BUCKET", 10)
+    got = {
+        (r["a"], r["b"])
+        for r in dedup._expand_bucket_pairs(
+            items, ["band_key"], "doc_id"
+        ).collect()
+    }
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_simhash_hamming_k_bound_rejected(docs):
+    with pytest.raises(ValueError, match="completeness"):
+        dedup.simhash_hamming_pairs(docs, k=4)
+
+
 def test_simhash_hamming_matches_bruteforce(spark, sf_dir):
     """The banding claim itself: on a real corpus slice, the banded
     pair set must EQUAL brute-force all-pairs Hamming<=k over the same

@@ -389,3 +389,68 @@ class TestSessionizeWatermarkSemantics:
             gap_s=30, wm="10 seconds", name="gapedge",
         )
         assert (1, base * 1000, (base + 30) * 1000, 2) in got
+
+
+class TestLatestStateStream:
+    """Streaming changelog compaction (the incremental form of the
+    batch cdc_latest_state_compaction query): per-batch upsert
+    emissions, stale-late-event suppression, tie determinism."""
+
+    def _run(self, spark, tmp_path, batches, name):
+        from jly_flink_spark.streaming.stateful import latest_state_stream
+
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = spark.readStream.schema(
+            "user_id long, ts long, event_id long, val string"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        emissions = []
+        q = (
+            latest_state_stream(stream, "user_id", "ts", "event_id", "val")
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {(r["user_id"]): (r["last_ts"], r["last_tie"], r["val"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [e for e in emissions if e]
+
+    def test_upserts_match_batch_compaction(self, spark, tmp_path):
+        batches = [
+            [{"user_id": 1, "ts": 100, "event_id": 1, "val": "a"},
+             {"user_id": 2, "ts": 100, "event_id": 2, "val": "x"}],
+            # newer for 1; STALE (older ts) for 2 → no emission for 2
+            [{"user_id": 1, "ts": 200, "event_id": 3, "val": "b"},
+             {"user_id": 2, "ts": 50, "event_id": 4, "val": "stale"}],
+            # equal ts for 1: higher event_id wins (tie determinism)
+            [{"user_id": 1, "ts": 200, "event_id": 9, "val": "c"}],
+        ]
+        emissions = self._run(spark, tmp_path, batches, "upsert")
+        # batch 1: both keys new
+        assert emissions[0] == {1: (100, 1, "a"), 2: (100, 2, "x")}
+        # batch 2: only key 1 changed — key 2's stale update suppressed
+        assert emissions[1] == {1: (200, 3, "b")}
+        # batch 3: same ts, higher tie wins
+        assert emissions[2] == {1: (200, 9, "c")}
+        # folding the upserts reproduces the batch row_number()=1 view
+        view = {}
+        for e in emissions:
+            view.update(e)
+        assert view == {1: (200, 9, "c"), 2: (100, 2, "x")}
+
+    def test_lower_tie_at_same_ts_is_stale(self, spark, tmp_path):
+        batches = [
+            [{"user_id": 5, "ts": 300, "event_id": 7, "val": "keep"}],
+            [{"user_id": 5, "ts": 300, "event_id": 6, "val": "old"}],
+        ]
+        emissions = self._run(spark, tmp_path, batches, "tie")
+        assert emissions == [{5: (300, 7, "keep")}]
