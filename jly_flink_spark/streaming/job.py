@@ -157,3 +157,47 @@ def run_archival_once(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    quarantine_dir: str,
+    cfg: TaskConfig,
+    sink: DualSink,
+    epoch_id: int,
+) -> tuple[int, int]:
+    """Re-run quarantined envelopes through the pipeline after a
+    parser/producer fix — the operational closing of the quarantine
+    loop: rows that now parse are archived through the SAME sink
+    (under the caller-chosen replay epoch, so the labels/cleanup keys
+    are idempotent like any other epoch), rows that still fail stay
+    quarantined for the next fix. Returns (n_archived, n_still_bad).
+
+    This is a BATCH job over the quarantine parquet (raw lines were
+    preserved verbatim for exactly this), so it can run any time
+    without touching the live stream or its checkpoint; remove or
+    archive the quarantine dir afterwards to avoid re-replaying the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    from ..sources.envelopes import parse_envelope_json_flagged
+
+    raw = spark.read.parquet(quarantine_dir).select(
+        "instance_name", F.col("raw_value").alias("value")
+    )
+    flagged = parse_envelope_json_flagged(raw).persist()
+    try:
+        still_bad = flagged.filter(F.col("_is_bad")).count()
+        good = flagged.filter(~F.col("_is_bad")).select(
+            "instance_name", "op", "ts_ms", "source_table", "before"
+        )
+        target = build_pipeline(spark, good, cfg).persist()
+        try:
+            n_archived = target.count()
+            if n_archived:
+                sink(target, epoch_id)
+        finally:
+            target.unpersist()
+    finally:
+        flagged.unpersist()
+    return n_archived, still_bad
