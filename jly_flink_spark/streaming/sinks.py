@@ -288,6 +288,11 @@ class HttpStreamLoadTransport:
         req.add_header("jsonpaths", self.JSONPATHS)
         req.add_header("Expect", "100-continue")
         req.add_header("Content-Type", "application/json")
+        # Server-side load limits, mirroring the reference client
+        # (SrStreamLoadClient.java:52-53): 5 GiB per-load memory cap,
+        # 1200 s server-side load timeout.
+        req.add_header("load_mem_limit", str(5 * 1024**3))
+        req.add_header("timeout", "1200")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 return json.loads(resp.read().decode("utf-8"))

@@ -757,6 +757,9 @@ class TestHttpStreamLoadTransport:
             assert h["strip_outer_array"] == "true"
             assert "$.id" in h["jsonpaths"]
             assert h["label"] == "lab_1"
+            # server-side load limits (SrStreamLoadClient.java:52-53)
+            assert h["load_mem_limit"] == str(5 * 1024**3)
+            assert h["timeout"] == "1200"
 
     def test_sr_sink_through_http(self, spark, stream_load_stub):
         from jly_flink_spark.streaming.sinks import HttpStreamLoadTransport
