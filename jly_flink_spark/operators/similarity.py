@@ -741,6 +741,110 @@ def embedding_near_dup_pairs(
     )
 
 
+def int8_codes(vec):
+    """Symmetric per-vector absmax int8 quantization of a float array:
+    scale = max(|x_i|) guarded at 1e-12, code_i = floor(x_i·127/scale).
+
+    Same formula as the `embedding_quantize_int8` audit query (already
+    cross-engine hash-verified), so the codes — and everything computed
+    from them — are bit-identical on any engine that mirrors the
+    expression. Codes are exact small integers; all downstream scoring
+    is integer arithmetic, fold-order independent by construction."""
+    absmax = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = F.greatest(absmax, F.lit(1e-12))
+    return F.transform(
+        vec,
+        lambda v: F.floor(v.cast("double") * F.lit(127.0) / scale).cast(
+            "long"
+        ),
+    )
+
+
+def _idot(a, b):
+    """Exact integer dot product of two int arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_int8(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized codes (the FAISS
+    SQ8 / ADC serving pattern): quantize every vector once, score
+    queries against the CODES, never the floats.
+
+    Why this exists at 100 TB: the quantized corpus is 4× smaller than
+    float32 (0.25 bytes/dim ratio), so the scan — the dominant cost of
+    a brute-force serving tier — reads 4× less I/O, and the dot
+    products are exact integer ops (vectorizable, no FP accumulation
+    order concerns). Recall loss vs exact cosine is the quantization
+    error audited by `embedding_quantize_int8`.
+
+    Plan shape mirrors `cosine_topk_bruteforce`: broadcast(query
+    codes) × streamed corpus codes, per-query partial top-k via
+    window; only slim (query_id, cand_id, score) rows shuffle. At
+    scale the code column is materialized with the corpus (write
+    `int8_codes` at ingest) rather than recomputed per query — this
+    operator recomputes it inline only because the test corpus ships
+    floats.
+
+    Vectors whose codes are all zero (every |x| under the quantization
+    unit) are dropped on both sides — integer norm 0, cosine
+    undefined; same guard class as `drop_zero_norm`."""
+    from ..io import ensure_min_parallelism
+
+    coded = emb.select(
+        "vec_id", int8_codes(F.col(vec_col)).alias("codes")
+    ).withColumn("qn", _idot(F.col("codes"), F.col("codes")))
+    corpus = (
+        ensure_min_parallelism(coded)
+        .filter(F.col("qn") > 0)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("codes").alias("cand_codes"),
+            F.col("qn").alias("cand_qn"),
+        )
+    )
+    queries = (
+        coded.filter(F.col("vec_id").isin(query_ids))
+        .filter(F.col("qn") > 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("codes").alias("query_codes"),
+            F.col("qn").alias("query_qn"),
+        )
+    )
+    cos = _idot(F.col("query_codes"), F.col("cand_codes")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("query_qn").cast("double"))
+        * F.sqrt(F.col("cand_qn").cast("double"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine_q8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q8").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine_q8", "rnk")
+    )
+
+
 def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label norm statistics — a cheap full-scan sanity operator
     over the vector column (quantized-exact, oracle-friendly)."""

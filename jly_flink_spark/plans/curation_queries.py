@@ -588,6 +588,113 @@ def text_boilerplate_chunks(spark, sf_dir):
     )
 
 
+DUP_FLAG_PPM = 500_000  # flag a doc when > 50% of its chunks are shared
+
+_DUP_FRAC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), spine AS (
+  SELECT unnest(generate_series(1, CAST(CEIL(
+    (SELECT max(len(ts)) FROM toks) / {CHUNK_TOKENS}.0) AS INT))) AS i
+), chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(ts,
+           (i - 1) * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS}), ' ')) AS h
+  FROM toks, spine
+  WHERE (i - 1) * {CHUNK_TOKENS} + 1 <= len(ts)
+), dfh AS (
+  SELECT h, count(DISTINCT doc_id) AS df FROM chunks GROUP BY h
+), per_doc AS (
+  SELECT c.doc_id, c.source,
+         count(*) AS n_chunks,
+         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM chunks c JOIN dfh d ON c.h = d.h
+  GROUP BY c.doc_id, c.source
+), scoredocs AS (
+  SELECT source, n_chunks, n_dup,
+         CAST(floor(1000000.0 * n_dup / n_chunks) AS BIGINT) AS dup_ppm
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_ppm > {DUP_FLAG_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_chunks,
+       CAST(SUM(dup_ppm) AS BIGINT) AS sum_dup_ppm
+FROM scoredocs GROUP BY source
+"""
+
+
+@register(
+    "curation_dup_chunk_fraction",
+    oracle=_DUP_FRAC_ORACLE,
+    tags=("curation", "dedup", "quality"),
+    doc="Per-document duplicated-content fraction (the RefinedWeb/"
+    "Dolma whole-doc removal signal, distinct from the per-chunk "
+    f"boilerplate DROP): share of a doc's {CHUNK_TOKENS}-token chunks "
+    "that also appear in at least one OTHER document, in integer ppm, "
+    "rolled up per source with the count of docs over the "
+    f"{DUP_FLAG_PPM / 10_000:.0f}% removal threshold. Scale shape: "
+    "slim 32-byte hash rows only (chunk document-frequency groupBy, "
+    "then a hash-keyed join — broadcast at test SF by AQE, an "
+    "exchange-reusing sort-merge at corpus scale); the corpus text "
+    "itself is chunked in place and never shuffled; per-doc and "
+    "per-source rollups are map-side combined.",
+)
+def curation_dup_chunk_fraction(spark, sf_dir):
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", "source", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", "source", F.col("c.h").alias("h"))
+    )
+    dfh = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        chunks.join(dfh, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_dup") / F.col("n_chunks")
+            ).cast("long"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dup_ppm") > DUP_FLAG_PPM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("n_chunks").cast("long").alias("total_chunks"),
+        F.sum("n_dup").cast("long").alias("dup_chunks"),
+        F.sum("dup_ppm").cast("long").alias("sum_dup_ppm"),
+    )
+
+
 # --------------------------------------------------------------------
 # Unigram-LM document scoring (CCNet-style perplexity filtering)
 # --------------------------------------------------------------------

@@ -375,6 +375,80 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _int8_adc_oracle() -> str:
+    """DuckDB mirror of the int8 ADC path: the same absmax/floor
+    quantization formula as the hash-verified `embedding_quantize_int8`
+    oracle, then exact integer dots/norms — bit-identical on both
+    engines because every post-quantization value is an integer."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale)
+                     AS BIGINT)) AS q
+  FROM scaled
+),
+norms AS (
+  SELECT vec_id, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qn
+  FROM codes
+),
+prods AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         unnest(q.q) AS qa, unnest(c.q) AS qb
+  FROM codes q, codes c
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT query_id, cand_id, CAST(sum(qa * qb) AS BIGINT) AS qdot
+  FROM prods GROUP BY query_id, cand_id
+),
+scored AS (
+  -- qn > 0 on BOTH sides mirrors the engine's all-zero-codes drop
+  -- (cosine undefined on a zero integer norm).
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+           AS cosine_q8
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+  WHERE nq.qn > 0 AND nc.qn > 0
+)
+SELECT query_id, cand_id, cosine_q8, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_q8 DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_cosine_int8_adc",
+    oracle=_int8_adc_oracle(),
+    tags=("northstar", "similarity", "quantization"),
+    doc="Approximate cosine top-k over int8-quantized codes (FAISS "
+    "SQ8/ADC serving pattern): symmetric absmax quantization (the "
+    "same formula `embedding_quantize_int8` audits), then exact "
+    "integer dot products against broadcast query codes. The 4x "
+    "scan-I/O cut a brute-force serving tier takes at corpus scale; "
+    "codes are materialized at ingest in production, recomputed "
+    "inline here only because the test corpus ships floats.",
+)
+def ann_cosine_int8_adc(spark, sf_dir):
+    return similarity.cosine_topk_int8(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_ANN_QUERY_IDS,
+        k=_ANN_K,
+    )
+
+
 def _lsh_oracle(n_planes: int = 6) -> str:
     """Exact DuckDB mirror of the LSH path: the hyperplanes are
     md5-derived and the sign sums are quantized int64 (see

@@ -77,6 +77,9 @@ def edge_sf_dir(tmp_path_factory):
         # whitespace-only docs have NO signature (token-less) and must
         # drop identically on both engines
         "dedup_simhash_hamming",
+        # shared "t0 t1 t2 ..." prefixes make cross-doc duplicate
+        # chunks dense; token-less docs must drop on both engines
+        "curation_dup_chunk_fraction",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
@@ -175,7 +178,15 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["ann_cosine_lsh", "ann_cosine_topk", "ann_cosine_ivf_exact"]
+    "name",
+    [
+        "ann_cosine_lsh",
+        "ann_cosine_topk",
+        "ann_cosine_ivf_exact",
+        # int8 drops only the EXACT-zero vector (all-zero codes); the
+        # sub-quantization-unit vector has valid codes on both engines
+        "ann_cosine_int8_adc",
+    ],
 )
 def test_ann_oracles_agree_on_degenerate_vectors(spark, edge_emb_dir, name):
     """Every SQL-expressible ANN oracle mirrors the engine's

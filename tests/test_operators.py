@@ -161,6 +161,64 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert cos[1] > 0.99 and abs(cos[2]) < 1e-6
 
 
+def test_int8_topk_matches_numpy_reference(spark, sf_dir):
+    """The int8 ADC path must equal an independent numpy
+    recomputation of the same quantization + integer cosine on a real
+    corpus slice — formula-level verification, not just oracle-SQL
+    agreement (which could share a bug)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    tbl = tbl.iloc[:200]
+    codes = {}
+    for vid, emb in zip(tbl.vec_id, tbl.embedding):
+        x = np.asarray(emb, dtype=np.float64)
+        scale = max(np.abs(x).max(), 1e-12)
+        codes[int(vid)] = np.floor(x * 127.0 / scale).astype(np.int64)
+    expected = {}
+    for q in (0, 1):
+        qa = codes[q]
+        qn = int(qa @ qa)
+        scored = []
+        for cid, qb in codes.items():
+            if cid == q or int(qb @ qb) == 0 or qn == 0:
+                continue
+            cos = float(qa @ qb) / (
+                np.sqrt(float(qn)) * np.sqrt(float(qb @ qb))
+            )
+            scored.append((cid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        expected[q] = [cid for cid, _ in scored[:5]]
+
+    df = spark.createDataFrame(
+        [(int(v), [float(x) for x in e]) for v, e in
+         zip(tbl.vec_id, tbl.embedding)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk_int8(df, query_ids=[0, 1], k=5).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rnk"])):
+        got.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert got == expected
+
+
+def test_int8_topk_drops_all_zero_code_vectors(spark):
+    """A vector whose components all quantize to 0 — impossible for
+    absmax-scaled SELF codes unless the vector is exactly zero, where
+    scale hits the 1e-12 floor — must vanish from both sides instead
+    of raising on the zero-norm division."""
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # all-zero vector → all-zero codes
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_int8(df, query_ids=[0, 2], k=5).collect()
+    assert {r["query_id"] for r in out} == {0}
+    assert {r["cand_id"] for r in out} == {1}
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     # 20 vectors on a few directions; probing every list must give
     # exactly the exhaustive result (IVF prunes lists, nothing else).

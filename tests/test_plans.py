@@ -93,6 +93,17 @@ class TestJoinStrategies:
         plan = plan_of(spark, "ann_cosine_topk")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
+    def test_int8_adc_partial_topk_before_shuffle(self, spark):
+        """The int8 serving path must keep the brute-force shape
+        (broadcast queries, streamed corpus codes) AND apply the
+        partial per-partition top-k (WindowGroupLimit) BEFORE its one
+        exchange — so at most partitions×k slim rows shuffle, never
+        the n×|Q| scored pairs."""
+        plan = plan_of(spark, "ann_cosine_int8_adc", mode="simple")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        _, _, below = plan.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in below, plan  # partial below exchange
+
     def test_q10_top20_avoids_global_sort(self, spark):
         """ORDER BY + LIMIT 20 must compile to TakeOrderedAndProject
         (per-partition top-N, driver merge) — a global range-exchange
@@ -157,6 +168,12 @@ class TestShuffleBudget:
             # chunk-df groupBy (2-phase distinct) + per-lang rollup;
             # the corpus rows themselves never shuffle (broadcast anti)
             ("text_boilerplate_chunks", 4),
+            # broadcast queries × streamed corpus codes; one window
+            # shuffle of partitions×k slim rows (partial top-k first)
+            ("ann_cosine_int8_adc", 1),
+            # chunk-df 2-phase distinct (2) + per-doc + per-source;
+            # every exchanged row is a 32-byte hash or a count
+            ("curation_dup_chunk_fraction", 4),
             # static plan duplicates the vocab subtree (tok groupBy ×2
             # + scalar-total SinglePartition ×2 + doc agg); AQE's
             # ReusedExchange collapses the duplicates at runtime —
