@@ -104,6 +104,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Host context for cross-run comparison: observed run-to-run
+        # swings exceed 30% between VMs/boots, so per-query ratios
+        # within ~1.5x of a floor measured on a DIFFERENT host are
+        # noise unless the plan changed (see regression_notes).
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     # Regression guard: per-query ratio against the tracked floor
     # (BENCH_BASELINE.json = round 1). Ratios > 1.5 are flagged so a

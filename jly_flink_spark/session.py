@@ -53,3 +53,41 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_filters(
+    spark: SparkSession,
+    *,
+    application_side_scan_threshold: str = "10GB",
+    creation_side_threshold: str = "100MB",
+) -> None:
+    """Turn on Catalyst's runtime (row-level) Bloom-filter join
+    pruning for this session.
+
+    At 100 TB this is a first-order lever for selective dim→fact
+    joins that are too big to broadcast: the optimizer builds a Bloom
+    filter over the creation side's join keys (a one-pass aggregate
+    over the ALREADY-FILTERED dim rows) and injects
+    `might_contain(xxhash64(key))` into the fact side ABOVE ITS SCAN —
+    so non-matching fact rows are dropped before they are shuffled,
+    cutting shuffle volume by the join's selectivity. Broadcast joins
+    don't need it (the hash table already prunes map-side); this
+    covers the shuffle-join regime between "dim fits in 64 MB" and
+    "both sides huge and unselective".
+
+    The thresholds mirror Spark's intent: only bother when the fact
+    scan is big enough for pruning to pay (application side) and the
+    dim side is small enough that its Bloom filter stays cheap
+    (creation side). Defaults match a 1000-executor cluster; tests
+    set the application threshold to 0 to force injection at test SF.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )

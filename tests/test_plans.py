@@ -312,3 +312,63 @@ class TestCodegen:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         header = plan.split("(1) ")[0]
         assert "* Project" in header or "* HashAggregate" in header, plan
+
+
+class TestRuntimeFilters:
+    def test_bloom_filter_prunes_fact_side_before_shuffle(self, spark):
+        """enable_runtime_filters must make Catalyst inject a
+        Bloom-filter membership probe (`might_contain(xxhash64(key))`)
+        into the FACT side of a selective shuffle join, above its
+        scan — the 100-TB lever for dim→fact joins too big to
+        broadcast: non-matching fact rows drop before the exchange.
+        The application-side threshold is forced to 0 here because no
+        test-SF scan reaches the production 10GB default."""
+        from pyspark.sql import functions as F
+
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.session import enable_runtime_filters
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            enable_runtime_filters(
+                spark, application_side_scan_threshold="0"
+            )
+            # force the shuffle-join regime the feature exists for
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            li = load_table(spark, SF_DIR, "lineitem")
+            orders = load_table(spark, SF_DIR, "orders")
+            sel = orders.filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select("o_orderkey")
+            plan_df = li.join(
+                sel, li.l_orderkey == sel.o_orderkey
+            )
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                plan_df.explain("formatted")
+            plan = buf.getvalue()
+            assert "might_contain" in plan, plan
+            assert "bloom_filter_agg" in plan, plan
+            # the probe must sit on the lineitem (application) side,
+            # i.e. reference the fact join key, not the dim key
+            probe = next(
+                ln for ln in plan.splitlines() if "might_contain" in ln
+            )
+            assert "l_orderkey" in probe, probe
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

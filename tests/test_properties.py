@@ -342,3 +342,65 @@ def test_simhash_hamming_banding_complete(
         for r in dedup.simhash_hamming_pairs(docs).collect()
     }
     assert banded == brute
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_int8_codes_bounded_and_scale_invariant(spark, vecs):
+    """Properties of the absmax int8 quantizer on arbitrary float32
+    vectors: every code fits int8's positive-symmetric range
+    [-127, 127] (so the persisted code column genuinely packs into one
+    byte/dim), and codes are invariant under positive scalar rescaling
+    of the vector (absmax normalization cancels the scalar) — the
+    property that makes SQ8 cosine insensitive to embedding norm
+    conventions."""
+    from jly_flink_spark.operators.similarity import int8_codes
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id long, embedding array<float>"
+    df = spark.createDataFrame(rows, schema)
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", int8_codes(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    for c in codes.values():
+        assert all(-127 <= v <= 127 for v in c), c
+
+    scaled = [
+        (i, [float(x) * 4.0 for x in v]) for i, v in enumerate(vecs)
+    ]
+    # 4x is exact in binary floating point: x*4/(absmax*4) == x/absmax
+    # component-wise, so codes must be bit-identical unless the
+    # original absmax was below the 1e-12 floor (all-zero vectors).
+    df2 = spark.createDataFrame(scaled, schema)
+    codes2 = {
+        r["vec_id"]: r["c"]
+        for r in df2.select(
+            "vec_id", int8_codes(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        if max(abs(float(x)) for x in v) > 1e-12:
+            assert codes[i] == codes2[i]
