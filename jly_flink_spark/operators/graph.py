@@ -1,0 +1,94 @@
+"""Graph propagation operators (iterative dataflow, unrolled).
+
+The reference job has no graph surface (it is a CDC archival
+pipeline, `StartJob.java`); this module belongs to the SURVEY §2.2
+north-star set: corpus-level graph analytics a training-data pipeline
+runs over its duplication structure (e.g. centrality of documents in
+the near-dup graph when choosing canonical representatives).
+
+Spark-first iteration pattern: a FIXED number of iterations is
+unrolled into one declarative plan — each step is a (dst, contrib)
+shuffle with map-side combine plus a slim rank join, so Catalyst sees
+the whole pipeline and AQE sizes every exchange. For variable
+iteration counts, loop in the driver over the same step function and
+`localCheckpoint` every few steps to cut lineage (the
+connected-components operator in `dedup.py` does exactly that); the
+fixed form here is what makes the result SQL-oracle-checkable.
+
+Cross-engine determinism: ranks live entirely in INTEGER space —
+initial mass `quant // n`, per-edge contribution `rank // outdeg`,
+damping `(17 * s) // 20` — exact integer division on both engines
+(Spark `div`, DuckDB `//`), no floating point anywhere, so the final
+ranks are bit-identical by construction. This mirrors how the
+quantized-sum pattern makes the dot-product operators engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_QUANT = 10**12  # integer rank mass: 1.0 == 10^12 micro-units
+DAMP_NUM = 17  # damping d = 17/20 = 0.85, kept as an exact ratio
+DAMP_DEN = 20
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    quant: int = PR_QUANT,
+) -> DataFrame:
+    """Fixed-iteration PageRank over (node) / (src, dst) frames →
+    (node, rank_q) with integer micro-unit ranks.
+
+    Simplified recurrence (dangling mass NOT redistributed — nodes
+    with no out-edges leak their damped mass, the common simplified
+    formulation; isolated nodes keep the base rank):
+
+        r0(v)   = quant // n
+        r_t+1(v) = ((den-num)*quant) // (den*n)
+                   + (num * Σ_{u→v} (r_t(u) // outdeg(u))) // den
+
+    Scale shape per iteration: one shuffle of slim (dst, contrib)
+    longs with map-side partial sums, plus a slim rank join against
+    the cached degree-annotated edge list; the edge list is computed
+    ONCE and localCheckpointed so the (potentially expensive) edge
+    derivation upstream never re-executes per iteration.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    n_df = nodes.agg(F.count("*").alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+
+    base = F.expr(
+        f"CAST({(DAMP_DEN - DAMP_NUM) * quant} AS BIGINT)"
+        f" div ({DAMP_DEN} * _n)"
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"CAST({quant} AS BIGINT) div _n").alias("rank_q")
+    )
+    for _ in range(iterations):
+        contrib = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_q div deg").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).alias("rank_q"),
+            )
+        )
+    return ranks

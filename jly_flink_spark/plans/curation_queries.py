@@ -695,6 +695,149 @@ def curation_dup_chunk_fraction(spark, sf_dir):
     )
 
 
+PR_EDGE_MIN_DF = 2  # an edge needs a chunk shared by >= 2 docs
+PR_EDGE_MAX_DF = 50  # chunks in > this many docs are boilerplate, not
+#                      duplication links — df-capped like the LSH buckets
+PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled integer-PageRank mirror: every CTE round is exact
+    integer division (`//`), so ranks are bit-identical to the Spark
+    `div`-based recurrence. Final rank CAST to BIGINT (DuckDB SUM
+    promotes to HUGEINT, which fetchdf would downcast to float64)."""
+    from ..operators.graph import DAMP_DEN, DAMP_NUM, PR_QUANT
+
+    base_num = (DAMP_DEN - DAMP_NUM) * PR_QUANT
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+), spine AS (
+  SELECT unnest(generate_series(1, CAST(CEIL(
+    (SELECT max(len(ts)) FROM toks) / {CHUNK_TOKENS}.0) AS INT))) AS i
+), chunks AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ts,
+           (i - 1) * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS}), ' ')) AS h
+  FROM toks, spine
+  WHERE (i - 1) * {CHUNK_TOKENS} + 1 <= len(ts)
+), ca AS (
+  SELECT c.doc_id, c.h FROM chunks c
+  JOIN (SELECT h FROM chunks GROUP BY h
+        HAVING count(*) >= {PR_EDGE_MIN_DF}
+           AND count(*) <= {PR_EDGE_MAX_DF}) k ON c.h = k.h
+), edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM ca a JOIN ca b ON a.h = b.h AND a.doc_id <> b.doc_id
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nn AS (SELECT count(*) AS n FROM documents
+), r0 AS (
+  SELECT doc_id AS node, CAST({PR_QUANT} AS BIGINT) // n AS rank_q
+  FROM documents, nn
+)"""
+    for t in range(1, iters + 1):
+        sql += f""", s{t} AS (
+  SELECT e.dst AS node, SUM(r.rank_q // o.deg) AS s
+  FROM edges e
+  JOIN r{t - 1} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+), r{t} AS (
+  SELECT d.doc_id AS node,
+         CAST((CAST({base_num} AS BIGINT) // ({DAMP_DEN} * nn.n))
+              + ({DAMP_NUM} * COALESCE(s{t}.s, 0)) // {DAMP_DEN}
+              AS BIGINT) AS rank_q
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN s{t} ON s{t}.node = d.doc_id
+)"""
+    sql += f"""
+SELECT node AS doc_id, rank_q, rnk FROM (
+  SELECT node, rank_q,
+         row_number() OVER (ORDER BY rank_q DESC, node) AS rnk
+  FROM r{iters}
+) WHERE rnk <= 20
+"""
+    return sql
+
+
+@register(
+    "graph_pagerank_dup_chunks",
+    oracle=_pagerank_oracle(),
+    tags=("curation", "graph", "iterative"),
+    doc="Fixed-iteration integer PageRank over the duplicate-chunk "
+    "graph (docs linked when they share a 3-token chunk seen in "
+    f"{PR_EDGE_MIN_DF}–{PR_EDGE_MAX_DF} docs — the df cap excludes "
+    "boilerplate chunks, like the LSH bucket cap): centrality in the "
+    "duplication graph, the canonical-representative signal for "
+    "cluster-level dedup. Iterative dataflow unrolled declaratively: "
+    f"{PR_ITERS} rounds, each one slim (dst, contrib) shuffle with "
+    "map-side combine plus a rank join against the ONCE-computed, "
+    "localCheckpointed degree-annotated edge list; ranks are exact "
+    "integer micro-units (`div`/`//`) so both engines agree "
+    "bit-for-bit. Top-20 via sort-limit, never a global window.",
+)
+def graph_pagerank_dup_chunks(spark, sf_dir):
+    from ..operators.graph import pagerank_fixed
+
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank_fixed(nodes, edges, iterations=PR_ITERS)
+    top = ranks.orderBy(F.col("rank_q").desc(), F.col("node")).limit(20)
+    # the window input is the bounded 20-row limit, not the corpus
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_q").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("node").alias("doc_id"), "rank_q", "rnk"
+    )
+
+
 # --------------------------------------------------------------------
 # Unigram-LM document scoring (CCNet-style perplexity filtering)
 # --------------------------------------------------------------------

@@ -505,3 +505,43 @@ class TestLshSkewGuard:
         # the small bucket surfaces; no pair from the size-10 clone set
         assert (100, 101) in pairs
         assert not any(a < 10 and b < 10 for a, b in pairs)
+
+
+def test_pagerank_fixed_matches_python_reference(spark):
+    """pagerank_fixed must equal an independent pure-Python
+    reimplementation of the integer recurrence on a small digraph
+    with a hub (0: three in-links), a no-inlink source (2, 3) and a
+    fully isolated node (4)."""
+    from jly_flink_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        PR_QUANT,
+        pagerank_fixed,
+    )
+
+    edge_list = [(0, 1), (1, 0), (2, 0), (2, 1), (3, 0)]
+    node_ids = [0, 1, 2, 3, 4]  # 4 is isolated; 3 links out only
+    n = len(node_ids)
+    ranks = {v: PR_QUANT // n for v in node_ids}
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (DAMP_DEN - DAMP_NUM) * PR_QUANT // (DAMP_DEN * n)
+    for _ in range(3):
+        sums = {v: 0 for v in node_ids}
+        for s, d in edge_list:
+            sums[d] += ranks[s] // outdeg[s]
+        ranks = {
+            v: base + DAMP_NUM * sums[v] // DAMP_DEN for v in node_ids
+        }
+
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_fixed(nodes, edges, iterations=3).collect()
+    }
+    assert got == ranks
+    # structural sanity: 0 (most in-links) outranks 1 outranks the
+    # no-inlink nodes, which sit at the base rank
+    assert got[0] > got[1] > got[2] == got[3] == got[4] == base

@@ -174,6 +174,10 @@ class TestShuffleBudget:
             # chunk-df 2-phase distinct (2) + per-doc + per-source;
             # every exchanged row is a 32-byte hash or a count
             ("curation_dup_chunk_fraction", 4),
+            # 3 unrolled iterations × (rank-join + contrib-sum
+            # shuffles) + the scalar-N SinglePartition subtrees;
+            # every exchanged row is a pair of longs
+            ("graph_pagerank_dup_chunks", 13),
             # static plan duplicates the vocab subtree (tok groupBy ×2
             # + scalar-total SinglePartition ×2 + doc agg); AQE's
             # ReusedExchange collapses the duplicates at runtime —
@@ -282,6 +286,17 @@ class TestScaleShapes:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan, plan
+
+    def test_pagerank_edges_checkpointed_once(self, spark):
+        """The 3 unrolled PageRank iterations must all read the edge
+        list from its localCheckpoint (`Scan ExistingRDD`) — never
+        re-derive the chunk self-join per iteration. 3 contrib joins
+        + 1 is the degree-annotation reuse ceiling."""
+        plan = plan_of(spark, "graph_pagerank_dup_chunks", mode="simple")
+        assert plan.count("Scan ExistingRDD") == 3, plan
+        # the chunk derivation (md5 over token slices) is absent from
+        # the final plan entirely — it ran once inside the checkpoint
+        assert "md5" not in plan, plan
 
     def test_minhash_signature_aggregates_mapside(self, spark):
         """KM minhash: one partial_min-capable HashAggregate per
