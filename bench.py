@@ -135,10 +135,11 @@ def main() -> None:
                 "r01 collected the corpus to the driver (OOM at scale); "
                 "now a blocked distributed self-join sized from cluster "
                 "parallelism (B ~ sqrt(2*cores) blocks, so the "
-                "replicated shuffle is B*n rows) plus a column-pruned "
-                "sizing count on the raw scan — removes the driver "
-                "bottleneck entirely. Measured at 10x data: 5.1x wall, "
-                "zero stragglers (docs/SCALE_PROBE.md)"
+                "replicated shuffle is B*n rows) with a two-stage "
+                "kernel: f32 GEMM prefilter, exact quantized rescore "
+                "of candidates only (bit-identical output). Measured "
+                "at 10x data: ~1x wall — the remaining sf0.1 delta is "
+                "flat orchestration overhead (docs/SCALE_PROBE.md)"
             ),
             "batch_by_token_budget": (
                 "r01 ran a single-task global window; now a sharded "

@@ -29,6 +29,16 @@ from pyspark.sql import Window
 
 QUANT = 100_000_000  # 1e8: quantization scale for dot/norm sums
 
+# Near-dup kernel prefilter bounds (embedding_near_dup_pairs): float
+# cosine may differ from the quantized cosine by the floor error
+# (≤ d/QUANT on the dot and on each norm², i.e. ~1.5e-4 once norms
+# are ≥ ~0.1) plus ~1e-5 of f32 GEMM rounding; 1e-3 keeps >6× slack.
+PREFILTER_MARGIN = 1e-3
+# Below this quantized norm² (float norm ≲ 0.1) the relative floor
+# error on the norm is no longer small — such vectors skip the
+# prefilter and go straight to exact scoring.
+MIN_HEALTHY_QN = 10**6
+
 
 def _qdot(a, b):
     """Order-independent quantized dot product of two float arrays:
@@ -628,10 +638,16 @@ def embedding_near_dup_pairs(
 
     Execution: Arrow/numpy inside applyInPandas. A per-pair
     zip_with+aggregate expression is CodegenFallback (interpreted) in
-    Spark, so for n·m·d element products the batched numpy kernel is
-    the fast path — while computing the *identical* quantized
-    arithmetic (floor(x·y·1e8) per element, exact int64 sums), so the
-    result still hash-matches the SQL oracle bit for bit."""
+    Spark, so the batched numpy kernel is the fast path. The kernel
+    is two-stage: a float32 BLAS GEMM over unit-normalized vectors
+    prefilters to pairs that could reach the threshold (margin
+    `PREFILTER_MARGIN` covers the worst-case quantization + f32
+    divergence; degenerate-norm vectors bypass the prefilter), then
+    the *identical* quantized arithmetic as the SQL oracle
+    (floor(x·y·1e8) per element, exact int64 sums) scores only those
+    candidates — so the emitted pair set and cosines still
+    hash-match the oracle bit for bit, at GEMM speed instead of
+    floor-tensor speed for the all-pairs sweep."""
     import math
 
     import numpy as np
@@ -696,34 +712,53 @@ def embedding_near_dup_pairs(
         a_ids, b_ids = ids[a_sel], ids[b_sel]
         a_mat, b_mat = mat[a_sel], mat[b_sel]
         a_sq, b_sq = sq[a_sel], sq[b_sel]
+        a_qn, b_qn = qn[a_sel], qn[b_sel]
+
+        # Stage 1 — f32 GEMM prefilter: one BLAS matmul over unit-
+        # normalized vectors finds every pair whose FLOAT cosine could
+        # possibly reach the QUANTIZED threshold. For healthy norms
+        # (quantized norm² ≥ MIN_HEALTHY_QN ⇔ float norm ≳ 0.1) the
+        # quantized and float cosines differ by ≤ ~1.5e-4 (floor error
+        # d/QUANT on the dot and each norm², amplified by 1/|a||b|)
+        # and the f32 GEMM adds ≤ ~1e-5, so PREFILTER_MARGIN keeps a
+        # 6× safety factor. Degenerate-norm vectors — where the bound
+        # fails — have ALL their pairs forced into stage 2. This cuts
+        # the O(n_a·n_b·d) floor-tensor work (the old kernel did it
+        # for every pair) to a GEMM plus exact work on candidates.
+        fa = np.sqrt((a_mat * a_mat).sum(axis=1))
+        fb = np.sqrt((b_mat * b_mat).sum(axis=1))
+        an = (a_mat / fa[:, None]).astype("float32")
+        bn = (b_mat / fb[:, None]).astype("float32")
+        cand = (an @ bn.T) >= np.float32(threshold - PREFILTER_MARGIN)
+        cand[a_qn < MIN_HEALTHY_QN, :] = True
+        cand[:, b_qn < MIN_HEALTHY_QN] = True
+        if bi == bj:
+            cand &= a_ids[:, None] < b_ids[None, :]
+        ia, ib = np.nonzero(cand)
+
+        # Stage 2 — exact quantized scoring on candidates only: the
+        # identical floor(x·y·QUANT) int64 arithmetic as before, so
+        # emitted pairs and cosines are bit-for-bit unchanged.
         out = []
-        # chunk the (n_a × n_b × d) product tensor to bound memory
-        # (~17 MB of float64 per chunk, × concurrent workers)
-        step = max(1, 2**21 // max(1, b_mat.shape[0] * b_mat.shape[1]))
-        for lo in range(0, len(a_ids), step):
-            hi = lo + step
+        step = 4096  # pairs per chunk (bounds the d-wide float stage)
+        for lo in range(0, len(ia), step):
+            sa, sb = ia[lo : lo + step], ib[lo : lo + step]
             qd = (
-                np.floor(a_mat[lo:hi, None, :] * b_mat[None, :, :] * QUANT)
+                np.floor(a_mat[sa] * b_mat[sb] * QUANT)
                 .astype("int64")
-                .sum(axis=2)
+                .sum(axis=1)
             )
-            cos = qd.astype("float64") / (
-                a_sq[lo:hi, None] * b_sq[None, :]
-            )
-            if bi == bj:
-                keep = (a_ids[lo:hi, None] < b_ids[None, :]) & (
-                    cos >= threshold
-                )
-                ia, ib = np.nonzero(keep)
-                va, vb = a_ids[lo:hi][ia], b_ids[ib]
-            else:
-                ia, ib = np.nonzero(cos >= threshold)
-                u, v = a_ids[lo:hi][ia], b_ids[ib]
-                va, vb = np.minimum(u, v), np.maximum(u, v)
-            if len(ia):
+            cos = qd.astype("float64") / (a_sq[sa] * b_sq[sb])
+            keep = cos >= threshold
+            if keep.any():
+                u, v = a_ids[sa[keep]], b_ids[sb[keep]]
                 out.append(
                     pd.DataFrame(
-                        {"vec_a": va, "vec_b": vb, "cosine": cos[ia, ib]}
+                        {
+                            "vec_a": np.minimum(u, v),
+                            "vec_b": np.maximum(u, v),
+                            "cosine": cos[keep],
+                        }
                     )
                 )
         if not out:

@@ -404,3 +404,58 @@ def test_int8_codes_bounded_and_scale_invariant(spark, vecs):
     for i, v in enumerate(vecs):
         if max(abs(float(x)) for x in v) > 1e-12:
             assert codes[i] == codes2[i]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_near_dup_gemm_prefilter_loses_no_pair(spark, n, seed):
+    """The two-stage kernel (f32 GEMM prefilter → exact quantized
+    rescore) must emit EXACTLY the brute-force quantized pair set —
+    on low-dim random corpora whose cosines spread densely around the
+    0.3 threshold (d=4 → many near-threshold pairs, the regime where
+    a too-small margin would drop pairs), with a degenerate-norm
+    vector mixed in to exercise the prefilter bypass."""
+    import random
+
+    import numpy as np
+
+    from jly_flink_spark.operators.similarity import (
+        QUANT,
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(seed)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(4)] for _ in range(n)
+    ]
+    vecs[n // 2] = [x * 1e-4 for x in vecs[n // 2]]  # unhealthy norm
+    mat = np.array(
+        [np.asarray(v, dtype="float32") for v in vecs], dtype="float64"
+    )
+    qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
+    expected = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if qn[i] <= 0 or qn[j] <= 0:
+                continue
+            qd = int(np.floor(mat[i] * mat[j] * QUANT).astype("int64").sum())
+            cos = qd / (np.sqrt(float(qn[i])) * np.sqrt(float(qn[j])))
+            if cos >= 0.3:
+                expected.add((i, j))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    assert got == expected
