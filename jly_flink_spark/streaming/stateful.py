@@ -223,7 +223,7 @@ def sessionize(
     )
 
 
-_LATEST_STATE = "ts long, tie long, val string"
+_LATEST_STATE = "ts long, tie long, val string, deleted boolean"
 
 
 def latest_state_stream(
@@ -232,6 +232,8 @@ def latest_state_stream(
     ts_col: str,
     tie_col: str,
     value_col: str,
+    op_col: str | None = None,
+    delete_op: str = "d",
 ) -> DataFrame:
     """Streaming changelog compaction to latest state per key — the
     incremental form of the batch `cdc_latest_state_compaction` query
@@ -245,13 +247,24 @@ def latest_state_stream(
     last-wins deterministic under equal timestamps, exactly matching
     the batch query's ORDER BY ts DESC, tie DESC. A late event older
     than the key's current state produces NO emission (stale update
-    suppressed). State per key is one (ts, tie, value) triple — the
-    materialized view itself, sharded by the groupBy hash shuffle;
-    unbounded only in the number of KEYS, like any upsert view
-    (use a TTL timeout variant if keys churn forever)."""
+    suppressed). State per key is one (ts, tie, value, deleted)
+    tuple — the materialized view itself, sharded by the groupBy hash
+    shuffle; unbounded only in the number of KEYS, like any upsert
+    view (use a TTL timeout variant if keys churn forever).
+
+    Deletes (CDC op codes per the reference's ChangeType.java i/d/u):
+    pass `op_col` and rows whose op equals `delete_op` become
+    TOMBSTONES — when a delete is the key's latest record the output
+    gains `op='d'` with a NULL value, telling the upsert sink to
+    remove the key. The tombstone STAYS in state (it holds the
+    (ts, tie) high-water mark), so a late pre-delete update cannot
+    resurrect the key — only a genuinely newer insert/update can,
+    which then emits op='u' again. Without `op_col` the output schema
+    is unchanged (pure upsert compaction)."""
+    has_op = op_col is not None
     out_schema = (
         f"{key_col} long, last_ts long, last_tie long, "
-        f"{value_col} string"
+        f"{value_col} string" + (", op string" if has_op else "")
     )
 
     def fn(
@@ -260,22 +273,34 @@ def latest_state_stream(
         best = tuple(state.get) if state.exists else None
         changed = False
         for pdf in pdfs:
-            for ts, tie, val in zip(
-                pdf[ts_col], pdf[tie_col], pdf[value_col]
+            ops = (
+                pdf[op_col]
+                if has_op
+                else pd.Series(["u"] * len(pdf), dtype="object")
+            )
+            for ts, tie, val, op in zip(
+                pdf[ts_col], pdf[tie_col], pdf[value_col], ops
             ):
-                cand = (int(ts), int(tie), str(val))
+                is_del = has_op and str(op) == delete_op
+                cand = (
+                    int(ts),
+                    int(tie),
+                    None if is_del else str(val),
+                    is_del,
+                )
                 if best is None or cand[:2] > best[:2]:
                     best, changed = cand, True
         if changed:
             state.update(best)
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "last_ts": [best[0]],
-                    "last_tie": [best[1]],
-                    value_col: [best[2]],
-                }
-            )
+            row = {
+                key_col: [key[0]],
+                "last_ts": [best[0]],
+                "last_tie": [best[1]],
+                value_col: [best[2]],
+            }
+            if has_op:
+                row["op"] = ["d" if best[3] else "u"]
+            yield pd.DataFrame(row)
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn,

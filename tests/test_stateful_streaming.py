@@ -454,3 +454,67 @@ class TestLatestStateStream:
         ]
         emissions = self._run(spark, tmp_path, batches, "tie")
         assert emissions == [{5: (300, 7, "keep")}]
+
+    def _run_with_ops(self, spark, tmp_path, batches, name):
+        from jly_flink_spark.streaming.stateful import latest_state_stream
+
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = spark.readStream.schema(
+            "user_id long, ts long, event_id long, val string, op string"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        emissions = []
+        q = (
+            latest_state_stream(
+                stream, "user_id", "ts", "event_id", "val", op_col="op"
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {r["user_id"]: (r["last_ts"], r["val"], r["op"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [e for e in emissions if e]
+
+    def test_delete_emits_tombstone_and_blocks_stale_resurrection(
+        self, spark, tmp_path
+    ):
+        """CDC semantics (reference ChangeType.java op codes): a
+        delete that becomes the latest record emits op='d' with NULL
+        value; a LATE pre-delete update must NOT resurrect the key
+        (the tombstone holds the high-water mark); a genuinely newer
+        update does resurrect it with op='u'."""
+        batches = [
+            [{"user_id": 1, "ts": 100, "event_id": 1, "val": "a",
+              "op": "c"}],
+            [{"user_id": 1, "ts": 200, "event_id": 2, "val": None,
+              "op": "d"}],
+            # late pre-delete update: older ts → suppressed entirely
+            [{"user_id": 1, "ts": 150, "event_id": 3, "val": "ghost",
+              "op": "u"}],
+            # newer insert resurrects the key
+            [{"user_id": 1, "ts": 300, "event_id": 4, "val": "back",
+              "op": "c"}],
+        ]
+        emissions = self._run_with_ops(spark, tmp_path, batches, "tomb")
+        assert emissions == [
+            {1: (100, "a", "u")},
+            {1: (200, None, "d")},
+            {1: (300, "back", "u")},
+        ]
+
+    def test_without_op_col_schema_is_unchanged(self, spark, tmp_path):
+        batches = [
+            [{"user_id": 9, "ts": 10, "event_id": 1, "val": "v"}],
+        ]
+        emissions = self._run(spark, tmp_path, batches, "noop_schema")
+        assert emissions == [{9: (10, 1, "v")}]
