@@ -41,11 +41,21 @@ def asof_join(
     right_values: Sequence[str],
     tie_breaker: str | None = None,
     prefix: str = "asof_",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the right row with
     the greatest ``right_ts <= left_ts`` within the same ``on`` key
     (ties broken by the greatest ``tie_breaker``). Left rows with no
     prior right row keep nulls — LEFT ASOF JOIN semantics.
+
+    ``tolerance_seconds`` bounds staleness (the feature-store
+    point-in-time rule: a feature older than the tolerance must NOT
+    leak into the row): a match whose ts trails the left ts by more
+    than the tolerance is nulled out. Because in-tolerance right rows
+    are a suffix of the prior rows in ts order, "latest prior, nulled
+    if stale" equals "latest among in-tolerance" — so the sweep needs
+    no second pass. The staleness test compares whole epoch seconds
+    (timestamp→long truncation on both engines) for oracle parity.
 
     Output: all left columns + ``prefix + right_ts`` + each
     ``prefix + right_values`` column.
@@ -90,6 +100,14 @@ def asof_join(
     swept = r.unionByName(l).withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__t").cast("long")
+            - F.col("__match.__ts").cast("long")
+        ) <= F.lit(tolerance_seconds)
+        swept = swept.withColumn(
+            "__match", F.when(fresh, F.col("__match"))
+        )
     return swept.filter(F.col("__side") == 1).select(
         *l_cols,
         F.col("__match.__ts").alias(f"{prefix}{right_ts}"),

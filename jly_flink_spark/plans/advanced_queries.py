@@ -82,6 +82,65 @@ def join_asof_events(spark, sf_dir):
     )
 
 
+_ASOF_TOL_S = 120_000  # max staleness (~33h): splits the corpus roughly in half
+
+_ASOF_TOL_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+best AS (
+  SELECT l.purchase_id AS k, r.ts AS asof_ts, r.event_id AS asof_event_id,
+         r.value AS asof_value,
+         row_number() OVER (PARTITION BY l.purchase_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM purchases l
+  JOIN events r ON r.event_type = 'view'
+              AND r.user_id = l.user_id AND r.ts <= l.purchase_ts
+              AND CAST(floor(epoch(l.purchase_ts)) AS BIGINT)
+                  - CAST(floor(epoch(r.ts)) AS BIGINT) <= {_ASOF_TOL_S}
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       b.asof_ts, b.asof_event_id, b.asof_value
+FROM purchases p
+LEFT JOIN best b ON b.k = p.purchase_id AND b.rn = 1
+"""
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("join", "asof", "temporal", "feature-store"),
+    doc="LEFT AS-OF join with bounded staleness (the feature-store "
+    "point-in-time rule): each purchase gets the latest prior view "
+    f"by the same user ONLY if it is at most {_ASOF_TOL_S}s old — "
+    "older features must not leak into the row. Same union-and-sweep "
+    "single-shuffle plan as join_asof_events; in-tolerance rows are "
+    "a suffix of prior rows in ts order, so the stale match is "
+    "nulled post-sweep with no second pass (operators/joins.py).",
+)
+def join_asof_tolerance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return joins.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values=["event_id", "value"],
+        tie_breaker="event_id",
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Banded range join (purchase ↔ clicks within ±1 hour, same user)
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql, hash_frac, hash_frac_sql
@@ -695,6 +696,43 @@ def curation_dup_chunk_fraction(spark, sf_dir):
     )
 
 
+CAP_PER_SOURCE = 10  # corpus-balance cap: max docs kept per source
+
+
+@register(
+    "sample_cap_per_source",
+    oracle=f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {CAP_PER_SOURCE}
+""",
+    tags=("curation", "sampling"),
+    doc="Deterministic per-source cap sample (corpus balance: no "
+    f"domain contributes more than {CAP_PER_SOURCE} docs): keep each "
+    "source's first K docs in md5(doc_id) order — a seeded uniform "
+    "draw that is reproducible across runs, partitionings and "
+    "engines, unlike rand()-based sampling. Scale shape: the rn<=K "
+    "filter compiles to WindowGroupLimit, so each partition forwards "
+    "at most K rows per source to the one window shuffle — the "
+    "per-group reservoir pattern without a reservoir's statefulness.",
+)
+def sample_cap_per_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
 PR_EDGE_MIN_DF = 2  # an edge needs a chunk shared by >= 2 docs
 PR_EDGE_MAX_DF = 50  # chunks in > this many docs are boilerplate, not
 #                      duplication links — df-capped like the LSH buckets
@@ -830,8 +868,6 @@ def graph_pagerank_dup_chunks(spark, sf_dir):
     ranks = pagerank_fixed(nodes, edges, iterations=PR_ITERS)
     top = ranks.orderBy(F.col("rank_q").desc(), F.col("node")).limit(20)
     # the window input is the bounded 20-row limit, not the corpus
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("rank_q").desc(), F.col("node"))
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col("node").alias("doc_id"), "rank_q", "rnk"

@@ -545,6 +545,87 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+KMV_K = 128  # sketch size: ~1/sqrt(K) ≈ 9% relative error
+_KMV_H = 16**14  # hash space: 14 md5 hex chars = 56 bits
+# (KMV_K-1) * _KMV_H = 127·2^56 still fits int64 — the K/width pair is
+# chosen so the estimator stays in EXACT integer arithmetic end to end
+
+
+def _kmv_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag, ({_sql_hex_to_int(1)}) AS h
+  FROM (SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS d
+        FROM lineitem)
+),
+exact AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM hashed GROUP BY 1
+),
+topk AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+),
+kth AS (
+  SELECT l_returnflag, max(h) AS mk, count(*) AS kd
+  FROM topk WHERE rn <= {KMV_K} GROUP BY 1
+)
+SELECT e.l_returnflag, e.n_distinct,
+       CAST(CASE WHEN k.kd < {KMV_K} THEN k.kd
+                 ELSE CAST({(KMV_K - 1) * _KMV_H} AS BIGINT) // k.mk
+            END AS BIGINT) AS kmv_estimate
+FROM exact e JOIN kth k USING (l_returnflag)
+"""
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=_kmv_oracle(),
+    tags=("groupby", "approx", "sketch"),
+    doc="KMV (K-minimum-values) distinct-count sketch — the "
+    "DETERMINISTIC mergeable sketch companion to the HLL entry "
+    "above: per group, keep the K smallest md5-derived 56-bit "
+    "hashes; estimate = (K-1)·H / (K-th smallest), exact count when "
+    "the group has fewer than K distinct values. Every step is md5 + "
+    "exact integer arithmetic, so unlike HLL the estimate is "
+    "bit-identical across engines and fully value-hash-checked. "
+    "Scale shape: the rn<=K filter compiles to WindowGroupLimit — "
+    "Spark keeps only K hashes per PARTITION before the shuffle, "
+    "which is precisely the sketch's mergeability (union = K "
+    "smallest of the combined K-mins); shuffle volume is "
+    "O(partitions·K), not O(distinct).",
+)
+def agg_kmv_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = li.select("l_returnflag", h.alias("h")).distinct()
+    exact = hashed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_distinct")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.max("h").alias("mk"), F.count("*").alias("kd"))
+    )
+    est = F.when(F.col("kd") < KMV_K, F.col("kd")).otherwise(
+        F.expr(f"CAST({(KMV_K - 1) * _KMV_H} AS BIGINT) div mk")
+    )
+    return exact.join(kth, "l_returnflag").select(
+        "l_returnflag",
+        "n_distinct",
+        est.cast("bigint").alias("kmv_estimate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------

@@ -174,6 +174,12 @@ class TestShuffleBudget:
             # chunk-df 2-phase distinct (2) + per-doc + per-source;
             # every exchanged row is a 32-byte hash or a count
             ("curation_dup_chunk_fraction", 4),
+            # as-of sweep: one union window shuffle, tolerance
+            # null-out is a free post-sweep projection
+            ("join_asof_tolerance", 1),
+            # distinct (2-phase) + partial-topk window + exact/kth
+            # rollups; WindowGroupLimit keeps K hashes per partition
+            ("agg_kmv_distinct", 4),
             # 3 unrolled iterations × (rank-join + contrib-sum
             # shuffles) + the scalar-N SinglePartition subtrees;
             # every exchanged row is a pair of longs
@@ -286,6 +292,16 @@ class TestScaleShapes:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan, plan
+
+    def test_kmv_partial_topk_is_mergeable_shape(self, spark):
+        """The KMV sketch's scale property: the rn<=K filter must
+        compile to a PARTIAL WindowGroupLimit below the exchange —
+        each partition forwards only its K smallest hashes (sketch
+        mergeability), so shuffle volume is O(partitions*K), not
+        O(distinct values)."""
+        plan = plan_of(spark, "agg_kmv_distinct", mode="simple")
+        _, _, below = plan.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in below, plan
 
     def test_pagerank_edges_checkpointed_once(self, spark):
         """The 3 unrolled PageRank iterations must all read the edge
