@@ -252,3 +252,43 @@ def cdc_apply_changes_merge(spark, sf_dir):
         F.count("*").alias("n_rows"),
         dsum(F.col("acctbal"), "sum_acctbal"),
     )
+
+
+@register(
+    "cdc_schema_fingerprints",
+    oracle=_ORACLE_PRELUDE
+    + """
+SELECT source_table,
+       array_to_string(list_sort(json_keys(before)), '|') AS keyset,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ts_ms) AS BIGINT) AS first_ts_ms,
+       CAST(max(ts_ms) AS BIGINT) AS last_ts_ms
+FROM env
+WHERE before IS NOT NULL
+GROUP BY 1, 2
+""",
+    tags=("cdc", "schema", "ops"),
+    doc="Schema-drift fingerprints over the CDC stream: per source "
+    "table, the distinct sorted key-sets of the pre-image JSON with "
+    "row counts and first/last binlog timestamps — the operational "
+    "query that surfaces a mid-stream ADD COLUMN (the Debezium "
+    "capture fixture's DDL scenario) as a new fingerprint appearing "
+    "at a known ts. Pure per-row JSON key extraction + one "
+    "map-side-combined rollup on (table, fingerprint); the pre-image "
+    "payload itself never shuffles — only fingerprint strings do.",
+)
+def cdc_schema_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _envelopes(spark, sf_dir)
+    keyset = F.array_join(
+        F.sort_array(F.json_object_keys(F.col("before"))), "|"
+    )
+    return (
+        env.filter(F.col("before").isNotNull())
+        .select("source_table", keyset.alias("keyset"), "ts_ms")
+        .groupBy("source_table", "keyset")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts_ms").alias("first_ts_ms"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+    )

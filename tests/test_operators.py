@@ -545,3 +545,49 @@ def test_pagerank_fixed_matches_python_reference(spark):
     # structural sanity: 0 (most in-links) outranks 1 outranks the
     # no-inlink nodes, which sit at the base rank
     assert got[0] > got[1] > got[2] == got[3] == got[4] == base
+
+
+def test_kmv_sketch_merge_equals_direct(spark, sf_dir):
+    """Mergeability — the property that makes KMV a sketch: the K
+    smallest hashes of a UNION equal the K smallest of the parts'
+    K-minimum sets, so merging per-shard sketches gives exactly the
+    direct estimate. Exercised through the registered query's own
+    hash definition on real data, split two ways."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans import REGISTRY
+    from jly_flink_spark.plans.relational_queries import KMV_K, _KMV_H
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = li.filter(F.col("l_returnflag") == "R").select(
+        h.alias("h"), (F.col("l_orderkey") % 2).alias("shard")
+    ).distinct()
+    shard_mins = {
+        s: sorted(
+            r["h"]
+            for r in hashed.filter(F.col("shard") == s)
+            .orderBy("h")
+            .limit(KMV_K)
+            .collect()
+        )
+        for s in (0, 1)
+    }
+    merged = sorted(shard_mins[0] + shard_mins[1])[:KMV_K]
+    if len(merged) < KMV_K:
+        est_merged = len(merged)
+    else:
+        est_merged = (KMV_K - 1) * _KMV_H // merged[-1]
+
+    direct = {
+        r["l_returnflag"]: r["kmv_estimate"]
+        for r in REGISTRY["agg_kmv_distinct"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert direct["R"] == est_merged

@@ -174,6 +174,9 @@ class TestShuffleBudget:
             # chunk-df 2-phase distinct (2) + per-doc + per-source;
             # every exchanged row is a 32-byte hash or a count
             ("curation_dup_chunk_fraction", 4),
+            # per-row JSON key extraction; one rollup shuffle of
+            # (table, fingerprint) strings — payloads never move
+            ("cdc_schema_fingerprints", 1),
             # as-of sweep: one union window shuffle, tolerance
             # null-out is a free post-sweep projection
             ("join_asof_tolerance", 1),
