@@ -3,7 +3,7 @@ the Spark analog of Flink's KeyedProcessFunction + keyed state +
 timers (a surface the reference never uses; its only state is the
 sink buffer, SrSink.java:159-185).
 
-Two operators:
+Operators:
 
 - `first_seen_filter`: emit each key's first row exactly once across
   all micro-batches (state = a seen-marker per key). Generalizes the
@@ -13,6 +13,12 @@ Two operators:
 - `sessionize`: event-time session aggregation with a gap timeout,
   built on event-time timers + watermarks. Emits one row per closed
   session; sessions close when the watermark passes last_ts + gap.
+- `latest_state_stream`: streaming changelog compaction to an upsert
+  view, with CDC delete-op tombstones.
+- `dedup_within_watermark`: bounded-state streaming exact dedup.
+- `kmv_distinct_stream`: incremental KMV distinct-count sketch per
+  group (the streaming form of the batch `agg_kmv_distinct` query),
+  idempotent under replayed batches.
 
 State is kept per key, partitioned by the groupBy hash shuffle — at
 cluster scale state shards across executors and lives in the state
@@ -331,4 +337,70 @@ def dedup_within_watermark(
     """
     return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+_KMV_STATE = "mins array<long>"
+
+
+def kmv_distinct_stream(
+    sdf: DataFrame,
+    group_col: str,
+    hash_col: str,
+    k: int = 128,
+    hash_space: int = 16**14,
+    group_type: str = "string",
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch per group — the incremental
+    form of the batch `agg_kmv_distinct` query: state per group is the
+    K smallest hashes seen so far (the sketch itself), each
+    micro-batch merges its hashes in, and a row
+    (group, kmv_estimate, kd) is emitted only when the sketch CHANGED.
+
+    `hash_col` must carry the SAME md5-derived integer the batch query
+    uses (compute it with the identical Spark expression before the
+    groupBy), so the streaming estimate after N batches equals the
+    batch estimate over their union exactly — integer arithmetic end
+    to end, same (K-1)·H // mk estimator.
+
+    Operationally this is the at-least-once-friendly sketch: merging
+    is a set union, so REPLAYED batches (failure recovery, Kafka
+    rewinds) are absorbed idempotently — the estimate never drifts
+    under duplicate delivery, unlike additive counters. State is
+    bounded at K longs per group regardless of stream length."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    out_schema = (
+        f"{group_col} {group_type}, kmv_estimate long, kd long"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mins = list(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdfs:
+            for h in pdf[hash_col]:
+                seen.add(int(h))
+        merged = sorted(seen)[:k]
+        if merged != mins:
+            state.update((merged,))
+            if len(merged) < k:
+                est = len(merged)
+            else:
+                est = (k - 1) * hash_space // merged[-1]
+            yield pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "kmv_estimate": [est],
+                    "kd": [len(merged)],
+                }
+            )
+
+    return sdf.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -518,3 +518,82 @@ class TestLatestStateStream:
         ]
         emissions = self._run(spark, tmp_path, batches, "noop_schema")
         assert emissions == [{9: (10, 1, "v")}]
+
+
+class TestKmvDistinctStream:
+    """Incremental KMV sketch: streaming estimate == batch formula on
+    the union of all batches; no-change batches emit nothing; replays
+    are absorbed idempotently."""
+
+    def _run(self, spark, tmp_path, batches, name, k=8):
+        from pyspark.sql import functions as F
+
+        from jly_flink_spark.streaming.stateful import kmv_distinct_stream
+
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = spark.readStream.schema(
+            "grp string, v long"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        hashed = stream.select(
+            "grp",
+            F.conv(
+                F.substring(F.md5(F.col("v").cast("string")), 1, 14),
+                16,
+                10,
+            ).cast("bigint").alias("h"),
+        )
+        emissions = []
+        q = (
+            kmv_distinct_stream(hashed, "grp", "h", k=k)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {r["grp"]: (r["kmv_estimate"], r["kd"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [e for e in emissions if e]
+
+    @staticmethod
+    def _py_kmv(values, k=8, hash_space=16**14):
+        import hashlib
+
+        hs = sorted(
+            {
+                int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+                for v in values
+            }
+        )[:k]
+        if len(hs) < k:
+            return len(hs), len(hs)
+        return (k - 1) * hash_space // hs[-1], k
+
+    def test_stream_equals_batch_union_and_suppresses_nochange(
+        self, spark, tmp_path
+    ):
+        b1 = [{"grp": "g", "v": v} for v in range(30)]
+        b2 = [{"grp": "g", "v": v} for v in range(30, 60)]
+        replay = list(b1)  # duplicate delivery of batch 1
+        emissions = self._run(
+            spark, tmp_path, [b1, b2, replay], "kmv", k=8
+        )
+        # batch 1: sketch of 0..29
+        assert emissions[0]["g"] == self._py_kmv(range(30))
+        # final state: sketch of the union — possibly unchanged by b2
+        # (if no new value hashed below the current k-th min, nothing
+        # is emitted); the last emission must equal the union sketch
+        assert emissions[-1]["g"] == self._py_kmv(range(60)) or (
+            len(emissions) == 1
+            and self._py_kmv(range(60)) == self._py_kmv(range(30))
+        )
+        # the replay of batch 1 must emit NOTHING (idempotent merge)
+        assert len(emissions) <= 2
