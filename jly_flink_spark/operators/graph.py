@@ -58,7 +58,11 @@ def pagerank_fixed(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    n_df = nodes.agg(F.count("*").alias("_n"))
+    # one row; checkpointed so the scalar-N count subtree runs once,
+    # not once per crossJoin (init + 2 per unrolled iteration)
+    n_df = nodes.agg(F.count("*").alias("_n")).localCheckpoint(
+        eager=False
+    )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
 

@@ -729,12 +729,25 @@ def embedding_near_dup_pairs(
         fb = np.sqrt((b_mat * b_mat).sum(axis=1))
         an = (a_mat / fa[:, None]).astype("float32")
         bn = (b_mat / fb[:, None]).astype("float32")
-        cand = (an @ bn.T) >= np.float32(threshold - PREFILTER_MARGIN)
-        cand[a_qn < MIN_HEALTHY_QN, :] = True
-        cand[:, b_qn < MIN_HEALTHY_QN] = True
-        if bi == bj:
-            cand &= a_ids[:, None] < b_ids[None, :]
-        ia, ib = np.nonzero(cand)
+        cut = np.float32(threshold - PREFILTER_MARGIN)
+        b_unhealthy = b_qn < MIN_HEALTHY_QN
+        # a-chunked GEMM: the full n_a×n_b score matrix would be
+        # ~4 GB f32 at the 32k-row block cap; chunks bound the live
+        # matrix to ~64 MB while BLAS still gets big-enough panels
+        a_step = max(1, 2**24 // max(1, bn.shape[0]))
+        ia_parts, ib_parts = [], []
+        for alo in range(0, an.shape[0], a_step):
+            ahi = alo + a_step
+            cand = (an[alo:ahi] @ bn.T) >= cut
+            cand[a_qn[alo:ahi] < MIN_HEALTHY_QN, :] = True
+            cand[:, b_unhealthy] = True
+            if bi == bj:
+                cand &= a_ids[alo:ahi, None] < b_ids[None, :]
+            ca, cb = np.nonzero(cand)
+            ia_parts.append(ca + alo)
+            ib_parts.append(cb)
+        ia = np.concatenate(ia_parts) if ia_parts else np.array([], dtype=int)
+        ib = np.concatenate(ib_parts) if ib_parts else np.array([], dtype=int)
 
         # Stage 2 — exact quantized scoring on candidates only: the
         # identical floor(x·y·QUANT) int64 arithmetic as before, so

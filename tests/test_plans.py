@@ -184,9 +184,10 @@ class TestShuffleBudget:
             # rollups; WindowGroupLimit keeps K hashes per partition
             ("agg_kmv_distinct", 4),
             # 3 unrolled iterations × (rank-join + contrib-sum
-            # shuffles) + the scalar-N SinglePartition subtrees;
-            # every exchanged row is a pair of longs
-            ("graph_pagerank_dup_chunks", 13),
+            # shuffles) + init partitioning; the scalar-N count and
+            # the edge list are checkpointed (no per-iteration
+            # subtrees); every exchanged row is a pair of longs
+            ("graph_pagerank_dup_chunks", 9),
             # static plan duplicates the vocab subtree (tok groupBy ×2
             # + scalar-total SinglePartition ×2 + doc agg); AQE's
             # ReusedExchange collapses the duplicates at runtime —
@@ -312,7 +313,10 @@ class TestScaleShapes:
         re-derive the chunk self-join per iteration. 3 contrib joins
         + 1 is the degree-annotation reuse ceiling."""
         plan = plan_of(spark, "graph_pagerank_dup_chunks", mode="simple")
-        assert plan.count("Scan ExistingRDD") == 3, plan
+        # 3 contrib joins read the checkpointed edge list; the 4
+        # crossJoins read the checkpointed 1-row scalar-N frame
+        assert plan.count("Scan ExistingRDD[src") == 3, plan
+        assert plan.count("Scan ExistingRDD[_n") == 4, plan
         # the chunk derivation (md5 over token slices) is absent from
         # the final plan entirely — it ran once inside the checkpoint
         assert "md5" not in plan, plan
