@@ -54,6 +54,12 @@ QUERIES = [
     # the two bench entries that trade sf0.1 fixed overhead for scale
     # architecture — their decade ratio is the evidence the trade won
     "batch_by_token_budget",
+    # round-4 additions with corpus-heavy plans: the chunk self-join
+    # graph + 3 unrolled shuffle iterations, and the chunk-df join
+    "graph_pagerank_dup_chunks",
+    "curation_dup_chunk_fraction",
+    # int8 ADC serving: brute-force scan shape over quantized codes
+    "ann_cosine_int8_adc",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
