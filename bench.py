@@ -52,6 +52,14 @@ HEADLINE = [
     "batch_by_token_budget",
     "contamination_ngram_overlap",
     "train_test_split_hash",
+    # Round-4 heavy operators, pinned round 5 so the regression gate
+    # covers them (graph, int8 ANN serving, SimHash, KMV sketch,
+    # curation chunk-dup fraction).
+    "graph_pagerank_dup_chunks",
+    "ann_cosine_int8_adc",
+    "dedup_simhash_hamming",
+    "agg_kmv_distinct",
+    "curation_dup_chunk_fraction",
 ]
 
 
