@@ -921,6 +921,173 @@ def cosine_topk_int8(
     )
 
 
+def persist_ivf_int8(
+    emb: DataFrame,
+    path: str,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> None:
+    """Serving layout for the IVF-SQ8 tier (the FAISS IVFx,SQ8
+    pattern): every corpus vector is coarse-assigned to its centroid
+    list on the FLOAT vector (same quantizer as `persist_ivf_corpus`),
+    but the layout stores the int8 CODES and their integer norm —
+    not the floats. A probe then reads ~n_probe/n_list of a corpus
+    that is itself ~4× smaller than float32, compounding the two
+    serving levers: partition pruning cuts which bytes are read,
+    quantization cuts how many bytes each vector is.
+
+    This is the scale-out answer to `cosine_topk_int8`'s O(corpus)
+    scan per request batch (the round-4 watch item): with the codes
+    living inside the partition-pruned lists, the serving scan is
+    corpus-fraction, not corpus.
+
+    Quantization is the audited absmax formula (`int8_codes`), with
+    the scale hoisted into its own projection column (Catalyst does
+    no CSE inside lambda bodies — see `cosine_topk_int8`). All-zero
+    code vectors (exactly-zero inputs) are dropped at build time:
+    integer norm 0 ⇒ cosine undefined, same guard as the flat path.
+    """
+    from ..io import write_partitioned
+
+    assign = _assign_udf(emb.sparkSession, centroids)
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    coded = (
+        emb.select("vec_id", vec_col)
+        .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(
+                    v.cast("double") * F.lit(127.0) / F.col("scale")
+                ).cast("long"),
+            ),
+        )
+        .select(
+            "vec_id",
+            "codes",
+            _idot(F.col("codes"), F.col("codes")).alias("qn8"),
+            assign(F.col(vec_col)).alias("list_id"),
+        )
+        .filter(F.col("qn8") > 0)
+    )
+    write_partitioned(coded, path, ["list_id"])
+
+
+def _probe_frame_int8(
+    spark: SparkSession,
+    q_rows,
+    cents: list,
+    n_probe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query rows → int8 probe frame (query_id, query_codes,
+    query_qn8, list_id): probe lists are selected on the FLOAT vector
+    against the float centroids (exactly `_probe_frame`'s arithmetic,
+    with the norm guarded at 1 like the assignment kernel), while the
+    shipped payload is the query's int8 codes — candidates are scored
+    code-against-code, never float-against-code (symmetric distance,
+    so the score is bit-identical to the flat ADC tier for the same
+    pair). Queries whose codes are all zero drop (integer norm 0 ⇒
+    cosine undefined, mirroring the layout-side guard).
+
+    Every arithmetic step here (absmax scale, floor codes, quantized
+    centroid cosine, lexsort tie rule) mirrors one SQL expression in
+    the `ann_cosine_ivf_int8` oracle, which is what makes a PRUNED
+    (n_probe < n_list) IVF query value-hash-checkable cross-engine."""
+    import math
+
+    import numpy as np
+
+    ids_c, cmat, cqn = _centroid_state(cents)
+    rows = []
+    for r in q_rows:
+        v = np.array(list(r[vec_col]), dtype="float64")
+        scale = max(float(np.abs(v).max()), 1e-12)
+        codes = np.floor(v * 127.0 / scale).astype("int64")
+        qn8 = int((codes * codes).sum())
+        if qn8 <= 0:
+            continue
+        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
+        qd = (
+            np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
+        )
+        cos = qd / (math.sqrt(vq) * np.sqrt(cqn))
+        order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
+        for cid in ids_c[order[:n_probe]]:
+            rows.append(
+                (
+                    int(r["vec_id"]),
+                    [int(x) for x in codes],
+                    qn8,
+                    int(cid),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "query_id long, query_codes array<long>, query_qn8 long, "
+        "list_id int",
+    )
+
+
+def serve_ann_topk_int8(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    layout_path: str,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k int8-cosine neighbors for a request batch against the
+    persisted IVF-SQ8 layout (`persist_ivf_int8`). Plan shape: the
+    probe scan is PARTITION-PRUNED to the union of the batch's probe
+    lists, the probe frame broadcasts (request-sized), scoring is
+    exact integer dot products on the codes, and the per-query top-k
+    applies its partial (WindowGroupLimit) below the one exchange —
+    so what shuffles is partitions×k slim rows of an already
+    corpus-fraction scan. The `.collect()` is the request batch,
+    driver-sized by definition."""
+    q_rows = queries_df.select("vec_id", vec_col).collect()
+    probes = _probe_frame_int8(spark, q_rows, centroids, n_probe, vec_col)
+    lists = [
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    ]
+    corpus = (
+        spark.read.parquet(layout_path)
+        .filter(F.col("list_id").isin(lists))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("codes").alias("cand_codes"),
+            F.col("qn8").alias("cand_qn8"),
+            "list_id",
+        )
+    )
+    cos = _idot(F.col("query_codes"), F.col("cand_codes")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("query_qn8").cast("double"))
+        * F.sqrt(F.col("cand_qn8").cast("double"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine_q8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q8").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine_q8", "rnk")
+    )
+
+
 def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label norm statistics — a cheap full-scan sanity operator
     over the vector column (quantized-exact, oracle-friendly)."""

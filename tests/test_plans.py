@@ -171,6 +171,9 @@ class TestShuffleBudget:
             # broadcast queries × streamed corpus codes; one window
             # shuffle of partitions×k slim rows (partial top-k first)
             ("ann_cosine_int8_adc", 1),
+            # partition-pruned layout scan + broadcast probe frame;
+            # one window shuffle of partitions×k slim rows
+            ("ann_cosine_ivf_int8", 1),
             # chunk-df 2-phase distinct (2) + per-doc + per-source;
             # every exchanged row is a 32-byte hash or a count
             ("curation_dup_chunk_fraction", 4),
@@ -320,6 +323,20 @@ class TestScaleShapes:
         # the chunk derivation (md5 over token slices) is absent from
         # the final plan entirely — it ran once inside the checkpoint
         assert "md5" not in plan, plan
+
+    def test_ivf_int8_serving_prunes_partitions(self, spark):
+        """The IVF-SQ8 registry query must read the persisted layout
+        through a partition-pruned scan (PartitionFilters on list_id)
+        with the partial top-k (WindowGroupLimit) below its one
+        exchange — the two properties that make the int8 serving tier
+        corpus-fraction instead of O(corpus) (the round-4 watch
+        item)."""
+        plan = plan_of(spark, "ann_cosine_ivf_int8")
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "list_id" in pf, plan
+        simple = plan_of(spark, "ann_cosine_ivf_int8", mode="simple")
+        _, _, below = simple.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in below, simple
 
     def test_minhash_signature_aggregates_mapside(self, spark):
         """KM minhash: one partial_min-capable HashAggregate per
