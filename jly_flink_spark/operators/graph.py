@@ -52,12 +52,19 @@ def pagerank_fixed(
 
     Scale shape per iteration: one shuffle of slim (dst, contrib)
     longs with map-side partial sums, plus a slim rank join against
-    the cached degree-annotated edge list; the edge list is computed
-    ONCE and localCheckpointed so the (potentially expensive) edge
-    derivation upstream never re-executes per iteration.
+    the cached degree-annotated edge list; the edge list AND the slim
+    node projection are computed ONCE and localCheckpointed, so a
+    (potentially expensive) edge or node derivation upstream never
+    re-executes per iteration — the init and every one of the
+    iterations+1 rank rebuilds read the node list from its
+    checkpoint.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # slim (node) projection checkpointed once: the init and every
+    # iteration rebuild ranks from it, so a non-trivial node
+    # derivation executes one time, not iterations+1 times
+    nodes = nodes.select("node").localCheckpoint(eager=False)
     # one row; checkpointed so the scalar-N count subtree runs once,
     # not once per crossJoin (init + 2 per unrolled iteration)
     n_df = nodes.agg(F.count("*").alias("_n")).localCheckpoint(

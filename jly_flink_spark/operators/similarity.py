@@ -29,15 +29,29 @@ from pyspark.sql import Window
 
 QUANT = 100_000_000  # 1e8: quantization scale for dot/norm sums
 
-# Near-dup kernel prefilter bounds (embedding_near_dup_pairs): float
-# cosine may differ from the quantized cosine by the floor error
-# (≤ d/QUANT on the dot and on each norm², i.e. ~1.5e-4 once norms
-# are ≥ ~0.1) plus ~1e-5 of f32 GEMM rounding; 1e-3 keeps >6× slack.
-PREFILTER_MARGIN = 1e-3
 # Below this quantized norm² (float norm ≲ 0.1) the relative floor
 # error on the norm is no longer small — such vectors skip the
 # prefilter and go straight to exact scoring.
 MIN_HEALTHY_QN = 10**6
+
+
+def prefilter_margin(d: int) -> float:
+    """Worst-case gap by which the quantized cosine can EXCEED the
+    stage-1 float32 GEMM cosine for healthy-norm vectors, as a
+    function of the embedding dimension d (a FIXED margin silently
+    breaks at realistic dims: the floor error grows linearly with d,
+    and at d≈1000 it alone consumes a 1e-3 margin).
+
+    Bound: flooring loses < d quantization units on each norm², so on
+    norms at the healthy floor (qn ≥ MIN_HEALTHY_QN) the denominator
+    shrinks by relative ≤ d/(2·MIN_HEALTHY_QN) per side — the
+    quantized cosine inflates by ≤ d/MIN_HEALTHY_QN (the dot's own
+    floor only DEFLATES it, widening the true margin). The f32 side
+    adds ≤ ~d·2^-23 of GEMM accumulation error, plus a fixed 1e-4
+    slack for the normalization divisions' rounding. Validated by an
+    adversarial worst-case construction at d=2048 in
+    tests/test_near_dup_margin.py."""
+    return d / MIN_HEALTHY_QN + d * 1.2e-7 + 1e-4
 
 
 def _qdot(a, b):
@@ -640,9 +654,10 @@ def embedding_near_dup_pairs(
     zip_with+aggregate expression is CodegenFallback (interpreted) in
     Spark, so the batched numpy kernel is the fast path. The kernel
     is two-stage: a float32 BLAS GEMM over unit-normalized vectors
-    prefilters to pairs that could reach the threshold (margin
-    `PREFILTER_MARGIN` covers the worst-case quantization + f32
-    divergence; degenerate-norm vectors bypass the prefilter), then
+    prefilters to pairs that could reach the threshold (the
+    dimension-scaled `prefilter_margin(d)` covers the worst-case
+    quantization + f32 divergence at any embedding dim;
+    degenerate-norm vectors bypass the prefilter), then
     the *identical* quantized arithmetic as the SQL oracle
     (floor(x·y·1e8) per element, exact int64 sums) scores only those
     candidates — so the emitted pair set and cosines still
@@ -718,10 +733,11 @@ def embedding_near_dup_pairs(
         # normalized vectors finds every pair whose FLOAT cosine could
         # possibly reach the QUANTIZED threshold. For healthy norms
         # (quantized norm² ≥ MIN_HEALTHY_QN ⇔ float norm ≳ 0.1) the
-        # quantized and float cosines differ by ≤ ~1.5e-4 (floor error
-        # d/QUANT on the dot and each norm², amplified by 1/|a||b|)
-        # and the f32 GEMM adds ≤ ~1e-5, so PREFILTER_MARGIN keeps a
-        # 6× safety factor. Degenerate-norm vectors — where the bound
+        # quantized cosine can exceed the float one by at most the
+        # dimension-scaled `prefilter_margin(d)` (norm floor error
+        # d/MIN_HEALTHY_QN + f32 GEMM accumulation ~d·2^-23 + slack —
+        # a FIXED margin breaks at d≈1000, where the floor term alone
+        # reaches 1e-3). Degenerate-norm vectors — where the bound
         # fails — have ALL their pairs forced into stage 2. This cuts
         # the O(n_a·n_b·d) floor-tensor work (the old kernel did it
         # for every pair) to a GEMM plus exact work on candidates.
@@ -729,7 +745,8 @@ def embedding_near_dup_pairs(
         fb = np.sqrt((b_mat * b_mat).sum(axis=1))
         an = (a_mat / fa[:, None]).astype("float32")
         bn = (b_mat / fb[:, None]).astype("float32")
-        cut = np.float32(threshold - PREFILTER_MARGIN)
+        d_dim = int(mat.shape[1]) if mat.ndim == 2 else 0
+        cut = np.float32(threshold - prefilter_margin(d_dim))
         b_unhealthy = b_qn < MIN_HEALTHY_QN
         # a-chunked GEMM: the full n_a×n_b score matrix would be
         # ~4 GB f32 at the 32k-row block cap; chunks bound the live

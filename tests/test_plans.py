@@ -317,9 +317,13 @@ class TestScaleShapes:
         + 1 is the degree-annotation reuse ceiling."""
         plan = plan_of(spark, "graph_pagerank_dup_chunks", mode="simple")
         # 3 contrib joins read the checkpointed edge list; the 4
-        # crossJoins read the checkpointed 1-row scalar-N frame
+        # crossJoins read the checkpointed 1-row scalar-N frame; the
+        # init + 3 per-iteration rank rebuilds read the checkpointed
+        # slim node projection (a non-trivial node derivation runs
+        # once, not iterations+1 times)
         assert plan.count("Scan ExistingRDD[src") == 3, plan
         assert plan.count("Scan ExistingRDD[_n") == 4, plan
+        assert plan.count("Scan ExistingRDD[node") == 4, plan
         # the chunk derivation (md5 over token slices) is absent from
         # the final plan entirely — it ran once inside the checkpoint
         assert "md5" not in plan, plan
