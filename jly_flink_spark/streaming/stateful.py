@@ -240,6 +240,8 @@ def latest_state_stream(
     value_col: str,
     op_col: str | None = None,
     delete_op: str = "d",
+    eventtime_col: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming changelog compaction to latest state per key — the
     incremental form of the batch `cdc_latest_state_compaction` query
@@ -262,12 +264,32 @@ def latest_state_stream(
     pass `op_col` and rows whose op equals `delete_op` become
     TOMBSTONES — when a delete is the key's latest record the output
     gains `op='d'` with a NULL value, telling the upsert sink to
-    remove the key. The tombstone STAYS in state (it holds the
+    remove the key. The tombstone stays in state (it holds the
     (ts, tie) high-water mark), so a late pre-delete update cannot
     resurrect the key — only a genuinely newer insert/update can,
     which then emits op='u' again. Without `op_col` the output schema
-    is unchanged (pure upsert compaction)."""
+    is unchanged (pure upsert compaction).
+
+    Tombstone state is BOUNDED when `eventtime_col` is passed (a
+    timestamp column consistent with `ts_col`'s epoch-millis, e.g.
+    `timestamp_millis(ts)`): the stream gets
+    `withWatermark(eventtime_col, watermark_delay)`, input rows with
+    `ts` BELOW the watermark are dropped by the operator itself
+    (Spark does NOT pre-filter late rows for
+    applyInPandasWithState — the watermark only drives timers, so the
+    event-time contract is enforced here), and a tombstone is EVICTED
+    once the watermark passes its `ts` — by then every pre-delete
+    straggler is below the watermark and the late-row drop discards
+    it before it reaches state, so eviction cannot re-open the
+    resurrection window the tombstone guarded against. State then
+    grows with LIVE keys plus the tombstones of at most one
+    watermark-delay of recent deletes, instead of with the all-time
+    deleted-key universe — the difference between an upsert view and
+    a leak at CDC scale. Without `eventtime_col` behavior is
+    unchanged (no late drop, tombstones pinned forever: correct,
+    unbounded — for sources that cannot carry a watermark)."""
     has_op = op_col is not None
+    with_ttl = eventtime_col is not None
     out_schema = (
         f"{key_col} long, last_ts long, last_tie long, "
         f"{value_col} string" + (", op string" if has_op else "")
@@ -276,6 +298,17 @@ def latest_state_stream(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs() if with_ttl else 0
+        if with_ttl and state.hasTimedOut:
+            # timer only ever armed on a tombstone, and re-armed on
+            # every later delete, so at firing the armed timestamp
+            # matches the stored tombstone; the ts < wm guard keeps a
+            # stale timer from evicting a newer tombstone anyway
+            if state.exists:
+                st = tuple(state.get)
+                if st[3] and st[0] < wm:
+                    state.remove()
+            return
         best = tuple(state.get) if state.exists else None
         changed = False
         for pdf in pdfs:
@@ -287,6 +320,12 @@ def latest_state_stream(
             for ts, tie, val, op in zip(
                 pdf[ts_col], pdf[tie_col], pdf[value_col], ops
             ):
+                if with_ttl and int(ts) < wm:
+                    # event-time contract: rows below the watermark
+                    # are droppable — and MUST drop here, or a
+                    # pre-delete straggler arriving after its
+                    # tombstone's eviction would resurrect the key
+                    continue
                 is_del = has_op and str(op) == delete_op
                 cand = (
                     int(ts),
@@ -307,13 +346,35 @@ def latest_state_stream(
             if has_op:
                 row["op"] = ["d" if best[3] else "u"]
             yield pd.DataFrame(row)
+        if with_ttl and best is not None and best[3]:
+            if best[0] < wm:
+                # watermark already passed the tombstone (this key
+                # was invoked by data, so no timer would fire this
+                # batch): every pre-delete straggler is now dropped
+                # above — evict immediately
+                state.remove()
+            else:
+                # (re-)arm the eviction timer (GroupState timers
+                # reset per call): fire once the watermark passes the
+                # tombstone's ts; the timestamp must sit strictly
+                # above the current watermark or it is rejected
+                state.setTimeoutTimestamp(max(int(best[0]), wm + 1))
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    src = (
+        df.withWatermark(eventtime_col, watermark_delay)
+        if with_ttl
+        else df
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=_LATEST_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if with_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -520,6 +520,141 @@ class TestLatestStateStream:
         assert emissions == [{9: (10, 1, "v")}]
 
 
+_TTL_BASE = 1_700_000_000_000  # epoch ms — realistic event times so
+#                                watermark arithmetic behaves
+
+
+class TestLatestStateTombstoneEviction:
+    """Bounded tombstone state (round-4 verdict): with eventtime_col
+    the upsert view evicts op='d' high-water marks once the watermark
+    passes their ts — state grows with live keys + one
+    watermark-delay of recent deletes, not the all-time deleted-key
+    universe — while suppression of late pre-delete updates still
+    holds INSIDE the watermark, and post-eviction stragglers are
+    late-filtered before they can resurrect anything."""
+
+    def _run_ttl(self, spark, tmp_path, batches, name, delay="10 seconds"):
+        from jly_flink_spark.streaming.stateful import latest_state_stream
+
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts long, event_id long, val string, "
+                "op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("evt", F.timestamp_millis(F.col("ts")))
+        )
+        emissions = []
+        q = (
+            latest_state_stream(
+                stream, "user_id", "ts", "event_id", "val",
+                op_col="op", eventtime_col="evt", watermark_delay=delay,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {r["user_id"]: (r["last_ts"], r["val"], r["op"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        return [e for e in emissions if e], state_rows
+
+    def test_state_stays_flat_under_delete_heavy_stream(
+        self, spark, tmp_path
+    ):
+        n_del = 20
+        batches = [
+            # create then delete 20 keys
+            [{"user_id": i, "ts": _TTL_BASE, "event_id": 1,
+              "val": "v", "op": "c"} for i in range(n_del)],
+            [{"user_id": i, "ts": _TTL_BASE + 1_000, "event_id": 2,
+              "val": None, "op": "d"} for i in range(n_del)],
+            # live keys far enough ahead to push the watermark past
+            # every tombstone's ts (delay = 10s)
+            [{"user_id": 100, "ts": _TTL_BASE + 60_000, "event_id": 3,
+              "val": "live", "op": "c"}],
+            [{"user_id": 101, "ts": _TTL_BASE + 70_000, "event_id": 4,
+              "val": "live", "op": "c"}],
+        ]
+        emissions, state_rows = self._run_ttl(
+            spark, tmp_path, batches, "flat"
+        )
+        # the deletes all emitted their tombstones before eviction
+        assert emissions[1] == {
+            i: (_TTL_BASE + 1_000, None, "d") for i in range(n_del)
+        }
+        # state really held the tombstones at the peak…
+        assert max(state_rows) >= n_del
+        # …and the watermark evicted them: only the live keys remain
+        assert state_rows[-1] == 2, state_rows
+
+    def test_late_suppression_still_holds_inside_watermark(
+        self, spark, tmp_path
+    ):
+        batches = [
+            [{"user_id": 1, "ts": _TTL_BASE, "event_id": 1,
+              "val": "a", "op": "c"}],
+            [{"user_id": 1, "ts": _TTL_BASE + 5_000, "event_id": 2,
+              "val": None, "op": "d"}],
+            # late pre-delete update, INSIDE the watermark (wm is
+            # ~delete_ts - 10s): tombstone still in state → suppressed
+            [{"user_id": 1, "ts": _TTL_BASE + 2_000, "event_id": 3,
+              "val": "ghost", "op": "u"}],
+            # genuinely newer insert resurrects with op='u'
+            [{"user_id": 1, "ts": _TTL_BASE + 20_000, "event_id": 4,
+              "val": "back", "op": "c"}],
+        ]
+        emissions, _ = self._run_ttl(spark, tmp_path, batches, "supp")
+        assert emissions == [
+            {1: (_TTL_BASE, "a", "u")},
+            {1: (_TTL_BASE + 5_000, None, "d")},
+            {1: (_TTL_BASE + 20_000, "back", "u")},
+        ]
+
+    def test_post_eviction_stragglers_are_late_filtered(
+        self, spark, tmp_path
+    ):
+        batches = [
+            [{"user_id": 1, "ts": _TTL_BASE, "event_id": 1,
+              "val": "a", "op": "c"}],
+            [{"user_id": 1, "ts": _TTL_BASE + 1_000, "event_id": 2,
+              "val": None, "op": "d"}],
+            # clock key: watermark jumps past the tombstone → evicted
+            [{"user_id": 2, "ts": _TTL_BASE + 60_000, "event_id": 3,
+              "val": "clock", "op": "c"}],
+            # pre-delete straggler now BELOW the watermark: Spark's
+            # stateful late-row filter drops it before the operator —
+            # eviction never re-opens the resurrection window
+            [{"user_id": 1, "ts": _TTL_BASE + 500, "event_id": 4,
+              "val": "ghost", "op": "u"}],
+        ]
+        emissions, state_rows = self._run_ttl(
+            spark, tmp_path, batches, "strag"
+        )
+        assert emissions == [
+            {1: (_TTL_BASE, "a", "u")},
+            {1: (_TTL_BASE + 1_000, None, "d")},
+            {2: (_TTL_BASE + 60_000, "clock", "u")},
+        ]
+        assert state_rows[-1] == 1, state_rows  # only the clock key
+
+
 class TestKmvDistinctStream:
     """Incremental KMV sketch: streaming estimate == batch formula on
     the union of all batches; no-change batches emit nothing; replays
