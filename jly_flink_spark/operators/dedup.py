@@ -263,6 +263,29 @@ def append_to_lsh_index(
     )
 
 
+def compact_lsh_index(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> int:
+    """Maintenance pass for the incremental LSH index: every
+    `append_to_lsh_index` micro-batch adds one small file, so a
+    long-running ingest degrades the probe join into thousands of
+    file opens. Rewrite the index into ~equal files range-sharded and
+    sorted on `band_key` (restoring the tight per-file min/max stats
+    the probe's scan prunes on), then atomically swap the layout in.
+    Returns the file count written. Run it on a cadence (files per
+    partition threshold or N appends), like any LSM-ish index
+    maintenance; probe/candidate results are layout-invariant
+    (tests/test_layout_compaction.py)."""
+    from ..sources.layout import compact_sorted, swap_layout
+
+    tmp = path.rstrip("/") + ".compacting"
+    n_files = compact_sorted(
+        spark.read.parquet(path), tmp, ["band_key"], target_rows_per_file
+    )
+    swap_layout(path, tmp)
+    return n_files
+
+
 def stream_near_dup_candidates(
     new_docs: DataFrame,
     index_bands: DataFrame,

@@ -995,6 +995,29 @@ def persist_ivf_int8(
     write_partitioned(coded, path, ["list_id"])
 
 
+def compact_ivf_layout(
+    spark: SparkSession, path: str, files_per_list: int = 1
+) -> None:
+    """Maintenance pass for a persisted IVF layout (float or SQ8):
+    incremental corpus additions appended into the hive partitions
+    accumulate small files per list; rewrite each `list_id` partition
+    into `files_per_list` vec_id-sorted files and atomically swap the
+    layout in. The hive partitioning — and with it the probe's
+    partition pruning — is preserved; served scores are
+    layout-invariant (tests/test_layout_compaction.py)."""
+    from ..sources.layout import swap_layout, write_sorted_layout
+
+    tmp = path.rstrip("/") + ".compacting"
+    write_sorted_layout(
+        spark.read.parquet(path),
+        tmp,
+        ["list_id"],
+        ["vec_id"],
+        files_per_partition=files_per_list,
+    )
+    swap_layout(path, tmp)
+
+
 def _probe_frame_int8(
     spark: SparkSession,
     q_rows,

@@ -22,6 +22,8 @@ atomicity story is the standard write-to-new-dir-then-swap.
 from __future__ import annotations
 
 import math
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,6 +53,49 @@ def compact_parquet(
         .parquet(out_path)
     )
     return n_files
+
+
+def compact_sorted(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+    precomputed_count: int | None = None,
+) -> int:
+    """`compact_parquet` for layouts whose scans prune on footer
+    stats: rewrite into ~equal files that are RANGE-SHARDED and
+    within-file SORTED on `sort_cols`, so after compaction every file
+    carries tight, disjoint min/max stats on the probe keys — the
+    probe join skips whole files, not just row groups. Returns the
+    file count written. (Round-robin compaction would scramble the
+    keys and turn every probe back into a full scan.)"""
+    n = precomputed_count if precomputed_count is not None else df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(out_path)
+    )
+    return n_files
+
+
+def swap_layout(path: str, new_path: str) -> None:
+    """Promote a freshly rewritten layout: replace the live directory
+    at `path` with `new_path` (two-rename local-FS swap, then drop the
+    old files). Parquet files are immutable, so readers that already
+    planned against the old layout keep a consistent snapshot until
+    the final cleanup; on an object store this step is a table-format
+    commit (Iceberg/Delta snapshot swap) instead of renames — the
+    write-compacted-then-swap protocol is the same."""
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(new_path, path)
+    shutil.rmtree(old)
 
 
 def write_sorted_layout(

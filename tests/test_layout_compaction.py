@@ -1,0 +1,178 @@
+"""Serving-artifact compaction: the persisted LSH index and IVF
+layouts accumulate one small file per incremental append; compaction
+must (a) actually shrink the file count to target, (b) leave probe /
+candidate / serving results bit-identical (layout is never allowed to
+change answers), and (c) preserve the properties the scans rely on —
+band_key footer stats for the LSH probe, hive partition pruning for
+the IVF probe.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.io import load_table
+from jly_flink_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(f"{path}/**/*.parquet", recursive=True)
+
+
+class TestLshIndexCompaction:
+    @pytest.fixture()
+    def fragmented_index(self, spark, tmp_path):
+        docs = load_table(spark, SF_DIR, "documents")
+        base = docs.filter(F.col("doc_id") % 10 < 5)
+        path = str(tmp_path / "lsh_index")
+        dedup.persist_lsh_index(base, path)
+        # simulate a long-running ingest: one small append per
+        # micro-batch
+        for i in range(5, 10):
+            dedup.append_to_lsh_index(
+                docs.filter(F.col("doc_id") % 10 == i), path
+            )
+        return docs, path
+
+    def test_compaction_shrinks_files_and_preserves_probes(
+        self, spark, tmp_path, fragmented_index
+    ):
+        docs, path = fragmented_index
+        probes = docs.filter(F.col("doc_id") % 17 == 3)
+
+        def probe_set():
+            return {
+                (r["new_doc_id"], r["corpus_doc_id"], r["band_key"])
+                for r in dedup.stream_near_dup_candidates(
+                    probes, spark.read.parquet(path)
+                ).collect()
+            }
+
+        n_before_files = len(_parquet_files(path))
+        rows_before = spark.read.parquet(path).count()
+        want = probe_set()
+        assert want  # the probe test must test something
+
+        n_files = dedup.compact_lsh_index(
+            spark, path, target_rows_per_file=10_000_000
+        )
+        assert n_files == 1
+        assert len(_parquet_files(path)) == 1 < n_before_files
+        assert spark.read.parquet(path).count() == rows_before
+        assert probe_set() == want
+
+    def test_compaction_is_sorted_on_band_key(
+        self, spark, tmp_path, fragmented_index
+    ):
+        """Footer-stat contract: rows inside each compacted file are
+        band_key-ordered (that is what makes per-file min/max prune
+        the probe join's scan)."""
+        _, path = fragmented_index
+        dedup.compact_lsh_index(spark, path, target_rows_per_file=10_000_000)
+        for f in _parquet_files(path):
+            keys = [
+                r["band_key"]
+                for r in spark.read.parquet(f)
+                .select("band_key")
+                .collect()
+            ]
+            assert keys == sorted(keys)
+
+
+class TestIvfLayoutCompaction:
+    N_LIST, N_PROBE, K = 8, 3, 5
+    QIDS = [3, 7, 11]
+
+    @pytest.fixture()
+    def fragmented_layout(self, spark, tmp_path):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=self.N_LIST, refine=False
+        )
+        base = emb.filter(F.col("vec_id") % 3 != 2)
+        path = str(tmp_path / "ivf_int8")
+        similarity.persist_ivf_int8(base, path, cents)
+        # incremental corpus additions: append straight into the hive
+        # partitions (one small file per partition per batch)
+        extra = emb.filter(F.col("vec_id") % 3 == 2)
+        assign = similarity._assign_udf(spark, cents)
+        absmax = F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        )
+        coded = (
+            extra.select("vec_id", "embedding")
+            .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
+            .withColumn(
+                "codes",
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: F.floor(
+                        v.cast("double") * F.lit(127.0) / F.col("scale")
+                    ).cast("long"),
+                ),
+            )
+            .select(
+                "vec_id",
+                "codes",
+                similarity._idot(
+                    F.col("codes"), F.col("codes")
+                ).alias("qn8"),
+                assign(F.col("embedding")).alias("list_id"),
+            )
+            .filter(F.col("qn8") > 0)
+        )
+        coded.write.mode("append").partitionBy("list_id").parquet(path)
+        return emb, cents, path
+
+    def test_compaction_preserves_serving_and_pruning(
+        self, spark, tmp_path, fragmented_layout
+    ):
+        emb, cents, path = fragmented_layout
+        queries = emb.filter(F.col("vec_id").isin(self.QIDS))
+
+        def serve():
+            return {
+                (r["query_id"], r["cand_id"], r["rnk"], r["cosine_q8"])
+                for r in similarity.serve_ann_topk_int8(
+                    spark, queries, path, cents,
+                    k=self.K, n_probe=self.N_PROBE,
+                ).collect()
+            }
+
+        n_before = len(_parquet_files(path))
+        rows_before = spark.read.parquet(path).count()
+        want = serve()
+        assert want
+
+        similarity.compact_ivf_layout(spark, path, files_per_list=1)
+        files_after = _parquet_files(path)
+        # one file per non-empty list partition, strictly fewer files
+        n_lists = (
+            spark.read.parquet(path)
+            .select("list_id")
+            .distinct()
+            .count()
+        )
+        assert len(files_after) == n_lists < n_before
+        assert spark.read.parquet(path).count() == rows_before
+        # hive partitioning survived → partition pruning still applies
+        assert all("list_id=" in f for f in files_after)
+        probe = spark.read.parquet(path).filter(
+            F.col("list_id").isin([0, 1])
+        )
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        assert "PartitionFilters: [" in buf.getvalue()
+        # served scores are layout-invariant
+        assert serve() == want
