@@ -535,7 +535,12 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     tags=("groupby", "approx"),
     doc="approx_count_distinct (HyperLogLog++): the 100-TB path for "
     "distinct counts — no exact-distinct shuffle explosion. "
-    "Approximate ⇒ no value oracle (driver does rows-only).",
+    "Approximate ⇒ no value oracle (driver does rows-only), but the "
+    "estimates are NOT unasserted: every per-group estimate is pinned "
+    "within 3×rsd of the exact distinct (test_operators.py::"
+    "test_approx_distinct_within_documented_error), and the exact-"
+    "integer KMV twin (agg_kmv_distinct) hash-anchors the sketch "
+    "arithmetic cross-engine.",
 )
 def agg_approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

@@ -591,3 +591,39 @@ def test_kmv_sketch_merge_equals_direct(spark, sf_dir):
         .collect()
     }
     assert direct["R"] == est_merged
+
+
+@pytest.mark.parametrize(
+    "data_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_approx_distinct_within_documented_error(spark, data_dir):
+    """agg_approx_distinct stays rows-only for the driver (HLL++
+    register merges are libm/impl-specific, so no cross-engine value
+    hash) — but its ESTIMATES are not unasserted: every per-group
+    estimate must land within 3× the default relative standard
+    deviation (rsd=0.05) of the exact distinct count. Deterministic
+    on fixed data (HLL hashing has no RNG), so this pins the
+    estimator's accuracy the same way the exact KMV twin pins the
+    sketch arithmetic."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans import REGISTRY
+
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in REGISTRY["agg_approx_distinct"]
+        .spark_fn(spark, data_dir)
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in load_table(spark, data_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for flag, est in got.items():
+        rel_err = abs(est - exact[flag]) / max(exact[flag], 1)
+        assert rel_err <= 3 * 0.05, (flag, est, exact[flag], rel_err)
