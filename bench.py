@@ -60,6 +60,11 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "agg_kmv_distinct",
     "curation_dup_chunk_fraction",
+    # Round-5: pruned IVF-SQ8 serving (the corpus-fraction answer to
+    # the flat int8 scan). First iteration builds + persists the
+    # layout per sf_dir; min-of-3 therefore times the SERVING path,
+    # which is the recurring cost the tier exists to bound.
+    "ann_cosine_ivf_int8",
 ]
 
 

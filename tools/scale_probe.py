@@ -23,12 +23,26 @@ Corpus construction (never writes to /root/testdata):
   cosine structure, keeps replicas from being trivial duplicates.
   Blocked all-pairs / IVF costs are structure-light anyway — they
   scale with n, which is the point.
-- remaining tables symlinked from the source sf dir.
+- orders + lineitem ×FACTOR with per-replica o_orderkey/l_orderkey
+  offsets (FK between them intact) and custkey/partkey/suppkey
+  UNCHANGED — facts grow a decade while dimensions stay, the standard
+  warehouse shape, so dim joins stay broadcastable and per-customer
+  window partitions get 10× deeper (a real stress for range frames).
+- events ×FACTOR with per-replica event_id AND user_id offsets: the
+  user universe grows 10× while each user's event stream keeps its
+  sf0.1 shape — the honest growth for per-user as-of joins and
+  sessionization (offsetting only event_id would instead give every
+  user 10 interleaved copies of the same timestamps). The CDC
+  pipeline queries synthesize their envelopes from events, so they
+  scale with it.
+- remaining tables (dims) symlinked from the source sf dir.
 
 Usage:
-    python -m tools.scale_probe [--factor 10] [--keep-corpus]
+    python -m tools.scale_probe [--factor 10] [--keep-corpus] [--full]
 
-Writes docs/SCALE_PROBE.md with the measured table.
+--full probes the ENTIRE bench headline set (one decade ratio per
+benched query, TPC-H joins/windows included) instead of the default
+heavy-corpus-operator list. Writes docs/SCALE_PROBE.md.
 """
 
 from __future__ import annotations
@@ -74,12 +88,33 @@ def build_corpus(out_dir: str, factor: int) -> None:
     # symlinks FIRST, embeddings LAST: main() uses embeddings.parquet
     # as the build-complete marker, so an interrupted build (missing
     # symlinks/documents) is rebuilt, never resumed half-made
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-    ).split():
+    for t in "region nation customer supplier part".split():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), dst)
+
+    def replicate(table: str, offset_cols: list[str]) -> None:
+        """×factor replication with per-replica offsets on the given
+        key columns (span = max+1, so replicas are disjoint and FKs
+        offset together stay intact); replica 0 byte-identical."""
+        t = pd.read_parquet(os.path.join(SRC_SF, f"{table}.parquet"))
+        spans = {c: int(t[c].max()) + 1 for c in offset_cols}
+        parts = []
+        for k in range(factor):
+            rep = t.copy()
+            for c in offset_cols:
+                rep[c] = rep[c] + k * spans[c]
+            parts.append(rep)
+        pd.concat(parts, ignore_index=True).to_parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+    # facts grow, dims don't: orderkeys offset jointly (FK intact),
+    # cust/part/supp keys untouched; events offset user_id too so the
+    # user universe grows instead of stacking copies per user
+    replicate("orders", ["o_orderkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("events", ["event_id", "user_id"])
 
     docs = pd.read_parquet(os.path.join(SRC_SF, "documents.parquet"))
     n_docs = len(docs)
@@ -173,7 +208,21 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out-dir", default="/tmp/jly_scale_probe")
     ap.add_argument("--keep-corpus", action="store_true")
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="probe the whole bench headline set (TPC-H joins/"
+        "windows/CDC included), not just the heavy corpus operators",
+    )
     args = ap.parse_args()
+
+    global QUERIES
+    if args.full:
+        from bench import HEADLINE
+
+        # the bench set plus the pruned IVF-SQ8 serving tier (new
+        # this round, not yet benched long enough to be pinned there)
+        QUERIES = list(HEADLINE) + ["ann_cosine_ivf_int8"]
 
     corpus = os.path.join(args.out_dir, f"x{args.factor}")
     if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
@@ -224,9 +273,15 @@ def main() -> None:
 
     report = os.path.join(HERE, "docs", "SCALE_PROBE.md")
     with open(report, "w", encoding="utf-8") as f:
+        probed = (
+            "the FULL bench headline set (TPC-H joins/windows/CDC "
+            "included; --full)"
+            if args.full
+            else "the heavy corpus operators"
+        )
         f.write(
             f"# Scale probe — sf0.1 × {args.factor} (≈ sf1)\n\n"
-            "Single-run wall times for the heavy corpus operators one\n"
+            f"Single-run wall times for {probed} one\n"
             "decade above the bench gate, with per-stage task-time\n"
             "quantiles from the Spark UI REST API. Generated by\n"
             "`python -m tools.scale_probe`; corpus construction is\n"
