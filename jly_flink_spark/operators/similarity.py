@@ -966,13 +966,25 @@ def persist_ivf_int8(
     """
     from ..io import write_partitioned
 
+    write_partitioned(
+        _ivf_int8_rows(emb, centroids, vec_col), path, ["list_id"]
+    )
+
+
+def _ivf_int8_rows(
+    emb: DataFrame, centroids: list, vec_col: str
+) -> DataFrame:
+    """(vec_id, codes, qn8, list_id) rows of the IVF-SQ8 layout —
+    the ONE definition of the stored-row derivation, shared by the
+    initial build and incremental appends so the two can never
+    drift."""
     assign = _assign_udf(emb.sparkSession, centroids)
     absmax = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
     )
-    coded = (
+    return (
         emb.select("vec_id", vec_col)
         .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
         .withColumn(
@@ -992,7 +1004,30 @@ def persist_ivf_int8(
         )
         .filter(F.col("qn8") > 0)
     )
-    write_partitioned(coded, path, ["list_id"])
+
+
+def append_to_ivf_int8(
+    emb_new: DataFrame,
+    path: str,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental corpus additions to the IVF-SQ8 layout — the
+    write-back half of continuous ingest (the ANN analog of
+    `append_to_lsh_index`): new vectors are coded and coarse-assigned
+    with the SAME derivation as the initial build and appended into
+    their hive list partitions. Appends are per-batch atomic in
+    parquet; each batch adds one small file per touched list, so run
+    `compact_ivf_layout` on a cadence. The centroids must be the
+    layout's own (assignment with different centroids would route
+    probes past the new rows); re-centroiding means a rebuild —
+    `persist_ivf_int8` — like any IVF index."""
+    (
+        _ivf_int8_rows(emb_new, centroids, vec_col)
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
 
 
 def compact_ivf_layout(

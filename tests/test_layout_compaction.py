@@ -97,39 +97,35 @@ class TestIvfLayoutCompaction:
         base = emb.filter(F.col("vec_id") % 3 != 2)
         path = str(tmp_path / "ivf_int8")
         similarity.persist_ivf_int8(base, path, cents)
-        # incremental corpus additions: append straight into the hive
-        # partitions (one small file per partition per batch)
-        extra = emb.filter(F.col("vec_id") % 3 == 2)
-        assign = similarity._assign_udf(spark, cents)
-        absmax = F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        # incremental corpus additions: one small file per touched
+        # hive partition per append batch
+        similarity.append_to_ivf_int8(
+            emb.filter(F.col("vec_id") % 3 == 2), path, cents
         )
-        coded = (
-            extra.select("vec_id", "embedding")
-            .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
-            .withColumn(
-                "codes",
-                F.transform(
-                    F.col("embedding"),
-                    lambda v: F.floor(
-                        v.cast("double") * F.lit(127.0) / F.col("scale")
-                    ).cast("long"),
-                ),
-            )
-            .select(
-                "vec_id",
-                "codes",
-                similarity._idot(
-                    F.col("codes"), F.col("codes")
-                ).alias("qn8"),
-                assign(F.col("embedding")).alias("list_id"),
-            )
-            .filter(F.col("qn8") > 0)
-        )
-        coded.write.mode("append").partitionBy("list_id").parquet(path)
         return emb, cents, path
+
+    def test_appended_layout_equals_oneshot_build(
+        self, spark, tmp_path, fragmented_layout
+    ):
+        """Build + append must produce exactly the rows a one-shot
+        build over the full corpus produces — the shared derivation
+        makes incremental ingest indistinguishable from a rebuild."""
+        emb, cents, path = fragmented_layout
+        oneshot = str(tmp_path / "ivf_oneshot")
+        similarity.persist_ivf_int8(emb, oneshot, cents)
+
+        def rows(p):
+            return {
+                (
+                    r["vec_id"],
+                    tuple(r["codes"]),
+                    r["qn8"],
+                    r["list_id"],
+                )
+                for r in spark.read.parquet(p).collect()
+            }
+
+        assert rows(path) == rows(oneshot) and rows(path)
 
     def test_compaction_preserves_serving_and_pruning(
         self, spark, tmp_path, fragmented_layout
