@@ -186,6 +186,10 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
         # int8 drops only the EXACT-zero vector (all-zero codes); the
         # sub-quantization-unit vector has valid codes on both engines
         "ann_cosine_int8_adc",
+        # pruned IVF-SQ8: seed-centroid build + assignment + probe
+        # selection must also mirror on a corpus where the ZERO vector
+        # is itself a centroid (cqn guarded at 1 on both engines)
+        "ann_cosine_ivf_int8",
     ],
 )
 def test_ann_oracles_agree_on_degenerate_vectors(spark, edge_emb_dir, name):
