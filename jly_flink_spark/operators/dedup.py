@@ -254,9 +254,8 @@ def append_to_lsh_index(
     append their bands so FUTURE arrivals dedup against them too.
     Uses the stateless row-wise signature (same values as the batch
     pipeline), so it can run inside a foreachBatch alongside the
-    probe. Appends are per-batch atomic in parquet; periodic index
-    rebuild (`persist_lsh_index`) compacts the accumulated small
-    files at 100 TB."""
+    probe. Appends are per-batch atomic in parquet; compact the
+    accumulated small files on a cadence with `compact_lsh_index`."""
     bands = minhash_bands(minhash_signature_rowwise(new_docs, text_col))
     bands.sortWithinPartitions("band_key").write.mode("append").parquet(
         path
@@ -275,7 +274,18 @@ def compact_lsh_index(
     Returns the file count written. Run it on a cadence (files per
     partition threshold or N appends), like any LSM-ish index
     maintenance; probe/candidate results are layout-invariant
-    (tests/test_layout_compaction.py)."""
+    (tests/test_layout_compaction.py).
+
+    Interaction with live consumers: the swap DELETES the old files,
+    and a long-lived static DataFrame (e.g. the `index_bands` side of
+    a stream-static probe join, resolved once at stream start) pins
+    the old file listing — its next micro-batch would read files that
+    no longer exist. The compaction-safe serving pattern is to
+    re-resolve the index per epoch (`spark.read.parquet(path)` inside
+    foreachBatch — what `serve_ann_topk` does by taking a path, and
+    what `tests/test_layout_compaction.py::
+    test_stream_probe_survives_mid_stream_compaction` pins); then
+    maintenance between epochs is invisible to the stream."""
     from ..sources.layout import compact_sorted, swap_layout
 
     tmp = path.rstrip("/") + ".compacting"

@@ -66,6 +66,76 @@ class TestLshIndexCompaction:
         assert spark.read.parquet(path).count() == rows_before
         assert probe_set() == want
 
+    def test_stream_probe_survives_mid_stream_compaction(
+        self, spark, tmp_path, fragmented_index
+    ):
+        """The compaction-safe serving pattern: a streaming consumer
+        that RE-RESOLVES the index per epoch (spark.read.parquet
+        inside foreachBatch) sails through a compaction swap between
+        micro-batches — candidates across the swap equal the batch-
+        mode probe of all arrivals. (A static DataFrame resolved once
+        at stream start would instead pin the deleted pre-swap file
+        listing; the docstring of compact_lsh_index spells this
+        out.)"""
+        import glob as _glob
+        import shutil
+
+        docs, path = fragmented_index
+        probes = [
+            docs.filter(F.col("doc_id") % 17 == 3),
+            docs.filter(F.col("doc_id") % 17 == 5),
+        ]
+        src = tmp_path / "probe_stream"
+        src.mkdir()
+        for i, p in enumerate(probes):
+            p.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage_{i}")
+            )
+            part = _glob.glob(
+                str(tmp_path / f"stage_{i}" / "part-*.parquet")
+            )[0]
+            shutil.copy(part, str(src / f"b{i}.parquet"))
+
+        got: list = []
+        state = {"compacted": False}
+
+        def probe_batch(bdf, eid):
+            idx = spark.read.parquet(path)  # re-resolve per epoch
+            got.extend(
+                (r["new_doc_id"], r["corpus_doc_id"], r["band_key"])
+                for r in dedup.stream_near_dup_candidates(
+                    bdf, idx
+                ).collect()
+            )
+            if not state["compacted"]:
+                dedup.compact_lsh_index(
+                    spark, path, target_rows_per_file=10_000_000
+                )
+                state["compacted"] = True
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert state["compacted"]
+
+        all_probes = probes[0].unionAll(probes[1])
+        want = {
+            (r["new_doc_id"], r["corpus_doc_id"], r["band_key"])
+            for r in dedup.stream_near_dup_candidates(
+                all_probes, spark.read.parquet(path)
+            ).collect()
+        }
+        assert set(got) == want and want
+
     def test_compaction_is_sorted_on_band_key(
         self, spark, tmp_path, fragmented_index
     ):
