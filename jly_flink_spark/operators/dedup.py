@@ -270,10 +270,14 @@ def compact_lsh_index(
     long-running ingest degrades the probe join into thousands of
     file opens. Rewrite the index into ~equal files range-sharded and
     sorted on `band_key` (restoring the tight per-file min/max stats
-    the probe's scan prunes on), then atomically swap the layout in.
-    Returns the file count written. Run it on a cadence (files per
-    partition threshold or N appends), like any LSM-ish index
-    maintenance; probe/candidate results are layout-invariant
+    the probe's scan prunes on), then swap the layout in. Returns the
+    file count written. Run it on a cadence (files per partition
+    threshold or N appends), like any LSM-ish index maintenance, but
+    SERIALIZED with the appends on one maintenance timeline — an
+    `append_to_lsh_index` committed between the compaction's read
+    snapshot and the swap would be deleted silently (see
+    `swap_layout` for the full write/read contract).
+    Probe/candidate results are layout-invariant
     (tests/test_layout_compaction.py).
 
     Interaction with live consumers: the swap DELETES the old files,

@@ -413,6 +413,23 @@ def cosine_topk_ivf(
     return _topk_from_probes(corpus, queries, k)
 
 
+def _select_probe_lists(v, vq_g: int, cents_state, n_probe: int):
+    """A query vector's n_probe nearest centroid lists, in probe
+    order — the ONE definition of probe selection (quantized centroid
+    cosine, ties → lowest centroid id), shared by the float and int8
+    probe frames so the two serving tiers can never diverge from each
+    other or from the SQL oracle's mirror of this arithmetic."""
+    import math
+
+    import numpy as np
+
+    ids_c, cmat, cqn = cents_state
+    qd = np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
+    cos = qd / (math.sqrt(vq_g) * np.sqrt(cqn))
+    order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
+    return ids_c[order[:n_probe]]
+
+
 def _probe_frame(
     spark: SparkSession,
     q_rows,
@@ -427,23 +444,16 @@ def _probe_frame(
     cosine undefined, same contract as drop_zero_norm on the corpus
     side. Shared by the in-memory IVF path and the persisted-layout
     serving paths (batch + streaming)."""
-    import math
-
     import numpy as np
 
-    ids_c, cmat, cqn = _centroid_state(cents)
+    cents_state = _centroid_state(cents)
     probe_rows = []
     for r in q_rows:
         v = np.array(list(r[vec_col]), dtype="float64")
         vq = int(np.floor(v * v * QUANT).astype("int64").sum())
         if vq <= 0:
             continue
-        qd = (
-            np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
-        )
-        cos = qd / (math.sqrt(vq) * np.sqrt(cqn))
-        order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
-        for cid in ids_c[order[:n_probe]]:
+        for cid in _select_probe_lists(v, vq, cents_state, n_probe):
             probe_rows.append(
                 (
                     int(r["vec_id"]),
@@ -459,33 +469,74 @@ def _probe_frame(
     )
 
 
-def _topk_from_probes(
-    corpus: DataFrame, queries: DataFrame, k: int
-) -> DataFrame:
-    """Score a (cand_id, cand_vec, cand_norm2, list_id) corpus against
-    a broadcast probe frame and keep each query's top-k: the one real
-    shuffle is the per-query top-k window over candidate scores."""
-    dot = _qdot(F.col("query_vec"), F.col("cand_vec"))
-    cos = dot.cast("double") / (
+def _float_cos_score():
+    """Quantized float cosine over a joined probe/candidate row."""
+    return _qdot(F.col("query_vec"), F.col("cand_vec")).cast(
+        "double"
+    ) / (
         F.sqrt(F.col("query_norm2").cast("double"))
         * F.sqrt(F.col("cand_norm2").cast("double"))
     )
+
+
+def _int8_cos_score():
+    """Exact-integer int8 cosine over a joined probe/candidate row."""
+    return _idot(F.col("query_codes"), F.col("cand_codes")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("query_qn8").cast("double"))
+        * F.sqrt(F.col("cand_qn8").cast("double"))
+    )
+
+
+def _topk_from_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    score=None,
+    score_name: str = "cosine",
+) -> DataFrame:
+    """Score a candidate corpus against a broadcast probe frame on
+    `list_id` and keep each query's top-k: the one real shuffle is
+    the per-query top-k window over candidate scores. The serving
+    skeleton shared by the float (IVF-Flat) and int8 (IVF-SQ8) tiers;
+    `score` is the per-pair scoring expression (default: quantized
+    float cosine)."""
+    if score is None:
+        score = _float_cos_score()
     scored = (
         corpus.join(F.broadcast(queries), "list_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cos.alias("cosine"),
+            score.alias(score_name),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id")
+        F.col(score_name).desc(), F.col("cand_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
+        .select("query_id", "cand_id", score_name, "rnk")
+    )
+
+
+def _pruned_layout(
+    spark: SparkSession, layout_path: str, probes: DataFrame, rename: dict
+) -> DataFrame:
+    """Partition-pruned read of a persisted IVF layout restricted to
+    the probe frame's lists (the `lists` collect is
+    |batch|·n_probe-sized model state, not data)."""
+    lists = [
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    ]
+    cols = [F.col(src).alias(dst) for src, dst in rename.items()]
+    return (
+        spark.read.parquet(layout_path)
+        .filter(F.col("list_id").isin(lists))
+        .select(*cols, "list_id")
     )
 
 
@@ -538,18 +589,11 @@ def serve_ann_topk(
     the corpus never is."""
     q_rows = queries_df.select("vec_id", vec_col).collect()
     queries = _probe_frame(spark, q_rows, centroids, n_probe, vec_col)
-    lists = [
-        r["list_id"] for r in queries.select("list_id").distinct().collect()
-    ]
-    corpus = (
-        spark.read.parquet(layout_path)
-        .filter(F.col("list_id").isin(lists))
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col(vec_col).alias("cand_vec"),
-            F.col("q_norm2").alias("cand_norm2"),
-            "list_id",
-        )
+    corpus = _pruned_layout(
+        spark,
+        layout_path,
+        queries,
+        {"vec_id": "cand_id", vec_col: "cand_vec", "q_norm2": "cand_norm2"},
     )
     return _topk_from_probes(corpus, queries, k)
 
@@ -1036,10 +1080,13 @@ def compact_ivf_layout(
     """Maintenance pass for a persisted IVF layout (float or SQ8):
     incremental corpus additions appended into the hive partitions
     accumulate small files per list; rewrite each `list_id` partition
-    into `files_per_list` vec_id-sorted files and atomically swap the
-    layout in. The hive partitioning — and with it the probe's
-    partition pruning — is preserved; served scores are
-    layout-invariant (tests/test_layout_compaction.py)."""
+    into `files_per_list` vec_id-sorted files and swap the layout in.
+    The hive partitioning — and with it the probe's partition
+    pruning — is preserved; served scores are layout-invariant
+    (tests/test_layout_compaction.py). Serialize with
+    `append_to_ivf_int8` on one maintenance timeline — an append
+    committed between the compaction's read snapshot and the swap is
+    deleted silently (see `swap_layout` for the full contract)."""
     from ..sources.layout import swap_layout, write_sorted_layout
 
     tmp = path.rstrip("/") + ".compacting"
@@ -1073,12 +1120,11 @@ def _probe_frame_int8(
     Every arithmetic step here (absmax scale, floor codes, quantized
     centroid cosine, lexsort tie rule) mirrors one SQL expression in
     the `ann_cosine_ivf_int8` oracle, which is what makes a PRUNED
-    (n_probe < n_list) IVF query value-hash-checkable cross-engine."""
-    import math
-
+    (n_probe < n_list) IVF query value-hash-checkable cross-engine.
+    Probe selection itself is the shared `_select_probe_lists`."""
     import numpy as np
 
-    ids_c, cmat, cqn = _centroid_state(cents)
+    cents_state = _centroid_state(cents)
     rows = []
     for r in q_rows:
         v = np.array(list(r[vec_col]), dtype="float64")
@@ -1088,12 +1134,7 @@ def _probe_frame_int8(
         if qn8 <= 0:
             continue
         vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
-        qd = (
-            np.floor(v[None, :] * cmat * QUANT).astype("int64").sum(axis=1)
-        )
-        cos = qd / (math.sqrt(vq) * np.sqrt(cqn))
-        order = np.lexsort((ids_c, -cos))  # cos desc, ties → low cid
-        for cid in ids_c[order[:n_probe]]:
+        for cid in _select_probe_lists(v, vq, cents_state, n_probe):
             rows.append(
                 (
                     int(r["vec_id"]),
@@ -1126,40 +1167,19 @@ def serve_ann_topk_int8(
     applies its partial (WindowGroupLimit) below the one exchange —
     so what shuffles is partitions×k slim rows of an already
     corpus-fraction scan. The `.collect()` is the request batch,
-    driver-sized by definition."""
+    driver-sized by definition. Same serving skeleton as
+    `serve_ann_topk` (`_pruned_layout` + `_topk_from_probes`), so the
+    two tiers' probe/join/top-k semantics cannot drift apart."""
     q_rows = queries_df.select("vec_id", vec_col).collect()
     probes = _probe_frame_int8(spark, q_rows, centroids, n_probe, vec_col)
-    lists = [
-        r["list_id"] for r in probes.select("list_id").distinct().collect()
-    ]
-    corpus = (
-        spark.read.parquet(layout_path)
-        .filter(F.col("list_id").isin(lists))
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("codes").alias("cand_codes"),
-            F.col("qn8").alias("cand_qn8"),
-            "list_id",
-        )
+    corpus = _pruned_layout(
+        spark,
+        layout_path,
+        probes,
+        {"vec_id": "cand_id", "codes": "cand_codes", "qn8": "cand_qn8"},
     )
-    cos = _idot(F.col("query_codes"), F.col("cand_codes")).cast(
-        "double"
-    ) / (
-        F.sqrt(F.col("query_qn8").cast("double"))
-        * F.sqrt(F.col("cand_qn8").cast("double"))
-    )
-    scored = (
-        corpus.join(F.broadcast(probes), "list_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cos.alias("cosine_q8"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_q8").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine_q8", "rnk")
+    return _topk_from_probes(
+        corpus, probes, k, _int8_cos_score(), "cosine_q8"
     )
 
 

@@ -759,18 +759,26 @@ SELECT query_id, cand_id, cosine_q8, rnk FROM (
     "(symmetric code-vs-code distance; tests/test_ivf_int8.py).",
 )
 def ann_cosine_ivf_int8(spark, sf_dir):
+    import hashlib
+    import os
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Index + layout are deterministic per corpus: build once per
     # sf_dir and serve every request batch from the persisted layout
-    # (the build/serve split every ANN system has).
+    # (the build/serve split every ANN system has). The path is a
+    # STABLE function of sf_dir — each new process overwrites the
+    # previous process's layout instead of leaking a fresh mkdtemp
+    # copy of the quantized corpus per run.
     ent = _IVF_INT8_LAYOUT_CACHE.get(sf_dir)
     if ent is None:
         cents = similarity.build_ivf_centroids(
             emb, n_list=_IVF_INT8_N_LIST, refine=False
         )
-        path = tempfile.mkdtemp(prefix="jly_ivf_int8_") + "/corpus"
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"jly_ivf_int8_{tag}", "corpus"
+        )
         similarity.persist_ivf_int8(emb, path, cents)
         ent = (path, cents)
         _IVF_INT8_LAYOUT_CACHE[sf_dir] = ent

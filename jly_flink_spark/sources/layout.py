@@ -84,11 +84,25 @@ def compact_sorted(
 
 def swap_layout(path: str, new_path: str) -> None:
     """Promote a freshly rewritten layout: replace the live directory
-    at `path` with `new_path` (two-rename local-FS swap, then drop the
-    old files). Parquet files are immutable, so readers that already
-    planned against the old layout keep a consistent snapshot until
-    the final cleanup; on an object store this step is a table-format
-    commit (Iceberg/Delta snapshot swap) instead of renames — the
+    at `path` with `new_path` (two local-FS renames, then drop the
+    old files). NOT atomic — the contract, stated plainly:
+
+    - There is a microsecond-scale window between the two renames in
+      which `path` does not exist; a reader resolving the path in
+      that instant errors (a checkpointed stream re-runs the failed
+      micro-batch on restart; running compaction inside the same
+      serving loop, between epochs, avoids the window entirely). A
+      crash inside the window strands the previous layout at
+      `<path>.old` — recovery is renaming it back.
+    - WRITERS MUST BE QUIESCED: a file appended into `path` after the
+      compaction job's read snapshot is deleted by the swap with no
+      error. Serialize appends and compaction on one maintenance
+      timeline (e.g. both inside the same foreachBatch loop, between
+      epochs — the pattern the compaction tests pin); never run them
+      concurrently from separate jobs.
+
+    On an object store this whole step is a table-format commit
+    (Iceberg/Delta snapshot swap), which removes both caveats — the
     write-compacted-then-swap protocol is the same."""
     old = path.rstrip("/") + ".old"
     if os.path.exists(old):

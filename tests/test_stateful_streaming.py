@@ -638,8 +638,9 @@ class TestLatestStateTombstoneEviction:
             # clock key: watermark jumps past the tombstone → evicted
             [{"user_id": 2, "ts": _TTL_BASE + 60_000, "event_id": 3,
               "val": "clock", "op": "c"}],
-            # pre-delete straggler now BELOW the watermark: Spark's
-            # stateful late-row filter drops it before the operator —
+            # pre-delete straggler now BELOW the watermark: Spark does
+            # NOT pre-filter late rows for applyInPandasWithState, so
+            # the OPERATOR's own ts < wm drop must discard it —
             # eviction never re-opens the resurrection window
             [{"user_id": 1, "ts": _TTL_BASE + 500, "event_id": 4,
               "val": "ghost", "op": "u"}],

@@ -93,12 +93,18 @@ def build_corpus(out_dir: str, factor: int) -> None:
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), dst)
 
-    def replicate(table: str, offset_cols: list[str]) -> None:
+    def replicate(
+        table: str,
+        offset_cols: list[str],
+        spans: dict[str, int] | None = None,
+    ) -> dict[str, int]:
         """×factor replication with per-replica offsets on the given
-        key columns (span = max+1, so replicas are disjoint and FKs
-        offset together stay intact); replica 0 byte-identical."""
+        key columns (span = max+1, so replicas are disjoint); pass
+        `spans` to shift an FK by the SAME span as its parent key.
+        Replica 0 stays byte-identical. Returns the spans used."""
         t = pd.read_parquet(os.path.join(SRC_SF, f"{table}.parquet"))
-        spans = {c: int(t[c].max()) + 1 for c in offset_cols}
+        if spans is None:
+            spans = {c: int(t[c].max()) + 1 for c in offset_cols}
         parts = []
         for k in range(factor):
             rep = t.copy()
@@ -108,12 +114,19 @@ def build_corpus(out_dir: str, factor: int) -> None:
         pd.concat(parts, ignore_index=True).to_parquet(
             os.path.join(out_dir, f"{table}.parquet")
         )
+        return spans
 
-    # facts grow, dims don't: orderkeys offset jointly (FK intact),
+    # facts grow, dims don't: lineitem's FK shifts by ORDERS' span
+    # (deriving it from max(l_orderkey) would silently corrupt the FK
+    # whenever the highest-keyed order has no lineitems);
     # cust/part/supp keys untouched; events offset user_id too so the
     # user universe grows instead of stacking copies per user
-    replicate("orders", ["o_orderkey"])
-    replicate("lineitem", ["l_orderkey"])
+    o_spans = replicate("orders", ["o_orderkey"])
+    replicate(
+        "lineitem",
+        ["l_orderkey"],
+        spans={"l_orderkey": o_spans["o_orderkey"]},
+    )
     replicate("events", ["event_id", "user_id"])
 
     docs = pd.read_parquet(os.path.join(SRC_SF, "documents.parquet"))
@@ -220,9 +233,9 @@ def main() -> None:
     if args.full:
         from bench import HEADLINE
 
-        # the bench set plus the pruned IVF-SQ8 serving tier (new
-        # this round, not yet benched long enough to be pinned there)
-        QUERIES = list(HEADLINE) + ["ann_cosine_ivf_int8"]
+        # the whole bench headline set (order-preserving dedup: the
+        # default probe list and HEADLINE overlap)
+        QUERIES = list(dict.fromkeys(HEADLINE))
 
     corpus = os.path.join(args.out_dir, f"x{args.factor}")
     if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
