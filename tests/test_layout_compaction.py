@@ -197,6 +197,80 @@ class TestIvfLayoutCompaction:
 
         assert rows(path) == rows(oneshot) and rows(path)
 
+    def test_ann_stream_survives_between_epoch_compaction(
+        self, spark, tmp_path
+    ):
+        """serve_ann_stream re-resolves the layout path inside every
+        micro-batch (serve_ann_topk takes a PATH, not a DataFrame), so
+        a compact_ivf_layout swap between epochs is invisible to the
+        stream: queries served before and after the swap together
+        equal a one-shot batch serve."""
+        import glob as _glob
+        import shutil
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=self.N_LIST, refine=False
+        )
+        path = str(tmp_path / "ivf_float")
+        similarity.persist_ivf_corpus(emb, path, cents)
+        qids_by_epoch = [[3, 7], [11]]
+        stream_dir = tmp_path / "queries"
+        stream_dir.mkdir()
+
+        def stage_queries(i):
+            rows = emb.filter(
+                F.col("vec_id").isin(qids_by_epoch[i])
+            ).select("vec_id", "embedding")
+            rows.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"qstage_{i}")
+            )
+            part = _glob.glob(
+                str(tmp_path / f"qstage_{i}" / "part-*.parquet")
+            )[0]
+            shutil.copy(part, str(stream_dir / f"epoch_{i}.parquet"))
+
+        stage_queries(0)
+        out_dir = str(tmp_path / "results")
+        q = similarity.serve_ann_stream(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir)),
+            path,
+            cents,
+            out_dir,
+            str(tmp_path / "ckpt"),
+            k=self.K,
+            n_probe=self.N_PROBE,
+        )
+        try:
+            q.processAllAvailable()  # epoch 0 served pre-swap
+            n_files_before = len(_parquet_files(path))
+            similarity.compact_ivf_layout(spark, path, files_per_list=1)
+            assert len(_parquet_files(path)) <= n_files_before
+            stage_queries(1)
+            q.processAllAvailable()  # epoch 1 served post-swap
+        finally:
+            q.stop()
+
+        got = {
+            (r["query_id"], r["cand_id"], r["rnk"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        all_ids = [i for qs in qids_by_epoch for i in qs]
+        want = {
+            (r["query_id"], r["cand_id"], r["rnk"])
+            for r in similarity.serve_ann_topk(
+                spark,
+                emb.filter(F.col("vec_id").isin(all_ids)),
+                path,
+                cents,
+                k=self.K,
+                n_probe=self.N_PROBE,
+            ).collect()
+        }
+        assert got == want and got
+
     def test_compaction_preserves_serving_and_pruning(
         self, spark, tmp_path, fragmented_layout
     ):
