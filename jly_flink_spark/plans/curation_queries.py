@@ -1269,3 +1269,121 @@ def text_bm25_topk(spark, sf_dir):
     return per_doc_score.orderBy(
         F.col("score_micro").desc(), "doc_id"
     ).limit(BM25_TOPK)
+
+
+# --------------------------------------------------------------------
+# Weak-supervision quality classifier (fixed-point logistic GD)
+# --------------------------------------------------------------------
+def _qc_oracle() -> str:
+    """DuckDB mirror of the unrolled fixed-point GD in
+    operators/classifier.py: identical milli/micro scaling, identical
+    hard-sigmoid clamp, identical truncating division (DuckDB `//`
+    and Spark `div` both truncate toward zero), epochs unrolled as
+    w0 -> g1 -> w1 -> ... CTEs. Gradient sums are HUGEINT in DuckDB;
+    cast to BIGINT immediately so the update arithmetic matches
+    Spark's int64 exactly."""
+    from ..operators import classifier as C
+
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    punct_re = "[^.,;:!?''\"()-]"  # doubled quote for the SQL literal
+    z = " + ".join(
+        f"{w} * {x}"
+        for (_, w), x in zip(C.WEIGHT_COLS, C.FEATURE_COLS)
+    )
+    p = f"least(greatest(500 + ({z}) // {4 * C.Q}, 0), {C.S})"
+    epochs = []
+    prev = "w0"
+    for t in range(1, C.EPOCHS + 1):
+        gsums = ", ".join(
+            f"CAST(sum(d * {x}) AS BIGINT) AS g_{w}"
+            for (_, w), x in zip(C.WEIGHT_COLS, C.FEATURE_COLS)
+        )
+        upd = ", ".join(
+            f"CAST({w} - ({C.LR_NUM} * (coalesce(g_{w}, 0)"
+            f" // greatest(n, 1))) // {C.LR_DEN} AS BIGINT) AS {w}"
+            for _, w in C.WEIGHT_COLS
+        )
+        epochs.append(
+            f"g{t} AS (SELECT count(*) AS n, {gsums} FROM"
+            f" (SELECT f.*, ({p}) - y AS d FROM feats f, {prev})),\n"
+            f"w{t} AS (SELECT {upd} FROM {prev}, g{t})"
+        )
+        prev = f"w{t}"
+    weight_rows = "\nUNION ALL ".join(
+        f"SELECT '{m}' AS metric, {w} AS value FROM {prev}"
+        for m, w in C.WEIGHT_COLS
+    )
+    return f"""
+WITH raw AS (
+  SELECT CAST(len({toks}) AS BIGINT) AS n_tok,
+         CAST(len(list_filter({toks}, t -> list_contains([{sw}], t)))
+           AS BIGINT) AS n_sw,
+         CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+           AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(text, '{punct_re}', '', 'g'))
+           AS BIGINT) AS n_punct
+  FROM documents
+), derived AS (
+  SELECT n_tok,
+         (n_sw * {C.S}) // greatest(n_tok, 1) AS swm,
+         (n_digit * {C.S}) // n_chars
+           + (n_punct * {C.S}) // n_chars AS noise
+  FROM raw
+), hinge AS (
+  SELECT CAST({C.S} AS BIGINT) AS x_bias,
+         CAST(least(greatest({C.MIN_TOKENS} - n_tok, 0) * 200, {C.S})
+           AS BIGINT) AS x_short,
+         CAST(least(greatest({C.SW_LO} - swm, 0) * 20, {C.S})
+           AS BIGINT) AS x_sw_lo,
+         CAST(least(greatest(swm - {C.SW_HI}, 0) * 2, {C.S})
+           AS BIGINT) AS x_sw_hi,
+         CAST(least(greatest(noise - {C.NOISE_MAX - 1}, 0), {C.S})
+           AS BIGINT) AS x_noise
+  FROM derived
+), feats AS (
+  SELECT *,
+         CAST(CASE WHEN x_short = 0 AND x_sw_lo = 0
+                    AND x_sw_hi = 0 AND x_noise = 0
+              THEN {C.S} ELSE 0 END AS BIGINT) AS y
+  FROM hinge
+),
+w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS {w}" for _, w in C.WEIGHT_COLS)}),
+{",".join(epochs)},
+pred AS (SELECT y, {p} AS p FROM feats f, {prev})
+{weight_rows}
+UNION ALL SELECT 'n_docs', count(*) FROM feats
+UNION ALL SELECT 'n_label_pos',
+  CAST(coalesce(sum(CASE WHEN y = {C.S} THEN 1 ELSE 0 END), 0)
+    AS BIGINT) FROM feats
+UNION ALL SELECT 'n_pred_pos',
+  CAST(coalesce(sum(CASE WHEN p > 500 THEN 1 ELSE 0 END), 0)
+    AS BIGINT) FROM pred
+UNION ALL SELECT 'n_true_pos',
+  CAST(coalesce(sum(CASE WHEN p > 500 AND y = {C.S} THEN 1 ELSE 0 END),
+    0) AS BIGINT) FROM pred
+"""
+
+
+@register(
+    "quality_classifier_train",
+    oracle=_qc_oracle(),
+    tags=("curation", "quality", "iterative", "ml"),
+    doc="Weak-supervision quality classifier: fixed-point logistic "
+    "regression (hard-sigmoid link, micro-unit integer weights, "
+    "hinge violation features — the rule's stopword BAND is not "
+    "linearly separable in the raw ratio) trained by 8 unrolled "
+    "epochs of full-batch gradient descent — the CCNet-style "
+    "rule-teacher/linear-student curation pattern. "
+    "Each epoch is ONE map-side-combined aggregation of a slim, "
+    "once-checkpointed integer feature table down to a single "
+    "gradient row (the corpus is never shuffled); the 9-row output "
+    "(learned weights + label/prediction audit counts) value-hashes "
+    "the entire iterative computation bit-for-bit against the "
+    "oracle's unrolled CTEs.",
+)
+def quality_classifier_train(spark, sf_dir):
+    from ..operators.classifier import train_quality_classifier
+
+    return train_quality_classifier(load_table(spark, sf_dir, "documents"))

@@ -627,3 +627,97 @@ def test_approx_distinct_within_documented_error(spark, data_dir):
     for flag, est in got.items():
         rel_err = abs(est - exact[flag]) / max(exact[flag], 1)
         assert rel_err <= 3 * 0.05, (flag, est, exact[flag], rel_err)
+
+
+class TestQualityClassifier:
+    """Fixed-point weak-supervision logistic classifier
+    (operators/classifier.py): the GD recurrence must be bit-exact
+    against an independent pure-Python reimplementation, behave on
+    empty input, and actually separate on the real corpus."""
+
+    def _train_rows(self, df):
+        return {r["metric"]: r["value"] for r in df.collect()}
+
+    def test_matches_python_reference(self, spark):
+        from jly_flink_spark.operators import classifier as C
+
+        docs = spark.createDataFrame(
+            [
+                # good: in-band stopwords, long enough, clean
+                (1, "the cat and the dog sat on the mat in the sun"),
+                (2, "it is a fine day and the birds sing in the sky"),
+                # bad: no stopwords at all (sw deficit)
+                (3, "alpha beta gamma delta epsilon zeta eta theta"),
+                # bad: too short
+                (4, "the end"),
+                # bad: digit soup (noise)
+                (5, "1234567890 9876543210 1112223334 5556667778 the a"),
+                # boundary: barely in/out of the stopword band
+                (6, "the of xxxxx yyyyy zzzzz wwwww vvvvv uuuuu"),
+                (7, "the the the the the the the the and and and of"),
+            ],
+            "doc_id long, text string",
+        )
+        feats = {
+            r["doc_id"]: r.asDict()
+            for r in C.quality_features(docs).collect()
+        }
+
+        def tdiv(a, b):  # truncation toward zero, like Spark `div`
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b > 0) else -q
+
+        w = [0] * len(C.WEIGHT_COLS)
+        xs = [
+            [feats[d][x] for x in C.FEATURE_COLS] for d in sorted(feats)
+        ]
+        ys = [feats[d]["y"] for d in sorted(feats)]
+        for _ in range(C.EPOCHS):
+            g = [0] * len(w)
+            for xv, y in zip(xs, ys):
+                z = sum(wi * xi for wi, xi in zip(w, xv))
+                p = min(max(500 + tdiv(z, 4 * C.Q), 0), C.S)
+                d = p - y
+                for j, xi in enumerate(xv):
+                    g[j] += d * xi
+            w = [
+                wi - tdiv(C.LR_NUM * tdiv(gj, max(len(xs), 1)), C.LR_DEN)
+                for wi, gj in zip(w, g)
+            ]
+        got = self._train_rows(C.train_quality_classifier(docs))
+        for (metric, _), expect in zip(C.WEIGHT_COLS, w):
+            assert got[metric] == expect, (metric, got)
+        assert got["n_docs"] == len(xs)
+        assert got["n_label_pos"] == sum(1 for y in ys if y == C.S)
+
+    def test_empty_corpus_keeps_init_weights(self, spark):
+        from jly_flink_spark.operators import classifier as C
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        got = self._train_rows(C.train_quality_classifier(docs))
+        assert len(got) == 9
+        assert all(v == 0 for v in got.values())
+
+    def test_separates_on_real_corpus(self, spark, sf_dir):
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators import classifier as C
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = self._train_rows(C.train_quality_classifier(docs))
+        # non-degenerate: neither all-positive nor all-negative, and
+        # the learned boundary keeps (nearly) all rule-positives
+        assert 0 < got["n_pred_pos"] < got["n_docs"]
+        assert got["n_true_pos"] >= (got["n_label_pos"] * 9) // 10
+        # positive bias, negative stopword-deficit weight: the
+        # separator GD must find in hinge space
+        assert got["w_bias"] > 0
+        assert got["w_sw_deficit"] < 0
+
+    def test_epochs_validated(self, spark):
+        import pytest as _pytest
+
+        from jly_flink_spark.operators import classifier as C
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            C.train_quality_classifier(docs, epochs=0)

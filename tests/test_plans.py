@@ -201,6 +201,13 @@ class TestShuffleBudget:
             # scalar-total SinglePartition) — AQE ReusedExchange
             # collapses the duplicate at runtime, pinned below
             ("text_bigram_logprob", 5),
+            # 8 unrolled GD epochs × 2 single-row gathers (gradient
+            # agg + weight projection) + the final audit agg; the
+            # corpus never shuffles — every exchanged row is ONE row
+            # of int64 gradient sums. Old weights ride THROUGH the
+            # gradient agg so the plan stays linear in epochs (a
+            # second w reference doubles the subtree per epoch).
+            ("quality_classifier_train", 18),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
