@@ -65,6 +65,10 @@ HEADLINE = [
     # layout per sf_dir; min-of-3 therefore times the SERVING path,
     # which is the recurring cost the tier exists to bound.
     "ann_cosine_ivf_int8",
+    # Round-5: iterative fixed-point GD (8 unrolled epochs over a
+    # checkpointed feature table) — times the multi-pass/checkpoint
+    # orchestration pattern the graph + classifier family shares.
+    "quality_classifier_train",
 ]
 
 
