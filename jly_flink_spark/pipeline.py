@@ -57,6 +57,46 @@ def validity_guards(env: DataFrame) -> DataFrame:
     )
 
 
+# Java-parity blank test (StringUtils.isBlank -> Character.isWhitespace,
+# StartJob.java:129): an explicit character class of every codepoint
+# Java 17 counts as whitespace -- ASCII controls \\t\\n\\x0B\\f\\r, the
+# FS/GS/RS/US separators \\x1C-\\x1F, space, and the Unicode space/line/
+# paragraph separators EXCEPT the non-breaking ones (U+00A0, U+2007,
+# U+202F), which Java deliberately excludes. The regex \\s class is
+# ASCII-only in both Java regex and RE2, so it misses the 1C-1F and
+# Unicode rows. Both engine renderings are generated from ONE range
+# spec (RE2 lacks \\uXXXX, so the SQL side uses \\x{...}); parity is
+# pinned against the JVM itself AND cross-engine in
+# tests/test_pipeline.py (TestJavaBlankParity).
+_JAVA_WS_RANGES = (
+    (0x09, 0x0D),  # tab newline vtab formfeed cr
+    (0x1C, 0x1F),  # FS GS RS US
+    (0x20, 0x20),  # space
+    (0x1680, 0x1680),  # OGHAM SPACE MARK
+    (0x2000, 0x2006),  # EN QUAD .. SIX-PER-EM (2007 excluded: nb)
+    (0x2008, 0x200A),  # PUNCTUATION .. HAIR SPACE
+    (0x2028, 0x2029),  # LINE / PARAGRAPH SEPARATOR
+    (0x205F, 0x205F),  # MEDIUM MATH SPACE (202F excluded: nb)
+    (0x3000, 0x3000),  # IDEOGRAPHIC SPACE
+)
+
+
+def _render_class(esc) -> str:
+    return "".join(
+        esc(lo) if lo == hi else f"{esc(lo)}-{esc(hi)}"
+        for lo, hi in _JAVA_WS_RANGES
+    )
+
+
+# Spark (Java regex): literal codepoints are safe in a Python string.
+JAVA_BLANK_RE = f"^[{_render_class(chr)}]*$"
+# DuckDB (RE2): \\x{...} escapes, backslashes kept literal by standard
+# single-quoted SQL strings.
+JAVA_BLANK_RE_SQL = (
+    "^[" + _render_class(lambda c: f"\\x{{{c:04x}}}") + "]*$"
+)
+
+
 def guard_conditions(env: DataFrame) -> dict:
     """The four T2 guard predicates as named Columns, shared by the
     batch filter, the drop-accounting query, and the streaming
@@ -64,7 +104,7 @@ def guard_conditions(env: DataFrame) -> dict:
     return {
         "is_delete": F.col("op") == OP_DELETE,
         "tbl_ok": F.col("source_table").isNotNull()
-        & ~F.col("source_table").rlike(r"^\s*$"),
+        & ~F.col("source_table").rlike(JAVA_BLANK_RE),
         "before_ok": F.col("before").isNotNull(),
         "id_ok": F.get_json_object(F.col("before"), "$.id").isNotNull(),
         # null-safe: a well-formed envelope MISSING ts_ms parses to

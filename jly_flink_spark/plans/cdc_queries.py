@@ -66,7 +66,7 @@ SELECT
 FROM env e
 LEFT JOIN dim d USING (instance_name)
 WHERE e.op = 'd'
-  AND e.source_table IS NOT NULL AND NOT regexp_matches(e.source_table, '^\\s*$')
+  AND e.source_table IS NOT NULL AND NOT regexp_matches(e.source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$')
   AND e.before IS NOT NULL
   AND json_extract_string(e.before, '$.id') IS NOT NULL
   AND e.ts_ms > 0
@@ -86,7 +86,7 @@ def cdc_delete_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT instance_name, op, ts_ms, source_table, before
 FROM env
 WHERE op = 'd'
-  AND source_table IS NOT NULL AND NOT regexp_matches(source_table, '^\\s*$')
+  AND source_table IS NOT NULL AND NOT regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$')
   AND before IS NOT NULL
   AND json_extract_string(before, '$.id') IS NOT NULL
   AND ts_ms > 0
@@ -110,7 +110,7 @@ SELECT 'demo_' || e.source_table AS db_tb_name,
        count(*) AS n_rows
 FROM env e
 WHERE e.op = 'd'
-  AND e.source_table IS NOT NULL AND NOT regexp_matches(e.source_table, '^\\s*$')
+  AND e.source_table IS NOT NULL AND NOT regexp_matches(e.source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$')
   AND e.before IS NOT NULL
   AND json_extract_string(e.before, '$.id') IS NOT NULL
   AND e.ts_ms > 0
@@ -146,19 +146,19 @@ def cdc_op_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   count(*) FILTER (WHERE op <> 'd') AS n_non_delete,
   count(*) FILTER (WHERE op = 'd' AND (source_table IS NULL
-                   OR regexp_matches(source_table, '^\\s*$'))) AS n_blank_table,
+                   OR regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$'))) AS n_blank_table,
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
-                   AND NOT regexp_matches(source_table, '^\\s*$')
+                   AND NOT regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$')
                    AND before IS NULL) AS n_null_before,
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
-                   AND NOT regexp_matches(source_table, '^\\s*$') AND before IS NOT NULL
+                   AND NOT regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$') AND before IS NOT NULL
                    AND json_extract_string(before, '$.id') IS NULL) AS n_no_id,
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
-                   AND NOT regexp_matches(source_table, '^\\s*$') AND before IS NOT NULL
+                   AND NOT regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$') AND before IS NOT NULL
                    AND json_extract_string(before, '$.id') IS NOT NULL
                    AND (ts_ms <= 0 OR ts_ms IS NULL)) AS n_bad_ts,
   count(*) FILTER (WHERE op = 'd' AND source_table IS NOT NULL
-                   AND NOT regexp_matches(source_table, '^\\s*$') AND before IS NOT NULL
+                   AND NOT regexp_matches(source_table, '^[\\x{0009}-\\x{000d}\\x{001c}-\\x{001f}\\x{0020}\\x{1680}\\x{2000}-\\x{2006}\\x{2008}-\\x{200a}\\x{2028}-\\x{2029}\\x{205f}\\x{3000}]*$') AND before IS NOT NULL
                    AND json_extract_string(before, '$.id') IS NOT NULL
                    AND ts_ms > 0) AS n_archived
 FROM env

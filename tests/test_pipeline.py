@@ -167,3 +167,92 @@ class TestQuarantine:
         good, bad = parse_envelope_json_with_quarantine(raw)
         assert bad.count() == 0
         assert good.count() == env.count()
+
+
+class TestJavaBlankParity:
+    """The blank-table guard (StartJob.java:129, StringUtils.isBlank)
+    must match Java's Character.isWhitespace on EVERY codepoint, in
+    BOTH engine renderings — the class is generated from one range
+    spec, and these tests pin it against the JVM itself."""
+
+    # every whitespace-relevant plane: ASCII/controls, Latin-1 (NBSP),
+    # Ogham, general punctuation (incl. the non-breaking exclusions),
+    # line/para separators, CJK ideographic space, plus a tail beyond
+    _CODEPOINTS = (
+        list(range(0x00, 0x100))
+        + [0x1680, 0x1681, 0x180E, 0x200B]
+        + list(range(0x2000, 0x2070))
+        + [0x205F, 0x2060, 0x3000, 0x3001, 0xFEFF]
+    )
+
+    def test_class_matches_jvm_iswhitespace(self, spark):
+        import re
+
+        from jly_flink_spark.pipeline import JAVA_BLANK_RE
+
+        jchar = spark._jvm.java.lang.Character
+        pat = re.compile(JAVA_BLANK_RE)
+        for cp in self._CODEPOINTS:
+            ours = bool(pat.fullmatch(chr(cp)))
+            java = bool(jchar.isWhitespace(cp))
+            assert ours == java, f"U+{cp:04X}: class={ours} java={java}"
+
+    def test_sql_rendering_matches_spark_rendering(self):
+        import duckdb
+
+        from jly_flink_spark.pipeline import (
+            JAVA_BLANK_RE,
+            JAVA_BLANK_RE_SQL,
+        )
+        import re
+
+        pat = re.compile(JAVA_BLANK_RE)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE cps AS SELECT unnest(?) AS cp", [self._CODEPOINTS]
+        )
+        rows = con.execute(
+            "SELECT cp, regexp_matches(chr(cp), ?) FROM cps",
+            [JAVA_BLANK_RE_SQL],
+        ).fetchall()
+        for cp, duck in rows:
+            ours = bool(pat.fullmatch(chr(cp)))
+            assert bool(duck) == ours, f"U+{cp:04X}"
+
+    def test_cdc_oracles_use_generated_class(self):
+        from jly_flink_spark.pipeline import JAVA_BLANK_RE_SQL
+        from jly_flink_spark.plans import REGISTRY
+
+        for name in (
+            "cdc_delete_archive",
+            "cdc_filtered_deletes",
+            "cdc_route_counts",
+            "cdc_guard_drop_stats",
+        ):
+            o = REGISTRY[name].oracle
+            assert JAVA_BLANK_RE_SQL in o, name
+            assert "\\s*$" not in o, name  # the old ASCII-only guard
+
+    def test_exotic_blank_table_is_dropped(self, spark):
+        from pyspark.sql import Row
+
+        from jly_flink_spark.pipeline import validity_guards
+
+        env = spark.createDataFrame(
+            [
+                Row(
+                    op="d",
+                    source_table="　 \x1c",  # Java-blank only
+                    before='{"id": 1}',
+                    ts_ms=5,
+                ),
+                Row(
+                    op="d",
+                    source_table=" ",  # NBSP: NOT blank in Java
+                    before='{"id": 2}',
+                    ts_ms=5,
+                ),
+            ]
+        )
+        kept = validity_guards(env).select("source_table").collect()
+        assert [r[0] for r in kept] == [" "]
