@@ -1,0 +1,173 @@
+"""Distributed K-means over embedding vectors, fixed-point and
+fully declarative — the batch clustering flagship next to the IVF
+index build (operators/similarity.py), whose centroid refinement is
+deliberately driver-side model state. Here the WHOLE algorithm stays
+inside the DataFrame plan, so it is value-hash oracle-checkable and
+scales with the cluster, not the driver.
+
+Bit-exactness: vectors are int8-quantized with the hash-verified
+absmax/floor formula (`int8_codes`, mirrored by the
+`embedding_quantize_int8` oracle), distances are exact integer sums
+of squared differences, centroid updates are truncating integer
+means (`sum div count` — Spark `div` and DuckDB `//` both truncate
+toward zero), and argmin ties break to the smallest centroid id. A
+fixed iteration count (like PageRank's PR_ITERS) makes the unrolled
+computation identical on any engine.
+
+Scale shape (the 100-TB argument):
+- Assignment never shuffles the corpus: the K centroid arrays ride
+  in ONE broadcast row, and each vector computes its argmin inline
+  (higher-order `aggregate` over the centroid list — per-row,
+  whole-stage codegen, zero exchange).
+- The update shuffles only (cid, dim) partial sums: posexplode is
+  map-side combined to ≤ K·d rows per partition before the exchange,
+  so per-iteration shuffle volume is O(partitions × K × d),
+  independent of corpus size.
+- The quantized code table is localCheckpointed once; each of the
+  `iterations`+1 assignment passes reads the checkpoint, not the
+  parquet + quantize lineage. Centroids (K·d ints) are checkpointed
+  per iteration, which also keeps the lazy plan linear in
+  iterations (the centroid frame is referenced twice per round:
+  assignment + empty-cluster fallback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import int8_codes
+
+KM_K = 8  # clusters
+KM_ITERS = 3  # fixed unroll depth
+_INF = 1 << 62
+
+
+def _sqdist(code, carr):
+    """Exact integer squared L2 distance of two int arrays."""
+    return F.aggregate(
+        F.zip_with(code, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+
+
+def _assign(codes: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, code, cid): nearest centroid per vector, ties to the
+    smallest cid. The K centroids collapse to ONE broadcast row of
+    (cid, carr) structs; the argmin is a per-row fold over that list
+    — no join, no shuffle, order-independent despite collect_list's
+    nondeterministic order because (dist, cid) lexicographic min is
+    commutative."""
+    cent1 = cent.agg(
+        F.collect_list(F.struct("cid", "carr")).alias("cents")
+    )
+    init = F.struct(
+        F.lit(_INF).cast("bigint").alias("dist"),
+        F.lit(_INF).cast("bigint").alias("cid"),
+    )
+
+    def better(acc, c):
+        cand = F.struct(
+            _sqdist(F.col("code"), c["carr"]).alias("dist"),
+            c["cid"].cast("bigint").alias("cid"),
+        )
+        return F.when(
+            (cand["dist"] < acc["dist"])
+            | ((cand["dist"] == acc["dist"]) & (cand["cid"] < acc["cid"])),
+            cand,
+        ).otherwise(acc)
+
+    return codes.crossJoin(F.broadcast(cent1)).select(
+        "vec_id",
+        "code",
+        F.aggregate("cents", init, better)["cid"].alias("cid"),
+    )
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    k: int = KM_K,
+    iterations: int = KM_ITERS,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Run `iterations` rounds of Lloyd's algorithm on int8-quantized
+    vectors; returns (centroids, assignment) where centroids is
+    (cid, carr array<bigint>) after the final update and assignment
+    is (vec_id, cid) against those final centroids.
+
+    Init = the codes of the k smallest vec_ids (deterministic,
+    engine-portable; the row_number window input is the k-row
+    sort-limit, never the corpus). Empty clusters keep their previous
+    centroid."""
+    if iterations < 1 or k < 1:
+        raise ValueError("k and iterations must be >= 1")
+    codes = emb.select(
+        "vec_id", int8_codes(F.col(vec_col)).alias("code")
+    ).localCheckpoint(eager=False)
+
+    seeds = codes.orderBy("vec_id").limit(k)
+    w = Window.orderBy("vec_id")
+    cent = (
+        seeds.withColumn("cid", F.row_number().over(w) - 1)
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("code").alias("carr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        asg = _assign(codes, cent)
+        sums = (
+            asg.select(
+                "cid", F.posexplode("code").alias("dim", "val")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+        )
+        cent_flat = cent.select(
+            "cid", F.posexplode("carr").alias("dim", "cval")
+        )
+        new_flat = cent_flat.join(sums, ["cid", "dim"], "left").select(
+            "cid",
+            "dim",
+            F.coalesce(F.expr("s div cnt"), F.col("cval")).alias("cval"),
+        )
+        cent = (
+            new_flat.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "cval"))
+                    ),
+                    lambda s: s["cval"],
+                ).alias("carr")
+            )
+            .localCheckpoint(eager=False)
+        )
+    final_asg = _assign(codes, cent).select("vec_id", "cid")
+    return cent, final_asg
+
+
+def kmeans_audit(
+    emb: DataFrame,
+    k: int = KM_K,
+    iterations: int = KM_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, dim, cval, n_members) — every centroid coordinate after
+    the final update plus final-assignment cluster sizes; a value
+    hash of this frame certifies every iteration end-to-end."""
+    cent, asg = kmeans_fixed(emb, k=k, iterations=iterations, vec_col=vec_col)
+    sizes = asg.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    flat = cent.select("cid", F.posexplode("carr").alias("dim", "cval"))
+    return flat.join(sizes, "cid", "left").select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("cval").cast("bigint").alias("cval"),
+        F.coalesce(F.col("n_members"), F.lit(0).cast("bigint")).alias(
+            "n_members"
+        ),
+    )

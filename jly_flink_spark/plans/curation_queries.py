@@ -1387,3 +1387,110 @@ def quality_classifier_train(spark, sf_dir):
     from ..operators.classifier import train_quality_classifier
 
     return train_quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------
+# Distributed K-means over embeddings (fixed-point Lloyd's)
+# --------------------------------------------------------------------
+def _kmeans_oracle() -> str:
+    """DuckDB mirror of the unrolled fixed-point K-means in
+    operators/clustering.py: the hash-verified absmax/floor int8
+    quantization, exploded (vec_id, dim, val) representation, exact
+    integer squared-L2 distances, QUALIFY row_number argmin with the
+    same (dist, cid) tiebreak, truncating-integer centroid means
+    (`//` = Spark `div`), empty clusters keeping their previous
+    coordinates. HUGEINT sums cast to BIGINT before the division so
+    the arithmetic matches Spark's int64."""
+    from ..operators import clustering as KM
+
+    its = []
+    prev = "cent0"
+    for t in range(1, KM.KM_ITERS + 1):
+        its.append(f"""
+d{t} AS (
+  SELECT f.vec_id, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM flat f JOIN {prev} c USING (dim)
+  GROUP BY f.vec_id, c.cid
+),
+asg{t} AS (
+  SELECT vec_id, cid FROM d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+cent{t} AS (
+  SELECT c.cid, c.dim, coalesce(u.nval, c.cval) AS cval
+  FROM {prev} c LEFT JOIN (
+    SELECT a.cid, f.dim,
+           CAST(sum(f.val) AS BIGINT) // count(*) AS nval
+    FROM asg{t} a JOIN flat f USING (vec_id)
+    GROUP BY a.cid, f.dim
+  ) u ON u.cid = c.cid AND u.dim = c.dim
+)""")
+        prev = f"cent{t}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS BIGINT))
+           AS code
+  FROM q
+),
+flat AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(code))) AS BIGINT) AS dim,
+         unnest(code) AS val
+  FROM codes
+),
+seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {KM.KM_K})
+),
+cent0 AS (
+  SELECT s.cid, f.dim, f.val AS cval FROM seeds s JOIN flat f USING (vec_id)
+),
+{",".join(its)},
+df_ AS (
+  SELECT f.vec_id, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM flat f JOIN {prev} c USING (dim)
+  GROUP BY f.vec_id, c.cid
+),
+asg_f AS (
+  SELECT vec_id, cid FROM df_
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT c.cid, c.dim, CAST(c.cval AS BIGINT) AS cval,
+       CAST(coalesce(n.n_members, 0) AS BIGINT) AS n_members
+FROM {prev} c LEFT JOIN (
+  SELECT cid, count(*) AS n_members FROM asg_f GROUP BY cid
+) n USING (cid)
+"""
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("curation", "embedding", "clustering", "iterative", "ml"),
+    doc="Distributed K-means over int8-quantized embeddings, fully "
+    "declarative and bit-exact: 3 unrolled Lloyd's rounds where "
+    "assignment is a per-row argmin fold over ONE broadcast row of "
+    "centroid arrays (the corpus never shuffles) and the update "
+    "shuffles only map-side-combined (cid, dim) partial sums — "
+    "O(partitions × K × d) per round. Integer squared-L2 distances, "
+    "truncating-integer means, smallest-cid tiebreaks; every "
+    "centroid coordinate + final cluster sizes value-hash against "
+    "the oracle's unrolled CTEs. Complements the IVF build, whose "
+    "per-list refinement is driver-side model state by design.",
+)
+def embedding_kmeans_clusters(spark, sf_dir):
+    from ..operators.clustering import kmeans_audit
+
+    return kmeans_audit(load_table(spark, sf_dir, "embeddings"))

@@ -721,3 +721,118 @@ class TestQualityClassifier:
         docs = spark.createDataFrame([], "doc_id long, text string")
         with _pytest.raises(ValueError):
             C.train_quality_classifier(docs, epochs=0)
+
+
+class TestKmeansFixed:
+    """Fixed-point declarative K-means (operators/clustering.py):
+    bit-exact vs a pure-Python Lloyd's on the same integer recurrence,
+    deterministic tiebreaks, empty-cluster fallback."""
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from jly_flink_spark.operators import clustering as KM
+
+        # 6 vectors in 2 obvious groups + 1 outlier; k=3 so one seed
+        # may end up owning nothing some round
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.1]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.2, 0.0]),
+            (3, [0.1, 0.9, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.9]),
+            (5, [-0.5, -0.5, 0.5, 0.5]),
+        ]
+        k, iters = 3, 3
+
+        def q(v):
+            scale = max(max(abs(x) for x in v), 1e-12)
+            return [math.floor(x * 127.0 / scale) for x in v]
+
+        codes = {vid: q(v) for vid, v in vecs}
+        cent = {
+            cid: list(codes[vid])
+            for cid, vid in enumerate(sorted(codes)[:k])
+        }
+
+        def tdiv(a, b):
+            qq = abs(a) // abs(b)
+            return qq if (a >= 0) == (b > 0) else -qq
+
+        def assign():
+            out = {}
+            for vid, c in codes.items():
+                best = None
+                for cid in sorted(cent):
+                    d = sum((x - y) ** 2 for x, y in zip(c, cent[cid]))
+                    if best is None or (d, cid) < best:
+                        best = (d, cid)
+                out[vid] = best[1]
+            return out
+
+        for _ in range(iters):
+            a = assign()
+            for cid in cent:
+                members = [codes[v] for v, c in a.items() if c == cid]
+                if members:
+                    cent[cid] = [
+                        tdiv(sum(col), len(members))
+                        for col in zip(*members)
+                    ]
+        final = assign()
+
+        emb = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r["cid"], r["dim"]): (r["cval"], r["n_members"])
+            for r in KM.kmeans_audit(emb, k=k, iterations=iters).collect()
+        }
+        sizes = {
+            cid: sum(1 for c in final.values() if c == cid)
+            for cid in cent
+        }
+        for cid, arr in cent.items():
+            for dim, val in enumerate(arr):
+                assert got[(cid, dim)] == (val, sizes[cid]), (
+                    cid,
+                    dim,
+                    got[(cid, dim)],
+                )
+
+    def test_empty_cluster_keeps_seed(self, spark):
+        from jly_flink_spark.operators import clustering as KM
+
+        # two identical far groups; the 3rd seed (vec 2) is identical
+        # to vec 1's code, so it can never win a tie (smaller cid
+        # first) and its cluster goes empty — its centroid must stay
+        # at the seed coordinates
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.0, 1.0]),
+                (2, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        rows = KM.kmeans_audit(emb, k=3, iterations=2).collect()
+        c2 = {
+            r["dim"]: (r["cval"], r["n_members"])
+            for r in rows
+            if r["cid"] == 2
+        }
+        assert c2[0] == (0, 0) and c2[1] == (127, 0)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from jly_flink_spark.operators import clustering as KM
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            KM.kmeans_fixed(emb, k=0)
+        with _pytest.raises(ValueError):
+            KM.kmeans_fixed(emb, iterations=0)

@@ -208,6 +208,12 @@ class TestShuffleBudget:
             # gradient agg so the plan stays linear in epochs (a
             # second w reference doubles the subtree per epoch).
             ("quality_classifier_train", 18),
+            # K-means audit tail (post-checkpoint): the (cid,dim)
+            # update sums + the sizes rollup; assignment itself is a
+            # per-row broadcast fold with ZERO corpus shuffle —
+            # per-iteration internals sit behind the centroid
+            # localCheckpoints and shuffle only K*d partial sums
+            ("embedding_kmeans_clusters", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
