@@ -235,3 +235,52 @@ def train_quality_classifier(
     return weight_rows.unionAll(audit_rows).select(
         "metric", F.col("value").cast("bigint").alias("value")
     )
+
+
+def extract_weights(trained: DataFrame) -> dict[str, int]:
+    """Collect the learned weights out of the train audit frame as
+    plain ints — model state (9 rows), like the IVF centroid list:
+    the train-offline/serve-online boundary."""
+    rows = {r["metric"]: r["value"] for r in trained.collect()}
+    return {m: int(rows[m]) for m, _ in WEIGHT_COLS}
+
+
+def score_quality(docs: DataFrame, weights: dict[str, int]) -> DataFrame:
+    """(doc_id, p, keep): hard-sigmoid score in milli-units against
+    FROZEN weights embedded as literals — a stateless per-row
+    projection (zero shuffle, whole-stage codegen) that runs
+    unchanged on a batch frame or a streaming micro-batch. The same
+    integer arithmetic as training, so batch and stream scores are
+    bit-identical."""
+    feats = quality_features(docs)
+    z = " + ".join(
+        f"{weights[m]}L * {x}" for (m, _), x in zip(WEIGHT_COLS, FEATURE_COLS)
+    )
+    p = f"least(greatest(500 + ({z}) div {4 * Q}, 0), {S})"
+    return feats.select(
+        "doc_id",
+        F.expr(p).cast("bigint").alias("p"),
+        (F.expr(p) > 500).alias("keep"),
+    )
+
+
+def serve_quality_stream(
+    docs_sdf: DataFrame,
+    weights: dict[str, int],
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming quality gate: score a document stream against the
+    offline-trained weights and append (doc_id, p, keep) — the
+    classifier analog of `similarity.serve_ann_stream`. Stateless
+    (each doc scores independently), so recovery is plain
+    source-offset replay; per-epoch work is one projection pass.
+    Returns the StreamingQuery."""
+    return (
+        score_quality(docs_sdf, weights)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -983,3 +983,44 @@ def test_two_queries_distinct_ids_no_label_collision(spark, tmp_path):
         with open(f) as fh:
             loaded += [r["id"] for r in json.load(fh)]
     assert sorted(loaded) == ["1", "1"]  # once per query, not thrice
+
+
+def test_quality_stream_scores_match_batch(spark, tmp_path):
+    """Train-offline/serve-online for the quality classifier: a
+    document stream scored against frozen weights must produce
+    bit-identical (doc_id, p, keep) rows to the batch projection —
+    same integer arithmetic, stateless per-row gate."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import classifier as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    weights = C.extract_weights(C.train_quality_classifier(docs))
+    assert weights["w_bias"] > 0  # trained, not the zero init
+
+    batch = {
+        r["doc_id"]: (r["p"], r["keep"])
+        for r in C.score_quality(docs, weights).collect()
+    }
+    assert any(k for _, k in batch.values())
+    assert not all(k for _, k in batch.values())
+
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    q = C.serve_quality_stream(
+        stream,
+        weights,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["p"], r["keep"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch
