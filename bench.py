@@ -69,6 +69,9 @@ HEADLINE = [
     # checkpointed feature table) — times the multi-pass/checkpoint
     # orchestration pattern the graph + classifier family shares.
     "quality_classifier_train",
+    # Round-5: declarative K-means (broadcast-fold assignment, K*d
+    # partial-sum updates) — the embedding-clustering wall.
+    "embedding_kmeans_clusters",
 ]
 
 
