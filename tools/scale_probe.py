@@ -74,6 +74,11 @@ QUERIES = [
     "curation_dup_chunk_fraction",
     # int8 ADC serving: brute-force scan shape over quantized codes
     "ann_cosine_int8_adc",
+    # round-5 iterative ML: multi-pass scans of checkpointed slim
+    # tables (epochs/rounds) — decade ratio shows whether the
+    # fixed per-pass orchestration stays amortized as data grows
+    "quality_classifier_train",
+    "embedding_kmeans_clusters",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
