@@ -80,6 +80,11 @@ def edge_sf_dir(tmp_path_factory):
         # shared "t0 t1 t2 ..." prefixes make cross-doc duplicate
         # chunks dense; token-less docs must drop on both engines
         "curation_dup_chunk_fraction",
+        # fixed-point GD: empty/whitespace-only docs drive the
+        # x_short hinge to its cap and n_tok=0 through the
+        # greatest(n_tok,1) guard — both engines must agree through
+        # all 8 epochs on a corpus that is ~all rule-negative
+        "quality_classifier_train",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
@@ -190,6 +195,12 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
         # selection must also mirror on a corpus where the ZERO vector
         # is itself a centroid (cqn guarded at 1 on both engines)
         "ann_cosine_ivf_int8",
+        # declarative K-means: k=8 seeds on a 6-vector corpus (short
+        # seed set), a zero vector AND an identical seed pair (its
+        # duplicate cluster can never win the smaller-cid tiebreak →
+        # permanently empty, keeps seed coords) — squared-L2 on int8
+        # codes is exact, so both engines must agree bit-for-bit
+        "embedding_kmeans_clusters",
     ],
 )
 def test_ann_oracles_agree_on_degenerate_vectors(spark, edge_emb_dir, name):

@@ -459,3 +459,64 @@ def test_near_dup_gemm_prefilter_loses_no_pair(spark, n, seed):
         for r in embedding_near_dup_pairs(df, threshold=0.3).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier: Spark GD == pure-Python GD on arbitrary corpora
+# ---------------------------------------------------------------------------
+_doc_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs", "Cc"),
+        max_codepoint=0x3100,
+    ),
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=12))
+def test_classifier_gd_matches_python_on_random_text(spark, texts):
+    """The unrolled fixed-point GD must equal the pure-Python integer
+    recurrence on arbitrary text — including control chars, exotic
+    unicode, digit soup, and empty strings — because every step is
+    exact int64 arithmetic over features the two implementations
+    derive independently only ONCE (Spark expressions vs collected
+    feature rows)."""
+    from jly_flink_spark.operators import classifier as C
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    feats = {
+        r["doc_id"]: r.asDict() for r in C.quality_features(docs).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    xs = [[feats[d][x] for x in C.FEATURE_COLS] for d in sorted(feats)]
+    ys = [feats[d]["y"] for d in sorted(feats)]
+    w = [0] * len(C.WEIGHT_COLS)
+    for _ in range(C.EPOCHS):
+        g = [0] * len(w)
+        for xv, y in zip(xs, ys):
+            z = sum(wi * xi for wi, xi in zip(w, xv))
+            p = min(max(500 + tdiv(z, 4 * C.Q), 0), C.S)
+            for j, xi in enumerate(xv):
+                g[j] += (p - y) * xi
+        w = [
+            wi - tdiv(C.LR_NUM * tdiv(gj, max(len(xs), 1)), C.LR_DEN)
+            for wi, gj in zip(w, g)
+        ]
+    got = {
+        r["metric"]: r["value"]
+        for r in C.train_quality_classifier(docs).collect()
+    }
+    for (metric, _), expect in zip(C.WEIGHT_COLS, w):
+        assert got[metric] == expect, (metric, got, texts)
