@@ -867,3 +867,111 @@ def set_distinct(spark, sf_dir):
         .select("c_mktsegment", "c_nationkey")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter estimation in exact integer arithmetic
+# ---------------------------------------------------------------------------
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row; overestimate ~ 2N/W w.p. 1-(1/2)^D
+CMS_PROBES = 10  # estimates reported for the exact top-K terms
+
+
+def _cms_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+),
+cnts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+buckets AS (
+  SELECT tok, cnt, dd AS d, ({_sql_hex_to_int(1)}) % {CMS_W} AS w
+  FROM (
+    SELECT tok, cnt, CAST(u.d AS BIGINT) AS dd,
+           md5(CAST(u.d AS VARCHAR) || ':' || tok) AS d
+    FROM cnts, unnest(range({CMS_D})) u(d)
+  )
+),
+cms AS (
+  SELECT d, w, CAST(sum(cnt) AS BIGINT) AS counter
+  FROM buckets GROUP BY d, w
+),
+probes AS (
+  SELECT tok, cnt FROM cnts
+  ORDER BY cnt DESC, tok LIMIT {CMS_PROBES}
+)
+SELECT p.tok AS term, p.cnt AS n_exact,
+       CAST(min(c.counter) AS BIGINT) AS n_cms
+FROM probes p
+JOIN buckets b ON b.tok = p.tok
+JOIN cms c ON c.d = b.d AND c.w = b.w
+GROUP BY p.tok, p.cnt
+"""
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("agg", "sketch", "text"),
+    doc="Count-Min sketch over the token stream, exact-integer end to "
+    f"end: {CMS_D} md5-salted hash rows × {CMS_W} counters built from "
+    "per-token counts (two map-side-combined groupBys — the second "
+    "shuffles at most D·W counter partials per partition, "
+    "independent of vocabulary size), then point estimates "
+    "(min over rows) for the exact top-10 terms. The heavy-hitter "
+    "sketch a 100-TB token pipeline keeps when the vocabulary itself "
+    "no longer fits anywhere; md5-derived buckets and integer sums "
+    "make estimates bit-identical across engines, so the oracle "
+    "value-hashes the whole sketch. Completes the sketch suite next "
+    "to KMV distinct (agg_kmv_distinct) and the HLL/KLL approximate "
+    "companions. CMS guarantees n_cms >= n_exact (pinned in "
+    "tests/test_operators.py).",
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # D (d, w) buckets per term, derived from salted md5 — exact ints
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))),
+                            1,
+                            14,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % CMS_W
+                ).alias("w"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    buckets = cnts.select(
+        "tok", "cnt", F.explode(bucket_structs).alias("b")
+    ).select("tok", "cnt", F.col("b.d").alias("d"), F.col("b.w").alias("w"))
+    cms = buckets.groupBy("d", "w").agg(
+        F.sum("cnt").cast("bigint").alias("counter")
+    )
+    probes = cnts.orderBy(F.col("cnt").desc(), "tok").limit(CMS_PROBES)
+    return (
+        probes.join(buckets.select("tok", "d", "w"), "tok")
+        .join(F.broadcast(cms), ["d", "w"])
+        .groupBy(F.col("tok").alias("term"), F.col("cnt").alias("n_exact"))
+        .agg(F.min("counter").cast("bigint").alias("n_cms"))
+    )

@@ -836,3 +836,45 @@ class TestKmeansFixed:
             KM.kmeans_fixed(emb, k=0)
         with _pytest.raises(ValueError):
             KM.kmeans_fixed(emb, iterations=0)
+
+
+class TestCountMinSketch:
+    """CMS (agg_countmin_heavy_hitters): the one-sided error
+    guarantee — estimates NEVER undercount, and collisions only
+    inflate — plus determinism of the md5-salted bucketing."""
+
+    def test_overestimate_property_under_forced_collisions(
+        self, spark, sf_dir, monkeypatch
+    ):
+        import jly_flink_spark.plans.relational_queries as RQ
+        from jly_flink_spark.plans import REGISTRY
+
+        # W=4: ~every bucket collides, so estimates must inflate but
+        # never undercount
+        monkeypatch.setattr(RQ, "CMS_W", 4)
+        rows = REGISTRY["agg_countmin_heavy_hitters"].spark_fn(
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == RQ.CMS_PROBES
+        assert all(r["n_cms"] >= r["n_exact"] for r in rows), rows
+        assert any(r["n_cms"] > r["n_exact"] for r in rows), rows
+
+    def test_full_width_is_near_exact_and_deterministic(
+        self, spark, sf_dir
+    ):
+        from jly_flink_spark.plans import REGISTRY
+
+        a = {
+            r["term"]: (r["n_exact"], r["n_cms"])
+            for r in REGISTRY["agg_countmin_heavy_hitters"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        b = {
+            r["term"]: (r["n_exact"], r["n_cms"])
+            for r in REGISTRY["agg_countmin_heavy_hitters"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert a == b
+        assert all(est >= ex for ex, est in a.values())

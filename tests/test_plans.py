@@ -214,6 +214,11 @@ class TestShuffleBudget:
             # per-iteration internals sit behind the centroid
             # localCheckpoints and shuffle only K*d partial sums
             ("embedding_kmeans_clusters", 4),
+            # token-count groupBy + (d,w) counter groupBy (map-side
+            # combined to <= D*W partials per partition) + probe
+            # sort-limit + final min-rollup; the sketch itself rides
+            # as a broadcast
+            ("agg_countmin_heavy_hitters", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
