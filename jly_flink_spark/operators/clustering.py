@@ -149,6 +149,75 @@ def kmeans_fixed(
     return cent, final_asg
 
 
+def extract_centroids(cent: DataFrame) -> list[tuple[int, list[int]]]:
+    """Collect the trained centroids as driver model state —
+    (cid, code array) tuples, K·d ints — the train-offline/
+    serve-online boundary (like `classifier.extract_weights` and the
+    IVF centroid list)."""
+    return [
+        (int(r["cid"]), [int(v) for v in r["carr"]])
+        for r in cent.collect()
+    ]
+
+
+def assign_stream(
+    emb_sdf: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    out_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Streaming cluster routing: assign arriving embeddings to their
+    nearest frozen centroid and append (vec_id, cid) — how a corpus
+    shards new vectors to cluster-partitioned storage at ingest.
+    Centroids embed as a literal array column, so assignment is the
+    same per-row argmin fold as training (stateless, zero shuffle,
+    bit-identical to the batch assignment); recovery is plain
+    source-offset replay. Returns the StreamingQuery."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(v).cast("bigint") for v in arr]).alias(
+                    "carr"
+                ),
+            )
+            for cid, arr in centroids
+        ]
+    )
+    init = F.struct(
+        F.lit(_INF).cast("bigint").alias("dist"),
+        F.lit(_INF).cast("bigint").alias("cid"),
+    )
+
+    def better(acc, c):
+        cand = F.struct(
+            _sqdist(F.col("code"), c["carr"]).alias("dist"),
+            c["cid"].alias("cid"),
+        )
+        return F.when(
+            (cand["dist"] < acc["dist"])
+            | ((cand["dist"] == acc["dist"]) & (cand["cid"] < acc["cid"])),
+            cand,
+        ).otherwise(acc)
+
+    assigned = emb_sdf.select(
+        "vec_id", int8_codes(F.col(vec_col)).alias("code")
+    ).select(
+        "vec_id",
+        F.aggregate(cents_lit, init, better)["cid"].alias("cid"),
+    )
+    return (
+        assigned.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def kmeans_audit(
     emb: DataFrame,
     k: int = KM_K,

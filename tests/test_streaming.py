@@ -1024,3 +1024,35 @@ def test_quality_stream_scores_match_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == batch
+
+
+def test_kmeans_stream_assignment_matches_batch(spark, tmp_path):
+    """Cluster routing at ingest: streaming assignment against frozen
+    centroids must equal the batch final assignment bit-for-bit —
+    same int8 codes, same integer argmin fold, no state."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import clustering as KM
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent, asg = KM.kmeans_fixed(emb)
+    centroids = KM.extract_centroids(cent)
+    assert len(centroids) == KM.KM_K
+    batch = {r["vec_id"]: r["cid"] for r in asg.collect()}
+
+    src = str(tmp_path / "src")
+    emb.select("vec_id", "embedding").write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = KM.assign_stream(
+        stream, centroids, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch
