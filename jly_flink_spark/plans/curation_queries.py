@@ -1392,15 +1392,21 @@ def quality_classifier_train(spark, sf_dir):
 # --------------------------------------------------------------------
 # Distributed K-means over embeddings (fixed-point Lloyd's)
 # --------------------------------------------------------------------
-def _kmeans_oracle() -> str:
-    """DuckDB mirror of the unrolled fixed-point K-means in
-    operators/clustering.py: the hash-verified absmax/floor int8
-    quantization, exploded (vec_id, dim, val) representation, exact
-    integer squared-L2 distances, QUALIFY row_number argmin with the
-    same (dist, cid) tiebreak, truncating-integer centroid means
-    (`//` = Spark `div`), empty clusters keeping their previous
-    coordinates. HUGEINT sums cast to BIGINT before the division so
-    the arithmetic matches Spark's int64."""
+def _kmeans_cte_prefix() -> tuple[str, str]:
+    """The unrolled fixed-point K-means as a DuckDB WITH-clause
+    prefix, shared by the `embedding_kmeans_clusters` oracle and the
+    SemDeDup oracle (which continues the chain with per-cluster pair
+    scoring). Returns (prefix, final_centroid_cte_name); the prefix
+    ends at `asg_f` (final assignment) with no trailing comma.
+
+    Mirrors operators/clustering.py exactly: the hash-verified
+    absmax/floor int8 quantization, exploded (vec_id, dim, val)
+    representation, exact integer squared-L2 distances, QUALIFY
+    row_number argmin with the same (dist, cid) tiebreak,
+    truncating-integer centroid means (`//` = Spark `div`), empty
+    clusters keeping their previous coordinates. HUGEINT sums cast
+    to BIGINT before the division so the arithmetic matches Spark's
+    int64."""
     from ..operators import clustering as KM
 
     its = []
@@ -1427,7 +1433,7 @@ cent{t} AS (
   ) u ON u.cid = c.cid AND u.dim = c.dim
 )""")
         prev = f"cent{t}"
-    return f"""
+    prefix = f"""
 WITH q AS (
   SELECT vec_id,
          greatest(list_max(list_transform(embedding,
@@ -1466,7 +1472,13 @@ df_ AS (
 asg_f AS (
   SELECT vec_id, cid FROM df_
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
-)
+)"""
+    return prefix, prev
+
+
+def _kmeans_oracle() -> str:
+    prefix, prev = _kmeans_cte_prefix()
+    return f"""{prefix}
 SELECT c.cid, c.dim, CAST(c.cval AS BIGINT) AS cval,
        CAST(coalesce(n.n_members, 0) AS BIGINT) AS n_members
 FROM {prev} c LEFT JOIN (
@@ -1494,3 +1506,84 @@ def embedding_kmeans_clusters(spark, sf_dir):
     from ..operators.clustering import kmeans_audit
 
     return kmeans_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------
+# Semantic deduplication (SemDeDup: cluster-bucketed near-dup removal)
+# --------------------------------------------------------------------
+def _semdedup_oracle() -> str:
+    """Continues the K-means CTE chain with the quantized-exact
+    per-cluster pair scoring of operators/semdedup.py: 1e8
+    floor-quantized integer dot/norm sums (the `dedup_embedding_cosine`
+    formula), pairs restricted to a shared cluster, keep-lowest-id
+    duplicate rule."""
+    from ..operators.semdedup import SEMDEDUP_T
+    from ..operators.similarity import QUANT
+
+    prefix, _ = _kmeans_cte_prefix()
+    return f"""{prefix},
+norms AS (
+  SELECT vec_id,
+         sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {QUANT})
+             AS BIGINT)) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+members AS (
+  SELECT f.vec_id, f.cid, e.embedding, n.qn
+  FROM asg_f f
+  JOIN embeddings e USING (vec_id)
+  JOIN norms n USING (vec_id)
+  WHERE n.qn > 0
+),
+prods AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.qn AS na, b.qn AS nb,
+         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM members a JOIN members b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+close AS (
+  SELECT vb AS vec_id
+  FROM (
+    SELECT va, vb, na, nb,
+           sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+               * {QUANT}) AS BIGINT)) AS qd
+    FROM prods GROUP BY va, vb, na, nb
+  )
+  WHERE CAST(qd AS DOUBLE)
+        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        >= {SEMDEDUP_T}
+),
+prior AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close_prior
+  FROM close GROUP BY vec_id
+)
+SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+       CAST(f.cid AS BIGINT) AS cid,
+       coalesce(p.n_close_prior, 0) AS n_close_prior,
+       CAST(CASE WHEN coalesce(p.n_close_prior, 0) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM asg_f f LEFT JOIN prior p USING (vec_id)
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semdedup_oracle(),
+    tags=("curation", "dedup", "embedding", "clustering", "iterative"),
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup removal "
+    "bucketed by the certified fixed-point K-means — cosine pairs "
+    "are scored ONLY within a cluster, turning the global O(n²) "
+    "all-pairs problem into K independent per-cluster problems "
+    "whose size stays bounded as K grows with the corpus. The "
+    "corpus shuffles once per side on cid (and not at all when "
+    "vectors were cluster-routed at ingest by assign_stream); "
+    "scoring is the same quantized-exact cosine as "
+    "dedup_embedding_cosine, so clustering + pairing + keep-lowest-"
+    "id flags value-hash end to end against the oracle's unrolled "
+    "K-means CTEs.",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from ..operators.semdedup import semantic_dup_flags
+
+    return semantic_dup_flags(load_table(spark, sf_dir, "embeddings"))

@@ -201,6 +201,10 @@ def test_near_dup_kernel_zero_norm_engine_consistent(spark, edge_emb_dir):
         # permanently empty, keeps seed coords) — squared-L2 on int8
         # codes is exact, so both engines must agree bit-for-bit
         "embedding_kmeans_clusters",
+        # SemDeDup: zero-norm vectors must pair with nothing while
+        # still appearing (undupped) in the output, and the identical
+        # seed pair collapses to one cluster via the cid tiebreak
+        "dedup_semantic_clusters",
     ],
 )
 def test_ann_oracles_agree_on_degenerate_vectors(spark, edge_emb_dir, name):

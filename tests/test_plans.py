@@ -219,6 +219,13 @@ class TestShuffleBudget:
             # sort-limit + final min-rollup; the sketch itself rides
             # as a broadcast
             ("agg_countmin_heavy_hitters", 5),
+            # SemDeDup: the checkpointed (vec_id, cid) assignment
+            # joins each self-join side (2 cid exchanges), the prior-
+            # neighbor count shuffles slim (vec_b) rows, and the
+            # output join re-shuffles the 2-long assignment; the
+            # K-means fold runs ONCE behind the checkpoint and the
+            # vectors shuffle only cluster-bucketed, never all-pairs
+            ("dedup_semantic_clusters", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

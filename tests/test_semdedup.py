@@ -1,0 +1,84 @@
+"""SemDeDup (operators/semdedup.py): cluster-bucketed semantic
+near-dup removal — consistency against the independent global kernel
+and keep-lowest-id flag semantics."""
+
+from collections import Counter
+
+from jly_flink_spark.plans import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_semdedup_matches_global_kernel_within_clusters(spark):
+    """Every n_close_prior must equal the number of GLOBAL near-dup
+    pairs (dedup_embedding_cosine — the blocked numpy-GEMM kernel, a
+    completely independent scoring path) that land in the vector's
+    cluster with a smaller partner id. Same threshold, so the two
+    operators must agree exactly on the intra-cluster subset."""
+    flags = (
+        REGISTRY["dedup_semantic_clusters"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    pairs = (
+        REGISTRY["dedup_embedding_cosine"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    cid = {r["vec_id"]: r["cid"] for r in flags}
+    want: Counter = Counter()
+    for p in pairs:
+        if cid[p["vec_a"]] == cid[p["vec_b"]]:
+            want[p["vec_b"]] += 1
+    assert flags, "empty semdedup output"
+    for r in flags:
+        assert r["n_close_prior"] == want.get(r["vec_id"], 0), r
+        assert r["is_dup"] == (1 if want.get(r["vec_id"], 0) else 0), r
+    # non-degenerate on the real corpus: some dups found, none of the
+    # cluster-minimum ids ever flagged
+    assert sum(r["is_dup"] for r in flags) > 0
+    keep_min = {}
+    for r in flags:
+        keep_min[r["cid"]] = min(keep_min.get(r["cid"], r["vec_id"]), r["vec_id"])
+    for r in flags:
+        if r["vec_id"] == keep_min[r["cid"]]:
+            assert r["is_dup"] == 0, r
+
+
+def test_semdedup_flag_semantics_on_crafted_corpus(spark, tmp_path):
+    """Identical pair (2,3) → smaller id kept, larger flagged with
+    n_close_prior 1; antipodal/orthogonal vectors never flag."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from jly_flink_spark.operators.semdedup import semantic_dup_flags
+
+    dim = 8
+    base = np.zeros(dim, dtype="float32")
+    base[0] = 1.0
+    orth = np.zeros(dim, dtype="float32")
+    orth[1] = 1.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [2, 3, 4, 5],
+            "embedding": [
+                base.tolist(),
+                base.tolist(),  # identical → cosine 1
+                (-base).tolist(),  # antipodal → cosine -1
+                orth.tolist(),  # orthogonal → cosine 0
+            ],
+            "label": [0] * 4,
+        }
+    )
+    path = os.path.join(str(tmp_path), "emb.parquet")
+    pdf.to_parquet(path)
+    emb = spark.read.parquet(path)
+    rows = {r["vec_id"]: r for r in semantic_dup_flags(emb).collect()}
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2]["is_dup"] == 0 and rows[2]["n_close_prior"] == 0
+    assert rows[3]["is_dup"] == 1 and rows[3]["n_close_prior"] == 1
+    assert rows[3]["cid"] == rows[2]["cid"]
+    assert rows[4]["is_dup"] == 0
+    assert rows[5]["is_dup"] == 0
