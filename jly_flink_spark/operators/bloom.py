@@ -1,0 +1,154 @@
+"""Broadcast Bloom-filter decontamination: the constant-size scale
+path next to the exact broadcast-set join of
+`contamination_ngram_overlap` (plans/training_queries.py).
+
+The exact pass broadcasts the benchmark's DISTINCT shingle SET, whose
+size grows with the benchmark; the Bloom pass compresses it to a
+FIXED bit array (BLOOM_WORDS int64 words — ~1 KB here, a few MB at
+production sizing) that rides into every task as a plain literal
+array column. Probing is then a pure per-row expression — k md5
+positions, element_at + shiftright bit tests inside whole-stage
+codegen — with ZERO join and zero shuffle on the corpus side; only
+the surviving candidates reach the (cheap, exact) verification join.
+This is the standard two-phase shape: Bloom never misses (no false
+negatives, so decontamination stays sound) and false positives cost
+only a verification lookup.
+
+Engine-portable bit arithmetic: positions come from the same
+14-hex-digit md5 prefix the CMS/KMV sketches use; words hold
+BLOOM_WORD_BITS = 62 bits each because DuckDB's BIGINT `<<` raises on
+a 1 << 63 overflow (Java's wraps) — capping the shift at 61 keeps
+every word positive and every shift identical on both engines, so
+the whole filter (build + probe + verify) is value-hash
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_WORDS = 256  # int64 words in the bit array (~31% fill on the
+# sf0.01 benchmark shingle set → ~1% FP/shingle; size m ∝ benchmark
+# n at production scale)
+BLOOM_WORD_BITS = 62  # bits used per word (see module docstring)
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 7936 bits
+BLOOM_K = 4  # hash functions per shingle
+
+
+def _qpos(shingle, i: int):
+    """Bit position i of a shingle: 56-bit md5 prefix mod BLOOM_M."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 14
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+
+
+def build_bloom_words(bench_shingles: DataFrame) -> list[int]:
+    """Aggregate the benchmark shingle set into the dense word array.
+
+    Distributed build: positions are exploded and bit_or-combined
+    map-side, so at most BLOOM_WORDS partial rows per partition reach
+    the one tiny shuffle. The collect is model state — BLOOM_WORDS
+    int64s regardless of benchmark size (the IVF-centroid /
+    classifier-weights train-offline boundary), never corpus data."""
+    rows = (
+        bench_shingles.select(
+            F.explode(
+                F.array(
+                    *[
+                        _qpos(F.col("shingle"), i)
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            (F.col("pos") % BLOOM_WORD_BITS).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("wval")
+        )
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in rows:
+        words[int(r["word"])] = int(r["wval"])
+    return words
+
+
+def _shiftright_col(value, amount):
+    """shiftright with a COLUMN shift amount: the SQL function allows
+    it; the Python F.shiftright wrapper only takes an int literal."""
+    return F.call_function("shiftright", value, amount.cast("int"))
+
+
+def bloom_probe_expr(words: list[int], shingle_col):
+    """Boolean Column: all BLOOM_K bit tests hit — a pure per-row
+    expression over the literal word array (no join, whole-stage
+    codegen). word = pos div 62 is computed as exact bigint
+    arithmetic ((pos - pos % 62) / 62 on values < 2^13, exact in
+    double before the int cast)."""
+    barr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    cond = None
+    for i in range(BLOOM_K):
+        pos = _qpos(shingle_col, i)
+        bit = pos % BLOOM_WORD_BITS
+        word_idx = ((pos - bit) / BLOOM_WORD_BITS).cast("int")
+        wval = F.element_at(barr, word_idx + 1)
+        test = _shiftright_col(wval, bit).bitwiseAND(F.lit(1)) == 1
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
+def bloom_contamination(
+    docs: DataFrame, bench_max_doc: int = 20
+) -> DataFrame:
+    """(doc_id, n_bloom_hits, n_exact_hits) for corpus docs flagged by
+    the Bloom prefilter: n_bloom_hits counts the doc's distinct
+    shingles whose k bits all hit; n_exact_hits counts how many of
+    those candidates verify against the true benchmark set
+    (n_bloom_hits >= n_exact_hits always; a doc the exact pass flags
+    ALWAYS appears here — Bloom has no false negatives)."""
+    from .text import tokens, trigram_shingles
+
+    sh = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).select(
+        "doc_id",
+        F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < bench_max_doc)
+        .select("shingle")
+        .distinct()
+    )
+    words = build_bloom_words(bench)
+    corpus = sh.filter(F.col("doc_id") >= bench_max_doc)
+    cand = corpus.filter(bloom_probe_expr(words, F.col("shingle")))
+    return (
+        cand.join(
+            F.broadcast(bench.withColumn("in_bench", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("in_bench"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+        )
+    )

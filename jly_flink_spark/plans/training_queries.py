@@ -320,6 +320,93 @@ def contamination_ngram_overlap(spark, sf_dir):
     )
 
 
+def _bloom_oracle() -> str:
+    """Mirrors operators/bloom.py bit-for-bit: 56-bit md5-prefix
+    positions (the CMS hex-digit positional sum), 62-bit words
+    (DuckDB `<<` raises on a 1 << 63 overflow where Java wraps —
+    capping shifts at 61 keeps both engines identical), bit_or word
+    build, all-k bit-test prefilter, exact verification of the
+    candidates."""
+    from ..operators.bloom import BLOOM_K, BLOOM_M, BLOOM_WORD_BITS
+    from ..operators.dedup import _sql_hex_to_int
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(ts) - 2),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         )) AS shingle
+  FROM toks
+  WHERE len(ts) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 20),
+corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 20),
+bench_pos AS (
+  SELECT ({_sql_hex_to_int(1)}) % {BLOOM_M} AS pos
+  FROM (
+    SELECT md5(CAST(u.i AS VARCHAR) || ':' || shingle) AS d
+    FROM bench, unnest(range({BLOOM_K})) u(i)
+  )
+),
+words AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+           AS wval
+  FROM bench_pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, shingle, ({_sql_hex_to_int(1)}) % {BLOOM_M} AS pos
+  FROM (
+    SELECT doc_id, shingle,
+           md5(CAST(u.i AS VARCHAR) || ':' || shingle) AS d
+    FROM corpus, unnest(range({BLOOM_K})) u(i)
+  )
+),
+hits AS (
+  SELECT p.doc_id, p.shingle,
+         min(CASE WHEN ((w.wval >> CAST(p.pos % {BLOOM_WORD_BITS} AS INT))
+                        & 1) = 1
+             THEN 1 ELSE 0 END) AS all_hit
+  FROM probe p LEFT JOIN words w ON w.word = p.pos // {BLOOM_WORD_BITS}
+  GROUP BY p.doc_id, p.shingle
+)
+SELECT h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_exact_hits
+FROM hits h LEFT JOIN bench b USING (shingle)
+WHERE h.all_hit = 1
+GROUP BY h.doc_id
+"""
+
+
+@register(
+    "contamination_bloom_prefilter",
+    oracle=_bloom_oracle(),
+    tags=("training", "contamination", "dedup", "sketch"),
+    doc="Bloom-filter decontamination — the constant-size scale path "
+    "next to contamination_ngram_overlap's exact broadcast set: the "
+    "benchmark shingle set compresses to a FIXED 128-word bit array "
+    "that rides into every task as a literal column, so the corpus "
+    "probe is a pure per-row expression (k md5 bit tests in "
+    "whole-stage codegen, zero join, zero shuffle) and only "
+    "surviving candidates reach the exact verification join. "
+    "No false negatives (every exactly-contaminated doc appears); "
+    "false positives are visible as n_bloom_hits > n_exact_hits. "
+    "62-bit words keep the shift arithmetic identical across "
+    "engines, so build + probe + verify value-hash end to end.",
+)
+def contamination_bloom_prefilter(spark, sf_dir):
+    from ..operators.bloom import bloom_contamination
+
+    return bloom_contamination(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_connected_components",
     oracle=None,  # set below — built from the shared minhash params

@@ -226,6 +226,11 @@ class TestShuffleBudget:
             # K-means fold runs ONCE behind the checkpoint and the
             # vectors shuffle only cluster-bucketed, never all-pairs
             ("dedup_semantic_clusters", 5),
+            # Bloom decontamination: bench-shingle distinct (tiny) +
+            # final per-doc rollup; the corpus probe is a pure
+            # per-row expression over the literal word array — zero
+            # join, zero shuffle on the corpus side
+            ("contamination_bloom_prefilter", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
