@@ -1,0 +1,130 @@
+"""BPE tokenizer TRAINING: learn the merge table itself, not just
+apply one (text_token_bpe in plans/ tokenizes with a fixed regex —
+this operator learns data-driven merges, the Sennrich et al. 2016
+subword algorithm every modern LLM tokenizer descends from).
+
+Declarative fixed-point shape, like the classifier GD epochs and the
+K-means rounds: BPE_ROUNDS unrolled merge rounds, each fully inside
+the DataFrame plan and value-hash oracle-checkable.
+
+Scale shape (the 100-TB argument — the reason BPE training is
+feasible at corpus scale at all):
+- The corpus is touched ONCE: a single map-side-combined word-count
+  aggregation down to the (word, cnt) vocabulary. Every merge round
+  thereafter operates on the VOCAB table — |V| rows regardless of
+  corpus size (this is also how reference implementations train:
+  on word frequencies, never on the raw stream).
+- Per round, the only shuffles are the (a, b) pair-count partials
+  (map-side combined, bounded by distinct adjacent pairs per
+  partition) and a 1-row sort-limit for the winning pair. The merge
+  rewrite is a per-row greedy fold over the symbol array — zero
+  shuffle, broadcast of the single winner row.
+- The symbol-state frame is localCheckpointed per round, keeping the
+  lazy plan linear in rounds (the K-means/classifier lesson: a
+  twice-referenced round frame doubles the subtree per round).
+
+Bit-exactness: counts are exact integers; the winning pair breaks
+ties by (count DESC, a, b) string order; the greedy left-to-right
+merge is a fold both engines express identically (Spark `aggregate`
+with an empty init + null-safe `get`; DuckDB `list_reduce` over
+singleton-wrapped symbols, whose first-element init is equivalent).
+A merged token never string-equals its own left part (concat(a,b)=a
+iff b=''), so a single pass can never cascade — the fold and the
+oracle agree on every corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BPE_ROUNDS = 8
+
+_PAIR_EXPR = (
+    "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms)-1),"
+    " i -> struct(element_at(syms, i) AS a, element_at(syms, i+1) AS b))"
+    " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+)
+
+
+def _merge_fold(ta, tb):
+    """Greedy left-to-right merge of adjacent (ta, tb) in the symbol
+    array: one pass, merged tokens don't re-combine within the pass.
+    `F.get` (0-based, NULL out of range) keeps the empty-accumulator
+    probe ANSI-safe."""
+
+    def step(acc, s):
+        return F.when(
+            (F.get(acc, F.size(acc) - 1) == ta) & (s == tb),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(ta, tb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        "syms", F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """(round, merge_a, merge_b, pair_count): the learned merge table
+    — round r's winning adjacent symbol pair over the whole vocabulary
+    (weighted by word count) after applying rounds 1..r-1."""
+    from .text import tokens
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    st = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        pc = (
+            st.select("cnt", F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+            .select("cnt", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        )
+        top1 = (
+            pc.orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_rows.append(
+            top1.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                "pair_count",
+            )
+        )
+        st = (
+            st.crossJoin(
+                F.broadcast(
+                    top1.select(
+                        F.col("a").alias("ta"), F.col("b").alias("tb")
+                    )
+                )
+            )
+            .select(
+                "cnt",
+                _merge_fold(F.col("ta"), F.col("tb")).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

@@ -407,6 +407,86 @@ def contamination_bloom_prefilter(spark, sf_dir):
     return bloom_contamination(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_oracle() -> str:
+    """Mirrors operators/bpe.py round for round: pair counts from the
+    evolving vocabulary symbol table, (count DESC, a, b) winner
+    selection, and the greedy left-to-right merge as a `list_reduce`
+    over singleton-wrapped symbols (first-element init ≡ Spark's
+    empty-init `aggregate` with a null-safe last-element probe)."""
+    from ..operators.bpe import BPE_ROUNDS
+
+    blocks = []
+    prev = "st0"
+    for r in range(1, BPE_ROUNDS + 1):
+        blocks.append(f"""
+pc{r} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, syms[i+1] AS a, syms[i+2] AS b
+    FROM {prev}, unnest(range(len(syms)-1)) u(i)
+  )
+  GROUP BY a, b
+),
+top{r} AS (
+  SELECT a, b, pair_count FROM pc{r}
+  ORDER BY pair_count DESC, a, b LIMIT 1
+),
+st{r} AS (
+  SELECT s.cnt,
+         list_reduce(list_transform(s.syms, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                       THEN acc[1:len(acc)-1] || [t.a || t.b]
+                       ELSE acc || x END) AS syms
+  FROM {prev} s CROSS JOIN top{r} t
+)""")
+        prev = f"st{r}"
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS merge_a,"
+        f" b AS merge_b, pair_count FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+vocab AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ts) AS tok FROM toks)
+  GROUP BY tok
+),
+st0 AS (
+  SELECT cnt,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+           AS syms
+  FROM vocab
+),
+{",".join(blocks)}
+{union}
+"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="BPE tokenizer TRAINING (Sennrich et al. 2016): 8 unrolled "
+    "merge rounds learning the data-driven merge table — the "
+    "algorithm behind every modern LLM tokenizer's vocabulary. The "
+    "corpus is aggregated ONCE to (word, cnt); every round then "
+    "operates on the vocabulary table (|V| rows, corpus-size-"
+    "independent) with one map-side-combined pair-count shuffle, a "
+    "1-row winner sort-limit, and a zero-shuffle per-row greedy "
+    "merge fold over the broadcast winner. Exact integer counts, "
+    "(count DESC, a, b) tie-breaks, and a fold both engines express "
+    "identically make all 8 rounds value-hash end to end.",
+)
+def bpe_train_merges(spark, sf_dir):
+    from ..operators.bpe import bpe_train_merges as _train
+
+    return _train(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_connected_components",
     oracle=None,  # set below — built from the shared minhash params
