@@ -47,7 +47,7 @@ _PAIR_EXPR = (
 )
 
 
-def _merge_fold(ta, tb):
+def _merge_fold(syms, ta, tb):
     """Greedy left-to-right merge of adjacent (ta, tb) in the symbol
     array: one pass, merged tokens don't re-combine within the pass.
     `F.get` (0-based, NULL out of range) keeps the empty-accumulator
@@ -62,9 +62,7 @@ def _merge_fold(ta, tb):
             ),
         ).otherwise(F.concat(acc, F.array(s)))
 
-    return F.aggregate(
-        "syms", F.array().cast("array<string>"), step
-    )
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
 def bpe_train_merges(
@@ -120,7 +118,9 @@ def bpe_train_merges(
             )
             .select(
                 "cnt",
-                _merge_fold(F.col("ta"), F.col("tb")).alias("syms"),
+                _merge_fold(
+                    F.col("syms"), F.col("ta"), F.col("tb")
+                ).alias("syms"),
             )
             .localCheckpoint(eager=False)
         )
@@ -128,3 +128,60 @@ def bpe_train_merges(
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+def extract_merges(merges_df: DataFrame) -> list[tuple[str, str]]:
+    """Collect the learned merge table as driver model state — the
+    train-offline/serve-online boundary (like classifier weights and
+    K-means centroids): BPE_ROUNDS (a, b) pairs in rank order."""
+    rows = sorted(merges_df.collect(), key=lambda r: r["round"])
+    return [(r["merge_a"], r["merge_b"]) for r in rows]
+
+
+def bpe_tokenize_expr(words, merges: list[tuple[str, str]]):
+    """bigint Column: BPE token count of a word-array column under
+    the frozen rank-ordered merge list — a pure per-row expression
+    (nested higher-order functions, zero shuffle, no model join):
+    each word splits to characters, each merge applies as one greedy
+    fold in rank order, counts sum across words."""
+
+    def chars(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substr(w, i, F.lit(1)),
+        )
+
+    def word_syms(w):
+        syms = chars(w)
+        for a, b in merges:
+            syms = _merge_fold(syms, F.lit(a), F.lit(b))
+        return F.size(syms)
+
+    return F.aggregate(
+        F.transform(words, word_syms),
+        F.lit(0).cast("bigint"),
+        lambda acc, n: acc + n,
+    )
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): tokenize the corpus with
+    a merge table trained on it — the train→serve pair in one query.
+    The train phase runs the unrolled rounds; the learned merges
+    freeze into the per-row tokenize expression, so the apply scan
+    is single-pass with zero shuffle (the per-doc output needs no
+    aggregation at all). Documents with no tokens are dropped, like
+    the training vocabulary drops them."""
+    from .text import tokens
+
+    merges = extract_merges(bpe_train_merges(docs, rounds=rounds))
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    return toks.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("ws").cast("bigint").alias("n_ws_tokens"),
+        bpe_tokenize_expr(F.col("ws"), merges).alias("n_bpe_tokens"),
+    )

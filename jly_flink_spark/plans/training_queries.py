@@ -407,12 +407,16 @@ def contamination_bloom_prefilter(spark, sf_dir):
     return bloom_contamination(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle() -> str:
-    """Mirrors operators/bpe.py round for round: pair counts from the
-    evolving vocabulary symbol table, (count DESC, a, b) winner
-    selection, and the greedy left-to-right merge as a `list_reduce`
-    over singleton-wrapped symbols (first-element init ≡ Spark's
-    empty-init `aggregate` with a null-safe last-element probe)."""
+def _bpe_cte_prefix() -> str:
+    """The unrolled BPE training as a DuckDB WITH-clause prefix
+    (toks → vocab → st0 → [pc{r}, top{r}, st{r}] per round), shared
+    by the train oracle and the tokenize oracle, which continues the
+    chain with the per-document apply. Mirrors operators/bpe.py
+    round for round: pair counts from the evolving vocabulary symbol
+    table, (count DESC, a, b) winner selection, and the greedy
+    left-to-right merge as a `list_reduce` over singleton-wrapped
+    symbols (first-element init ≡ Spark's empty-init `aggregate`
+    with a null-safe last-element probe)."""
     from ..operators.bpe import BPE_ROUNDS
 
     blocks = []
@@ -440,14 +444,10 @@ st{r} AS (
   FROM {prev} s CROSS JOIN top{r} t
 )""")
         prev = f"st{r}"
-    union = "\nUNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, a AS merge_a,"
-        f" b AS merge_b, pair_count FROM top{r}"
-        for r in range(1, BPE_ROUNDS + 1)
-    )
     return f"""
 WITH toks AS (
-  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
   FROM documents
 ),
 vocab AS (
@@ -461,8 +461,62 @@ st0 AS (
            AS syms
   FROM vocab
 ),
-{",".join(blocks)}
+{",".join(blocks)}"""
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import BPE_ROUNDS
+
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS merge_a,"
+        f" b AS merge_b, pair_count FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""{_bpe_cte_prefix()}
 {union}
+"""
+
+
+def _bpe_apply_oracle() -> str:
+    """Continues the training CTE chain with the per-document apply:
+    each token instance splits to characters and every learned merge
+    applies as one greedy fold in rank order. LEFT JOIN ON TRUE (not
+    CROSS JOIN) so an exhausted round — empty top{r} — passes
+    symbols through unchanged, matching the engine's collected-model
+    apply of however many merges were actually learned."""
+    from ..operators.bpe import BPE_ROUNDS
+
+    blocks = []
+    prev = "ap0"
+    for r in range(1, BPE_ROUNDS + 1):
+        blocks.append(f"""
+ap{r} AS (
+  SELECT s.doc_id, s.word,
+         CASE WHEN t.a IS NULL THEN s.syms
+              ELSE list_reduce(list_transform(s.syms, x -> [x]),
+                (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                            THEN acc[1:len(acc)-1] || [t.a || t.b]
+                            ELSE acc || x END)
+         END AS syms
+  FROM {prev} s LEFT JOIN top{r} t ON TRUE
+)""")
+        prev = f"ap{r}"
+    return f"""{_bpe_cte_prefix()},
+docw AS (
+  SELECT doc_id, unnest(ts) AS word FROM toks
+),
+ap0 AS (
+  SELECT doc_id, word,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+           AS syms
+  FROM docw
+),
+{",".join(blocks)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens
+FROM {prev}
+GROUP BY doc_id
 """
 
 
@@ -485,6 +539,26 @@ def bpe_train_merges(spark, sf_dir):
     from ..operators.bpe import bpe_train_merges as _train
 
     return _train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_tokenize_corpus",
+    oracle=_bpe_apply_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="BPE train→serve in one query: tokenize every document with "
+    "the merge table learned on the corpus. The learned merges "
+    "collect to driver model state (8 pairs — the classifier-weights"
+    "/K-means-centroids serving boundary) and freeze into a pure "
+    "per-row expression (chars → 8 greedy folds in rank order, "
+    "nested higher-order functions), so the apply scan is a single "
+    "pass with ZERO shuffle — per-doc whitespace vs BPE token "
+    "counts need no aggregation at all. Value-hashes against the "
+    "oracle's full train+apply CTE chain.",
+)
+def bpe_tokenize_corpus(spark, sf_dir):
+    from ..operators.bpe import bpe_tokenize_stats
+
+    return bpe_tokenize_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

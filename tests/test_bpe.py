@@ -85,6 +85,47 @@ def test_bpe_exhausts_gracefully(spark):
     assert got == [(1, "a", "b", 3)]
 
 
+def test_bpe_tokenize_matches_reference_apply(spark):
+    from jly_flink_spark.operators.bpe import bpe_tokenize_stats
+
+    texts = [
+        "low lower lowest newer newest",
+        "wide wider new news newer low",
+        "",  # token-less doc must drop from the output
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe_tokenize_stats(docs, rounds=4).collect()}
+    merges = _ref_bpe(_wc(texts), 4)
+    ref_merges = [(a, b) for _, a, b, _ in merges]
+
+    def apply_word(w):
+        syms = list(w)
+        for a, b in ref_merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    assert set(rows) == {0, 1}
+    for i in (0, 1):
+        words = [w for w in texts[i].lower().split(" ") if w]
+        assert rows[i]["n_ws_tokens"] == len(words)
+        assert rows[i]["n_bpe_tokens"] == sum(apply_word(w) for w in words)
+        # invariants: BPE never splits below one symbol per word and
+        # never exceeds character count
+        assert (
+            len(words)
+            <= rows[i]["n_bpe_tokens"]
+            <= sum(len(w) for w in words)
+        )
+
+
 @pytest.mark.parametrize("rounds", [0, -1])
 def test_bpe_rejects_bad_rounds(spark, rounds):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
