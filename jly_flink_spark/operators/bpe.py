@@ -164,6 +164,23 @@ def bpe_tokenize_expr(words, merges: list[tuple[str, str]]):
     )
 
 
+def _tokenize_projection(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The stateless scoring projection shared by batch and stream:
+    (doc_id, n_ws_tokens, n_bpe_tokens) per token-bearing doc."""
+    from .text import tokens
+
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    return toks.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("ws").cast("bigint").alias("n_ws_tokens"),
+        bpe_tokenize_expr(F.col("ws"), merges).alias("n_bpe_tokens"),
+    )
+
+
 def bpe_tokenize_stats(
     docs: DataFrame, rounds: int = BPE_ROUNDS
 ) -> DataFrame:
@@ -174,14 +191,26 @@ def bpe_tokenize_stats(
     is single-pass with zero shuffle (the per-doc output needs no
     aggregation at all). Documents with no tokens are dropped, like
     the training vocabulary drops them."""
-    from .text import tokens
-
     merges = extract_merges(bpe_train_merges(docs, rounds=rounds))
-    toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("ws")
-    ).filter(F.size("ws") > 0)
-    return toks.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size("ws").cast("bigint").alias("n_ws_tokens"),
-        bpe_tokenize_expr(F.col("ws"), merges).alias("n_bpe_tokens"),
+    return _tokenize_projection(docs, merges)
+
+
+def serve_bpe_stream(
+    docs_sdf: DataFrame,
+    merges: list[tuple[str, str]],
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming tokenize: count BPE tokens of arriving documents
+    against the offline-trained merge table — how an ingest pipeline
+    budgets token counts before batching/packing. The SAME stateless
+    projection as the batch path (bit-identical counts), so recovery
+    is plain source-offset replay. Returns the StreamingQuery."""
+    return (
+        _tokenize_projection(docs_sdf, merges)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

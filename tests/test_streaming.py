@@ -1056,3 +1056,40 @@ def test_kmeans_stream_assignment_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == batch
+
+
+def test_bpe_stream_tokenize_matches_batch(spark, tmp_path):
+    """Token budgeting at ingest: streaming BPE token counts against
+    the frozen merge table must equal the batch apply bit-for-bit —
+    same nested greedy folds, no state."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import bpe as B
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = B.extract_merges(B.bpe_train_merges(docs))
+    assert len(merges) == B.BPE_ROUNDS
+    batch = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in B._tokenize_projection(docs, merges).collect()
+    }
+    # the merges must actually compress: strictly fewer BPE tokens
+    # than characters for at least some docs
+    assert any(n_bpe < n_ws * 50 for n_ws, n_bpe in batch.values())
+
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    q = B.serve_bpe_stream(
+        stream, merges, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch

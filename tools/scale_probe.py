@@ -79,6 +79,13 @@ QUERIES = [
     # fixed per-pass orchestration stays amortized as data grows
     "quality_classifier_train",
     "embedding_kmeans_clusters",
+    # round-5 third wave: cluster-bucketed near-dup (per-cluster
+    # pair work must stay flat as the corpus grows), the Bloom
+    # probe scan, and the vocabulary-table merge rounds (corpus
+    # touched once; rounds must be corpus-size-independent)
+    "dedup_semantic_clusters",
+    "contamination_bloom_prefilter",
+    "bpe_train_merges",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
