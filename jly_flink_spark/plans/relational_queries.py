@@ -631,6 +631,88 @@ def agg_kmv_distinct(spark, sf_dir):
     )
 
 
+QSK_K = 256  # sample size per group: quantile rank error ~ 1/sqrt(K)
+QSK_Q = 10_000  # value quantization (floor(value·1e4) → exact ints)
+
+
+def _qsk_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    return f"""
+WITH q AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * {QSK_Q}) AS BIGINT) AS qv,
+         ({_sql_hex_to_int(1)}) AS h
+  FROM (SELECT event_type, event_id, value,
+               md5(CAST(event_id AS VARCHAR)) AS d
+        FROM events)
+),
+s AS (
+  SELECT event_type, qv FROM q
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY h, event_id) <= {QSK_K}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sample,
+       quantile_cont(qv, 0.25) AS q25,
+       quantile_cont(qv, 0.50) AS q50,
+       quantile_cont(qv, 0.90) AS q90
+FROM s GROUP BY event_type
+"""
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=_qsk_oracle(),
+    tags=("groupby", "approx", "sketch", "stats"),
+    doc="Deterministic quantile sketch — the quantiles member of the "
+    "sketch suite (KMV distinct, HLL companion, CMS frequency, "
+    "Bloom membership, MinHash/SimHash similarity): per group, the "
+    "K rows with the smallest md5-derived hashes form a "
+    "partitioning-independent uniform sample (bottom-k by hash is "
+    "MERGEABLE — union = K smallest of the combined K-mins — and "
+    "reproducible, unlike rand() reservoirs), and interpolated "
+    "percentiles of the 1e4-quantized values are exact double "
+    "arithmetic on integers, so the whole estimate value-hashes "
+    "across engines. Scale shape: the rn<=K filter compiles to "
+    "WindowGroupLimit (K rows per partition survive to the one "
+    "shuffle, O(partitions·K) volume); rank error ~ 1/sqrt(K) is "
+    "pinned against exact quantiles in tests/test_operators.py.",
+)
+def agg_quantile_sketch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * QSK_Q).cast("bigint").alias("qv"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    s = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QSK_K)
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sample"),
+            F.percentile("qv", F.lit([0.25, 0.5, 0.9])).alias("_q"),
+        )
+        .select(
+            "event_type",
+            "n_sample",
+            F.element_at("_q", 1).alias("q25"),
+            F.element_at("_q", 2).alias("q50"),
+            F.element_at("_q", 3).alias("q90"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------

@@ -878,3 +878,82 @@ class TestCountMinSketch:
         }
         assert a == b
         assert all(est >= ex for ex, est in a.values())
+
+
+def test_quantile_sketch_merge_equals_direct(spark, sf_dir):
+    """Mergeability of the bottom-k-by-hash sample: the K smallest
+    hashes of a UNION equal the K smallest of the parts' K-minimum
+    sets, so per-shard sketches merge into exactly the direct
+    sample (and therefore the direct quantile estimates)."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans.relational_queries import QSK_K
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    one = ev.filter(F.col("event_type") == "click").select(
+        h.alias("h"), "event_id", (F.col("event_id") % 2).alias("shard")
+    )
+    direct = [
+        (r["h"], r["event_id"])
+        for r in one.orderBy("h", "event_id").limit(QSK_K).collect()
+    ]
+    shard_mins = {
+        s: [
+            (r["h"], r["event_id"])
+            for r in one.filter(F.col("shard") == s)
+            .orderBy("h", "event_id")
+            .limit(QSK_K)
+            .collect()
+        ]
+        for s in (0, 1)
+    }
+    merged = sorted(shard_mins[0] + shard_mins[1])[:QSK_K]
+    assert merged == direct
+
+
+@pytest.mark.parametrize(
+    "data_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_quantile_sketch_within_rank_error(spark, data_dir):
+    """The sketch's estimates must sit at roughly the right RANK of
+    the true distribution: the empirical CDF at each estimate lands
+    within ~3/sqrt(K) of the target quantile (generous band — the
+    fixture groups are a few thousand rows)."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans import REGISTRY
+    from jly_flink_spark.plans.relational_queries import QSK_Q
+
+    est = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_quantile_sketch"]
+        .spark_fn(spark, data_dir)
+        .collect()
+    }
+    assert est
+    ev = (
+        load_table(spark, data_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * QSK_Q).cast("bigint").alias("qv"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(r["qv"])
+    for etype, row in est.items():
+        vals = sorted(v for v in by_type[etype] if v is not None)
+        n = len(vals)
+        for col, target in (("q25", 0.25), ("q50", 0.50), ("q90", 0.90)):
+            cdf = sum(1 for v in vals if v <= row[col]) / n
+            assert abs(cdf - target) <= 0.2, (etype, col, cdf, target)

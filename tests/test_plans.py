@@ -340,6 +340,14 @@ class TestScaleShapes:
         _, _, below = plan.partition("Exchange hashpartitioning")
         assert "WindowGroupLimit" in below, plan
 
+    def test_quantile_sketch_partial_topk_shape(self, spark):
+        """Same mergeable shape for the quantile sketch: each
+        partition forwards only its K smallest-hash rows to the one
+        window shuffle (WindowGroupLimit below the exchange)."""
+        plan = plan_of(spark, "agg_quantile_sketch", mode="simple")
+        _, _, below = plan.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in below, plan
+
     def test_pagerank_edges_checkpointed_once(self, spark):
         """The 3 unrolled PageRank iterations must all read the edge
         list from its localCheckpoint (`Scan ExistingRDD`) — never
