@@ -72,7 +72,7 @@ HEADLINE = [
     # Round-5: declarative K-means (broadcast-fold assignment, K*d
     # partial-sum updates) — the embedding-clustering wall.
     "embedding_kmeans_clusters",
-    # Round-5 second wave: SemDeDup (K-means-bucketed near-dup),
+    # Round-5 third wave: SemDeDup (K-means-bucketed near-dup),
     # Bloom decontamination (per-row probe over a literal bit
     # array), and BPE merge training (8 vocabulary-table rounds) —
     # pinned so the regression gate covers them from day one.

@@ -34,7 +34,7 @@ BLOOM_WORDS = 256  # int64 words in the bit array (~31% fill on the
 # sf0.01 benchmark shingle set → ~1% FP/shingle; size m ∝ benchmark
 # n at production scale)
 BLOOM_WORD_BITS = 62  # bits used per word (see module docstring)
-BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 7936 bits
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 15872 bits
 BLOOM_K = 4  # hash functions per shingle
 
 
@@ -99,8 +99,8 @@ def bloom_probe_expr(words: list[int], shingle_col):
     """Boolean Column: all BLOOM_K bit tests hit — a pure per-row
     expression over the literal word array (no join, whole-stage
     codegen). word = pos div 62 is computed as exact bigint
-    arithmetic ((pos - pos % 62) / 62 on values < 2^13, exact in
-    double before the int cast)."""
+    arithmetic ((pos - pos % 62) / 62 on values < BLOOM_M = 15872,
+    exact in double before the int cast)."""
     barr = F.array(*[F.lit(w).cast("bigint") for w in words])
     cond = None
     for i in range(BLOOM_K):
@@ -122,18 +122,17 @@ def bloom_contamination(
     those candidates verify against the true benchmark set
     (n_bloom_hits >= n_exact_hits always; a doc the exact pass flags
     ALWAYS appears here — Bloom has no false negatives)."""
-    from .text import tokens, trigram_shingles
+    from .text import doc_shingles
 
-    sh = docs.select(
-        "doc_id", tokens(F.col("text")).alias("ts")
-    ).select(
-        "doc_id",
-        F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
-    )
+    sh = doc_shingles(docs)
     bench = (
         sh.filter(F.col("doc_id") < bench_max_doc)
         .select("shingle")
         .distinct()
+        # referenced twice (filter build collects it NOW; the
+        # verification join runs later) — checkpoint so the bench
+        # scan + shingle explode + distinct run once
+        .localCheckpoint(eager=False)
     )
     words = build_bloom_words(bench)
     corpus = sh.filter(F.col("doc_id") >= bench_max_doc)

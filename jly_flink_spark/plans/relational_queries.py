@@ -1009,10 +1009,10 @@ GROUP BY p.tok, p.cnt
     "sketch a 100-TB token pipeline keeps when the vocabulary itself "
     "no longer fits anywhere; md5-derived buckets and integer sums "
     "make estimates bit-identical across engines, so the oracle "
-    "value-hashes the whole sketch. Completes the sketch suite next "
-    "to KMV distinct (agg_kmv_distinct) and the HLL companion "
-    "(agg_approx_distinct). CMS guarantees n_cms >= n_exact (pinned "
-    "in tests/test_operators.py).",
+    "value-hashes the whole sketch. The FREQUENCY member of the "
+    "sketch suite (KMV distinct + HLL companion, Bloom membership, "
+    "quantile sample, MinHash/SimHash similarity). CMS guarantees "
+    "n_cms >= n_exact (pinned in tests/test_operators.py).",
 )
 def agg_countmin_heavy_hitters(spark, sf_dir):
     from ..operators.text import tokens

@@ -391,7 +391,7 @@ GROUP BY h.doc_id
     tags=("training", "contamination", "dedup", "sketch"),
     doc="Bloom-filter decontamination — the constant-size scale path "
     "next to contamination_ngram_overlap's exact broadcast set: the "
-    "benchmark shingle set compresses to a FIXED 128-word bit array "
+    "benchmark shingle set compresses to a FIXED 256-word bit array "
     "that rides into every task as a literal column, so the corpus "
     "probe is a pure per-row expression (k md5 bit tests in "
     "whole-stage codegen, zero join, zero shuffle) and only "

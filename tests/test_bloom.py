@@ -48,14 +48,13 @@ def test_bloom_word_array_portable_bit_range(spark):
         BLOOM_WORDS,
         build_bloom_words,
     )
-    from jly_flink_spark.operators.text import tokens, trigram_shingles
+    from jly_flink_spark.operators.text import doc_shingles
     from pyspark.sql import functions as F
 
     docs = load_table(spark, SF_SMOKE, "documents")
     bench = (
-        docs.filter(F.col("doc_id") < 20)
-        .select("doc_id", tokens(F.col("text")).alias("ts"))
-        .select(F.explode(trigram_shingles(F.col("ts"))).alias("shingle"))
+        doc_shingles(docs.filter(F.col("doc_id") < 20))
+        .select("shingle")
         .distinct()
     )
     words = build_bloom_words(bench)
