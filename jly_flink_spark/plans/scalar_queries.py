@@ -67,7 +67,7 @@ def scalar_string_funcs(spark, sf_dir):
     oracle="""
 SELECT doc_id,
        regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
-       regexp_replace(text, '[0-9]+', '#') AS no_digits,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
        array_to_string(string_split(lang, '-'), '|') AS lang_parts,
        CAST(regexp_matches(text, 'the') AS INTEGER) AS has_the
 FROM documents
@@ -76,7 +76,10 @@ FROM documents
     doc="Regex extract/replace/match + split (split ↔ string_split; "
     "rlike ↔ regexp_matches). The split result is re-joined with '|' "
     "on BOTH engines: raw array columns are not hashable by the "
-    "driver's pandas canonicalizer.",
+    "driver's pandas canonicalizer. NOTE: DuckDB regexp_replace "
+    "replaces only the FIRST match without the 'g' flag where Spark "
+    "always replaces all — latent on corpora with ≤1 digit run per "
+    "text, caught by the 10× sweep (round 5).",
 )
 def scalar_regexp_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
