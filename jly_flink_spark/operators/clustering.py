@@ -17,7 +17,7 @@ computation identical on any engine.
 Scale shape (the 100-TB argument):
 - Assignment never shuffles the corpus: the K centroid arrays ride
   in ONE broadcast row, and each vector computes its argmin inline
-  (higher-order `aggregate` over the centroid list — per-row,
+  (struct-array `array_min` argmin over the centroid list — per-row,
   whole-stage codegen, zero exchange).
 - The update shuffles only (cid, dim) partial sums: posexplode is
   map-side combined to ≤ K·d rows per partition before the exchange,
@@ -40,7 +40,6 @@ from .similarity import int8_codes
 
 KM_K = 8  # clusters
 KM_ITERS = 3  # fixed unroll depth
-_INF = 1 << 62
 
 
 def _sqdist(code, carr):
@@ -52,36 +51,37 @@ def _sqdist(code, carr):
     )
 
 
+def _argmin_cid(code, cents):
+    """bigint Column: cid of the nearest centroid in the `cents`
+    struct-array, ties to the smallest cid. `transform` computes each
+    distance ONCE and `array_min` on (dist, cid) structs is the
+    lexicographic argmin — order-independent despite collect_list's
+    nondeterministic order (min is commutative), and ~3× cheaper than
+    a fold whose CASE re-evaluates the candidate distance per
+    comparison branch."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                _sqdist(code, c["carr"]).alias("dist"),
+                c["cid"].cast("bigint").alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
 def _assign(codes: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, code, cid): nearest centroid per vector, ties to the
     smallest cid. The K centroids collapse to ONE broadcast row of
-    (cid, carr) structs; the argmin is a per-row fold over that list
-    — no join, no shuffle, order-independent despite collect_list's
-    nondeterministic order because (dist, cid) lexicographic min is
-    commutative."""
+    (cid, carr) structs; the argmin is a per-row expression over that
+    list — no join, no shuffle."""
     cent1 = cent.agg(
         F.collect_list(F.struct("cid", "carr")).alias("cents")
     )
-    init = F.struct(
-        F.lit(_INF).cast("bigint").alias("dist"),
-        F.lit(_INF).cast("bigint").alias("cid"),
-    )
-
-    def better(acc, c):
-        cand = F.struct(
-            _sqdist(F.col("code"), c["carr"]).alias("dist"),
-            c["cid"].cast("bigint").alias("cid"),
-        )
-        return F.when(
-            (cand["dist"] < acc["dist"])
-            | ((cand["dist"] == acc["dist"]) & (cand["cid"] < acc["cid"])),
-            cand,
-        ).otherwise(acc)
-
     return codes.crossJoin(F.broadcast(cent1)).select(
         "vec_id",
         "code",
-        F.aggregate("cents", init, better)["cid"].alias("cid"),
+        _argmin_cid(F.col("code"), F.col("cents")).alias("cid"),
     )
 
 
@@ -102,8 +102,13 @@ def kmeans_fixed(
     centroid."""
     if iterations < 1 or k < 1:
         raise ValueError("k and iterations must be >= 1")
-    codes = emb.select(
-        "vec_id", int8_codes(F.col(vec_col)).alias("code")
+    from ..io import ensure_min_parallelism
+
+    # A single-file embeddings scan is ONE partition; the per-row
+    # argmin is CPU-dense, so fan out before checkpointing (no-op on
+    # a real many-split scan).
+    codes = ensure_min_parallelism(
+        emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
     ).localCheckpoint(eager=False)
 
     seeds = codes.orderBy("vec_id").limit(k)
@@ -171,7 +176,7 @@ def assign_stream(
     nearest frozen centroid and append (vec_id, cid) — how a corpus
     shards new vectors to cluster-partitioned storage at ingest.
     Centroids embed as a literal array column, so assignment is the
-    same per-row argmin fold as training (stateless, zero shuffle,
+    same per-row argmin expression as training (stateless, zero shuffle,
     bit-identical to the batch assignment); recovery is plain
     source-offset replay. Returns the StreamingQuery."""
     if not centroids:
@@ -187,27 +192,11 @@ def assign_stream(
             for cid, arr in centroids
         ]
     )
-    init = F.struct(
-        F.lit(_INF).cast("bigint").alias("dist"),
-        F.lit(_INF).cast("bigint").alias("cid"),
-    )
-
-    def better(acc, c):
-        cand = F.struct(
-            _sqdist(F.col("code"), c["carr"]).alias("dist"),
-            c["cid"].alias("cid"),
-        )
-        return F.when(
-            (cand["dist"] < acc["dist"])
-            | ((cand["dist"] == acc["dist"]) & (cand["cid"] < acc["cid"])),
-            cand,
-        ).otherwise(acc)
-
     assigned = emb_sdf.select(
         "vec_id", int8_codes(F.col(vec_col)).alias("code")
     ).select(
         "vec_id",
-        F.aggregate(cents_lit, init, better)["cid"].alias("cid"),
+        _argmin_cid(F.col("code"), cents_lit).alias("cid"),
     )
     return (
         assigned.writeStream.outputMode("append")

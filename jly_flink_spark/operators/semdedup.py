@@ -46,12 +46,18 @@ from .clustering import KM_ITERS, KM_K, kmeans_fixed
 from .similarity import _qdot, drop_zero_norm, with_norm
 
 SEMDEDUP_T = 0.3  # same cosine threshold as the global near-dup pass
+# Target cluster size: K = max(KM_K, ceil(n / TARGET)), so per-cluster
+# pair work stays ~TARGET²/2 as the corpus grows — the SemDeDup paper's
+# own scaling rule (K ∝ n). A FIXED K is quadratic: the round-5 scale
+# probe measured 13.6× wall at 10× data with K=8; corpus-scaled K
+# restores the linear decade.
+SEMDEDUP_TARGET = 256
 
 
 def semantic_dup_flags(
     emb: DataFrame,
     threshold: float = SEMDEDUP_T,
-    k: int = KM_K,
+    k: int | None = None,
     iterations: int = KM_ITERS,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -60,9 +66,17 @@ def semantic_dup_flags(
     smaller vec_id at cosine >= threshold, and the resulting
     duplicate flag (1 = drop, keep-lowest-id rule).
 
+    k=None sizes K from the corpus (one count scan — model sizing,
+    like the IVF n_list choice); the oracle mirrors the same
+    greatest/ceil expression, so the dynamic K stays value-hash
+    checkable.
+
     Zero-quantized-norm vectors (cosine undefined) never pair — they
     are retained with n_close_prior = 0, mirroring the global
     kernel's guard."""
+    if k is None:
+        n = emb.count()
+        k = max(KM_K, -(-n // SEMDEDUP_TARGET))
     _, asg = kmeans_fixed(emb, k=k, iterations=iterations, vec_col=vec_col)
     # The slim (vec_id, cid) assignment is referenced three times
     # (both self-join sides + the output join); checkpointing it runs

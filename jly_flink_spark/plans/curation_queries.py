@@ -1392,12 +1392,17 @@ def quality_classifier_train(spark, sf_dir):
 # --------------------------------------------------------------------
 # Distributed K-means over embeddings (fixed-point Lloyd's)
 # --------------------------------------------------------------------
-def _kmeans_cte_prefix() -> tuple[str, str]:
+def _kmeans_cte_prefix(k_sql: str | None = None) -> tuple[str, str]:
     """The unrolled fixed-point K-means as a DuckDB WITH-clause
     prefix, shared by the `embedding_kmeans_clusters` oracle and the
     SemDeDup oracle (which continues the chain with per-cluster pair
     scoring). Returns (prefix, final_centroid_cte_name); the prefix
     ends at `asg_f` (final assignment) with no trailing comma.
+
+    `k_sql` overrides the seed-count LIMIT (default: the fixed KM_K
+    literal, byte-identical to the pre-parameterized text so the
+    kmeans pin survives); SemDeDup passes a scalar subquery that
+    sizes K from the corpus.
 
     Mirrors operators/clustering.py exactly: the hash-verified
     absmax/floor int8 quantization, exploded (vec_id, dim, val)
@@ -1409,6 +1414,8 @@ def _kmeans_cte_prefix() -> tuple[str, str]:
     int64."""
     from ..operators import clustering as KM
 
+    if k_sql is None:
+        k_sql = str(KM.KM_K)
     its = []
     prev = "cent0"
     for t in range(1, KM.KM_ITERS + 1):
@@ -1457,7 +1464,7 @@ flat AS (
 seeds AS (
   SELECT vec_id,
          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-  FROM (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {KM.KM_K})
+  FROM (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {k_sql})
 ),
 cent0 AS (
   SELECT s.cid, f.dim, f.val AS cval FROM seeds s JOIN flat f USING (vec_id)
@@ -1517,10 +1524,15 @@ def _semdedup_oracle() -> str:
     floor-quantized integer dot/norm sums (the `dedup_embedding_cosine`
     formula), pairs restricted to a shared cluster, keep-lowest-id
     duplicate rule."""
-    from ..operators.semdedup import SEMDEDUP_T
+    from ..operators import clustering as KM
+    from ..operators.semdedup import SEMDEDUP_T, SEMDEDUP_TARGET
     from ..operators.similarity import QUANT
 
-    prefix, _ = _kmeans_cte_prefix()
+    k_sql = (
+        f"(SELECT greatest({KM.KM_K}, CAST(ceil(count(*) /"
+        f" {SEMDEDUP_TARGET}.0) AS BIGINT)) FROM codes)"
+    )
+    prefix, _ = _kmeans_cte_prefix(k_sql)
     return f"""{prefix},
 norms AS (
   SELECT vec_id,
