@@ -5,8 +5,9 @@ composed from this repo's two existing certified kernels:
 
 - the fully-declarative fixed-point K-means (operators/clustering.py)
   buckets the corpus into K semantic clusters, and
-- the quantized-exact cosine (operators/similarity.py `_qdot`) scores
-  pairs ONLY within a cluster.
+- the two-stage near-dup kernel (operators/similarity.py: f32 GEMM
+  prefilter + exact quantized rescore) scores pairs ONLY within a
+  cluster.
 
 A vector is a semantic duplicate when some same-cluster neighbor with
 a SMALLER vec_id scores cosine >= threshold against it (keep-lowest-id
@@ -20,15 +21,17 @@ Scale shape (the 100-TB argument):
   cluster count K grows with the corpus (K ≈ n / target cluster
   size), holding per-cluster pair work roughly constant. This is the
   reason SemDeDup scales where global near-dup does not.
-- The corpus shuffles ONCE per join side, hash-partitioned on cid;
-  at serving scale the shuffle disappears entirely because
-  `assign_stream` (operators/clustering.py) already routes arriving
-  vectors to cluster-partitioned storage at ingest — the self-join
-  is then partition-local.
-- Pair scoring is the same quantized-exact JVM expression the global
-  kernel rescores with; a giant skewed cluster falls back to the
-  blocked-GEMM kernel applied per cluster (the two compose — the
-  cluster id simply becomes part of the block key).
+- The corpus shuffles ONCE, hash-partitioned on cid into one
+  applyInPandas task per cluster; at serving scale even that shuffle
+  disappears because `assign_stream` (operators/clustering.py)
+  already routes arriving vectors to cluster-partitioned storage at
+  ingest — the kernel is then partition-local.
+- Pair scoring is the intra-group case of the global blocked-GEMM
+  kernel (vectorized BLAS prefilter, exact int64 rescore of
+  candidates only — identical arithmetic to the SQL oracle), with
+  the same a-chunking so even a pathologically giant cluster bounds
+  its live score matrix; a cluster too big for one task composes
+  with the block-pair split (cluster id joins the block key).
 
 Bit-exactness: cluster assignment is the unrolled integer K-means
 (value-hash certified by `embedding_kmeans_clusters`); cosine is the
@@ -43,7 +46,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .clustering import KM_ITERS, KM_K, kmeans_fixed
-from .similarity import _qdot, drop_zero_norm, with_norm
 
 SEMDEDUP_T = 0.3  # same cosine threshold as the global near-dup pass
 # Target cluster size: K = max(KM_K, ceil(n / TARGET)), so per-cluster
@@ -74,48 +76,91 @@ def semantic_dup_flags(
     Zero-quantized-norm vectors (cosine undefined) never pair — they
     are retained with n_close_prior = 0, mirroring the global
     kernel's guard."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import (
+        MIN_HEALTHY_QN,
+        QUANT,
+        prefilter_margin,
+    )
+
     if k is None:
         n = emb.count()
         k = max(KM_K, -(-n // SEMDEDUP_TARGET))
     _, asg = kmeans_fixed(emb, k=k, iterations=iterations, vec_col=vec_col)
-    # The slim (vec_id, cid) assignment is referenced three times
-    # (both self-join sides + the output join); checkpointing it runs
-    # the per-row argmin fold ONCE instead of three times.
+    # The slim (vec_id, cid) assignment is referenced twice (kernel
+    # input + the output join); checkpointing it runs the per-row
+    # argmin ONCE.
     asg = asg.localCheckpoint(eager=False)
-    members = (
-        asg.join(
-            drop_zero_norm(with_norm(emb, vec_col)).select(
-                "vec_id", vec_col, "q_norm2"
-            ),
-            "vec_id",
+    members = asg.join(emb.select("vec_id", vec_col), "vec_id")
+
+    def close_vec_bs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """One task per cluster: emit vec_b once per close (a<b) pair
+        — the intra-group case of the blocked near-dup kernel
+        (operators/similarity.py `embedding_near_dup_pairs`): f32
+        GEMM prefilter with the dimension-scaled margin, exact
+        quantized rescore of candidates only, zero-quantized-norm
+        vectors dropped (cosine undefined)."""
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        mat = np.array(list(pdf[vec_col]), dtype="float64")
+        if mat.ndim != 2 or len(ids) < 2:
+            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+        qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
+        valid = qn > 0
+        ids, mat, qn = ids[valid], mat[valid], qn[valid]
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+        sq = np.sqrt(qn.astype("float64"))
+        fnorm = np.sqrt((mat * mat).sum(axis=1))
+        unit = (mat / fnorm[:, None]).astype("float32")
+        cut = np.float32(threshold - prefilter_margin(int(mat.shape[1])))
+        unhealthy = qn < MIN_HEALTHY_QN
+        # a-chunked GEMM bounds the live score matrix even on a
+        # pathologically giant cluster (same chunking as the global
+        # kernel)
+        a_step = max(1, 2**24 // max(1, len(ids)))
+        ia_parts, ib_parts = [], []
+        for alo in range(0, len(ids), a_step):
+            ahi = alo + a_step
+            cand = (unit[alo:ahi] @ unit.T) >= cut
+            cand[unhealthy[alo:ahi], :] = True
+            cand[:, unhealthy] = True
+            cand &= ids[alo:ahi, None] < ids[None, :]
+            ca, cb = np.nonzero(cand)
+            ia_parts.append(ca + alo)
+            ib_parts.append(cb)
+        ia = (
+            np.concatenate(ia_parts)
+            if ia_parts
+            else np.array([], dtype=int)
         )
-    )
-    a = members.select(
-        "cid",
-        F.col("vec_id").alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        F.col("q_norm2").alias("na"),
-    )
-    b = members.select(
-        "cid",
-        F.col("vec_id").alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("q_norm2").alias("nb"),
-    )
-    close = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_b",
-            (
-                _qdot(F.col("va"), F.col("vb")).cast("double")
-                / (
-                    F.sqrt(F.col("na").cast("double"))
-                    * F.sqrt(F.col("nb").cast("double"))
+        ib = (
+            np.concatenate(ib_parts)
+            if ib_parts
+            else np.array([], dtype=int)
+        )
+        outs = []
+        step = 4096
+        for lo in range(0, len(ia), step):
+            sa, sb = ia[lo : lo + step], ib[lo : lo + step]
+            qd = (
+                np.floor(mat[sa] * mat[sb] * QUANT)
+                .astype("int64")
+                .sum(axis=1)
+            )
+            keep = qd.astype("float64") / (sq[sa] * sq[sb]) >= threshold
+            if keep.any():
+                u, v = ids[sa[keep]], ids[sb[keep]]
+                outs.append(
+                    pd.DataFrame({"vec_b": np.maximum(u, v)})
                 )
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+        if not outs:
+            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    close = members.groupBy("cid").applyInPandas(
+        close_vec_bs, schema="vec_b long"
     )
     n_prior = close.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.count("*").cast("bigint").alias("n_close_prior")
