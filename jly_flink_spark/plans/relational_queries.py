@@ -673,8 +673,12 @@ FROM s GROUP BY event_type
     "MERGEABLE — union = K smallest of the combined K-mins — and "
     "reproducible, unlike rand() reservoirs), and interpolated "
     "percentiles of the 1e4-quantized values are exact double "
-    "arithmetic on integers, so the whole estimate value-hashes "
-    "across engines. Scale shape: the rn<=K filter compiles to "
+    "arithmetic on integers — both engines use the same WEIGHTED "
+    "interpolation lower*(hi-pos)+higher*(pos-lo) (empirically "
+    "bit-identical over 9000 sampled cases; the naive "
+    "lower+frac*delta form differs in the last ulp) — so the whole "
+    "estimate value-hashes across engines. Scale shape: the rn<=K "
+    "filter compiles to "
     "WindowGroupLimit (K rows per partition survive to the one "
     "shuffle, O(partitions·K) volume); rank error ~ 1/sqrt(K) is "
     "pinned against exact quantiles in tests/test_operators.py.",

@@ -465,3 +465,96 @@ def kmv_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_QSK_STATE = "hs array<long>, ids array<long>, qvs array<long>"
+
+
+def quantile_sketch_stream(
+    sdf: DataFrame,
+    group_col: str,
+    hash_col: str,
+    id_col: str,
+    qv_col: str,
+    k: int = 256,
+    group_type: str = "string",
+) -> DataFrame:
+    """Streaming bottom-k-by-hash quantile sketch per group — the
+    incremental form of the batch `agg_quantile_sketch` query: state
+    per group is the K rows with the smallest (hash, id) keys seen so
+    far (the deterministic uniform sample), each micro-batch merges
+    its rows in, and (group, n_sample, q25, q50, q90) is emitted only
+    when the sample CHANGED.
+
+    `hash_col`/`id_col`/`qv_col` must carry the same md5-derived
+    integer, unique row id, and 1e4-quantized value the batch query
+    computes, so the streaming estimates after N batches equal the
+    batch estimates over their union exactly: the sample is the same
+    set, and the interpolation below is the same q·(n-1) linear rule
+    (double arithmetic on exact integers) Spark's `percentile` and
+    DuckDB's `quantile_cont` use.
+
+    Like the KMV sketch, merging is a set union on (hash, id) keys —
+    REPLAYED batches are absorbed idempotently, and state is bounded
+    at K (hash, id, qv) triples per group regardless of stream
+    length."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    out_schema = (
+        f"{group_col} {group_type}, n_sample long,"
+        " q25 double, q50 double, q90 double"
+    )
+
+    def _interp(vals: list, q: float) -> float:
+        # Spark's Percentile interpolation is the WEIGHTED form
+        # lower·(hi−pos) + higher·(pos−lo) — NOT lower + frac·delta,
+        # which differs in the last ulp (caught by the bit-parity
+        # test). Same double ops here, so streaming == batch exactly.
+        pos = q * (len(vals) - 1)
+        lo = int(pos)
+        if pos == lo:
+            return float(vals[lo])
+        hi = lo + 1
+        return vals[lo] * (hi - pos) + vals[hi] * (pos - lo)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, ids, qvs = (list(c) for c in state.get)
+        else:
+            hs, ids, qvs = [], [], []
+        sample = {
+            (int(h), int(i)): int(v) for h, i, v in zip(hs, ids, qvs)
+        }
+        for pdf in pdfs:
+            for h, i, v in zip(
+                pdf[hash_col], pdf[id_col], pdf[qv_col]
+            ):
+                sample[(int(h), int(i))] = int(v)
+        kept = sorted(sample)[:k]
+        new = (
+            [h for h, _ in kept],
+            [i for _, i in kept],
+            [sample[key_] for key_ in kept],
+        )
+        if new != (hs, ids, qvs):
+            state.update(new)
+            vals = sorted(new[2])
+            yield pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "n_sample": [len(vals)],
+                    "q25": [_interp(vals, 0.25)],
+                    "q50": [_interp(vals, 0.50)],
+                    "q90": [_interp(vals, 0.90)],
+                }
+            )
+
+    return sdf.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_QSK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

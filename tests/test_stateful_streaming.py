@@ -733,3 +733,108 @@ class TestKmvDistinctStream:
         )
         # the replay of batch 1 must emit NOTHING (idempotent merge)
         assert len(emissions) <= 2
+
+
+class TestQuantileSketchStream:
+    """Incremental bottom-k quantile sketch: streaming estimates ==
+    the batch agg_quantile_sketch machinery on the union of all
+    batches; replays absorbed idempotently; no-change suppression."""
+
+    def _run(self, spark, tmp_path, batches, name, k=8):
+        from pyspark.sql import functions as F
+
+        from jly_flink_spark.streaming.stateful import (
+            quantile_sketch_stream,
+        )
+
+        src = str(tmp_path / f"{name}_src")
+        _write_json_files(src, batches)
+        stream = spark.readStream.schema(
+            "grp string, rid long, qv long"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        hashed = stream.select(
+            "grp", "rid", "qv",
+            F.conv(
+                F.substring(F.md5(F.col("rid").cast("string")), 1, 14),
+                16,
+                10,
+            ).cast("bigint").alias("h"),
+        )
+        emissions = []
+        q = (
+            quantile_sketch_stream(hashed, "grp", "h", "rid", "qv", k=k)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {r["grp"]: (r["n_sample"], r["q25"], r["q50"], r["q90"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [e for e in emissions if e]
+
+    @staticmethod
+    def _batch_reference(spark, rows, k=8):
+        """The batch query's own expression shape (rank by (h, id)
+        <= k, Spark `percentile`) over the union — the parity
+        target."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "grp string, rid long, qv long")
+        h = F.conv(
+            F.substring(F.md5(F.col("rid").cast("string")), 1, 14),
+            16,
+            10,
+        ).cast("bigint")
+        w = Window.partitionBy("grp").orderBy("h", "rid")
+        s = (
+            df.select("grp", "rid", "qv", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+        out = (
+            s.groupBy("grp")
+            .agg(
+                F.count("*").alias("n_sample"),
+                F.percentile("qv", F.lit([0.25, 0.5, 0.9])).alias("_q"),
+            )
+            .collect()
+        )
+        return {
+            r["grp"]: (
+                r["n_sample"],
+                r["_q"][0],
+                r["_q"][1],
+                r["_q"][2],
+            )
+            for r in out
+        }
+
+    def test_stream_equals_batch_union(self, spark, tmp_path):
+        b1 = [{"grp": "g", "rid": i, "qv": i * 37 % 1000} for i in range(20)]
+        b2 = [
+            {"grp": "g", "rid": i, "qv": i * 37 % 1000}
+            for i in range(20, 40)
+        ]
+        replay = list(b1)  # duplicate delivery
+        emissions = self._run(
+            spark, tmp_path, [b1, b2, replay], "qsk", k=8
+        )
+        assert emissions, "no emissions"
+        # first batch: sketch of rows 0..19
+        assert emissions[0]["g"] == self._batch_reference(
+            spark, b1, k=8
+        )["g"]
+        # final: sketch of the union, bit-equal to the batch shape;
+        # the replay emitted nothing (set-union idempotence)
+        union_ref = self._batch_reference(spark, b1 + b2, k=8)["g"]
+        assert emissions[-1]["g"] == union_ref
+        assert len(emissions) <= 2
