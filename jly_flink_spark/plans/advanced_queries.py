@@ -1504,3 +1504,84 @@ def scalar_bitwise_funcs(spark, sf_dir):
         eid.bitwiseXOR(F.lit(170)).alias("xored"),
         F.bit_count(eid).alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout locality (multi-dimensional pruning)
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH0 = 1704067200  # 2024-01-01 00:00 UTC — the events ts floor
+
+
+def _zorder_oracle() -> str:
+    from ..sources.layout import ZORDER_BITS, zorder_scaled_sql
+
+    z = zorder_scaled_sql("x", "mx", "t", "mt")
+    return f"""
+WITH norm AS (
+  SELECT CAST(user_id AS BIGINT) AS x,
+         greatest(CAST(floor(epoch(ts)) AS BIGINT) - {_Z_EPOCH0}, 0) AS t
+  FROM events
+),
+bounds AS (SELECT max(x) AS mx, max(t) AS mt FROM norm),
+zed AS (
+  SELECT x, t, {z} AS zval FROM norm CROSS JOIN bounds
+)
+SELECT zval >> {2 * ZORDER_BITS - 8} AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(x) AS min_user, max(x) AS max_user,
+       min(t) AS min_t, max(t) AS max_t
+FROM zed GROUP BY 1
+"""
+
+
+@register(
+    "events_zorder_locality",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "scalar"),
+    doc="Morton (Z-order) code over (user_id, seconds-since-floor) "
+    "and per-top-8-bit-bucket min/max spans of BOTH dimensions — "
+    "the multi-dimensional locality that makes `write_zorder_layout` "
+    "(sources/layout.py) prune selective scans on EITHER column from "
+    "parquet footer stats, where a single-column sort prunes only "
+    "its own. Each dimension is range-normalized onto the full "
+    "2^22 grid first (a broadcast 1-row bounds aggregate) — raw "
+    "interleaving degenerates to a wide-dimension sort when bit "
+    "widths differ. The interleave expression is one dialect-shared "
+    "SQL fragment (`>> & <<` and floor-division agree across "
+    "engines), "
+    "so the whole code computation value-hashes; the bucket spans "
+    "in the output ARE the pruning argument (each covers a narrow "
+    "range of users AND of time at once). Pure per-row expression + "
+    "one rollup shuffle.",
+)
+def events_zorder_locality(spark, sf_dir):
+    from ..sources.layout import ZORDER_BITS, zorder_scaled_sql
+
+    ev = _t(spark, sf_dir, "events")
+    norm = ev.select(
+        F.col("user_id").cast("bigint").alias("x"),
+        F.greatest(
+            F.unix_timestamp("ts").cast("bigint") - F.lit(_Z_EPOCH0),
+            F.lit(0).cast("bigint"),
+        ).alias("t"),
+    )
+    bounds = norm.agg(F.max("x").alias("mx"), F.max("t").alias("mt"))
+    zed = norm.crossJoin(F.broadcast(bounds)).select(
+        "x", "t", F.expr(zorder_scaled_sql("x", "mx", "t", "mt")).alias("zval")
+    )
+    return (
+        zed.select(
+            F.expr(f"zval >> {2 * ZORDER_BITS - 8}").alias("zbucket"),
+            "x",
+            "t",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").alias("min_user"),
+            F.max("x").alias("max_user"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )

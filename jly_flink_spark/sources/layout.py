@@ -149,3 +149,69 @@ def write_sorted_layout(
         .partitionBy(*partition_cols)
         .parquet(out_path)
     )
+
+
+ZORDER_BITS = 22  # bits per dimension (covers ~48 days of seconds);
+# 2 dims fit a 44-bit Morton code, positive int64 on both engines
+# (DuckDB << overflows at 63)
+
+
+def zorder_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """Morton (Z-order) interleave of two NON-NEGATIVE bigint SQL
+    expressions' low `bits` bits, as a dialect-shared fragment —
+    `>> & <<` behave identically on Spark and DuckDB for in-range
+    shifts, so the SAME generated text runs on both engines (the
+    cross-engine trick the CDC whitespace class uses). Callers
+    range-normalize the inputs first (offset timestamps, clamp
+    negatives); interleaving low bits of un-normalized values
+    destroys locality but never correctness."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    zval_col: str,
+    out_path: str,
+    n_files: int,
+) -> None:
+    """The multi-dimension OPTIMIZE pass: range-partition on the
+    precomputed Morton code and sort within each file, so parquet
+    min/max footer stats are tight in EVERY interleaved dimension at
+    once — a selective scan on either column prunes files/row-groups,
+    where a single-column sort (`write_sorted_layout`) prunes only
+    its own. One range shuffle, standard writer, no custom file
+    management."""
+    (
+        df.repartitionByRange(n_files, F.col(zval_col))
+        .sortWithinPartitions(zval_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def zorder_scaled_sql(
+    x: str, xmax: str, y: str, ymax: str, bits: int = ZORDER_BITS
+) -> str:
+    """Morton code with per-dimension RANGE NORMALIZATION: each input
+    is scaled onto the full 2^bits grid from its [0, max] range
+    before interleaving. Without this a narrow dimension (say an
+    11-bit user id) only populates low bit positions and the code
+    degenerates to a sort on the wide dimension — the classic
+    Z-order imbalance (caught by tests/test_zorder.py). The scale is
+    floor(v·2^bits / (max+1)) in double arithmetic (exact: products
+    stay far below 2^53), rendered as one dialect-shared fragment
+    like `zorder_sql`. `xmax`/`ymax` are SQL expressions — typically
+    columns from a broadcast 1-row bounds aggregate."""
+    xs = (
+        f"CAST(floor((({x}) * {1 << bits}) / (({xmax}) + 1.0))"
+        " AS BIGINT)"
+    )
+    ys = (
+        f"CAST(floor((({y}) * {1 << bits}) / (({ymax}) + 1.0))"
+        " AS BIGINT)"
+    )
+    return zorder_sql(xs, ys, bits)
