@@ -1,0 +1,194 @@
+"""A Spark-NATIVE binlog tailer via the PySpark Python DataSource
+API — closing the one remaining reference-surface delta (SURVEY.md
+"what's missing" #1): the reference's `MySqlSource`
+(StartJob.java:63-74) tails MySQL binlogs with (file, position)
+offsets; no built-in Spark source speaks that protocol, so earlier
+rounds adapted the boundary as Kafka/Debezium + a file-envelope
+stand-in. Spark 4's `pyspark.sql.datasource` makes the native analog
+expressible: this module implements a streaming (and batch) source
+over an append-only binlog-style envelope log with REAL
+(file, byte-position) offsets — the same resume model as the binlog
+protocol itself. The network wire protocol stays out of scope (that
+is a MySQL server boundary, not a Spark one); the offset/recovery
+semantics — the part that makes a CDC source exactly-once-resumable
+— are fully implemented and tested.
+
+Semantics:
+- `initialOffset` = position 0 of the log; `latestOffset` advances
+  to the last COMPLETE line (a half-written line — the tailer's
+  classic race — is never consumed; it is picked up when its
+  newline lands).
+- Each micro-batch reads the byte range [start, end) and emits one
+  row per envelope line: (value, pos) — `value` is the raw
+  Debezium-shaped JSON the existing `parse_envelope_json` pipeline
+  consumes unchanged; `pos` is the line's starting byte offset (the
+  binlog position of the event, exposed for audit/dedup).
+- Recovery is Structured Streaming's own checkpointed offset log:
+  restart resumes from the committed position with no duplicates and
+  no gaps (tested), exactly how a binlog client resumes from a
+  stored (file, pos).
+
+Scale shape: one log file is one sequential reader per micro-batch
+(binlog order is total within a server, as in the reference);
+many-instance deployments run one source per `instanceName` exactly
+like the reference's per-instance MySqlSource list (C1), and the
+rows fan out to Spark's parallelism immediately after parse.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BINLOG_SCHEMA = StructType(
+    [
+        StructField("value", StringType()),
+        StructField("pos", LongType()),
+    ]
+)
+
+
+def _complete_end(path: str) -> int:
+    """Byte offset just past the last complete ('\\n'-terminated)
+    line — the highest safe read position. 0 for a missing/empty
+    log (a tailer starts before the server writes anything)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
+    if size == 0:
+        return 0
+    with open(path, "rb") as f:
+        # scan backwards in one small tail read for the last newline
+        tail = min(size, 1 << 16)
+        f.seek(size - tail)
+        buf = f.read(tail)
+    nl = buf.rfind(b"\n")
+    if nl < 0:
+        return 0 if tail == size else _complete_end_slow(path, size)
+    return size - tail + nl + 1
+
+
+def _complete_end_slow(path: str, size: int) -> int:
+    """Fallback for a >64 KiB final line: full scan for the last
+    newline."""
+    last = 0
+    with open(path, "rb") as f:
+        pos = 0
+        for line in f:
+            pos += len(line)
+            if line.endswith(b"\n"):
+                last = pos
+    return last
+
+
+@dataclass
+class _Range(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+def _read_range(path: str, start: int, end: int):
+    with open(path, "rb") as f:
+        f.seek(start)
+        pos = start
+        while pos < end:
+            line = f.readline()
+            if not line:
+                break
+            text = line.rstrip(b"\n").decode("utf-8", errors="replace")
+            if text:
+                yield (text, pos)
+            pos += len(line)
+
+
+class _BinlogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": _complete_end(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        return [_Range(self._path, int(start["pos"]), int(end["pos"]))]
+
+    def read(self, partition: _Range):
+        yield from _read_range(
+            partition.path, partition.start, partition.end
+        )
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the query's checkpoint (the binlog-client
+        # position store); nothing to clean up in the log itself.
+        pass
+
+
+class _BinlogBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self._path = path
+
+    def partitions(self):
+        return [_Range(self._path, 0, _complete_end(self._path))]
+
+    def read(self, partition: _Range):
+        yield from _read_range(
+            partition.path, partition.start, partition.end
+        )
+
+
+class BinlogDataSource(DataSource):
+    """`spark.read/readStream.format("jly_binlog").option("path", ...)`
+    after `spark.dataSource.register(BinlogDataSource)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jly_binlog"
+
+    def schema(self):
+        return BINLOG_SCHEMA
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jly_binlog requires option 'path'")
+        return path
+
+    def reader(self, schema):
+        return _BinlogBatchReader(self._path())
+
+    def streamReader(self, schema):
+        return _BinlogStreamReader(self._path())
+
+
+def register_binlog_source(spark) -> None:
+    spark.dataSource.register(BinlogDataSource)
+
+
+def read_binlog_stream(spark, path: str):
+    """Streaming frame of (value, pos) envelope lines tailed from the
+    binlog-style log at `path` — drop-in for `read_envelope_stream`
+    with true byte-position offsets instead of file-granularity
+    triggers."""
+    register_binlog_source(spark)
+    return (
+        spark.readStream.format(BinlogDataSource.name())
+        .option("path", path)
+        .load()
+    )
