@@ -54,6 +54,38 @@ def streaming_pipeline(
     return build_pipeline(spark, observe_guard_drops(parsed), cfg)
 
 
+def streaming_pipeline_binlogs(
+    spark: SparkSession,
+    instance_logs: dict[str, str],
+    cfg: TaskConfig,
+) -> DataFrame:
+    """Target-row stream from one NATIVE binlog tailer per instance
+    (`sources/binlog_source.py`) — the closest Spark shape to the
+    reference's per-instance `MySqlSource` list unioned into one
+    dataflow (StartJob.java:52-92, T5): each source keeps its own
+    byte-position offset in the shared checkpoint, the union happens
+    BEFORE the one parse/filter/enrich plan, and recovery resumes
+    every instance at its committed position independently."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..pipeline import observe_guard_drops
+    from ..sources.binlog_source import read_binlog_stream
+
+    if not instance_logs:
+        raise ValueError("instance_logs must be non-empty")
+    streams = [
+        read_binlog_stream(spark, path).select(
+            F.lit(instance).alias("instance_name"), "value"
+        )
+        for instance, path in sorted(instance_logs.items())
+    ]
+    raw = reduce(lambda a, b: a.unionByName(b), streams)
+    parsed = parse_envelope_json(raw)
+    return build_pipeline(spark, observe_guard_drops(parsed), cfg)
+
+
 def start_archival_stream(
     spark: SparkSession,
     envelope_dir: str,

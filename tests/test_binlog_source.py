@@ -133,3 +133,61 @@ def test_stream_feeds_the_cdc_pipeline(spark, tmp_path):
     assert len(rows) == 2
     assert all(r["op"] == "d" and r["source_table"] == "t_order" for r in rows)
     assert all(json.loads(r["before"])["id"] in (1, 3) for r in rows)
+
+
+def test_per_instance_binlog_union_matches_batch_pipeline(spark, tmp_path):
+    """The reference's shape: one native tailer per instance, unioned
+    into ONE parse/filter/enrich plan (T5) — streaming output must
+    equal the batch pipeline over the same envelopes."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.config import demo_task_config
+    from jly_flink_spark.pipeline import build_pipeline
+    from jly_flink_spark.sources.envelopes import parse_envelope_json
+    from jly_flink_spark.streaming.job import streaming_pipeline_binlogs
+
+    cfg = demo_task_config()
+    events = {
+        "src-0": [
+            '{"op":"d","ts_ms":1754000000000,"source":{"db":"demo","table":"t_orders"},"before":{"id":"1","v":"10.5"}}',
+            '{"op":"u","ts_ms":1754000001000,"source":{"db":"demo","table":"t_orders"},"before":{"id":"2"}}',
+        ],
+        "src-1": [
+            '{"op":"d","ts_ms":1754000002000,"source":{"db":"demo","table":"t_items"},"before":{"id":"3","x":"y"}}',
+        ],
+    }
+    logs = {}
+    for inst, lines in events.items():
+        p = str(tmp_path / f"{inst}.binlog")
+        _append(p, lines)
+        logs[inst] = p
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_pipeline_binlogs(spark, logs, cfg)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id"], r["fb_no"]): r["data_json"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch_raw = spark.createDataFrame(
+        [(inst, line) for inst, lines in events.items() for line in lines],
+        "instance_name string, value string",
+    )
+    want = {
+        (r["id"], r["fb_no"]): r["data_json"]
+        for r in build_pipeline(
+            spark, parse_envelope_json(batch_raw), cfg
+        ).collect()
+    }
+    assert got == want and len(got) == 2
