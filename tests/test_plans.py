@@ -231,6 +231,11 @@ class TestShuffleBudget:
             # per-row expression over the literal word array — zero
             # join, zero shuffle on the corpus side
             ("contamination_bloom_prefilter", 2),
+            # Morton-code locality rollup: the 1-row bounds aggregate
+            # (SinglePartition) + the zbucket rollup; the interleave
+            # itself is a pure per-row expression over the broadcast
+            # bounds row
+            ("events_zorder_locality", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

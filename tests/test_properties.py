@@ -520,3 +520,65 @@ def test_classifier_gd_matches_python_on_random_text(spark, texts):
     }
     for (metric, _), expect in zip(C.WEIGHT_COLS, w):
         assert got[metric] == expect, (metric, got, texts)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training vs the pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+
+_bpe_word = st.text(alphabet="abcdxyz", min_size=1, max_size=6)
+_bpe_doc = st.lists(_bpe_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_bpe_doc, min_size=1, max_size=8))
+def test_bpe_training_matches_python_on_random_corpora(spark, texts):
+    """The unrolled merge rounds must equal the pure-Python greedy
+    recurrence on arbitrary word soups — including repeated-letter
+    words where greedy left-to-right vs overlapping-pair semantics
+    diverge, exhausted vocabularies (fewer merges than rounds), and
+    tie-heavy pair counts resolved by (count DESC, a, b)."""
+    from collections import Counter
+
+    from jly_flink_spark.operators.bpe import bpe_train_merges
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split(" ") if w)
+
+    st_ = [(list(w), c) for w, c in wc.items()]
+    want = []
+    for r in range(1, 5):
+        pc: Counter = Counter()
+        for syms, c in st_:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        want.append((r, a, b, n))
+        nxt = []
+        for syms, c in st_:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt.append((out, c))
+        st_ = nxt
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["round"], r["merge_a"], r["merge_b"], r["pair_count"])
+        for r in bpe_train_merges(docs, rounds=4).collect()
+    )
+    assert got == sorted(want)
