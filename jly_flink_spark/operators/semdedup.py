@@ -62,6 +62,7 @@ def semantic_dup_flags(
     k: int | None = None,
     iterations: int = KM_ITERS,
     vec_col: str = "embedding",
+    max_task_rows: int = 32768,
 ) -> DataFrame:
     """(vec_id, cid, n_close_prior, is_dup): every vector with its
     K-means cluster, the number of same-cluster neighbors with a
@@ -72,6 +73,16 @@ def semantic_dup_flags(
     like the IVF n_list choice); the oracle mirrors the same
     greatest/ceil expression, so the dynamic K stays value-hash
     checkable.
+
+    Skew guard: a cluster larger than `max_task_rows` (clustering is
+    not balance-guaranteed; a degenerate corpus can put everything in
+    one cluster) splits into the global kernel's block-pair scheme
+    WITHIN the cluster — B_c = ceil(n_c / max_task_rows) blocks per
+    cluster, every unordered pair landing in exactly one
+    (cid, bi, bj) task. The per-cluster block count is a COLUMN
+    (window count + per-row explode), never driver state, so the
+    guard holds at millions of clusters. Healthy clusters have
+    B_c = 1 and pay nothing but the count window.
 
     Zero-quantized-norm vectors (cosine undefined) never pair — they
     are retained with n_close_prior = 0, mirroring the global
@@ -95,38 +106,59 @@ def semantic_dup_flags(
     asg = asg.localCheckpoint(eager=False)
     members = asg.join(emb.select("vec_id", vec_col), "vec_id")
 
+    _empty = lambda: pd.DataFrame({"vec_b": pd.Series(dtype="int64")})  # noqa: E731
+
     def close_vec_bs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        """One task per cluster: emit vec_b once per close (a<b) pair
-        — the intra-group case of the blocked near-dup kernel
-        (operators/similarity.py `embedding_near_dup_pairs`): f32
-        GEMM prefilter with the dimension-scaled margin, exact
-        quantized rescore of candidates only, zero-quantized-norm
-        vectors dropped (cosine undefined)."""
+        """One task per (cluster, block-pair): emit vec_b once per
+        close pair — the blocked near-dup kernel
+        (operators/similarity.py `embedding_near_dup_pairs`)
+        restricted to a cluster: f32 GEMM prefilter with the
+        dimension-scaled margin, exact quantized rescore of
+        candidates only, zero-quantized-norm vectors dropped (cosine
+        undefined). bi == bj scores a<b pairs within the block;
+        bi < bj scores every cross-block pair (each unordered pair
+        lands in exactly one group)."""
+        bi, bj = int(key[1]), int(key[2])
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         mat = np.array(list(pdf[vec_col]), dtype="float64")
         if mat.ndim != 2 or len(ids) < 2:
-            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+            return _empty()
         qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
         valid = qn > 0
-        ids, mat, qn = ids[valid], mat[valid], qn[valid]
+        if not valid.all():
+            pdf = pdf[valid]
+            ids, mat, qn = ids[valid], mat[valid], qn[valid]
         if len(ids) < 2:
-            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+            return _empty()
         sq = np.sqrt(qn.astype("float64"))
         fnorm = np.sqrt((mat * mat).sum(axis=1))
         unit = (mat / fnorm[:, None]).astype("float32")
         cut = np.float32(threshold - prefilter_margin(int(mat.shape[1])))
         unhealthy = qn < MIN_HEALTHY_QN
+        if bi == bj:
+            a_sel = b_sel = np.arange(len(ids))
+        else:
+            blks = pdf["blk"].to_numpy(dtype="int64")
+            a_sel = np.nonzero(blks == bi)[0]
+            b_sel = np.nonzero(blks == bj)[0]
+        a_ids, b_ids = ids[a_sel], ids[b_sel]
+        a_mat, b_mat = mat[a_sel], mat[b_sel]
+        a_sq, b_sq = sq[a_sel], sq[b_sel]
+        a_unit, b_unit = unit[a_sel], unit[b_sel]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return _empty()
         # a-chunked GEMM bounds the live score matrix even on a
-        # pathologically giant cluster (same chunking as the global
+        # pathologically giant block (same chunking as the global
         # kernel)
-        a_step = max(1, 2**24 // max(1, len(ids)))
+        a_step = max(1, 2**24 // max(1, len(b_ids)))
         ia_parts, ib_parts = [], []
-        for alo in range(0, len(ids), a_step):
+        for alo in range(0, len(a_ids), a_step):
             ahi = alo + a_step
-            cand = (unit[alo:ahi] @ unit.T) >= cut
-            cand[unhealthy[alo:ahi], :] = True
-            cand[:, unhealthy] = True
-            cand &= ids[alo:ahi, None] < ids[None, :]
+            cand = (a_unit[alo:ahi] @ b_unit.T) >= cut
+            cand[unhealthy[a_sel][alo:ahi], :] = True
+            cand[:, unhealthy[b_sel]] = True
+            if bi == bj:
+                cand &= a_ids[alo:ahi, None] < b_ids[None, :]
             ca, cb = np.nonzero(cand)
             ia_parts.append(ca + alo)
             ib_parts.append(cb)
@@ -145,21 +177,54 @@ def semantic_dup_flags(
         for lo in range(0, len(ia), step):
             sa, sb = ia[lo : lo + step], ib[lo : lo + step]
             qd = (
-                np.floor(mat[sa] * mat[sb] * QUANT)
+                np.floor(a_mat[sa] * b_mat[sb] * QUANT)
                 .astype("int64")
                 .sum(axis=1)
             )
-            keep = qd.astype("float64") / (sq[sa] * sq[sb]) >= threshold
+            keep = qd.astype("float64") / (a_sq[sa] * b_sq[sb]) >= threshold
             if keep.any():
-                u, v = ids[sa[keep]], ids[sb[keep]]
+                u, v = a_ids[sa[keep]], b_ids[sb[keep]]
                 outs.append(
                     pd.DataFrame({"vec_b": np.maximum(u, v)})
                 )
         if not outs:
-            return pd.DataFrame({"vec_b": pd.Series(dtype="int64")})
+            return _empty()
         return pd.concat(outs, ignore_index=True)
 
-    close = members.groupBy("cid").applyInPandas(
+    from pyspark.sql import Window
+
+    n_c = F.count("*").over(Window.partitionBy("cid"))
+    mem = (
+        members.withColumn(
+            "n_blocks",
+            F.greatest(
+                F.lit(1), F.ceil(n_c / F.lit(max_task_rows))
+            ).cast("int"),
+        )
+        .withColumn(
+            "blk",
+            F.pmod(
+                F.crc32(F.col("vec_id").cast("string")),
+                F.col("n_blocks"),
+            ).cast("int"),
+        )
+    )
+    targets = F.transform(
+        F.sequence(F.lit(0), F.col("n_blocks") - 1),
+        lambda q: F.struct(
+            F.least(F.col("blk"), q).cast("int").alias("bi"),
+            F.greatest(F.col("blk"), q).cast("int").alias("bj"),
+        ),
+    )
+    exploded = mem.withColumn("pk", F.explode(targets)).select(
+        "cid",
+        F.col("pk.bi").alias("bi"),
+        F.col("pk.bj").alias("bj"),
+        "blk",
+        "vec_id",
+        vec_col,
+    )
+    close = exploded.groupBy("cid", "bi", "bj").applyInPandas(
         close_vec_bs, schema="vec_b long"
     )
     n_prior = close.groupBy(F.col("vec_b").alias("vec_id")).agg(

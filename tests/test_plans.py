@@ -219,13 +219,14 @@ class TestShuffleBudget:
             # sort-limit + final min-rollup; the sketch itself rides
             # as a broadcast
             ("agg_countmin_heavy_hitters", 5),
-            # SemDeDup: the checkpointed (vec_id, cid) assignment
-            # joins each self-join side (2 cid exchanges), the prior-
-            # neighbor count shuffles slim (vec_b) rows, and the
-            # output join re-shuffles the 2-long assignment; the
-            # K-means fold runs ONCE behind the checkpoint and the
-            # vectors shuffle only cluster-bucketed, never all-pairs
-            ("dedup_semantic_clusters", 5),
+            # SemDeDup: members join (vec_id) + ONE corpus shuffle on
+            # cid — the per-cluster count window's exchange is REUSED
+            # by the (cid, bi, bj) kernel grouping (subset clustering)
+            # — + the slim (vec_b) prior-count rollup; the K-means
+            # argmin runs once behind the checkpoint and pairs only
+            # ever form cluster-bucketed (block-split above the task
+            # cap), never all-pairs
+            ("dedup_semantic_clusters", 4),
             # Bloom decontamination: bench-shingle distinct (tiny) +
             # final per-doc rollup; the corpus probe is a pure
             # per-row expression over the literal word array — zero

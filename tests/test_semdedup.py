@@ -82,3 +82,43 @@ def test_semdedup_flag_semantics_on_crafted_corpus(spark, tmp_path):
     assert rows[3]["cid"] == rows[2]["cid"]
     assert rows[4]["is_dup"] == 0
     assert rows[5]["is_dup"] == 0
+
+
+def test_semdedup_giant_cluster_block_split_is_exact(spark):
+    """The skew guard: forcing everything into ONE cluster and a tiny
+    per-task row cap must produce the same flags as the single-task
+    path — every unordered pair lands in exactly one (cid, bi, bj)
+    block-pair group."""
+    import numpy as np
+    import pandas as pd
+
+    from jly_flink_spark.operators.semdedup import semantic_dup_flags
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16).astype("float32")
+    rows = []
+    for i in range(240):
+        # near-dup families of 3 around shared directions
+        fam = rng.normal(size=16).astype("float32") if i % 3 == 0 else rows[-1][1]
+        rows.append((i, fam + rng.normal(scale=0.01, size=16).astype("float32")))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [
+                (r[1] + 0 * base).astype("float32").tolist() for r in rows
+            ],
+            "label": [0] * len(rows),
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+
+    single = {
+        r["vec_id"]: (r["cid"], r["n_close_prior"], r["is_dup"])
+        for r in semantic_dup_flags(emb, k=1, max_task_rows=10**9).collect()
+    }
+    split = {
+        r["vec_id"]: (r["cid"], r["n_close_prior"], r["is_dup"])
+        for r in semantic_dup_flags(emb, k=1, max_task_rows=64).collect()
+    }
+    assert split == single
+    assert sum(1 for _, _, d in single.values() if d) > 0
