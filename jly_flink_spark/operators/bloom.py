@@ -38,18 +38,35 @@ BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 15872 bits
 BLOOM_K = 4  # hash functions per shingle
 
 
-def _qpos(shingle, i: int):
-    """Bit position i of a shingle: 56-bit md5 prefix mod BLOOM_M."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 14
+def _with_km_halves(shingle, body):
+    """Evaluate `body(h1, h2)` with the Kirsch-Mitzenmacher halves of
+    ONE md5 digest bound as lambda variables — pos_i = (h1 + i·h2)
+    mod m derives all BLOOM_K positions from a single hash. KM's
+    original result is literally about Bloom filters: k derived
+    functions preserve the asymptotic FP rate of k independent ones;
+    here it also quarters the dominant cost (md5) of build and probe.
+    The singleton-array `transform` binding matters: Spark does NOT
+    reliably CSE a repeated md5 across expression copies (measured
+    1.3× slower without it), but a lambda variable is evaluated once
+    per row by construction. i·h2 ≤ 3·2^56 stays far inside int64.
+    Mirrors the MinHash signature scheme (operators/dedup.py)."""
+
+    def outer(d):
+        h1 = F.conv(F.substring(d, 1, 14), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(d, 17, 14), 16, 10).cast("bigint")
+        return F.get(
+            F.transform(
+                F.array(F.struct(h1.alias("h1"), h2.alias("h2"))),
+                lambda h: body(h["h1"], h["h2"]),
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % BLOOM_M
-    )
+            0,
+        )
+
+    return F.get(F.transform(F.array(F.md5(shingle)), outer), 0)
+
+
+def _km_pos(h1, h2, i: int):
+    return (h1 + F.lit(i) * h2) % BLOOM_M
 
 
 def build_bloom_words(bench_shingles: DataFrame) -> list[int]:
@@ -63,11 +80,14 @@ def build_bloom_words(bench_shingles: DataFrame) -> list[int]:
     rows = (
         bench_shingles.select(
             F.explode(
-                F.array(
-                    *[
-                        _qpos(F.col("shingle"), i)
-                        for i in range(BLOOM_K)
-                    ]
+                _with_km_halves(
+                    F.col("shingle"),
+                    lambda h1, h2: F.array(
+                        *[
+                            _km_pos(h1, h2, i)
+                            for i in range(BLOOM_K)
+                        ]
+                    ),
                 )
             ).alias("pos")
         )
@@ -102,15 +122,19 @@ def bloom_probe_expr(words: list[int], shingle_col):
     arithmetic ((pos - pos % 62) / 62 on values < BLOOM_M = 15872,
     exact in double before the int cast)."""
     barr = F.array(*[F.lit(w).cast("bigint") for w in words])
-    cond = None
-    for i in range(BLOOM_K):
-        pos = _qpos(shingle_col, i)
-        bit = pos % BLOOM_WORD_BITS
-        word_idx = ((pos - bit) / BLOOM_WORD_BITS).cast("int")
-        wval = F.element_at(barr, word_idx + 1)
-        test = _shiftright_col(wval, bit).bitwiseAND(F.lit(1)) == 1
-        cond = test if cond is None else (cond & test)
-    return cond
+
+    def tests(h1, h2):
+        cond = None
+        for i in range(BLOOM_K):
+            pos = _km_pos(h1, h2, i)
+            bit = pos % BLOOM_WORD_BITS
+            word_idx = ((pos - bit) / BLOOM_WORD_BITS).cast("int")
+            wval = F.element_at(barr, word_idx + 1)
+            test = _shiftright_col(wval, bit).bitwiseAND(F.lit(1)) == 1
+            cond = test if cond is None else (cond & test)
+        return cond
+
+    return _with_km_halves(shingle_col, tests)
 
 
 def bloom_contamination(

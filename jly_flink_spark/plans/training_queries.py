@@ -321,8 +321,9 @@ def contamination_ngram_overlap(spark, sf_dir):
 
 
 def _bloom_oracle() -> str:
-    """Mirrors operators/bloom.py bit-for-bit: 56-bit md5-prefix
-    positions (the CMS hex-digit positional sum), 62-bit words
+    """Mirrors operators/bloom.py bit-for-bit: Kirsch-Mitzenmacher
+    positions (h1 + i·h2 from one digest's 56-bit halves — the
+    hex-digit positional sums), 62-bit words
     (DuckDB `<<` raises on a 1 << 63 overflow where Java wraps —
     capping shifts at 61 keeps both engines identical), bit_or word
     build, all-k bit-test prefilter, exact verification of the
@@ -347,10 +348,13 @@ shingles AS (
 bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 20),
 corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 20),
 bench_pos AS (
-  SELECT ({_sql_hex_to_int(1)}) % {BLOOM_M} AS pos
+  SELECT (h1 + i * h2) % {BLOOM_M} AS pos
   FROM (
-    SELECT md5(CAST(u.i AS VARCHAR) || ':' || shingle) AS d
-    FROM bench, unnest(range({BLOOM_K})) u(i)
+    SELECT CAST(u.i AS BIGINT) AS i,
+           ({_sql_hex_to_int(1)}) AS h1,
+           ({_sql_hex_to_int(17)}) AS h2
+    FROM (SELECT md5(shingle) AS d FROM bench),
+         unnest(range({BLOOM_K})) u(i)
   )
 ),
 words AS (
@@ -360,11 +364,13 @@ words AS (
   FROM bench_pos GROUP BY 1
 ),
 probe AS (
-  SELECT doc_id, shingle, ({_sql_hex_to_int(1)}) % {BLOOM_M} AS pos
+  SELECT doc_id, shingle, (h1 + i * h2) % {BLOOM_M} AS pos
   FROM (
-    SELECT doc_id, shingle,
-           md5(CAST(u.i AS VARCHAR) || ':' || shingle) AS d
-    FROM corpus, unnest(range({BLOOM_K})) u(i)
+    SELECT doc_id, shingle, CAST(u.i AS BIGINT) AS i,
+           ({_sql_hex_to_int(1)}) AS h1,
+           ({_sql_hex_to_int(17)}) AS h2
+    FROM (SELECT doc_id, shingle, md5(shingle) AS d FROM corpus),
+         unnest(range({BLOOM_K})) u(i)
   )
 ),
 hits AS (
