@@ -18,11 +18,16 @@ Semantics:
   to the last COMPLETE line (a half-written line — the tailer's
   classic race — is never consumed; it is picked up when its
   newline lands).
-- Each micro-batch reads the byte range [start, end) and emits one
-  row per envelope line: (value, pos) — `value` is the raw
+- Each micro-batch reads the byte ranges (start, end] and emits one
+  row per envelope line: (value, file, pos) — `value` is the raw
   Debezium-shaped JSON the existing `parse_envelope_json` pipeline
-  consumes unchanged; `pos` is the line's starting byte offset (the
-  binlog position of the event, exposed for audit/dedup).
+  consumes unchanged; (file, pos) is the event's binlog position
+  (file name + starting byte offset), exposed for audit/dedup.
+- ROTATION: point `path` at a directory and the series of
+  lexicographically-ordered files (binlog.000001, ...) is one
+  logical log — offsets are (file, pos) exactly like a real binlog
+  client's, a batch can span a rotation boundary, and a PURGED
+  start file raises instead of silently skipping lost data.
 - Recovery is Structured Streaming's own checkpointed offset log:
   restart resumes from the committed position with no duplicates and
   no gaps (tested), exactly how a binlog client resumes from a
@@ -56,9 +61,28 @@ from pyspark.sql.types import (
 BINLOG_SCHEMA = StructType(
     [
         StructField("value", StringType()),
+        StructField("file", StringType()),
         StructField("pos", LongType()),
     ]
 )
+
+
+def _log_files(path: str) -> list[tuple[str, str]]:
+    """Ordered (name, full_path) list of the binlog series. A file
+    path is a one-file series; a directory is a ROTATED series —
+    lexicographic name order is the binlog convention
+    (binlog.000001, binlog.000002, ...)."""
+    if os.path.isfile(path):
+        return [(os.path.basename(path), path)]
+    if not os.path.isdir(path):
+        return []
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if not n.startswith(".")
+        and os.path.isfile(os.path.join(path, n))
+    )
+    return [(n, os.path.join(path, n)) for n in names]
 
 
 def _complete_end(path: str) -> int:
@@ -97,12 +121,13 @@ def _complete_end_slow(path: str, size: int) -> int:
 
 @dataclass
 class _Range(InputPartition):
+    name: str
     path: str
     start: int
     end: int
 
 
-def _read_range(path: str, start: int, end: int):
+def _read_range(name: str, path: str, start: int, end: int):
     with open(path, "rb") as f:
         f.seek(start)
         pos = start
@@ -112,8 +137,39 @@ def _read_range(path: str, start: int, end: int):
                 break
             text = line.rstrip(b"\n").decode("utf-8", errors="replace")
             if text:
-                yield (text, pos)
+                yield (text, name, pos)
             pos += len(line)
+
+
+def _plan_ranges(
+    path: str, start: dict, end: dict
+) -> list[_Range]:
+    """Byte ranges covering ((start.file, start.pos), (end.file,
+    end.pos)] across the rotated series: every file strictly between
+    the endpoints is consumed to its last complete line (rotation
+    closes files newline-terminated); the endpoints use their stored
+    positions. A purged start file (binlog cleanup removed it before
+    the reader caught up) raises — silently skipping would hide data
+    loss, exactly like a binlog client erroring on a purged
+    position."""
+    files = _log_files(path)
+    sf, sp = str(start.get("file", "")), int(start.get("pos", 0))
+    ef, ep = str(end.get("file", "")), int(end.get("pos", 0))
+    if sf and sf not in [n for n, _ in files] and sp > 0:
+        raise RuntimeError(
+            f"binlog start file {sf!r} no longer exists (purged?)"
+        )
+    out: list[_Range] = []
+    for name, full in files:
+        if name < sf:
+            continue
+        if name > ef:
+            break
+        spos = sp if name == sf else 0
+        epos = ep if name == ef else _complete_end(full)
+        if epos > spos:
+            out.append(_Range(name, full, spos, epos))
+    return out
 
 
 class _BinlogStreamReader(DataSourceStreamReader):
@@ -121,17 +177,21 @@ class _BinlogStreamReader(DataSourceStreamReader):
         self._path = path
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"file": "", "pos": 0}
 
     def latestOffset(self) -> dict:
-        return {"pos": _complete_end(self._path)}
+        files = _log_files(self._path)
+        if not files:
+            return {"file": "", "pos": 0}
+        name, full = files[-1]
+        return {"file": name, "pos": _complete_end(full)}
 
     def partitions(self, start: dict, end: dict):
-        return [_Range(self._path, int(start["pos"]), int(end["pos"]))]
+        return _plan_ranges(self._path, start, end)
 
     def read(self, partition: _Range):
         yield from _read_range(
-            partition.path, partition.start, partition.end
+            partition.name, partition.path, partition.start, partition.end
         )
 
     def commit(self, end: dict) -> None:
@@ -145,11 +205,14 @@ class _BinlogBatchReader(DataSourceReader):
         self._path = path
 
     def partitions(self):
-        return [_Range(self._path, 0, _complete_end(self._path))]
+        return [
+            _Range(name, full, 0, _complete_end(full))
+            for name, full in _log_files(self._path)
+        ]
 
     def read(self, partition: _Range):
         yield from _read_range(
-            partition.path, partition.start, partition.end
+            partition.name, partition.path, partition.start, partition.end
         )
 
 

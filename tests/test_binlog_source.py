@@ -191,3 +191,60 @@ def test_per_instance_binlog_union_matches_batch_pipeline(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_rotated_binlog_series_resumes_across_files(spark, tmp_path):
+    """Rotation: a directory of ordered files is one logical log with
+    (file, pos) offsets — a restarted query spans the rotation
+    boundary exactly once, new files are picked up mid-stream, and
+    positions are per-file byte offsets."""
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _append(str(d / "binlog.000001"), [_env_line(i) for i in range(3)])
+    q = (
+        read_binlog_stream(spark, str(d))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # rotate mid-stream: close 000001, open 000002
+        _append(str(d / "binlog.000001"), [_env_line(3)])
+        _append(str(d / "binlog.000002"), [_env_line(4), _env_line(5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["value"] for r in rows) == sorted(
+        _env_line(i) for i in range(6)
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r["pos"])
+    assert set(by_file) == {"binlog.000001", "binlog.000002"}
+    assert sorted(by_file["binlog.000002"])[0] == 0  # per-file offsets
+
+    # restart after another rotation: only the new file's rows arrive
+    _append(str(d / "binlog.000003"), [_env_line(6)])
+    q = (
+        read_binlog_stream(spark, str(d))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 7
+    assert sorted(r["value"] for r in rows) == sorted(
+        _env_line(i) for i in range(7)
+    )
