@@ -215,3 +215,54 @@ def zorder_scaled_sql(
         " AS BIGINT)"
     )
     return zorder_sql(xs, ys, bits)
+
+
+def optimize_zorder(
+    spark,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """The OPTIMIZE maintenance pass: rewrite the live parquet
+    directory at `path` into the range-normalized Z-order layout and
+    promote it with the standard write-then-swap (same quiesced-writer
+    /serialized-timeline contract as `swap_layout`). Bounds come from
+    one scalar aggregate over the existing data; negatives clamp to 0
+    (the normalization domain is [0, max]). The Morton column is
+    dropped after routing — the layout IS the index, readers prune on
+    the plain columns' footer stats."""
+    df = spark.read.parquet(path)
+    bounds = df.agg(
+        F.min(x_col).alias("mnx"),
+        F.max(x_col).alias("mxx"),
+        F.min(y_col).alias("mny"),
+        F.max(y_col).alias("mxy"),
+    )
+    # MIN-max normalization: subtracting the floor matters — raw
+    # epoch seconds carry a huge constant offset, and scaling by the
+    # max alone collapses every value into the top sliver of the
+    # grid (constant high bits → the interleave degenerates to a
+    # sort on the other column; caught by the in-place test).
+    zed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__zval",
+        F.expr(
+            zorder_scaled_sql(
+                f"({x_col} - mnx)",
+                "(mxx - mnx)",
+                f"({y_col} - mny)",
+                "(mxy - mny)",
+                bits,
+            )
+        ),
+    )
+    tmp = path.rstrip("/") + ".zorder_new"
+    (
+        zed.repartitionByRange(n_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval", "mnx", "mxx", "mny", "mxy")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    swap_layout(path, tmp)

@@ -91,3 +91,34 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert _median(z["t"]) <= 0.6 * full_t, (z["t"], full_t)
     # and time locality beats the x-sorted baseline by a wide margin
     assert _median(z["t"]) < 0.5 * _median(b["t"])
+
+
+def test_optimize_zorder_rewrites_in_place(spark, tmp_path):
+    """The maintenance pass: an unsorted live directory gains
+    multi-dimensional footer locality in place, with identical data
+    and no leftover helper columns."""
+    from jly_flink_spark.sources.layout import optimize_zorder
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").cast("bigint").alias("x"),
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+    live = str(tmp_path / "live")
+    ev.repartition(N_FILES).write.parquet(live)  # unsorted layout
+    before = sorted(
+        (r["x"], r["t"]) for r in spark.read.parquet(live).collect()
+    )
+    b = _file_spans(live, ["x", "t"])
+    full_t = max(max(s for s in b["t"]), 1)
+
+    optimize_zorder(spark, live, "x", "t", N_FILES)
+
+    after_df = spark.read.parquet(live)
+    assert set(after_df.columns) == {"x", "t"}
+    after = sorted((r["x"], r["t"]) for r in after_df.collect())
+    assert after == before  # rewrite, not a transformation
+    z = _file_spans(live, ["x", "t"])
+    assert _median(z["t"]) <= 0.6 * full_t
+    assert not any(
+        p.endswith(".old") for p in map(str, tmp_path.iterdir())
+    )
