@@ -145,6 +145,7 @@ def semantic_dup_flags(
         a_mat, b_mat = mat[a_sel], mat[b_sel]
         a_sq, b_sq = sq[a_sel], sq[b_sel]
         a_unit, b_unit = unit[a_sel], unit[b_sel]
+        a_unh, b_unh = unhealthy[a_sel], unhealthy[b_sel]
         if len(a_ids) == 0 or len(b_ids) == 0:
             return _empty()
         # a-chunked GEMM bounds the live score matrix even on a
@@ -155,8 +156,8 @@ def semantic_dup_flags(
         for alo in range(0, len(a_ids), a_step):
             ahi = alo + a_step
             cand = (a_unit[alo:ahi] @ b_unit.T) >= cut
-            cand[unhealthy[a_sel][alo:ahi], :] = True
-            cand[:, unhealthy[b_sel]] = True
+            cand[a_unh[alo:ahi], :] = True
+            cand[:, b_unh] = True
             if bi == bj:
                 cand &= a_ids[alo:ahi, None] < b_ids[None, :]
             ca, cb = np.nonzero(cand)

@@ -1516,14 +1516,17 @@ _Z_EPOCH0 = 1704067200  # 2024-01-01 00:00 UTC — the events ts floor
 def _zorder_oracle() -> str:
     from ..sources.layout import ZORDER_BITS, zorder_scaled_sql
 
-    z = zorder_scaled_sql("x", "mx", "t", "mt")
+    z = zorder_scaled_sql("(x - mnx)", "(mxx - mnx)", "(t - mnt)", "(mxt - mnt)")
     return f"""
 WITH norm AS (
   SELECT CAST(user_id AS BIGINT) AS x,
          greatest(CAST(floor(epoch(ts)) AS BIGINT) - {_Z_EPOCH0}, 0) AS t
   FROM events
 ),
-bounds AS (SELECT max(x) AS mx, max(t) AS mt FROM norm),
+bounds AS (
+  SELECT min(x) AS mnx, max(x) AS mxx, min(t) AS mnt, max(t) AS mxt
+  FROM norm
+),
 zed AS (
   SELECT x, t, {z} AS zval FROM norm CROSS JOIN bounds
 )
@@ -1544,12 +1547,12 @@ FROM zed GROUP BY 1
     "the multi-dimensional locality that makes `write_zorder_layout` "
     "(sources/layout.py) prune selective scans on EITHER column from "
     "parquet footer stats, where a single-column sort prunes only "
-    "its own. Each dimension is range-normalized onto the full "
-    "2^22 grid first (a broadcast 1-row bounds aggregate) — raw "
-    "interleaving degenerates to a wide-dimension sort when bit "
-    "widths differ. The interleave expression is one dialect-shared "
-    "SQL fragment (`>> & <<` and floor-division agree across "
-    "engines), "
+    "its own. Each dimension is MIN-max normalized onto the full "
+    "2^22 grid first (a broadcast 1-row bounds aggregate; divide-"
+    "first double scaling, so wide int64 ranges never overflow) — "
+    "raw interleaving degenerates to a wide-dimension sort when "
+    "bit widths differ. The interleave is one dialect-shared SQL "
+    "fragment (shifts and floor-division agree across engines), "
     "so the whole code computation value-hashes; the bucket spans "
     "in the output ARE the pruning argument (each covers a narrow "
     "range of users AND of time at once). Pure per-row expression + "
@@ -1566,9 +1569,20 @@ def events_zorder_locality(spark, sf_dir):
             F.lit(0).cast("bigint"),
         ).alias("t"),
     )
-    bounds = norm.agg(F.max("x").alias("mx"), F.max("t").alias("mt"))
+    bounds = norm.agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("t").alias("mnt"),
+        F.max("t").alias("mxt"),
+    )
     zed = norm.crossJoin(F.broadcast(bounds)).select(
-        "x", "t", F.expr(zorder_scaled_sql("x", "mx", "t", "mt")).alias("zval")
+        "x",
+        "t",
+        F.expr(
+            zorder_scaled_sql(
+                "(x - mnx)", "(mxx - mnx)", "(t - mnt)", "(mxt - mnt)"
+            )
+        ).alias("zval"),
     )
     return (
         zed.select(

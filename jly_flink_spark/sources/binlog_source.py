@@ -67,11 +67,17 @@ BINLOG_SCHEMA = StructType(
 )
 
 
-def _log_files(path: str) -> list[tuple[str, str]]:
+def _log_files(path: str, pattern: str | None = None) -> list[tuple[str, str]]:
     """Ordered (name, full_path) list of the binlog series. A file
     path is a one-file series; a directory is a ROTATED series —
     lexicographic name order is the binlog convention
-    (binlog.000001, binlog.000002, ...)."""
+    (binlog.000001, binlog.000002, ...). `pattern` (fnmatch, e.g.
+    "binlog.*") fences the series against stray files: a writer temp
+    or editor artifact sorting after the real last file would
+    otherwise enter the rotation order and corrupt offset
+    progression."""
+    import fnmatch
+
     if os.path.isfile(path):
         return [(os.path.basename(path), path)]
     if not os.path.isdir(path):
@@ -81,6 +87,7 @@ def _log_files(path: str) -> list[tuple[str, str]]:
         for n in os.listdir(path)
         if not n.startswith(".")
         and os.path.isfile(os.path.join(path, n))
+        and (pattern is None or fnmatch.fnmatch(n, pattern))
     )
     return [(n, os.path.join(path, n)) for n in names]
 
@@ -142,20 +149,27 @@ def _read_range(name: str, path: str, start: int, end: int):
 
 
 def _plan_ranges(
-    path: str, start: dict, end: dict
+    path: str, start: dict, end: dict, pattern: str | None = None
 ) -> list[_Range]:
     """Byte ranges covering ((start.file, start.pos), (end.file,
-    end.pos)] across the rotated series: every file strictly between
-    the endpoints is consumed to its last complete line (rotation
-    closes files newline-terminated); the endpoints use their stored
-    positions. A purged start file (binlog cleanup removed it before
-    the reader caught up) raises — silently skipping would hide data
-    loss, exactly like a binlog client erroring on a purged
-    position."""
-    files = _log_files(path)
+    end.pos)] across the rotated series. Non-final file ends come
+    from the END OFFSET's recorded `ends` map (captured at
+    latestOffset time), so a checkpointed batch replays the exact
+    same ranges deterministically — never from a re-read of the live
+    filesystem; `_complete_end` is only the fallback for offsets
+    written before `ends` existed. A purged start file (binlog
+    cleanup removed it before the reader caught up) raises —
+    silently skipping would hide data loss, exactly like a binlog
+    client erroring on a purged position. LIMITATION, stated
+    plainly: a purged INTERMEDIATE file cannot be detected under an
+    arbitrary naming scheme (the planner cannot know a name it never
+    saw); retention must only ever remove files older than the
+    checkpointed position — the standard binlog-retention contract."""
+    files = _log_files(path, pattern)
     sf, sp = str(start.get("file", "")), int(start.get("pos", 0))
     ef, ep = str(end.get("file", "")), int(end.get("pos", 0))
-    if sf and sf not in [n for n, _ in files] and sp > 0:
+    ends = {str(k): int(v) for k, v in (end.get("ends") or {}).items()}
+    if sf and sf not in [n for n, _ in files]:
         raise RuntimeError(
             f"binlog start file {sf!r} no longer exists (purged?)"
         )
@@ -166,28 +180,33 @@ def _plan_ranges(
         if name > ef:
             break
         spos = sp if name == sf else 0
-        epos = ep if name == ef else _complete_end(full)
+        epos = ep if name == ef else ends.get(name, _complete_end(full))
         if epos > spos:
             out.append(_Range(name, full, spos, epos))
     return out
 
 
 class _BinlogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pattern: str | None = None):
         self._path = path
+        self._pattern = pattern
 
     def initialOffset(self) -> dict:
         return {"file": "", "pos": 0}
 
     def latestOffset(self) -> dict:
-        files = _log_files(self._path)
+        files = _log_files(self._path, self._pattern)
         if not files:
             return {"file": "", "pos": 0}
         name, full = files[-1]
-        return {"file": name, "pos": _complete_end(full)}
+        # record every non-final file's end NOW, so a replayed batch
+        # plans identical ranges even if a contract-violating writer
+        # later appends to a rotated-away file
+        ends = {n: _complete_end(f) for n, f in files[:-1]}
+        return {"file": name, "pos": _complete_end(full), "ends": ends}
 
     def partitions(self, start: dict, end: dict):
-        return _plan_ranges(self._path, start, end)
+        return _plan_ranges(self._path, start, end, self._pattern)
 
     def read(self, partition: _Range):
         yield from _read_range(
@@ -201,13 +220,14 @@ class _BinlogStreamReader(DataSourceStreamReader):
 
 
 class _BinlogBatchReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pattern: str | None = None):
         self._path = path
+        self._pattern = pattern
 
     def partitions(self):
         return [
             _Range(name, full, 0, _complete_end(full))
-            for name, full in _log_files(self._path)
+            for name, full in _log_files(self._path, self._pattern)
         ]
 
     def read(self, partition: _Range):
@@ -234,24 +254,29 @@ class BinlogDataSource(DataSource):
         return path
 
     def reader(self, schema):
-        return _BinlogBatchReader(self._path())
+        return _BinlogBatchReader(
+            self._path(), self.options.get("pattern")
+        )
 
     def streamReader(self, schema):
-        return _BinlogStreamReader(self._path())
+        return _BinlogStreamReader(
+            self._path(), self.options.get("pattern")
+        )
 
 
 def register_binlog_source(spark) -> None:
     spark.dataSource.register(BinlogDataSource)
 
 
-def read_binlog_stream(spark, path: str):
+def read_binlog_stream(spark, path: str, pattern: str | None = None):
     """Streaming frame of (value, pos) envelope lines tailed from the
     binlog-style log at `path` — drop-in for `read_envelope_stream`
     with true byte-position offsets instead of file-granularity
     triggers."""
     register_binlog_source(spark)
-    return (
-        spark.readStream.format(BinlogDataSource.name())
-        .option("path", path)
-        .load()
+    reader = spark.readStream.format(BinlogDataSource.name()).option(
+        "path", path
     )
+    if pattern is not None:
+        reader = reader.option("pattern", pattern)
+    return reader.load()

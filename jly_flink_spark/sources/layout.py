@@ -177,6 +177,7 @@ def write_zorder_layout(
     zval_col: str,
     out_path: str,
     n_files: int,
+    drop_cols: list[str] | None = None,
 ) -> None:
     """The multi-dimension OPTIMIZE pass: range-partition on the
     precomputed Morton code and sort within each file, so parquet
@@ -185,12 +186,12 @@ def write_zorder_layout(
     where a single-column sort (`write_sorted_layout`) prunes only
     its own. One range shuffle, standard writer, no custom file
     management."""
-    (
-        df.repartitionByRange(n_files, F.col(zval_col))
-        .sortWithinPartitions(zval_col)
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
+    routed = df.repartitionByRange(
+        n_files, F.col(zval_col)
+    ).sortWithinPartitions(zval_col)
+    if drop_cols:
+        routed = routed.drop(*drop_cols)
+    routed.write.mode("overwrite").parquet(out_path)
 
 
 def zorder_scaled_sql(
@@ -202,16 +203,21 @@ def zorder_scaled_sql(
     11-bit user id) only populates low bit positions and the code
     degenerates to a sort on the wide dimension — the classic
     Z-order imbalance (caught by tests/test_zorder.py). The scale is
-    floor(v·2^bits / (max+1)) in double arithmetic (exact: products
-    stay far below 2^53), rendered as one dialect-shared fragment
+    floor(v/(max+1) · 2^bits) — the division runs FIRST in double so
+    arbitrarily wide int64 ranges never overflow — rendered as one
+    dialect-shared fragment
     like `zorder_sql`. `xmax`/`ymax` are SQL expressions — typically
     columns from a broadcast 1-row bounds aggregate."""
+    # Divide FIRST, in double: (x * 2^bits) in int64 overflows for
+    # ranges above 2^41 (epoch-microsecond or snowflake-id columns) —
+    # x/(max+1) <= 1 in double then scaled up never can, and the
+    # dialect-shared text keeps both engines bit-identical.
     xs = (
-        f"CAST(floor((({x}) * {1 << bits}) / (({xmax}) + 1.0))"
+        f"CAST(floor((({x}) / (({xmax}) + 1.0)) * {1 << bits})"
         " AS BIGINT)"
     )
     ys = (
-        f"CAST(floor((({y}) * {1 << bits}) / (({ymax}) + 1.0))"
+        f"CAST(floor((({y}) / (({ymax}) + 1.0)) * {1 << bits})"
         " AS BIGINT)"
     )
     return zorder_sql(xs, ys, bits)
@@ -258,11 +264,8 @@ def optimize_zorder(
         ),
     )
     tmp = path.rstrip("/") + ".zorder_new"
-    (
-        zed.repartitionByRange(n_files, F.col("__zval"))
-        .sortWithinPartitions("__zval")
-        .drop("__zval", "mnx", "mxx", "mny", "mxy")
-        .write.mode("overwrite")
-        .parquet(tmp)
+    write_zorder_layout(
+        zed, "__zval", tmp, n_files,
+        drop_cols=["__zval", "mnx", "mxx", "mny", "mxy"],
     )
     swap_layout(path, tmp)

@@ -248,3 +248,32 @@ def test_rotated_binlog_series_resumes_across_files(spark, tmp_path):
     assert sorted(r["value"] for r in rows) == sorted(
         _env_line(i) for i in range(7)
     )
+
+
+def test_rotation_pattern_fences_stray_files(spark, tmp_path):
+    """A stray file sorting after the real series (writer temp,
+    editor artifact) must not enter the rotation order when a name
+    pattern is set."""
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    _append(str(d / "binlog.000001"), [_env_line(0), _env_line(1)])
+    (d / "binlog.000002.tmp").write_text("garbage, not a binlog\n")
+    (d / "notes.txt").write_text("unrelated\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_binlog_stream(spark, str(d), pattern="binlog.[0-9][0-9][0-9][0-9][0-9][0-9]")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["value"] for r in rows) == sorted(
+        _env_line(i) for i in range(2)
+    )
+    assert {r["file"] for r in rows} == {"binlog.000001"}

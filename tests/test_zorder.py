@@ -69,9 +69,14 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     )
     # z-order on the range-normalized Morton code of (x, t)
     zdir = str(tmp_path / "zorder")
+    x0 = norm.agg(F.min("x")).collect()[0][0]
     zed = norm.withColumn(
         "zval",
-        F.expr(zorder_scaled_sql("x", str(full_x), "t", str(full_t))),
+        F.expr(
+            zorder_scaled_sql(
+                f"(x - {x0})", str(full_x), "t", str(full_t)
+            )
+        ),
     )
     write_zorder_layout(zed, "zval", zdir, N_FILES)
 
