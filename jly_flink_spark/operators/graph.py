@@ -103,3 +103,74 @@ def pagerank_fixed(
             )
         )
     return ranks
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """(node, n_triangles) per vertex of an undirected graph given as
+    canonical (u < v) edge rows — degree-oriented enumeration
+    (Schank-Wagner / compact-forward), the shape that makes triangle
+    counting feasible at web scale:
+
+    Every edge orients from its lower-(degree, id) endpoint to the
+    higher, giving a DAG whose out-degrees are bounded by O(sqrt(m))
+    on any graph (a vertex with out-degree d has d neighbors of
+    degree >= d, so d(d-1)/2 <= m). Wedges are enumerated by joining
+    oriented edges on their source — Σ out_deg² work, O(m^1.5) worst
+    case instead of the naive Σ deg² that a hub vertex makes
+    quadratic — and a wedge closes into a triangle iff its ordered
+    (b, c) pair is itself an oriented edge (each triangle found
+    exactly once). All shuffles carry slim (node, node) longs; the
+    oriented edge list is localCheckpointed once and read three
+    times (two wedge sides + the closing probe).
+    """
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        und.join(
+            deg.select(
+                F.col("node").alias("u"), F.col("d").alias("du")
+            ),
+            "u",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("v"), F.col("d").alias("dv")
+            ),
+            "v",
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
+    ).localCheckpoint(eager=False)
+
+    o1 = ori.select(
+        F.col("a"), F.col("b").alias("y"), F.col("bd").alias("yd")
+    )
+    o2 = ori.select(
+        F.col("a"), F.col("b").alias("z"), F.col("bd").alias("zd")
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("yd") < F.col("zd"))
+        | ((F.col("yd") == F.col("zd")) & (F.col("y") < F.col("z")))
+    )
+    closing = ori.select(
+        F.col("a").alias("y"), F.col("b").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"]).select("a", "y", "z")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

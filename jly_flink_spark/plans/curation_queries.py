@@ -739,15 +739,13 @@ PR_EDGE_MAX_DF = 50  # chunks in > this many docs are boilerplate, not
 PR_ITERS = 3
 
 
-def _pagerank_oracle(iters: int = PR_ITERS) -> str:
-    """Unrolled integer-PageRank mirror: every CTE round is exact
-    integer division (`//`), so ranks are bit-identical to the Spark
-    `div`-based recurrence. Final rank CAST to BIGINT (DuckDB SUM
-    promotes to HUGEINT, which fetchdf would downcast to float64)."""
-    from ..operators.graph import DAMP_DEN, DAMP_NUM, PR_QUANT
-
-    base_num = (DAMP_DEN - DAMP_NUM) * PR_QUANT
-    sql = f"""
+def _chunk_graph_prefix() -> str:
+    """The duplicate-chunk graph as a DuckDB WITH-clause prefix
+    (toks → spine → chunks → df-capped ca → directed `edges`),
+    shared by the PageRank and triangle-count oracles. The PageRank
+    oracle's text is byte-identical to its pre-refactor form, so its
+    verified-hash pin survives."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
@@ -769,7 +767,18 @@ WITH toks AS (
 ), edges AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
   FROM ca a JOIN ca b ON a.h = b.h AND a.doc_id <> b.doc_id
-), outdeg AS (
+)"""
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled integer-PageRank mirror: every CTE round is exact
+    integer division (`//`), so ranks are bit-identical to the Spark
+    `div`-based recurrence. Final rank CAST to BIGINT (DuckDB SUM
+    promotes to HUGEINT, which fetchdf would downcast to float64)."""
+    from ..operators.graph import DAMP_DEN, DAMP_NUM, PR_QUANT
+
+    base_num = (DAMP_DEN - DAMP_NUM) * PR_QUANT
+    sql = f"""{_chunk_graph_prefix()}, outdeg AS (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
 ), nn AS (SELECT count(*) AS n FROM documents
 ), r0 AS (
@@ -871,6 +880,120 @@ def graph_pagerank_dup_chunks(spark, sf_dir):
     w = Window.orderBy(F.col("rank_q").desc(), F.col("node"))
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col("node").alias("doc_id"), "rank_q", "rnk"
+    )
+
+
+def _triangle_oracle() -> str:
+    """Degree-oriented triangle enumeration over the same chunk-graph
+    prefix (tuple order = (degree, node id); the wedge ordering and
+    the closing-edge orientation use the SAME order, so each triangle
+    matches exactly once)."""
+    return f"""{_chunk_graph_prefix()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN e.v ELSE e.u END AS b,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN dv.d ELSE du.d END AS bd
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tris AS (
+  SELECT o1.a, o1.b AS y, o2.b AS z
+  FROM ori o1
+  JOIN ori o2 ON o1.a = o2.a
+   AND (o1.bd < o2.bd OR (o1.bd = o2.bd AND o1.b < o2.b))
+  JOIN ori oc ON oc.a = o1.b AND oc.b = o2.b
+)
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT y AS node FROM tris
+  UNION ALL SELECT z AS node FROM tris
+)
+GROUP BY node
+"""
+
+
+@register(
+    "graph_triangles_dup_chunks",
+    oracle=_triangle_oracle(),
+    tags=("curation", "graph"),
+    doc="Per-document triangle counts in the duplicate-chunk graph — "
+    "the clustering-density signal next to PageRank centrality "
+    "(documents in many triangles sit inside tight duplication "
+    "cliques; bridges sit in none). Degree-oriented enumeration "
+    "(compact-forward): edges orient low→high (degree, id), wedges "
+    "join on the oriented source (out-degrees bounded by O(sqrt m), "
+    "so wedge volume is O(m^1.5) even with hub documents), and the "
+    "closing probe matches each triangle exactly once. Slim "
+    "(node, node) shuffles throughout; the oriented edge list is "
+    "checkpointed once and read three times.",
+)
+def graph_triangles_dup_chunks(spark, sf_dir):
+    """The chunk-edge derivation duplicates graph_pagerank_dup_chunks'
+    inline construction (that fn's registered source is pin-frozen
+    against its verified hash, like contamination_ngram_overlap);
+    changes to the chunk/df-cap definition must touch both."""
+    from ..operators.graph import triangle_counts
+
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    und = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_counts(und).select(
+        F.col("node").alias("doc_id"), "n_triangles"
     )
 
 

@@ -957,3 +957,39 @@ def test_quantile_sketch_within_rank_error(spark, data_dir):
         for col, target in (("q25", 0.25), ("q50", 0.50), ("q90", 0.90)):
             cdf = sum(1 for v in vals if v <= row[col]) / n
             assert abs(cdf - target) <= 0.2, (etype, col, cdf, target)
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 plus a pendant path: each K4 vertex sits in C(3,2)=3
+    triangles, path vertices in none; corner sums are 3x the
+    triangle count by construction."""
+    from jly_flink_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6)]  # pendant path
+    und = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(und).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented enumeration == O(n^3) brute force on a random
+    graph (hub-heavy so orientation actually reorders edges)."""
+    import itertools
+    import random
+
+    from jly_flink_spark.operators.graph import triangle_counts
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = {(u, v) for u in nodes for v in nodes if u < v and (
+        u == 0 or rng.random() < 0.15)}  # node 0 is a hub
+    und = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(und).collect()}
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want and want
