@@ -79,6 +79,9 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "contamination_bloom_prefilter",
     "bpe_train_merges",
+    # Round-5 fifth wave: triangle counting over the dup-chunk graph
+    # (degree-oriented wedge enumeration)
+    "graph_triangles_dup_chunks",
 ]
 
 

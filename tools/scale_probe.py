@@ -86,6 +86,7 @@ QUERIES = [
     "dedup_semantic_clusters",
     "contamination_bloom_prefilter",
     "bpe_train_merges",
+    "graph_triangles_dup_chunks",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
