@@ -1599,3 +1599,104 @@ def events_zorder_locality(spark, sf_dir):
             F.max("t").alias("max_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling: hourly grid + forward fill (LOCF)
+# ---------------------------------------------------------------------------
+_FF_T0 = 1704067200  # 2024-01-01 00:00 UTC — the events month
+_FF_SLOTS = 720  # 30 days of hourly slots
+_FF_STEP = 3600
+_FF_GRID_ID = 1 << 62  # event_id stand-in ordering grid rows last
+
+
+def _ffill_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         value, 0 AS is_grid, event_id
+  FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+  SELECT user_id,
+         unnest(range({_FF_T0}, {_FF_T0 + _FF_SLOTS * _FF_STEP}, {_FF_STEP}))
+           AS ts_s
+  FROM users
+),
+unioned AS (
+  SELECT user_id, ts_s, value, is_grid, event_id FROM ev
+  UNION ALL
+  SELECT user_id, ts_s, NULL, 1, {_FF_GRID_ID} FROM spine
+),
+swept AS (
+  SELECT user_id, ts_s, is_grid,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_s, is_grid, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM unioned
+)
+SELECT user_id, ts_s AS slot_s, filled
+FROM swept WHERE is_grid = 1
+"""
+
+
+@register(
+    "events_resample_ffill",
+    oracle=_ffill_oracle(),
+    tags=("temporal", "window", "resample"),
+    doc="Time-series resampling with forward fill (last observation "
+    "carried forward): every user's event stream lands on a shared "
+    f"{_FF_SLOTS}-slot hourly grid, gaps filled from the most recent "
+    "earlier observation (NULL before the first — never invented "
+    "data). The union-sweep shape of the as-of join: observations "
+    "and grid slots merge into ONE per-user ordered pass (one "
+    "shuffle on user_id, last(...ignorenulls) over a running "
+    "frame), so fill cost is O(events + slots) per user with no "
+    "per-slot lookup join; same-second observations tie-break on "
+    "event_id so the carried value is deterministic on both "
+    "engines. The standard feature-engineering resample before "
+    "training on irregular event data.",
+)
+def events_resample_ffill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        "value",
+        F.lit(0).alias("is_grid"),
+        "event_id",
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_FF_T0),
+                    F.lit(_FF_T0 + (_FF_SLOTS - 1) * _FF_STEP),
+                    F.lit(_FF_STEP),
+                )
+            ).alias("ts_s"),
+        )
+        .select(
+            "user_id",
+            "ts_s",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+            F.lit(_FF_GRID_ID).alias("event_id"),
+        )
+    )
+    unioned = ev.unionByName(spine)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "filled", F.last("value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("ts_s").alias("slot_s"), "filled")
+    )

@@ -993,3 +993,66 @@ def test_triangle_counts_match_bruteforce(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want and want
+
+
+def test_resample_ffill_semantics(spark, monkeypatch, tmp_path):
+    """LOCF on a crafted stream: NULL before the first observation,
+    carry across gaps, newest same-second observation wins, fills
+    reset per user."""
+    import pandas as pd
+
+    from jly_flink_spark.plans import REGISTRY
+    from jly_flink_spark.plans import advanced_queries as AQ
+
+    t0 = AQ._FF_T0
+    rows = [
+        # user 1: obs in slot 1 (two in the same second — event 11
+        # wins), nothing again until slot 3
+        (10, 1, t0 + 3600 + 30, 5.0),
+        (11, 1, t0 + 3600 + 30, 7.0),
+        (12, 1, t0 + 3 * 3600, 9.0),
+        # user 2: first obs only in slot 2
+        (20, 2, t0 + 2 * 3600 + 1, 2.5),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "epoch", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.pop("epoch"), unit="s")
+    pdf["event_type"] = "click"
+    pdf["props"] = "{}"
+    d = str(tmp_path / "ff")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    from jly_flink_spark.io import TABLES
+
+    for t in TABLES:
+        if t == "events":
+            continue
+        dst = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+
+    out = {
+        (r["user_id"], r["slot_s"]): r["filled"]
+        for r in REGISTRY["events_resample_ffill"]
+        .spark_fn(spark, d)
+        .collect()
+    }
+    # user 1: the slot ts is the SAMPLING INSTANT — the obs 30s after
+    # slot 1 isn't visible there yet; slot 2 carries 7.0 (same-second
+    # winner by event_id); the obs exactly AT slot 3 is visible in it
+    # (observations sort before their slot)
+    assert out[(1, t0)] is None
+    assert out[(1, t0 + 3600)] is None
+    assert out[(1, t0 + 2 * 3600)] == 7.0
+    assert out[(1, t0 + 3 * 3600)] == 9.0
+    assert out[(1, t0 + 719 * 3600)] == 9.0
+    # user 2: independent fill
+    assert out[(2, t0 + 3600)] is None
+    assert out[(2, t0 + 2 * 3600)] is None  # obs is AFTER the slot ts
+    assert out[(2, t0 + 3 * 3600)] == 2.5
+    assert len(out) == 2 * 720

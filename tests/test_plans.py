@@ -237,6 +237,10 @@ class TestShuffleBudget:
             # itself is a pure per-row expression over the broadcast
             # bounds row
             ("events_zorder_locality", 2),
+            # LOCF resample: the spine's user-distinct + ONE window
+            # shuffle on user_id for the union sweep; fill is a
+            # running frame, never a per-slot lookup join
+            ("events_resample_ffill", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
