@@ -123,11 +123,16 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     oriented edge list is localCheckpointed once and read three
     times (two wedge sides + the closing probe).
     """
+    # und is read three times (both degree legs + the orientation
+    # join) and deg twice — checkpoint both so an expensive upstream
+    # edge derivation runs once (the pagerank_fixed discipline)
+    und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     e = (
         und.join(

@@ -157,21 +157,37 @@ def _plan_ranges(
     latestOffset time), so a checkpointed batch replays the exact
     same ranges deterministically — never from a re-read of the live
     filesystem; `_complete_end` is only the fallback for offsets
-    written before `ends` existed. A purged start file (binlog
-    cleanup removed it before the reader caught up) raises —
-    silently skipping would hide data loss, exactly like a binlog
-    client erroring on a purged position. LIMITATION, stated
-    plainly: a purged INTERMEDIATE file cannot be detected under an
-    arbitrary naming scheme (the planner cannot know a name it never
-    saw); retention must only ever remove files older than the
-    checkpointed position — the standard binlog-retention contract."""
+    written before `ends` existed. Purged files RAISE instead of
+    silently skipping (data loss must be loud, like a binlog client
+    erroring on a purged position): the start file always, and any
+    intermediate file the `ends` map names — the map doubles as the
+    planner's record of which rotated files the batch covers, so a
+    mis-aimed retention job can no longer open a silent gap (only
+    offsets from before `ends` existed are blind to intermediate
+    purges). A start file that exists on disk but is excluded by the
+    `pattern` option raises a distinct misconfiguration error
+    instead of a phantom purge."""
     files = _log_files(path, pattern)
+    names = {n for n, _ in files}
     sf, sp = str(start.get("file", "")), int(start.get("pos", 0))
     ef, ep = str(end.get("file", "")), int(end.get("pos", 0))
     ends = {str(k): int(v) for k, v in (end.get("ends") or {}).items()}
-    if sf and sf not in [n for n, _ in files]:
+    expected = (set([sf]) if sf else set()) | {
+        n for n in ends if sf <= n and (not ef or n <= ef)
+    }
+    missing = sorted(expected - names)
+    if missing:
+        on_disk = {n for n, _ in _log_files(path, None)}
+        filtered = [n for n in missing if n in on_disk]
+        if filtered:
+            raise RuntimeError(
+                f"binlog files {filtered!r} exist but are excluded by "
+                f"pattern {pattern!r} — pattern misconfiguration, not "
+                "a purge"
+            )
         raise RuntimeError(
-            f"binlog start file {sf!r} no longer exists (purged?)"
+            f"binlog files {missing!r} no longer exist (purged before "
+            "the checkpointed position was consumed?)"
         )
     out: list[_Range] = []
     for name, full in files:
@@ -190,6 +206,9 @@ class _BinlogStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, pattern: str | None = None):
         self._path = path
         self._pattern = pattern
+        # rotated (non-final) files are immutable under the rotation
+        # contract: compute each end once, not once per trigger
+        self._ends_memo: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         return {"file": "", "pos": 0}
@@ -199,10 +218,15 @@ class _BinlogStreamReader(DataSourceStreamReader):
         if not files:
             return {"file": "", "pos": 0}
         name, full = files[-1]
-        # record every non-final file's end NOW, so a replayed batch
-        # plans identical ranges even if a contract-violating writer
-        # later appends to a rotated-away file
-        ends = {n: _complete_end(f) for n, f in files[:-1]}
+        # record every non-final file's end NOW (memoized — rotated
+        # files never change), so a replayed batch plans identical
+        # ranges even if a contract-violating writer later appends to
+        # a rotated-away file
+        ends = {}
+        for n, f in files[:-1]:
+            if n not in self._ends_memo:
+                self._ends_memo[n] = _complete_end(f)
+            ends[n] = self._ends_memo[n]
         return {"file": name, "pos": _complete_end(full), "ends": ends}
 
     def partitions(self, start: dict, end: dict):

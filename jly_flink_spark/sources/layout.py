@@ -212,13 +212,18 @@ def zorder_scaled_sql(
     # ranges above 2^41 (epoch-microsecond or snowflake-id columns) —
     # x/(max+1) <= 1 in double then scaled up never can, and the
     # dialect-shared text keeps both engines bit-identical.
+    # least(..., 2^bits - 1): for ranges >= ~2^54 the double division
+    # rounds to exactly 1.0 on near-max values, which would scale to
+    # 2^bits (all-zero low bits → the LARGEST values land in the
+    # BOTTOM bucket); the clamp pins them to the top cell instead.
+    top = (1 << bits) - 1
     xs = (
-        f"CAST(floor((({x}) / (({xmax}) + 1.0)) * {1 << bits})"
-        " AS BIGINT)"
+        f"least(CAST(floor((({x}) / (({xmax}) + 1.0)) * {1 << bits})"
+        f" AS BIGINT), {top})"
     )
     ys = (
-        f"CAST(floor((({y}) / (({ymax}) + 1.0)) * {1 << bits})"
-        " AS BIGINT)"
+        f"least(CAST(floor((({y}) / (({ymax}) + 1.0)) * {1 << bits})"
+        f" AS BIGINT), {top})"
     )
     return zorder_sql(xs, ys, bits)
 

@@ -277,3 +277,47 @@ def test_rotation_pattern_fences_stray_files(spark, tmp_path):
         _env_line(i) for i in range(2)
     )
     assert {r["file"] for r in rows} == {"binlog.000001"}
+
+
+def test_purged_intermediate_file_raises(spark, tmp_path):
+    """A retention job that removes a file the checkpointed offsets
+    still cover must be a LOUD failure, not a silent gap — the `ends`
+    map names every rotated file a batch covers."""
+    import shutil
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _append(str(d / "binlog.000001"), [_env_line(0)])
+    _append(str(d / "binlog.000002"), [_env_line(1)])
+    _append(str(d / "binlog.000003"), [_env_line(2)])
+
+    def run():
+        q = (
+            read_binlog_stream(spark, str(d))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # consume everything; offsets cover 000001..000003
+    # crash-replay simulation: drop the last epoch's COMMIT marker
+    # (the crash-between-sink-and-commit window), so restart replays
+    # the batch from its checkpointed offsets — whose `ends` map
+    # covers the intermediate file we now purge
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    shutil.rmtree(out)
+    os.remove(str(d / "binlog.000002"))
+    with pytest.raises(Exception, match="purged|no longer exist"):
+        run()
