@@ -103,3 +103,28 @@ def test_raw_date_output_is_tolerated(spark):
         ),
     )
     assert res.ok, str(res)
+
+
+def test_bench_and_probe_lists_stay_consistent():
+    """Every benched query exists in the registry, every bench query
+    has a baseline pin (and vice versa — an unpinned headline query
+    silently escapes the regression gate), the pinned total equals
+    the sum of pins, and the scale-probe list only names registry
+    queries."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import HEADLINE
+    from tools.scale_probe import QUERIES as PROBE
+    from jly_flink_spark.plans import REGISTRY
+
+    assert set(HEADLINE) <= set(REGISTRY)
+    assert set(PROBE) <= set(REGISTRY)
+    with open(os.path.join(repo, "BENCH_BASELINE.json")) as f:
+        base = json.load(f)
+    assert set(base["queries"]) == set(HEADLINE)
+    assert abs(sum(base["queries"].values()) - base["value"]) < 0.02
+    assert all(v > 0 for v in base["queries"].values())
