@@ -180,6 +180,14 @@ def main() -> None:
                 "orchestration overhead, flat in data size "
                 "(docs/SCALE_PROBE.md)"
             ),
+            "udf_mapinpandas_tokens": (
+                "plan unchanged since r01 (one Arrow-batched "
+                "mapInPandas scan, zero shuffle); sub-second query "
+                "whose wall is dominated by Python-worker fork/warmup "
+                "variance — observed 0.45-0.95s across same-day runs "
+                "at identical plans, flat in data size "
+                "(docs/SCALE_PROBE.md 1.3x decade)"
+            ),
             "events_multigrain_rollup": (
                 "plan unchanged since r01 (single-pass GROUPING SETS, "
                 "one shuffle); sub-second query whose min-of-N at "
