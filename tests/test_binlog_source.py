@@ -321,3 +321,32 @@ def test_purged_intermediate_file_raises(spark, tmp_path):
     os.remove(str(d / "binlog.000002"))
     with pytest.raises(Exception, match="purged|no longer exist"):
         run()
+
+
+def test_batch_read_rotated_series_parallel_partitions(spark, tmp_path):
+    """Batch mode over a rotated directory: one input partition per
+    file (parallel reads), per-file positions, stray half-line in the
+    last file excluded."""
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    _append(str(d / "binlog.000001"), [_env_line(0), _env_line(1)])
+    _append(str(d / "binlog.000002"), [_env_line(2)])
+    _append(str(d / "binlog.000003"), [_env_line(3)], partial='{"cut')
+    register_binlog_source(spark)
+    df = (
+        spark.read.format(BinlogDataSource.name())
+        .option("path", str(d))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per file
+    rows = df.collect()
+    assert sorted(r["value"] for r in rows) == sorted(
+        _env_line(i) for i in range(4)
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r["pos"])
+    assert set(by_file) == {
+        "binlog.000001", "binlog.000002", "binlog.000003"
+    }
+    assert min(by_file["binlog.000002"]) == 0  # per-file offsets
