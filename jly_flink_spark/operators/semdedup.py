@@ -120,9 +120,23 @@ def semantic_dup_flags(
         lands in exactly one group)."""
         bi, bj = int(key[1]), int(key[2])
         ids = pdf["vec_id"].to_numpy(dtype="int64")
-        mat = np.array(list(pdf[vec_col]), dtype="float64")
-        if mat.ndim != 2 or len(ids) < 2:
+        if len(ids) < 2:
             return _empty()
+        # Ragged embeddings (inconsistent lengths within one cluster)
+        # are malformed input — fail loudly with a clear message
+        # rather than silently reporting zero duplicates for the task
+        # (older numpy returned a 1-d object array here; newer numpy
+        # raises its own inhomogeneous-shape error).
+        try:
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+        except ValueError:
+            mat = None
+        if mat is None or mat.ndim != 2:
+            lens = sorted({len(v) for v in pdf[vec_col]})
+            raise ValueError(
+                f"ragged embedding lengths {lens} within cluster "
+                f"{int(key[0])} — {vec_col} must be fixed-dimension"
+            )
         qn = np.floor(mat * mat * QUANT).astype("int64").sum(axis=1)
         valid = qn > 0
         if not valid.all():

@@ -159,8 +159,8 @@ def _plan_ranges(
     filesystem; `_complete_end` is only the fallback for offsets
     written before `ends` existed. Purged files RAISE instead of
     silently skipping (data loss must be loud, like a binlog client
-    erroring on a purged position): the start file always, and any
-    intermediate file the `ends` map names — the map doubles as the
+    erroring on a purged position): the start and end files always,
+    and any intermediate file the `ends` map names — the map doubles as the
     planner's record of which rotated files the batch covers, so a
     mis-aimed retention job can no longer open a silent gap (only
     offsets from before `ends` existed are blind to intermediate
@@ -172,7 +172,7 @@ def _plan_ranges(
     sf, sp = str(start.get("file", "")), int(start.get("pos", 0))
     ef, ep = str(end.get("file", "")), int(end.get("pos", 0))
     ends = {str(k): int(v) for k, v in (end.get("ends") or {}).items()}
-    expected = (set([sf]) if sf else set()) | {
+    expected = (set([sf]) if sf else set()) | (set([ef]) if ef else set()) | {
         n for n in ends if sf <= n and (not ef or n <= ef)
     }
     missing = sorted(expected - names)

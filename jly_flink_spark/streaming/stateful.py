@@ -449,7 +449,12 @@ def kmv_distinct_stream(
             if len(merged) < k:
                 est = len(merged)
             else:
-                est = (k - 1) * hash_space // merged[-1]
+                # merged[-1] >= 1 when the k>=2 distinct hashes are
+                # the md5-derived non-negative ints the batch twin
+                # uses; the max() guards caller-supplied hash columns
+                # that include negatives/zero so a pathological group
+                # degrades the estimate instead of killing the query.
+                est = (k - 1) * hash_space // max(merged[-1], 1)
             yield pd.DataFrame(
                 {
                     group_col: [key[0]],

@@ -323,6 +323,65 @@ def test_purged_intermediate_file_raises(spark, tmp_path):
         run()
 
 
+def test_purged_final_file_raises(spark, tmp_path):
+    """Same crash-replay window as above, but retention removed the
+    batch's FINAL file (the one the end offset points into). The end
+    file is not named in `ends` (it was still live at latestOffset
+    time), so the purge guard must cover it explicitly — otherwise
+    the replay silently omits (0..end_pos] of that file and resumes
+    past the gap."""
+    import shutil
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _append(str(d / "binlog.000001"), [_env_line(0)])
+    _append(str(d / "binlog.000002"), [_env_line(1)])
+
+    def run():
+        q = (
+            read_binlog_stream(spark, str(d))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # offsets end inside binlog.000002
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    shutil.rmtree(out)
+    os.remove(str(d / "binlog.000002"))
+    with pytest.raises(Exception, match="purged|no longer exist"):
+        run()
+
+
+def test_plan_ranges_missing_end_file_raises(tmp_path):
+    """Unit form of the purge guard: an end offset whose file is gone
+    raises even when `ends` (which only names rotated files) is
+    empty."""
+    from jly_flink_spark.sources.binlog_source import _plan_ranges
+
+    d = tmp_path / "binlogs"
+    d.mkdir()
+    _append(str(d / "binlog.000001"), ["a"])
+    with pytest.raises(RuntimeError, match="no longer exist"):
+        _plan_ranges(
+            str(d),
+            {"file": "binlog.000001", "pos": 0},
+            {"file": "binlog.000002", "pos": 10, "ends": {}},
+        )
+
+
 def test_batch_read_rotated_series_parallel_partitions(spark, tmp_path):
     """Batch mode over a rotated directory: one input partition per
     file (parallel reads), per-file positions, stray half-line in the

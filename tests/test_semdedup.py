@@ -122,3 +122,32 @@ def test_semdedup_giant_cluster_block_split_is_exact(spark):
     }
     assert split == single
     assert sum(1 for _, _, d in single.values() if d) > 0
+
+
+def test_semdedup_ragged_embeddings_fail_loudly(spark, tmp_path):
+    """Inconsistent embedding lengths within a cluster are malformed
+    input — the kernel must raise, not silently report zero dups for
+    the task."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from jly_flink_spark.operators.semdedup import semantic_dup_flags
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [
+                [1.0, 0.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0, 0.0],
+                [1.0, 0.0],  # ragged: wrong dimension
+            ],
+            "label": [0] * 3,
+        }
+    )
+    path = os.path.join(str(tmp_path), "emb.parquet")
+    pdf.to_parquet(path)
+    emb = spark.read.parquet(path)
+    with pytest.raises(Exception, match="ragged embedding"):
+        semantic_dup_flags(emb, k=1).collect()

@@ -734,6 +734,46 @@ class TestKmvDistinctStream:
         # the replay of batch 1 must emit NOTHING (idempotent merge)
         assert len(emissions) <= 2
 
+    def test_zero_and_negative_hashes_degrade_not_crash(
+        self, spark, tmp_path
+    ):
+        """Caller-supplied hash columns may contain 0/negatives (the
+        md5 path never does); the k-th min then hits the max(·,1)
+        divisor guard — the estimate degrades instead of a
+        ZeroDivisionError killing the query."""
+        from jly_flink_spark.streaming.stateful import (
+            kmv_distinct_stream,
+        )
+
+        src = str(tmp_path / "kmvz_src")
+        _write_json_files(
+            src, [[{"grp": "g", "h": -5}, {"grp": "g", "h": 0}]]
+        )
+        stream = spark.readStream.schema(
+            "grp string, h long"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        emissions = []
+        q = (
+            kmv_distinct_stream(stream, "grp", "h", k=2)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: emissions.append(
+                    {r["grp"]: (r["kmv_estimate"], r["kd"])
+                     for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "kmvz_ckpt"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emissions = [e for e in emissions if e]
+        # k-th smallest of {-5, 0} is 0 → guarded divisor → finite est
+        assert emissions and emissions[-1]["g"][1] == 2
+
 
 class TestQuantileSketchStream:
     """Incremental bottom-k quantile sketch: streaming estimates ==
