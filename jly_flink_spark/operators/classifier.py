@@ -143,17 +143,17 @@ def _p_expr() -> str:
     return f"least(greatest(500 + ({z}) div {4 * Q}, 0), {S})"
 
 
-def train_quality_classifier(
+def fit_quality_classifier(
     docs: DataFrame, epochs: int = EPOCHS
-) -> DataFrame:
-    """Train the fixed-point logistic model and return a 9-row audit
-    frame (metric STRING, value BIGINT): the five learned micro-unit
-    weights plus corpus/label/prediction counts — a value-hash of
-    this frame certifies every epoch of the training computation.
-
-    Rows: w_bias w_short w_sw_deficit w_sw_excess w_noise (weights)
-          n_docs n_label_pos n_pred_pos n_true_pos (final-pass audit)
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The GD loop itself: returns (feats, w) — the once-checkpointed
+    per-doc integer feature table (doc_id + hinge features + y) and
+    the 1-row frame of final micro-unit weights, both LAZY. Callers
+    compose them declaratively: `train_quality_classifier` folds them
+    into the 9-row audit frame; `pipeline_training_corpus_v2` reuses
+    the SAME feature table to score the surviving docs, so the
+    train→freeze→apply composition costs ONE corpus text scan
+    total."""
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
     spark = docs.sparkSession
@@ -202,6 +202,21 @@ def train_quality_classifier(
                 for _, c in WEIGHT_COLS
             ]
         )
+    return feats, w
+
+
+def train_quality_classifier(
+    docs: DataFrame, epochs: int = EPOCHS
+) -> DataFrame:
+    """Train the fixed-point logistic model and return a 9-row audit
+    frame (metric STRING, value BIGINT): the five learned micro-unit
+    weights plus corpus/label/prediction counts — a value-hash of
+    this frame certifies every epoch of the training computation.
+
+    Rows: w_bias w_short w_sw_deficit w_sw_excess w_noise (weights)
+          n_docs n_label_pos n_pred_pos n_true_pos (final-pass audit)
+    """
+    feats, w = fit_quality_classifier(docs, epochs)
 
     pred = feats.crossJoin(F.broadcast(w)).select(
         "y", F.expr(_p_expr()).alias("p")

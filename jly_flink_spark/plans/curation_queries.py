@@ -1397,12 +1397,20 @@ def text_bm25_topk(spark, sf_dir):
 # --------------------------------------------------------------------
 # Weak-supervision quality classifier (fixed-point logistic GD)
 # --------------------------------------------------------------------
-def _qc_oracle() -> str:
-    """DuckDB mirror of the unrolled fixed-point GD in
-    operators/classifier.py: identical milli/micro scaling, identical
-    hard-sigmoid clamp, identical truncating division (DuckDB `//`
-    and Spark `div` both truncate toward zero), epochs unrolled as
-    w0 -> g1 -> w1 -> ... CTEs. Gradient sums are HUGEINT in DuckDB;
+def qc_oracle_fragments() -> tuple[str, str, str, str]:
+    """Shared DuckDB CTE fragments for the fixed-point GD classifier
+    — returned as (feats_ctes, gd_ctes, p_expr, final_w_cte) so both
+    `quality_classifier_train`'s oracle and the learned-gate pipeline
+    oracle (`pipeline_training_corpus_v2`, plans/training_queries.py)
+    unroll the IDENTICAL training computation. `feats_ctes` defines
+    raw → derived → hinge → feats (per-doc, WITH doc_id — training
+    aggregates ignore it, the serving join needs it); `gd_ctes`
+    defines w0 and the unrolled g1/w1 … chain ending at
+    `final_w_cte`; `p_expr` is the hard-sigmoid over a feats row
+    joined with a weight row. Identical milli/micro scaling,
+    hard-sigmoid clamp, and truncating division (DuckDB `//` and
+    Spark `div` both truncate toward zero) as
+    operators/classifier.py. Gradient sums are HUGEINT in DuckDB;
     cast to BIGINT immediately so the update arithmetic matches
     Spark's int64 exactly."""
     from ..operators import classifier as C
@@ -1433,13 +1441,9 @@ def _qc_oracle() -> str:
             f"w{t} AS (SELECT {upd} FROM {prev}, g{t})"
         )
         prev = f"w{t}"
-    weight_rows = "\nUNION ALL ".join(
-        f"SELECT '{m}' AS metric, {w} AS value FROM {prev}"
-        for m, w in C.WEIGHT_COLS
-    )
-    return f"""
-WITH raw AS (
-  SELECT CAST(len({toks}) AS BIGINT) AS n_tok,
+    feats_ctes = f"""raw AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tok,
          CAST(len(list_filter({toks}, t -> list_contains([{sw}], t)))
            AS BIGINT) AS n_sw,
          CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
@@ -1449,13 +1453,14 @@ WITH raw AS (
            AS BIGINT) AS n_punct
   FROM documents
 ), derived AS (
-  SELECT n_tok,
+  SELECT doc_id, n_tok,
          (n_sw * {C.S}) // greatest(n_tok, 1) AS swm,
          (n_digit * {C.S}) // n_chars
            + (n_punct * {C.S}) // n_chars AS noise
   FROM raw
 ), hinge AS (
-  SELECT CAST({C.S} AS BIGINT) AS x_bias,
+  SELECT doc_id,
+         CAST({C.S} AS BIGINT) AS x_bias,
          CAST(least(greatest({C.MIN_TOKENS} - n_tok, 0) * 200, {C.S})
            AS BIGINT) AS x_short,
          CAST(least(greatest({C.SW_LO} - swm, 0) * 20, {C.S})
@@ -1471,9 +1476,29 @@ WITH raw AS (
                     AND x_sw_hi = 0 AND x_noise = 0
               THEN {C.S} ELSE 0 END AS BIGINT) AS y
   FROM hinge
-),
-w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS {w}" for _, w in C.WEIGHT_COLS)}),
-{",".join(epochs)},
+)"""
+    gd_ctes = (
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS {w}" for _, w in C.WEIGHT_COLS)
+        + "),\n"
+        + ",".join(epochs)
+    )
+    return feats_ctes, gd_ctes, p, prev
+
+
+def _qc_oracle() -> str:
+    """The train-audit oracle, assembled from the shared fragments
+    (see qc_oracle_fragments)."""
+    from ..operators import classifier as C
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    weight_rows = "\nUNION ALL ".join(
+        f"SELECT '{m}' AS metric, {w} AS value FROM {prev}"
+        for m, w in C.WEIGHT_COLS
+    )
+    return f"""
+WITH {feats_ctes},
+{gd_ctes},
 pred AS (SELECT y, {p} AS p FROM feats f, {prev})
 {weight_rows}
 UNION ALL SELECT 'n_docs', count(*) FROM feats

@@ -763,8 +763,7 @@ def chunk_documents_overlap(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_training_corpus",
+_PIPELINE_DECOR = dict(
     oracle=None,  # generated below from the shared fragments
     tags=("training", "pipeline", "dedup", "headline"),
     doc="The whole training-corpus preparation as ONE declarative "
@@ -778,9 +777,14 @@ def chunk_documents_overlap(spark, sf_dir):
     "is a pure function of the input, so the whole composite is "
     "value-hash checked against one oracle CTE chain.",
 )
-def pipeline_training_corpus(spark, sf_dir):
+
+
+def _corpus_through_decontamination(spark, sf_dir):
+    """Stages 1-3 of the corpus pipeline, shared by both quality-gate
+    variants: returns (docs, kept3) — the raw table and the exact-
+    deduped → near-dup-pruned → decontaminated survivor frame."""
     from ..operators import dedup
-    from ..operators.text import quality_score, trigram_shingles
+    from ..operators.text import trigram_shingles
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -817,16 +821,17 @@ def pipeline_training_corpus(spark, sf_dir):
         kept2.filter(F.col("doc_id") >= 20)
         .join(contaminated, "doc_id", "left_anti")
     )
+    return docs, kept3
 
-    # 4. quality gate
-    kept4 = kept3.filter(quality_score(F.col("text")) >= 0.7)
 
-    # 5. deterministic split + corpus stats
+def _split_and_stats(kept4):
+    """Stage 5: deterministic 90/10 hash split + per-(split, lang)
+    corpus stats — shared by both pipeline variants."""
+    from ..operators.text import token_count
+
     split = F.when(_hash_frac(F.col("doc_id")) < 0.9, "train").otherwise(
         "holdout"
     )
-    from ..operators.text import token_count
-
     return (
         kept4.select(
             split.alias("split"),
@@ -841,17 +846,30 @@ def pipeline_training_corpus(spark, sf_dir):
     )
 
 
-def _pipeline_oracle() -> str:
-    from ..functions import hash_frac_sql
+@register("pipeline_training_corpus", **_PIPELINE_DECOR)
+def pipeline_training_corpus(spark, sf_dir):
+    from ..operators.text import quality_score
+
+    _, kept3 = _corpus_through_decontamination(spark, sf_dir)
+
+    # 4. quality gate (rule-based heuristic score)
+    kept4 = kept3.filter(quality_score(F.col("text")) >= 0.7)
+
+    # 5. deterministic split + corpus stats
+    return _split_and_stats(kept4)
+
+
+def _pipeline_kept3_ctes() -> str:
+    """The stage-1..3 oracle CTE chain (fp → … → kept3), shared by
+    both pipeline-variant oracles."""
     from ..operators import dedup
-    from .northstar_queries import _FP, _QUALITY, _TOKS
+    from .northstar_queries import _FP, _TOKS
 
     tri = (
         "list_transform(generate_series(1, len(ts) - 2), "
         "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
     )
-    return f"""
-WITH fp AS (
+    return f"""fp AS (
   SELECT doc_id, lang, text, {_FP} AS fp FROM documents
 ),
 kept1 AS (
@@ -904,10 +922,16 @@ kept3 AS (
   SELECT k.* FROM kept2 k
   WHERE k.doc_id >= 20
     AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)
-),
-kept4 AS (
-  SELECT doc_id, lang, text FROM kept3 WHERE ({_QUALITY}) >= 0.7
-)
+)"""
+
+
+def _pipeline_final_sql() -> str:
+    """The stage-5 oracle tail (split + stats over kept4), shared by
+    both pipeline-variant oracles."""
+    from ..functions import hash_frac_sql
+    from .northstar_queries import _TOKS
+
+    return f"""
 SELECT CASE WHEN {hash_frac_sql("doc_id")} < 0.9 THEN 'train'
             ELSE 'holdout' END AS split,
        lang,
@@ -918,12 +942,87 @@ GROUP BY 1, 2
 """
 
 
+def _pipeline_oracle() -> str:
+    from .northstar_queries import _QUALITY
+
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+kept4 AS (
+  SELECT doc_id, lang, text FROM kept3 WHERE ({_QUALITY}) >= 0.7
+)
+{_pipeline_final_sql()}"""
+
+
+@register(
+    "pipeline_training_corpus_v2",
+    oracle=None,  # generated below from the shared fragments
+    tags=("training", "pipeline", "dedup", "ml", "headline"),
+    doc="The corpus pipeline with a LEARNED quality gate — the full "
+    "train→freeze→apply composition in ONE declarative plan: stages "
+    "1-3 (exact dedup → MinHash-LSH near-dup removal → benchmark "
+    "decontamination) are identical to pipeline_training_corpus, "
+    "but stage 4 replaces the rule-based score with the fixed-point "
+    "logistic classifier (operators/classifier.py): 8 unrolled GD "
+    "epochs over a once-checkpointed integer feature table of the "
+    "FULL corpus produce a 1-row weight frame, which is broadcast "
+    "back onto the SAME feature table to score survivors — the "
+    "classifier costs one extra corpus text scan for training and "
+    "ZERO extra scans for serving. Every arithmetic step is scaled "
+    "BIGINT, so the whole composite (dedup + decontamination + "
+    "training + gating + split stats) is value-hash checked against "
+    "one oracle CTE chain that unrolls the identical GD epochs.",
+)
+def pipeline_training_corpus_v2(spark, sf_dir):
+    from ..operators.classifier import _p_expr, fit_quality_classifier
+
+    docs, kept3 = _corpus_through_decontamination(spark, sf_dir)
+
+    # 4. learned quality gate: train on the full corpus (the weak
+    #    rule self-labels it), freeze, and keep docs the model scores
+    #    past the hard-sigmoid midpoint. `feats` is the training
+    #    feature table reused for serving — doc_id survives it.
+    feats, w = fit_quality_classifier(docs)
+    keep_ids = (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", F.expr(_p_expr()).alias("p"))
+        .filter(F.col("p") > 500)
+        .select("doc_id")
+    )
+    kept4 = kept3.join(keep_ids, "doc_id", "left_semi")
+
+    # 5. deterministic split + corpus stats
+    return _split_and_stats(kept4)
+
+
+def _pipeline_v2_oracle() -> str:
+    from .curation_queries import qc_oracle_fragments
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS (
+  SELECT k.doc_id, k.lang, k.text FROM kept3 k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+)
+{_pipeline_final_sql()}"""
+
+
 from .registry import REGISTRY as _REG2  # noqa: E402
 from .registry import _impl_hash, _source_of  # noqa: E402
 
-_REG2["pipeline_training_corpus"].oracle = _pipeline_oracle()
-# The oracle is attached after registration, so refresh the impl hash
-# to cover the real (source, oracle) pair.
-_REG2["pipeline_training_corpus"].impl_hash = _impl_hash(
-    _source_of(pipeline_training_corpus), _pipeline_oracle()
-)
+for _name, _fn, _osql in (
+    ("pipeline_training_corpus", pipeline_training_corpus, _pipeline_oracle()),
+    (
+        "pipeline_training_corpus_v2",
+        pipeline_training_corpus_v2,
+        _pipeline_v2_oracle(),
+    ),
+):
+    # The oracle is attached after registration, so refresh the impl
+    # hash to cover the real (source, oracle) pair.
+    _REG2[_name].oracle = _osql
+    _REG2[_name].impl_hash = _impl_hash(_source_of(_fn), _osql)

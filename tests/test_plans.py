@@ -241,6 +241,19 @@ class TestShuffleBudget:
             # shuffle on user_id for the union sweep; fill is a
             # running frame, never a per-slot lookup join
             ("events_resample_ffill", 2),
+            # Full corpus pipeline: the MinHash-LSH near-dup chain
+            # (sig agg, band explode/groupBy, candidate distinct,
+            # Jaccard verify joins) + shingle distincts + the final
+            # stats rollup; every exchanged row is a fingerprint,
+            # band key, or doc_id — never full documents
+            ("pipeline_training_corpus", 19),
+            # v2 = v1's chain + the learned gate: 8 unrolled GD
+            # epochs exchange ONE gradient row each (the corpus-wide
+            # feature table is checkpointed and reused for serving,
+            # so the gate adds zero extra corpus scans or corpus
+            # shuffles — only single-row weight gathers + the
+            # keep-id semi-join)
+            ("pipeline_training_corpus_v2", 27),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
