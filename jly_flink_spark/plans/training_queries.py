@@ -188,25 +188,35 @@ def batch_by_token_budget(spark, sf_dir):
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         token_count(F.col("text")).alias("n_tokens"),
     ).withColumn("shard", F.substring("shuffle_key", 1, 1))
-    # Both the per-shard window and the offsets branch consume toks;
-    # cut lineage so tokenization (the expensive regex scan) runs
-    # once, not once per branch. The materialized projection is slim:
-    # (doc_id, key, count, shard), no document text.
-    toks = toks.localCheckpoint(eager=False)
+    # shard is never null (md5 is total); the explicit filter exists
+    # so the join's inferred isnotnull lands in BOTH branches and the
+    # pruned subtrees stay byte-identical for exchange reuse below
+    toks = toks.filter(F.col("shard").isNotNull())
+    # The per-shard total is the MAX of the running sum, so BOTH the
+    # probe side and the offsets side are the same Window subtree
+    # over the same slim projection — Catalyst prunes them to
+    # identical exchanges and ReuseExchange shuffles the token
+    # projection ONCE inside a single job: tokenization (the
+    # expensive regex scan) runs once, with no localCheckpoint
+    # materialization job (the r5 bench-flap overhead).
     local_w = (
         Window.partitionBy("shard")
         .orderBy("shuffle_key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = toks.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    local = toks.select(
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(local_w).alias("local_cum"),
+    )
     # per-shard totals → exclusive prefix offsets; 16 rows, so the
     # global-order window here is trivially cheap
     off_w = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        toks.groupBy("shard")
-        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        local.groupBy("shard")
+        .agg(F.max("local_cum").alias("shard_tokens"))
         .withColumn(
             "offset",
             F.coalesce(F.sum("shard_tokens").over(off_w), F.lit(0)),
