@@ -224,3 +224,65 @@ def test_stream_serve_matches_batch(spark, served, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert len({q for q, _ in epochs}) == len(all_ids)
+
+
+class TestIvfRecallBound:
+    """The pruned regime's quality pin (the HLL treatment applied to
+    the last unanchored approximation): recall@5 of cosine_topk_ivf
+    vs brute force, asserted at two corpus scales and two n_probe
+    settings. Everything here is deterministic (seed centroids, one
+    Lloyd step, fixed corpus), so the measured recalls are exactly
+    reproducible; the pinned bounds sit just under the measured
+    values (r6, 20 queries x k=5):
+
+        corpus           n_probe=4   n_probe=8    (n_list=16, Lloyd)
+        sf0.01  (n=500)    0.83        0.93
+        sf0.1   (n=2000)   0.93        0.96
+
+    i.e. >= 0.80 recall at quarter probe cost and >= 0.90 at half
+    cost. A centroid/assignment regression that silently degrades
+    the pruned tier breaks these bounds long before it would break
+    the rows-only registry check."""
+
+    QIDS = list(range(20))
+    K = 5
+
+    @staticmethod
+    def _topk_sets(df) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    @pytest.mark.parametrize(
+        "sf_dir,n_probe,bound",
+        [
+            ("/root/testdata/sf0.01", 4, 0.80),
+            ("/root/testdata/sf0.01", 8, 0.90),
+            ("/root/testdata/sf0.1", 4, 0.80),
+            ("/root/testdata/sf0.1", 8, 0.90),
+        ],
+    )
+    def test_recall_at_k(self, spark, sf_dir, n_probe, bound):
+        emb = load_table(spark, sf_dir, "embeddings")
+        brute = self._topk_sets(
+            similarity.cosine_topk_bruteforce(emb, self.QIDS, k=self.K)
+        )
+        cents = build_ivf_centroids(emb, n_list=16)
+        ivf = self._topk_sets(
+            cosine_topk_ivf(
+                emb,
+                self.QIDS,
+                k=self.K,
+                n_list=16,
+                n_probe=n_probe,
+                centroids=cents,
+            )
+        )
+        hits = sum(len(brute[q] & ivf.get(q, set())) for q in brute)
+        total = sum(len(brute[q]) for q in brute)
+        recall = hits / total
+        assert recall >= bound, (
+            f"recall@{self.K}={recall:.3f} < {bound} "
+            f"(n_probe={n_probe}, {sf_dir})"
+        )
