@@ -409,3 +409,148 @@ def test_batch_read_rotated_series_parallel_partitions(spark, tmp_path):
         "binlog.000001", "binlog.000002", "binlog.000003"
     }
     assert min(by_file["binlog.000002"]) == 0  # per-file offsets
+
+
+# ---------------------------------------------------------------------
+# Adversarial schedule fuzz: the tailer's crash matrix as a PROPERTY
+# ---------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class _WriterSim:
+    """A rotation-contract-respecting binlog writer: appends complete
+    lines, may leave a torn (newline-less) tail mid-write, completes
+    it before anything else happens in that file, and rotates only on
+    event boundaries (a real binlog writer finishes the in-flight
+    event before switching files)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.findex = 1
+        self.pending = None  # (full_text, written_prefix_len)
+        self.seq = 0
+        self.oracle: list[str] = []  # complete lines, write order
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def current(self) -> str:
+        return os.path.join(self.root, f"binlog.{self.findex:06d}")
+
+    def _raw_append(self, data: str) -> None:
+        with open(self.current, "a", encoding="utf-8") as f:
+            f.write(data)
+
+    def append(self, pad: int) -> None:
+        assert self.pending is None
+        text = f"L{self.seq:05d}" + "x" * pad
+        self.seq += 1
+        self._raw_append(text + "\n")
+        self.oracle.append(text)
+
+    def partial(self, pad: int, cut: int) -> None:
+        assert self.pending is None
+        text = f"T{self.seq:05d}" + "y" * pad
+        self.seq += 1
+        cut = 1 + cut % len(text)  # at least 1 byte torn off
+        self._raw_append(text[:cut])
+        self.pending = (text, cut)
+
+    def complete(self) -> None:
+        text, cut = self.pending
+        self._raw_append(text[cut:] + "\n")
+        self.oracle.append(text)
+        self.pending = None
+
+    def rotate(self) -> None:
+        assert self.pending is None
+        # touch the current file so rotation from an empty head is
+        # well-formed, then open the next
+        if not os.path.exists(self.current):
+            self._raw_append("")
+        self.findex += 1
+        self._raw_append("")
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_tailer_schedule_property(ops):
+    """For ANY interleaving of complete appends, torn writes (and
+    their completions), rotations, and reader polls: the union of all
+    polled batches equals the oracle line sequence exactly (no dup,
+    no gap, no torn line), and every batch re-planned from its
+    checkpointed (start, end) offsets AFTER the schedule finished —
+    i.e. after arbitrary later writes and rotations — replays
+    byte-identically."""
+    import tempfile
+
+    from jly_flink_spark.sources.binlog_source import (
+        _BinlogStreamReader,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        w = _WriterSim(os.path.join(root, "logs"))
+        reader = _BinlogStreamReader(w.root)
+        prev = reader.initialOffset()
+        batches = []  # (start, end, rows) per poll
+        got: list[tuple] = []
+
+        def poll():
+            nonlocal prev
+            end = reader.latestOffset()
+            if (end["file"], end["pos"]) == (
+                prev.get("file"),
+                prev.get("pos"),
+            ):
+                return
+            rows = []
+            for part in reader.partitions(prev, end):
+                rows.extend(reader.read(part))
+            batches.append((prev, end, rows))
+            got.extend(rows)
+            prev = end
+
+        for opcode, arg in ops:
+            if w.pending is not None:
+                if opcode % 2 == 0:
+                    w.complete()
+                else:
+                    poll()
+            else:
+                choice = opcode % 4
+                if choice == 0:
+                    w.append(arg)
+                elif choice == 1:
+                    w.partial(arg, opcode)
+                elif choice == 2:
+                    w.rotate()
+                else:
+                    poll()
+        if w.pending is not None:
+            w.complete()
+        poll()
+
+        # no dup, no gap, no torn line, in order
+        assert [r[0] for r in got] == w.oracle
+        # positions are strictly increasing within each file
+        by_file: dict[str, int] = {}
+        for text, name, pos in got:
+            assert by_file.get(name, -1) < pos
+            by_file[name] = pos
+        # crash-replay determinism: every batch re-planned NOW (after
+        # later writes/rotations) replays the identical rows
+        for start, end, rows in batches:
+            replay = []
+            for part in reader.partitions(start, end):
+                replay.extend(reader.read(part))
+            assert replay == rows
