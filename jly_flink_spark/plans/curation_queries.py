@@ -492,6 +492,171 @@ _finalize_xsrc_oracle()
 
 
 # --------------------------------------------------------------------
+# KMV sketch set algebra: cross-source overlap WITHOUT the pair join
+# --------------------------------------------------------------------
+def _kmv_overlap_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+    from .relational_queries import _KMV_H, KMV_K
+
+    union_est = (
+        f"CASE WHEN kd < {KMV_K} THEN kd"
+        f" ELSE CAST({(KMV_K - 1) * _KMV_H} AS BIGINT) // mk END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+shing AS (
+  SELECT DISTINCT source, ({_sql_hex_to_int(1)}) AS h
+  FROM (
+    SELECT source, md5(s) AS d FROM (
+      SELECT source, unnest(list_distinct(
+               list_transform(generate_series(1, len(ts) - 2),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             )) AS s
+      FROM toks WHERE len(ts) >= 3
+    )
+  )
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM shing
+  ) WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT source_a, source_b, h,
+         max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_a
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.source = p.source_b
+  ) GROUP BY 1, 2, 3
+),
+bottomk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                                 ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {KMV_K}
+),
+aggd AS (
+  SELECT source_a, source_b,
+         count(*) AS kd, max(h) AS mk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM bottomk GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST({union_est} AS BIGINT) AS union_est,
+       CAST(kd AS BIGINT) AS kd, rho,
+       CAST((1000 * rho) // kd AS BIGINT) AS jaccard_milli,
+       CAST((rho * ({union_est})) // kd AS BIGINT) AS intersection_est
+FROM aggd
+"""
+
+
+@register(
+    "agg_kmv_source_overlap",
+    oracle=_kmv_overlap_oracle(),
+    tags=("curation", "sketch", "approx", "provenance"),
+    doc="Sketch set algebra (Beyer et al. 2007): per-source KMV "
+    "sketches over each source's distinct trigram-shingle universe, "
+    "combined pairwise into union / intersection / Jaccard estimates "
+    "— the 100-TB path to `dedup_cross_source_overlap`'s exact pair "
+    "join. For h in the union's bottom-K, h ∈ Sa ⇔ h ∈ bottomK(Sa) "
+    "(the union's k-th min never exceeds either sketch's), so "
+    "ρ = |bottom-K ∩ both sketches| is an exact function of the two "
+    "sketches: Jaccard ≈ ρ/K, |A∩B| ≈ (ρ/K)·union_est, exact when "
+    "the union has < K distinct shingles. Everything is md5 + "
+    "integer arithmetic ⇒ bit-identical across engines and fully "
+    "value-hash-checked despite being an approximation. Scale shape: "
+    "the ONLY corpus-scale work is the per-source distinct + "
+    "WindowGroupLimit bottom-K (map-side K-pruning, shuffle "
+    "O(partitions·K)); the pairwise algebra runs on "
+    "|sources|·K model-state rows.",
+)
+def agg_kmv_source_overlap(spark, sf_dir):
+    from ..operators.text import trigram_shingles
+    from .relational_queries import _KMV_H, KMV_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    shing = docs.select(
+        "source", tokens(F.col("text")).alias("ts")
+    ).select(
+        "source", F.explode(trigram_shingles(F.col("ts"))).alias("s")
+    )
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 14), 16, 10).cast(
+        "bigint"
+    )
+    hashed = shing.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("source_a")).join(
+        srcs.select(F.col("source").alias("source_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    ska = sk.select(
+        F.col("source").alias("source_a"),
+        "h",
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    skb = sk.select(
+        F.col("source").alias("source_b"),
+        "h",
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    merged = (
+        pairs.join(ska, "source_a")
+        .unionByName(pairs.join(skb, "source_b"))
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("source_a", "source_b").orderBy("h")
+    bottomk = merged.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
+    )
+    aggd = bottomk.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("kd"),
+        F.max("h").alias("mk"),
+        F.sum(F.expr("in_a * in_b")).cast("bigint").alias("rho"),
+    )
+    union_sql = (
+        f"CASE WHEN kd < {KMV_K} THEN kd ELSE"
+        f" CAST({(KMV_K - 1) * _KMV_H} AS BIGINT) div mk END"
+    )
+    return aggd.select(
+        "source_a",
+        "source_b",
+        F.expr(union_sql).cast("bigint").alias("union_est"),
+        F.col("kd").cast("bigint").alias("kd"),
+        "rho",
+        F.expr("(1000 * rho) div kd").cast("bigint").alias(
+            "jaccard_milli"
+        ),
+        F.expr(f"(rho * ({union_sql})) div kd")
+        .cast("bigint")
+        .alias("intersection_est"),
+    )
+
+
+# --------------------------------------------------------------------
 # Boilerplate-chunk removal (CCNet-style repeated-text filtering)
 # --------------------------------------------------------------------
 CHUNK_TOKENS = 3  # tokens per non-overlapping chunk

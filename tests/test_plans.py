@@ -254,6 +254,11 @@ class TestShuffleBudget:
             # shuffles — only single-row weight gathers + the
             # keep-id semi-join)
             ("pipeline_training_corpus_v2", 27),
+            # KMV set algebra: corpus-side work is the per-source
+            # distinct + bottom-K (WindowGroupLimit, pinned below);
+            # every other exchange moves |sources|·K model-state rows
+            # through the pairwise union/flag/rollup chain
+            ("agg_kmv_source_overlap", 12),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -368,6 +373,16 @@ class TestScaleShapes:
         partition forwards only its K smallest-hash rows to the one
         window shuffle (WindowGroupLimit below the exchange)."""
         plan = plan_of(spark, "agg_quantile_sketch", mode="simple")
+        _, _, below = plan.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in below, plan
+
+    def test_kmv_source_overlap_partial_topk_shape(self, spark):
+        """The sketch set-algebra query shares the mergeable shape:
+        the per-source bottom-K compiles to a partial WindowGroupLimit
+        below its exchange, so the corpus-side shuffle stays
+        O(partitions*K) — the pairwise algebra above it only ever
+        moves |sources|*K rows."""
+        plan = plan_of(spark, "agg_kmv_source_overlap", mode="simple")
         _, _, below = plan.partition("Exchange hashpartitioning")
         assert "WindowGroupLimit" in below, plan
 

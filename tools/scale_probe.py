@@ -229,6 +229,291 @@ def stage_report(
     return out, max_seen
 
 
+# ---------------------------------------------------------------------
+# Streaming probe (--streaming): the stateful/stream operators at 1x
+# vs FACTORx source volume, with per-epoch batch durations and state
+# sizes from StreamingQueryProgress — the measured decade the batch
+# table above has had since round 3.
+# ---------------------------------------------------------------------
+N_SOURCE_FILES = 20            # chunk files per source at 1x
+FILES_PER_TRIGGER = 2          # → ~10 micro-batches per run
+
+
+def _drive_stream(build_writer, checkpoint: str) -> dict:
+    """Start the stream, drain it, and fold its progress history into
+    {epochs, input_rows, batch_ms median/max, state rows/bytes}."""
+    q = build_writer(checkpoint).start()
+    t0 = time.time()
+    try:
+        q.processAllAvailable()
+    finally:
+        wall = time.time() - t0
+        progress = list(q.recentProgress)
+        q.stop()
+    durs, rows, srows, sbytes = [], 0, [], []
+    for p in progress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        if p.get("numInputRows", 0) == 0 and not p.get("stateOperators"):
+            continue
+        durs.append(p.get("durationMs", {}).get("triggerExecution", 0))
+        rows += p.get("numInputRows", 0)
+        for op in p.get("stateOperators", []):
+            srows.append(op.get("numRowsTotal", 0))
+            sbytes.append(op.get("memoryUsedBytes", 0))
+    durs.sort()
+    return {
+        "wall_s": round(wall, 2),
+        "epochs": len(durs),
+        "input_rows": rows,
+        "batch_ms_p50": durs[len(durs) // 2] if durs else 0,
+        "batch_ms_max": durs[-1] if durs else 0,
+        "state_rows_final": srows[-1] if srows else None,
+        "state_rows_max": max(srows) if srows else None,
+        "state_mb_max": (
+            round(max(sbytes) / 2**20, 2) if sbytes else None
+        ),
+    }
+
+
+def _prep_event_files(spark, sf_dir: str, out: str, n_files: int):
+    """Chunked parquet of the slim event projection the stateful
+    operators consume: ms timestamps, md5 hash, 1e4-quantized value —
+    the same derivations the batch twins use."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 14),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+        F.floor(F.col("value") * 10_000).cast("bigint").alias("qv"),
+    )
+    ev.repartition(n_files).write.mode("overwrite").parquet(out)
+    return ev.schema
+
+
+def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
+    """{name: writer-builder} over sources prepared under `work`."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import dedup
+    from jly_flink_spark.streaming.stateful import (
+        kmv_distinct_stream,
+        latest_state_stream,
+        quantile_sketch_stream,
+    )
+
+    ev_src = os.path.join(work, "events_src")
+    schema = _prep_event_files(spark, sf_dir, ev_src, n_files)
+
+    def ev_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(ev_src)
+        )
+
+    def writer(out_df, mode):
+        def build(ckpt):
+            return (
+                out_df.writeStream.outputMode(mode)
+                .foreachBatch(lambda df, eid: df.write.format("noop")
+                              .mode("overwrite").save())
+                .option("checkpointLocation", ckpt)
+            )
+
+        return build
+
+    scenarios = {
+        # upsert view: state grows with the KEY universe (the
+        # contract), epochs must not slow as it fills
+        "latest_state_stream": writer(
+            latest_state_stream(
+                ev_stream(), "user_id", "ts_ms", "event_id", "event_type"
+            ),
+            "update",
+        ),
+        # sketches: state bounded at groups x K regardless of volume
+        "kmv_distinct_stream": writer(
+            kmv_distinct_stream(
+                ev_stream().select("event_type", "h"), "event_type", "h"
+            ),
+            "update",
+        ),
+        "quantile_sketch_stream": writer(
+            quantile_sketch_stream(
+                ev_stream().select("event_type", "h", "event_id", "qv"),
+                "event_type",
+                "h",
+                "event_id",
+                "qv",
+            ),
+            "update",
+        ),
+    }
+
+    # stream-static LSH probe: zero streaming state; the scaled axis
+    # is the INDEX (corpus bands) the arriving docs join against
+    docs = load_table(spark, sf_dir, "documents")
+    idx_path = os.path.join(work, "lsh_index")
+    dedup.persist_lsh_index(docs, idx_path)
+    new_src = os.path.join(work, "newdocs_src")
+    (
+        docs.sample(0.05, seed=7)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(new_src)
+    )
+    index = spark.read.parquet(idx_path)
+    new_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(new_src)
+    )
+    scenarios["stream_near_dup_candidates"] = writer(
+        dedup.stream_near_dup_candidates(new_stream, index), "append"
+    )
+    return scenarios
+
+
+def _prep_binlog_series(spark, sf_dir: str, out: str, n_files: int):
+    """The events table as JSON envelope lines across a rotated
+    binlog series — n_files grows with the factor, so the probe
+    scales FILE count and event volume together."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("op"),
+                (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+                F.struct(
+                    F.lit("demo").alias("db"),
+                    F.col("event_type").alias("table"),
+                ).alias("source"),
+                F.struct("event_id", "user_id", "value").alias("before"),
+            )
+        ).alias("line")
+    ).collect()
+    per = max(1, -(-len(lines) // n_files))
+    total = 0
+    for i in range(n_files):
+        chunk = lines[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        with open(
+            os.path.join(out, f"binlog.{i + 1:06d}"), "w",
+            encoding="utf-8",
+        ) as f:
+            for r in chunk:
+                f.write(r["line"] + "\n")
+            total += len(chunk)
+    return total
+
+
+def streaming_probe(spark, corpus: str, factor: int) -> dict:
+    import shutil as _sh
+
+    from jly_flink_spark.sources.binlog_source import read_binlog_stream
+
+    results: dict[str, dict] = {}
+    for label, sf_dir, files in (
+        ("1x", SRC_SF, N_SOURCE_FILES),
+        (f"{factor}x", corpus, N_SOURCE_FILES * factor),
+    ):
+        work = f"/tmp/jly_stream_probe_{label}"
+        _sh.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        for name, build in _stream_scenarios(
+            spark, sf_dir, work, files
+        ).items():
+            m = _drive_stream(
+                build, os.path.join(work, f"ckpt_{name}")
+            )
+            results.setdefault(name, {})[label] = m
+            print(f"[{label}] {name}: {m}")
+
+        blog = os.path.join(work, "binlogs")
+        n_rows = _prep_binlog_series(spark, sf_dir, blog, files)
+        t0 = time.time()
+        (
+            read_binlog_stream(spark, blog)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: df.write.format("noop")
+                          .mode("overwrite").save())
+            .option(
+                "checkpointLocation", os.path.join(work, "ckpt_blog")
+            )
+            .start()
+            .processAllAvailable()
+        )
+        wall = time.time() - t0
+        m = {
+            "wall_s": round(wall, 2),
+            "files": files,
+            "rows": n_rows,
+            "rows_per_s": int(n_rows / wall),
+        }
+        for q in spark.streams.active:
+            q.stop()
+        results.setdefault("binlog_tailer", {})[label] = m
+        print(f"[{label}] binlog_tailer: {m}")
+        _sh.rmtree(work, ignore_errors=True)
+    return results
+
+
+def _write_streaming_section(results: dict, factor: int) -> None:
+    report = os.path.join(HERE, "docs", "SCALE_PROBE.md")
+    lines = [
+        "\n## Streaming probe — 1x vs "
+        f"{factor}x source volume\n\n"
+        "Per-operator micro-batch metrics from StreamingQueryProgress "
+        "(file sources chunked so each run spans ~10 epochs; batch "
+        "durations are per-epoch `triggerExecution`). Bounded-state "
+        "operators (KMV / quantile sketch) must hold state FLAT at "
+        f"{factor}x; the upsert view's state grows with its key "
+        "universe by contract; the LSH probe and the binlog tailer "
+        "are stateless.\n\n"
+        "| operator | scale | epochs | input rows | batch ms p50 | "
+        "batch ms max | state rows (final) | state MB (max) |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+    ]
+    for name, by_scale in results.items():
+        for label, m in by_scale.items():
+            if name == "binlog_tailer":
+                lines.append(
+                    f"| {name} | {label} | 1 | {m['rows']} |"
+                    f" {m['wall_s'] * 1000:.0f} | — | stateless |"
+                    f" {m['rows_per_s']} rows/s |\n"
+                )
+            else:
+                lines.append(
+                    f"| {name} | {label} | {m['epochs']} |"
+                    f" {m['input_rows']} | {m['batch_ms_p50']} |"
+                    f" {m['batch_ms_max']} |"
+                    f" {m['state_rows_final']} | {m['state_mb_max']} |\n"
+                )
+    with open(report, "a", encoding="utf-8") as f:
+        f.writelines(lines)
+    print(f"appended streaming section to {report}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -239,6 +524,13 @@ def main() -> None:
         action="store_true",
         help="probe the whole bench headline set (TPC-H joins/"
         "windows/CDC included), not just the heavy corpus operators",
+    )
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="probe the streaming operators (stateful sketches, "
+        "upsert view, LSH probe, binlog tailer) at 1x vs FACTORx "
+        "source volume; appends a section to docs/SCALE_PROBE.md",
     )
     args = ap.parse_args()
 
@@ -262,6 +554,14 @@ def main() -> None:
     spark = get_spark(
         "scale_probe", extra_conf={"spark.ui.enabled": "true"}
     )
+
+    if args.streaming:
+        results = streaming_probe(spark, corpus, args.factor)
+        _write_streaming_section(results, args.factor)
+        if not args.keep_corpus:
+            shutil.rmtree(args.out_dir, ignore_errors=True)
+        return
+
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()
         df = REGISTRY[name].spark_fn(spark, sf_dir)
