@@ -82,6 +82,14 @@ HEADLINE = [
     # Round-5 fifth wave: triangle counting over the dup-chunk graph
     # (degree-oriented wedge enumeration)
     "graph_triangles_dup_chunks",
+    # Round-6: the flagship corpus pipeline with the LEARNED quality
+    # gate (dedup chain + decontamination + 8 GD epochs + broadcast
+    # frozen-weight gating in one plan) and the KMV sketch
+    # set-algebra overlap matrix — pinned so the regression gate
+    # covers the train->freeze->apply composition and the sketch
+    # algebra from day one.
+    "pipeline_training_corpus_v2",
+    "agg_kmv_source_overlap",
 ]
 
 
