@@ -213,11 +213,17 @@ def main() -> None:
         for f in os.listdir(repo)
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
-    local_path = os.path.join(
-        repo, f"BENCH_local_r{max(rounds, default=0) + 1:02d}.json"
-    )
-    with open(local_path, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=2)
+    base_name = f"BENCH_local_r{max(rounds, default=0) + 1:02d}"
+    local_path = os.path.join(repo, f"{base_name}.json")
+    k = 1
+    while os.path.exists(local_path):  # keep every run of the round
+        k += 1
+        local_path = os.path.join(repo, f"{base_name}_{k}.json")
+    try:
+        with open(local_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=2)
+    except OSError as e:  # the audit copy must never eat the run
+        print(f"bench: could not persist {local_path}: {e}", file=sys.stderr)
 
     print(json.dumps(out))
 

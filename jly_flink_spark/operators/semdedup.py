@@ -132,7 +132,12 @@ def semantic_dup_flags(
         except ValueError:
             mat = None
         if mat is None or mat.ndim != 2:
-            lens = sorted({len(v) for v in pdf[vec_col]})
+            lens = sorted(
+                {
+                    "null" if v is None else str(len(v))
+                    for v in pdf[vec_col]
+                }
+            )
             raise ValueError(
                 f"ragged embedding lengths {lens} within cluster "
                 f"{int(key[0])} — {vec_col} must be fixed-dimension"

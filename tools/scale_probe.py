@@ -87,6 +87,12 @@ QUERIES = [
     "contamination_bloom_prefilter",
     "bpe_train_merges",
     "graph_triangles_dup_chunks",
+    # round-6: the flagship pipeline with the learned gate (dedup
+    # chain + GD epochs + broadcast gating composed in one plan) and
+    # the KMV sketch set algebra — benched r6, so probed here per the
+    # bench/baseline/probe lock convention
+    "pipeline_training_corpus_v2",
+    "agg_kmv_source_overlap",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
@@ -432,6 +438,12 @@ def streaming_probe(spark, corpus: str, factor: int) -> dict:
 
     from jly_flink_spark.sources.binlog_source import read_binlog_stream
 
+    # recentProgress is capped at numRecentProgressUpdates (default
+    # 100) — a factor-10 run spans ~100 micro-batches, so the default
+    # silently evicts the earliest epochs from every reported metric
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", "2000"
+    )
     results: dict[str, dict] = {}
     for label, sf_dir, files in (
         ("1x", SRC_SF, N_SOURCE_FILES),
@@ -598,6 +610,14 @@ def main() -> None:
         )
 
     report = os.path.join(HERE, "docs", "SCALE_PROBE.md")
+    # a batch re-run must not destroy the streaming section the
+    # --streaming mode appended — carry it over across the rewrite
+    streaming_section = ""
+    if os.path.exists(report):
+        old = open(report, encoding="utf-8").read()
+        i = old.find("\n## Streaming probe")
+        if i >= 0:
+            streaming_section = old[i:]
     with open(report, "w", encoding="utf-8") as f:
         probed = (
             "the FULL bench headline set (TPC-H joins/windows/CDC "
@@ -646,6 +666,7 @@ def main() -> None:
         f.write("\nRaw per-stage detail:\n\n```json\n")
         json.dump(results, f, indent=1)
         f.write("\n```\n")
+        f.write(streaming_section)
     print(f"wrote {report}")
 
     if not args.keep_corpus:
