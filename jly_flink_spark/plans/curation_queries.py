@@ -1274,6 +1274,135 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+_LM_BUCKETS = 3  # CCNet head / middle / tail terciles per language
+
+_LM_QUANTILE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS tok
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks
+), vq AS (
+  SELECT tok,
+         CAST(round(ln(CAST(count(*) AS DOUBLE) / n_total) * 1e6) AS BIGINT)
+           AS logprob_micro
+  FROM toks, tot
+  GROUP BY tok, n_total
+  HAVING count(*) >= {LM_MIN_COUNT}
+), oov AS (
+  SELECT CAST(round(ln(0.5e0 / n_total) * 1e6) AS BIGINT) AS oov_micro
+  FROM tot
+), perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(logprob_micro, oov_micro)) AS BIGINT) AS slp
+  FROM toks LEFT JOIN vq USING (tok), oov
+  GROUP BY doc_id
+), ranked AS (
+  SELECT d.lang, p.n_tokens, p.slp,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(p.slp AS DOUBLE) / p.n_tokens DESC, p.doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS nl
+  FROM perdoc p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(((rn - 1) * {_LM_BUCKETS}) // nl AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(slp) AS BIGINT) AS sum_logprob_micro
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "curation_lm_quantile_buckets",
+    oracle=_LM_QUANTILE_ORACLE,
+    tags=("curation", "quality", "text", "window"),
+    doc="CCNet's perplexity-bucket step: per language, rank documents "
+    "by unigram-LM mean log-probability (best first) and cut the "
+    f"ranking into {_LM_BUCKETS} equal buckets — head / middle / "
+    "tail; CCNet trains on head+middle and drops the tail. Bucket "
+    "assignment is exact integer arithmetic over the rank "
+    "(((rn-1)·k) div n_lang), and the ordering key is the same "
+    "micro-nat integer sum ratio both engines compute identically, "
+    "so the whole bucketing is value-hash-checked. Scale shape: the "
+    "LM build and per-doc scoring reuse text_unigram_logprob's "
+    "never-shuffle-the-corpus design; the ranking then shuffles only "
+    "slim (lang, n_tokens, slp) rows, one window per language "
+    "partition. At extreme per-language cardinality the exact "
+    "row_number ranking is the cost — the mergeable quantile sketch "
+    "(agg_quantile_sketch) is the documented approximate path to the "
+    "same cut points.",
+)
+def curation_lm_quantile_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab_all = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab_all.agg(F.sum("cnt").cast("double").alias("n_total"))
+    vocab_q = (
+        vocab_all.filter(F.col("cnt") >= LM_MIN_COUNT)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("n_total"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("logprob_micro"),
+        )
+    )
+    oov_micro = (
+        F.round(F.log(F.lit(0.5) / F.col("n_total")) * 1e6).cast("long")
+    )
+    perdoc = (
+        toks.join(F.broadcast(vocab_q), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logprob_micro"), oov_micro).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp").cast("long").alias("slp"),
+        )
+    )
+    ranked = perdoc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        "slp",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                (F.col("slp").cast("double") / F.col("n_tokens")).desc(),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("nl"),
+    )
+    return ranked.select(
+        "lang",
+        F.expr(f"((rn - 1) * {_LM_BUCKETS}) div nl")
+        .cast("bigint")
+        .alias("bucket"),
+        "n_tokens",
+        "slp",
+    ).groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("slp").cast("bigint").alias("sum_logprob_micro"),
+    )
+
+
 BIGRAM_MIN_COUNT = 2  # bigram vocab cutoff (below ⇒ OOV-smoothed)
 
 _BIGRAM_LM_ORACLE = f"""

@@ -259,6 +259,11 @@ class TestShuffleBudget:
             # every other exchange moves |sources|·K model-state rows
             # through the pairwise union/flag/rollup chain
             ("agg_kmv_source_overlap", 12),
+            # LM quantile buckets: the tok groupBy pair (vocab +
+            # total reuse one exchange at runtime), the per-doc agg,
+            # the lang window on slim (lang, n_tokens, slp) rows,
+            # and the final rollup — the corpus text never shuffles
+            ("curation_lm_quantile_buckets", 7),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
