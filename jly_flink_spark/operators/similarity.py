@@ -21,6 +21,8 @@ arithmetic on those exact sums.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -523,20 +525,67 @@ def _topk_from_probes(
     )
 
 
+def _tombstone_dir(layout_path: str) -> str:
+    return layout_path.rstrip("/") + ".tombstones"
+
+
+def delete_from_ivf(spark: SparkSession, layout_path: str, vec_ids) -> None:
+    """Logical deletion from a persisted IVF layout (float or SQ8):
+    append the ids as TOMBSTONES beside the layout; every serving
+    probe anti-joins them out and the next `compact_ivf_layout`
+    applies them physically and drains the tombstone set. O(deletes)
+    per call — no partition rewrite on the delete path, mirroring the
+    LSM delete→compact pattern (and the CDC tombstone semantics of
+    `latest_state_stream`). Contract: a tombstone suppresses EVERY
+    row of that vec_id until a compaction clears it, so re-ingesting
+    a deleted id only takes effect after the compaction that applies
+    the delete; like appends, deletes share the single maintenance
+    timeline with compaction (`swap_layout`'s contract)."""
+    df = (
+        vec_ids
+        if isinstance(vec_ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    )
+    df.select("vec_id").write.mode("append").parquet(
+        _tombstone_dir(layout_path)
+    )
+
+
+def _without_tombstones(
+    spark: SparkSession, layout_path: str, rows: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join the layout's tombstone set (if any) out of a serving
+    scan. The set is bounded by the compaction cadence (it drains on
+    every compaction), so the broadcast anti-join stays model-sized."""
+    tomb_dir = _tombstone_dir(layout_path)
+    if not os.path.isdir(tomb_dir):
+        return rows
+    tombs = spark.read.parquet(tomb_dir).select(
+        F.col("vec_id").alias(id_col)
+    )
+    return rows.join(F.broadcast(tombs), id_col, "left_anti")
+
+
 def _pruned_layout(
     spark: SparkSession, layout_path: str, probes: DataFrame, rename: dict
 ) -> DataFrame:
     """Partition-pruned read of a persisted IVF layout restricted to
     the probe frame's lists (the `lists` collect is
-    |batch|·n_probe-sized model state, not data)."""
+    |batch|·n_probe-sized model state, not data); tombstoned ids are
+    anti-joined out (`delete_from_ivf`)."""
     lists = [
         r["list_id"] for r in probes.select("list_id").distinct().collect()
     ]
     cols = [F.col(src).alias(dst) for src, dst in rename.items()]
-    return (
+    pruned = (
         spark.read.parquet(layout_path)
         .filter(F.col("list_id").isin(lists))
         .select(*cols, "list_id")
+    )
+    return _without_tombstones(
+        spark, layout_path, pruned, rename.get("vec_id", "vec_id")
     )
 
 
@@ -1080,24 +1129,33 @@ def compact_ivf_layout(
     """Maintenance pass for a persisted IVF layout (float or SQ8):
     incremental corpus additions appended into the hive partitions
     accumulate small files per list; rewrite each `list_id` partition
-    into `files_per_list` vec_id-sorted files and swap the layout in.
-    The hive partitioning — and with it the probe's partition
-    pruning — is preserved; served scores are layout-invariant
-    (tests/test_layout_compaction.py). Serialize with
-    `append_to_ivf_int8` on one maintenance timeline — an append
-    committed between the compaction's read snapshot and the swap is
-    deleted silently (see `swap_layout` for the full contract)."""
+    into `files_per_list` vec_id-sorted files and swap the layout in,
+    applying any pending tombstones (`delete_from_ivf`) physically
+    and draining the tombstone set. The hive partitioning — and with
+    it the probe's partition pruning — is preserved; served scores
+    are layout-invariant (tests/test_layout_compaction.py).
+    Serialize with `append_to_ivf_int8`/`delete_from_ivf` on one
+    maintenance timeline — an append or delete committed between the
+    compaction's read snapshot and the swap is lost silently (see
+    `swap_layout` for the full contract)."""
+    import shutil
+
     from ..sources.layout import swap_layout, write_sorted_layout
 
     tmp = path.rstrip("/") + ".compacting"
     write_sorted_layout(
-        spark.read.parquet(path),
+        _without_tombstones(
+            spark, path, spark.read.parquet(path), "vec_id"
+        ),
         tmp,
         ["list_id"],
         ["vec_id"],
         files_per_partition=files_per_list,
     )
     swap_layout(path, tmp)
+    # tombstones are now applied physically; drain them so the
+    # serving-side anti-join set stays bounded by compaction cadence
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
 
 
 def _probe_frame_int8(

@@ -153,3 +153,118 @@ def test_layout_drops_zero_norm_codes(spark, served):
     assert (
         spark.read.parquet(path).filter(F.col("qn8") <= 0).count() == 0
     )
+
+
+class TestIvfDeletes:
+    """Tombstoned deletion (`delete_from_ivf`): serving excludes
+    deleted ids immediately (O(deletes) write, no partition rewrite),
+    compaction applies deletes physically and drains the tombstone
+    set, and a pending tombstone suppresses even a re-appended id
+    until compaction — the LSM delete→compact contract."""
+
+    def _fresh(self, spark, tmp_path):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = build_ivf_centroids(emb, n_list=N_LIST, refine=False)
+        path = str(tmp_path / "corpus_by_list")
+        persist_ivf_int8(emb, path, cents)
+        return emb, cents, path
+
+    @staticmethod
+    def _topk(spark, emb, cents, path):
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        return {
+            (r["query_id"], r["cand_id"]): r["cosine_q8"]
+            for r in serve_ann_topk_int8(
+                spark, queries, path, cents, k=K, n_probe=N_LIST
+            ).collect()
+        }
+
+    def test_delete_then_compact(self, spark, tmp_path):
+        from jly_flink_spark.operators.similarity import (
+            _tombstone_dir,
+            compact_ivf_layout,
+            delete_from_ivf,
+        )
+
+        emb, cents, path = self._fresh(spark, tmp_path)
+        before = self._topk(spark, emb, cents, path)
+        # delete a candidate that actually appears in the results
+        victim = next(c for (q, c) in before if c not in QIDS)
+        delete_from_ivf(spark, path, [victim])
+
+        after = self._topk(spark, emb, cents, path)
+        assert all(c != victim for (_, c) in after)
+        # surviving pairs keep bit-identical scores
+        for pair, score in after.items():
+            if pair in before:
+                assert before[pair] == score
+        # every query still gets K results (replacement drawn in)
+        for q in QIDS:
+            assert sum(1 for (qq, _) in after if qq == q) == K
+
+        import os as _os
+
+        assert _os.path.isdir(_tombstone_dir(path))
+        compact_ivf_layout(spark, path)
+        assert not _os.path.isdir(_tombstone_dir(path))
+        # physically gone, serving unchanged vs the tombstoned view
+        layout_ids = {
+            r["vec_id"] for r in spark.read.parquet(path).collect()
+        }
+        assert victim not in layout_ids
+        assert self._topk(spark, emb, cents, path) == after
+
+    def test_pending_tombstone_suppresses_reappend(self, spark, tmp_path):
+        from jly_flink_spark.operators.similarity import (
+            append_to_ivf_int8,
+            compact_ivf_layout,
+            delete_from_ivf,
+        )
+
+        emb, cents, path = self._fresh(spark, tmp_path)
+        before = self._topk(spark, emb, cents, path)
+        victim = next(c for (q, c) in before if c not in QIDS)
+        delete_from_ivf(spark, path, [victim])
+        # re-append the same id while its tombstone is pending:
+        # still suppressed (tombstones win until compaction)
+        append_to_ivf_int8(
+            emb.filter(F.col("vec_id") == victim), path, cents
+        )
+        assert all(
+            c != victim for (_, c) in self._topk(spark, emb, cents, path)
+        )
+        # compaction applies the delete (also to the re-appended
+        # row) and drains; appending AFTER compaction is visible
+        compact_ivf_layout(spark, path)
+        append_to_ivf_int8(
+            emb.filter(F.col("vec_id") == victim), path, cents
+        )
+        assert self._topk(spark, emb, cents, path) == before
+
+    def test_float_tier_shares_tombstones(self, spark, tmp_path):
+        from jly_flink_spark.operators.similarity import (
+            delete_from_ivf,
+            persist_ivf_corpus,
+            serve_ann_topk,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = build_ivf_centroids(emb, n_list=N_LIST, refine=False)
+        path = str(tmp_path / "corpus_float")
+        persist_ivf_corpus(emb, path, cents)
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        got = {
+            r["cand_id"]
+            for r in serve_ann_topk(
+                spark, queries, path, cents, k=K, n_probe=N_LIST
+            ).collect()
+        }
+        victim = next(c for c in got if c not in QIDS)
+        delete_from_ivf(spark, path, [victim])
+        got2 = {
+            r["cand_id"]
+            for r in serve_ann_topk(
+                spark, queries, path, cents, k=K, n_probe=N_LIST
+            ).collect()
+        }
+        assert victim not in got2
