@@ -262,6 +262,43 @@ def append_to_lsh_index(
     )
 
 
+def delete_from_lsh_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion from the persisted LSH index — the dedup-side
+    twin of `similarity.delete_from_ivf` (same tombstone files, same
+    LSM delete→compact contract): documents removed from the corpus
+    stop surfacing as candidates immediately via `read_lsh_index`'s
+    anti-join; the next `compact_lsh_index` applies the tombstones
+    physically and drains them. Serialize with appends/compaction on
+    the one maintenance timeline."""
+    from pyspark.sql import DataFrame as _DF
+
+    from .similarity import _tombstone_dir
+
+    df = (
+        doc_ids
+        if isinstance(doc_ids, _DF)
+        else spark.createDataFrame(
+            [(int(v),) for v in doc_ids], "doc_id long"
+        )
+    )
+    df.select("doc_id").write.mode("append").parquet(
+        _tombstone_dir(path)
+    )
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """The compaction-safe index read for probe joins: re-resolve the
+    layout (fresh file listing — see `compact_lsh_index`'s
+    live-consumer note) and anti-join any pending deletion tombstones
+    out. Serving paths should read the index through this instead of
+    a bare `spark.read.parquet(path)`."""
+    from .similarity import _without_tombstones
+
+    return _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    )
+
+
 def compact_lsh_index(
     spark, path: str, target_rows_per_file: int = 4_000_000
 ) -> int:
@@ -290,13 +327,23 @@ def compact_lsh_index(
     what `tests/test_layout_compaction.py::
     test_stream_probe_survives_mid_stream_compaction` pins); then
     maintenance between epochs is invisible to the stream."""
+    import shutil
+
     from ..sources.layout import compact_sorted, swap_layout
+    from .similarity import _tombstone_dir, _without_tombstones
 
     tmp = path.rstrip("/") + ".compacting"
     n_files = compact_sorted(
-        spark.read.parquet(path), tmp, ["band_key"], target_rows_per_file
+        _without_tombstones(
+            spark, path, spark.read.parquet(path), "doc_id"
+        ),
+        tmp,
+        ["band_key"],
+        target_rows_per_file,
     )
     swap_layout(path, tmp)
+    # deletes are applied physically — drain the tombstone set
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
     return n_files
 
 

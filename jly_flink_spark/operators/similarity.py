@@ -562,9 +562,10 @@ def _without_tombstones(
     tomb_dir = _tombstone_dir(layout_path)
     if not os.path.isdir(tomb_dir):
         return rows
-    tombs = spark.read.parquet(tomb_dir).select(
-        F.col("vec_id").alias(id_col)
-    )
+    tombs = spark.read.parquet(tomb_dir)
+    # single-column id file; alias whatever the writer named it
+    # (vec_id for IVF layouts, doc_id for the LSH index)
+    tombs = tombs.select(F.col(tombs.columns[0]).alias(id_col))
     return rows.join(F.broadcast(tombs), id_col, "left_anti")
 
 

@@ -120,3 +120,43 @@ def test_index_append_makes_prior_arrivals_visible(spark, lsh_index):
     }
     assert (500_005, 200_005) in pairs  # batch-2 copy vs batch-1 doc
     assert (500_005, 5) in pairs  # and vs the original corpus doc
+
+
+def test_deleted_docs_stop_surfacing_and_compaction_applies(
+    spark, lsh_index, tmp_path
+):
+    """delete_from_lsh_index: a removed corpus doc stops appearing as
+    a candidate immediately (read_lsh_index anti-joins the pending
+    tombstones), compact_lsh_index applies the delete physically and
+    drains the tombstone set, and candidates are otherwise
+    unchanged."""
+    import os
+
+    from jly_flink_spark.operators.similarity import _tombstone_dir
+
+    docs, path = lsh_index
+    copy_ids = [3, 17, 42]
+    new = _new_docs(spark, docs, copy_ids)
+
+    def probe():
+        index = dedup.read_lsh_index(spark, path)
+        return {
+            (r["new_doc_id"], r["corpus_doc_id"])
+            for r in dedup.stream_near_dup_candidates(new, index).collect()
+        }
+
+    before = probe()
+    assert (17 + 100_000, 17) in before
+    dedup.delete_from_lsh_index(spark, path, [17])
+    after = probe()
+    assert all(c != 17 for _, c in after)
+    assert after == {p for p in before if p[1] != 17}
+
+    assert os.path.isdir(_tombstone_dir(path))
+    dedup.compact_lsh_index(spark, path)
+    assert not os.path.isdir(_tombstone_dir(path))
+    ids_left = {
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    }
+    assert 17 not in ids_left
+    assert probe() == after
