@@ -268,3 +268,25 @@ class TestIvfDeletes:
             ).collect()
         }
         assert victim not in got2
+
+    def test_tombstone_antijoin_keeps_partition_pruning(
+        self, spark, tmp_path
+    ):
+        """The deletion anti-join must not cost the layout its
+        partition pruning: with tombstones pending, the probe plan
+        still prunes on list_id and the tombstone side joins as a
+        BROADCAST anti-join (model-state, never a shuffle of the
+        pruned corpus)."""
+        from jly_flink_spark.operators.similarity import delete_from_ivf
+
+        emb, cents, path = self._fresh(spark, tmp_path)
+        delete_from_ivf(spark, path, [1, 2])
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        plan = _plan(
+            serve_ann_topk_int8(
+                spark, queries, path, cents, k=K, n_probe=N_PROBE
+            )
+        )
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "list_id" in pf, plan
+        assert "BroadcastExchange" in plan, plan
