@@ -85,6 +85,18 @@ def edge_sf_dir(tmp_path_factory):
         # greatest(n_tok,1) guard — both engines must agree through
         # all 8 epochs on a corpus that is ~all rule-negative
         "quality_classifier_train",
+        # the learned-gate composite on the same corpus: the whole
+        # dedup→decontaminate→train→gate chain over token-less and
+        # boundary-length docs, ending in a tiny (likely empty)
+        # survivor set both engines must agree on
+        "pipeline_training_corpus_v2",
+        # SINGLE source ⇒ no source pairs ⇒ both engines must emit
+        # the empty overlap matrix (the a<b self-join edge)
+        "agg_kmv_source_overlap",
+        # token-less docs have no LM rows and must drop from the
+        # ranking identically; tiny per-lang counts exercise the
+        # ((rn-1)·k) div n bucket arithmetic at n < k
+        "curation_lm_quantile_buckets",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
