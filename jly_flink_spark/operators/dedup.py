@@ -139,6 +139,34 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame
     return docs.join(winners.select("doc_id"), "doc_id", "left_semi")
 
 
+def exact_dedup_stream(
+    docs_sdf: DataFrame,
+    eventtime_col: str,
+    delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup on the SAME whitespace-normalized
+    fingerprint as the batch `exact_dedup_keep_first`: the first
+    arrival of each distinct content passes through, later copies
+    within the watermark horizon are dropped, and the fingerprint
+    state is evicted once the watermark passes (bounded state — the
+    reason this is `dropDuplicatesWithinWatermark`, not the unbounded
+    `dropDuplicates`). Batch/stream parity is set-level: the stream
+    admits exactly one doc per distinct fingerprint (arrival order
+    decides WHICH one; the batch operator's min-doc_id canonical pick
+    needs totality a stream never has). A copy arriving after its
+    original's state was evicted re-admits — size `delay` to the
+    ingest pipeline's real dedup horizon; cross-horizon dedup is the
+    batch operator's job (or the persisted LSH/fingerprint index)."""
+    t = F.col(text_col)
+    return (
+        docs_sdf.withColumn("fp", fingerprint(t))
+        .withWatermark(eventtime_col, delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, tok) distinct token table — the shared input of the
     set-similarity operators. Fans the scan out first: the downstream

@@ -160,3 +160,60 @@ def test_deleted_docs_stop_surfacing_and_compaction_applies(
     }
     assert 17 not in ids_left
     assert probe() == after
+
+
+def test_exact_dedup_stream_admits_one_per_fingerprint(spark, tmp_path):
+    """Streaming exact dedup: whitespace-variant copies collapse to
+    one admission per distinct normalized content (same fingerprint
+    as the batch operator); replays of an already-seen batch admit
+    nothing new; distinct content always passes."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "stream_src")
+    _os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    base = 1700000000000
+    write_batch("b1.json", [
+        {"doc_id": 1, "text": "hello  world", "ts": base},
+        {"doc_id": 2, "text": "hello world",  "ts": base + 1},  # dup (ws)
+        {"doc_id": 3, "text": "fresh text",   "ts": base + 2},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ets", (F.col("ts") / 1000).cast("timestamp"))
+    )
+    out = dedup.exact_dedup_stream(stream, "ets")
+    admitted = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, eid: admitted.extend(
+                r["doc_id"] for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # exactly one of {1,2} admitted, plus 3
+        first = set(admitted)
+        assert len(first) == 2 and 3 in first and (first & {1, 2})
+        # a later batch: another copy of the same content (dropped,
+        # still inside the watermark horizon) + new content (passes)
+        write_batch("b2.json", [
+            {"doc_id": 4, "text": " hello   world ", "ts": base + 10},
+            {"doc_id": 5, "text": "brand new",       "ts": base + 11},
+        ])
+        q.processAllAvailable()
+        assert set(admitted) == first | {5}
+    finally:
+        q.stop()
