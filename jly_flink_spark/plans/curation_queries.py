@@ -404,6 +404,108 @@ def embedding_label_centroids(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# Per-label embedding outliers (mislabel / corrupt-sample detection)
+# --------------------------------------------------------------------
+OUT_Q = 10_000  # value quantization (floor(v·1e4) → exact ints)
+OUT_TOPN = 5  # outliers reported per label
+
+_OUTLIER_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {OUT_Q}) AS BIGINT)
+           AS vq
+  FROM embeddings, (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(vq) AS BIGINT) // count(*) AS cq
+  FROM ex GROUP BY label, pos
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum((e.vq - c.cq) * (e.vq - c.cq)) AS BIGINT) AS dist_q
+  FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, vec_id, dist_q, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY dist_q DESC, vec_id) AS rnk
+  FROM dist
+) WHERE rnk <= {OUT_TOPN}
+"""
+
+
+@register(
+    "embedding_label_outliers",
+    oracle=_OUTLIER_ORACLE,
+    tags=("curation", "embedding", "centroid", "quality"),
+    doc="Per-label embedding outliers: the top-"
+    f"{OUT_TOPN} vectors farthest (quantized squared L2) from their "
+    "label's integer centroid — the standard mislabeled/corrupt-"
+    "sample sweep run before training on labeled embeddings. All "
+    "arithmetic is quantized ints (floor(v·1e4), truncating-div "
+    "centroid), so distances and ranks are bit-identical across "
+    "engines. Scale shape: centroids partial-aggregate to "
+    "O(labels·dims) rows; they fold back as a BROADCAST array and "
+    "the distance is one zip_with fold per row in codegen — the "
+    "corpus is never shuffled, and the per-label top-N compiles to "
+    "WindowGroupLimit (partitions·N rows to the final exchange).",
+)
+def embedding_label_outliers(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "vq_raw")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("vq_raw").cast("double") * OUT_Q)
+        .cast("long")
+        .alias("vq"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.expr("CAST(sum(vq) AS BIGINT) div count(*)").alias("cq"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "cq"))
+                ),
+                lambda s: s["cq"],
+            ).alias("cent_q")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * OUT_Q).cast("long"),
+            ),
+            F.col("cent_q"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", dist.alias("dist_q")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_q").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUT_TOPN)
+        .select(
+            "label",
+            "vec_id",
+            "dist_q",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # Cross-source near-dup overlap
 # --------------------------------------------------------------------
 _XSRC_ORACLE = """

@@ -264,6 +264,11 @@ class TestShuffleBudget:
             # the lang window on slim (lang, n_tokens, slp) rows,
             # and the final rollup — the corpus text never shuffles
             ("curation_lm_quantile_buckets", 7),
+            # label outliers: the O(labels*dims) centroid rollup pair
+            # + the per-label top-N window (WindowGroupLimit); the
+            # distance fold runs per-row against the broadcast
+            # centroid arrays — the corpus never shuffles
+            ("embedding_label_outliers", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
