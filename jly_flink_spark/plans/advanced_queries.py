@@ -1700,3 +1700,117 @@ def events_resample_ffill(spark, sf_dir):
         .filter(F.col("is_grid") == 1)
         .select("user_id", F.col("ts_s").alias("slot_s"), "filled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity resolution (part names)
+# ---------------------------------------------------------------------------
+ER_LEV_MAX = 3  # max edit distance for a fuzzy match
+ER_MAX_BLOCK = 10_000  # oversized-block guard (standard ER practice)
+
+_ER_ORACLE = f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+  FROM part GROUP BY p_name
+), blocked AS (
+  SELECT p_name, cnt,
+         string_split(p_name, ' ')[-1] AS block
+  FROM names
+), sized AS (
+  SELECT b.* FROM blocked b
+  JOIN (SELECT block FROM blocked GROUP BY block
+        HAVING count(*) <= {ER_MAX_BLOCK}) k USING (block)
+), pairs AS (
+  SELECT a.block,
+         a.cnt * b.cnt AS w
+  FROM sized a JOIN sized b
+    ON a.block = b.block AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}
+), per_block AS (
+  SELECT block,
+         CAST(count(*) AS BIGINT) AS n_fuzzy_pairs,
+         CAST(sum(w) AS BIGINT) AS pair_weight
+  FROM pairs GROUP BY block
+)
+SELECT s.block,
+       CAST(count(*) AS BIGINT) AS n_names,
+       coalesce(p.n_fuzzy_pairs, 0) AS n_fuzzy_pairs,
+       coalesce(p.pair_weight, 0) AS pair_weight
+FROM sized s
+LEFT JOIN per_block p ON p.block = s.block
+GROUP BY s.block, p.n_fuzzy_pairs, p.pair_weight
+"""
+
+
+@register(
+    "er_blocked_fuzzy_matches",
+    oracle=_ER_ORACLE,
+    tags=("advanced", "dedup", "fuzzy", "entity-resolution"),
+    doc="Blocked fuzzy entity resolution over part names: distinct "
+    "names pre-aggregate to (name, freq) — pairwise work runs over "
+    "distinct VALUES, not rows, the first-order trick that keeps "
+    "blocked ER alive at scale — then names sharing a blocking key "
+    "(last name token) pair up a < b and match when Levenshtein "
+    "distance <= 3, reported per block with the row-weighted pair "
+    "count (freq_a x freq_b). An oversized-block guard skips "
+    "degenerate keys (the standard blocking safeguard, mirroring "
+    "the MinHash MAX_LSH_BUCKET cap) so no single hot key can go "
+    "quadratic. The distinct-name table is broadcast-joined; the "
+    "corpus-sized part scan is touched exactly once.",
+)
+def er_blocked_fuzzy_matches(spark, sf_dir):
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    blocked = names.select(
+        "p_name",
+        "cnt",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    ok_blocks = (
+        blocked.groupBy("block")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= ER_MAX_BLOCK)
+        .select("block")
+    )
+    sized = blocked.join(F.broadcast(ok_blocks), "block").localCheckpoint(
+        eager=False
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            <= ER_LEV_MAX
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+        )
+    )
+    per_block = pairs.groupBy("block").agg(
+        F.count("*").cast("bigint").alias("n_fuzzy_pairs"),
+        F.sum("w").cast("bigint").alias("pair_weight"),
+    )
+    return (
+        sized.groupBy("block")
+        .agg(F.count("*").cast("bigint").alias("n_names"))
+        .join(F.broadcast(per_block), "block", "left")
+        .select(
+            "block",
+            "n_names",
+            F.coalesce(F.col("n_fuzzy_pairs"), F.lit(0)).alias(
+                "n_fuzzy_pairs"
+            ),
+            F.coalesce(F.col("pair_weight"), F.lit(0)).alias(
+                "pair_weight"
+            ),
+        )
+    )

@@ -2143,3 +2143,292 @@ def dedup_semantic_clusters(spark, sf_dir):
     from ..operators.semdedup import semantic_dup_flags
 
     return semantic_dup_flags(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------
+# Gopher quality-rule suite (Rae et al. 2021, appendix A1)
+# --------------------------------------------------------------------
+# Thresholds adapted to the synthetic corpus so every rule actually
+# discriminates (the paper's [3, 10] mean-word-length band would pass
+# 100% of this vocabulary); each bound is documented next to the
+# paper's original. All comparisons are exact integer arithmetic —
+# mean word length is tested as sum_chars*10 vs bound*n_tok, never as
+# a float division — so the per-rule counts value-hash bit-exactly.
+GOPHER_MIN_WORDS = 30  # paper: 50
+GOPHER_MAX_WORDS = 100_000  # paper: 100k
+GOPHER_MWL_MIN_X10 = 44  # mean word length >= 4.4 (paper: 3)
+GOPHER_MWL_MAX_X10 = 100  # mean word length <= 10 (paper: 10)
+GOPHER_TOP_FRAC_DEN = 8  # most-frequent word <= 1/8 of tokens
+GOPHER_STOP_WORDS = ("the", "a")  # paper: 2+ of a curated stop list
+GOPHER_MIN_STOP = 2
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, tok, count(*) AS c
+  FROM t GROUP BY doc_id, lang, tok
+), d AS (
+  SELECT doc_id, lang,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(max(c) AS BIGINT) AS max_c,
+         CAST(sum(len(tok) * c) AS BIGINT) AS sum_chars,
+         CAST(sum(CASE WHEN tok IN ({_GOPHER_SW}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stop
+  FROM c GROUP BY doc_id, lang
+), r AS (
+  SELECT lang,
+         (n_tok >= {GOPHER_MIN_WORDS}
+          AND n_tok <= {GOPHER_MAX_WORDS}) AS ok_words,
+         (sum_chars * 10 >= {GOPHER_MWL_MIN_X10} * n_tok
+          AND sum_chars * 10 <= {GOPHER_MWL_MAX_X10} * n_tok)
+           AS ok_wordlen,
+         (max_c * {GOPHER_TOP_FRAC_DEN} <= n_tok) AS ok_topfrac,
+         (n_stop >= {GOPHER_MIN_STOP}) AS ok_stopwords
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok_words THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_words,
+       CAST(sum(CASE WHEN ok_wordlen THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_wordlen,
+       CAST(sum(CASE WHEN ok_topfrac THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_topfrac,
+       CAST(sum(CASE WHEN ok_stopwords THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopwords,
+       CAST(sum(CASE WHEN ok_words AND ok_wordlen AND ok_topfrac
+                      AND ok_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM r GROUP BY lang
+"""
+
+
+@register(
+    "curation_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("curation", "quality", "text"),
+    doc="Gopher rule-based quality suite (Rae et al. 2021 A1): "
+    "word-count bounds, mean-word-length band, most-frequent-word "
+    "fraction cap, and minimum distinct stopwords, reported as "
+    "per-language per-rule failure counts plus the all-rules keep "
+    "count. One corpus scan: explode → per-(doc, token) counts "
+    "(map-side combine collapses each partition's token runs before "
+    "the exchange) → per-doc stats → per-lang rollup; shuffle rows "
+    "shrink at every stage and the corpus text never moves twice. "
+    "Every signal — including mean word length — is exact integer "
+    "arithmetic, so the suite value-hashes with no float drift.",
+)
+def curation_gopher_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cnt = tok.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").alias("c")
+    )
+    stop_set = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum(F.length("tok") * F.col("c"))
+        .cast("bigint")
+        .alias("sum_chars"),
+        F.sum(
+            F.when(F.array_contains(stop_set, F.col("tok")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ok_words = (F.col("n_tok") >= GOPHER_MIN_WORDS) & (
+        F.col("n_tok") <= GOPHER_MAX_WORDS
+    )
+    ok_wordlen = (
+        F.col("sum_chars") * 10 >= GOPHER_MWL_MIN_X10 * F.col("n_tok")
+    ) & (F.col("sum_chars") * 10 <= GOPHER_MWL_MAX_X10 * F.col("n_tok"))
+    ok_topfrac = F.col("max_c") * GOPHER_TOP_FRAC_DEN <= F.col("n_tok")
+    ok_stop = F.col("n_stop") >= GOPHER_MIN_STOP
+    flags = per_doc.select(
+        "lang",
+        ok_words.alias("ok_words"),
+        ok_wordlen.alias("ok_wordlen"),
+        ok_topfrac.alias("ok_topfrac"),
+        ok_stop.alias("ok_stopwords"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ok_words"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("fail_words"),
+        F.sum(F.when(F.col("ok_wordlen"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("fail_wordlen"),
+        F.sum(F.when(F.col("ok_topfrac"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("fail_topfrac"),
+        F.sum(F.when(F.col("ok_stopwords"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("fail_stopwords"),
+        F.sum(
+            F.when(
+                F.col("ok_words")
+                & F.col("ok_wordlen")
+                & F.col("ok_topfrac")
+                & F.col("ok_stopwords"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+
+
+def _clustering_oracle() -> str:
+    """Local clustering coefficient over the same chunk graph: the
+    triangle CTEs verbatim (same degree-oriented order), then
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)) bucketed ×10 via exact BIGINT
+    floor division — no float ever materializes."""
+    return f"""{_chunk_graph_prefix()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN e.v ELSE e.u END AS b,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         THEN dv.d ELSE du.d END AS bd
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tris AS (
+  SELECT o1.a, o1.b AS y, o2.b AS z
+  FROM ori o1
+  JOIN ori o2 ON o1.a = o2.a
+   AND (o1.bd < o2.bd OR (o1.bd = o2.bd AND o1.b < o2.b))
+  JOIN ori oc ON oc.a = o1.b AND oc.b = o2.b
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT y AS node FROM tris
+    UNION ALL SELECT z AS node FROM tris
+  )
+  GROUP BY node
+)
+SELECT CAST(least(
+         (20 * coalesce(t.n_triangles, 0)) // (g.d * (g.d - 1)), 9)
+       AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM deg g LEFT JOIN tcnt t ON t.node = g.node
+WHERE g.d >= 2
+GROUP BY 1
+"""
+
+
+@register(
+    "graph_clustering_coeff_buckets",
+    oracle=_clustering_oracle(),
+    tags=("curation", "graph"),
+    doc="Local clustering coefficient c(v) = 2·T(v)/(d(v)·(d(v)−1)) "
+    "over the duplicate-chunk graph, bucketed ×10 into a histogram "
+    "(c≈1 → document sits inside a near-clique of duplicates; c≈0 "
+    "→ hub stitching unrelated near-dup groups). Reuses the "
+    "degree-oriented compact-forward triangle operator — O(m^1.5) "
+    "wedge bound, slim (node,node) shuffles — plus one broadcast-"
+    "sized degree join; the bucket is exact BIGINT floor division "
+    "(floor(10·c) = 20·T div d·(d−1)), so the histogram value-"
+    "hashes with no float drift.",
+)
+def graph_clustering_coeff_buckets(spark, sf_dir):
+    """Chunk-edge derivation duplicates graph_pagerank_dup_chunks'
+    pin-frozen inline construction (see graph_triangles_dup_chunks'
+    docstring); changes to the chunk/df-cap definition must touch
+    all three."""
+    from ..operators.graph import triangle_counts
+
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    und = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    tri = triangle_counts(und)
+    joined = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("t"),
+        )
+    )
+    bucket = F.least(
+        F.expr("CAST(20 * t AS BIGINT) div (d * (d - 1))"), F.lit(9)
+    ).cast("bigint")
+    return (
+        joined.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -1036,3 +1036,129 @@ for _name, _fn, _osql in (
     # hash to cover the real (source, oracle) pair.
     _REG2[_name].oracle = _osql
     _REG2[_name].impl_hash = _impl_hash(_source_of(_fn), _osql)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, data selection via
+# importance resampling)
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 256  # hashed-unigram feature space
+
+def _dsir_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    b = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), occ AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+         ({_sql_hex_to_int(1)}) % {b} AS bucket
+  FROM (SELECT doc_id, source, lang, md5(tok) AS d FROM tok)
+), bc AS (
+  SELECT bucket,
+         CAST(sum(is_tgt) AS BIGINT) AS t_b,
+         CAST(sum(1 - is_tgt) AS BIGINT) AS s_b
+  FROM occ GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(t_b) AS BIGINT) AS tt,
+         CAST(sum(s_b) AS BIGINT) AS st
+  FROM bc
+), lr AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(t_b + 1 AS DOUBLE) / CAST(tt + {b} AS DOUBLE))
+                   - ln(CAST(s_b + 1 AS DOUBLE) / CAST(st + {b} AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS lr_micro
+  FROM bc, tot
+), scored AS (
+  SELECT o.doc_id, o.source,
+         CAST(sum(l.lr_micro) AS BIGINT) AS w_micro
+  FROM occ o JOIN lr l USING (bucket)
+  GROUP BY o.doc_id, o.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w_micro) AS BIGINT) AS total_w_micro
+FROM scored GROUP BY source
+"""
+
+
+@register(
+    "mixture_dsir_weights",
+    oracle=_dsir_oracle(),
+    tags=("training", "mixture", "text"),
+    doc="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+    "bag-of-words importance log-ratio log p_target(x)/p_raw(x) — "
+    "target = English docs, raw = the rest — Laplace-smoothed over "
+    f"{DSIR_BUCKETS} md5 buckets, per-doc weight summed in integer "
+    "micro-nats, rolled up per source. Determinism follows the "
+    "unigram-LM precedent: each DISTINCT per-bucket log-ratio "
+    "quantizes to BIGINT micro-nats BEFORE the per-doc sum, so at "
+    f"most {DSIR_BUCKETS} ln() calls are ever hashed (1-ulp libm "
+    "noise ~1e-9 micro-nats, far from the .5 boundary) and every "
+    "downstream sum is exact fold-order-independent BIGINT. Scale "
+    "shape: pass 1 collapses map-side to <=256 bucket stats per "
+    "partition; pass 2 scores token occurrences against the "
+    "broadcast 256-row log-ratio table and partial-aggregates to "
+    "per-doc rows — the corpus text shuffles in neither pass.",
+)
+def mixture_dsir_weights(spark, sf_dir):
+    b = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_tgt"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    occ = tok.select(
+        "doc_id",
+        "source",
+        "is_tgt",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 14), 16, 10)
+            .cast("bigint")
+            % b
+        ).alias("bucket"),
+    )
+    bc = occ.groupBy("bucket").agg(
+        F.sum("is_tgt").cast("bigint").alias("t_b"),
+        F.sum(1 - F.col("is_tgt")).cast("bigint").alias("s_b"),
+    )
+    tot = bc.agg(
+        F.sum("t_b").cast("bigint").alias("tt"),
+        F.sum("s_b").cast("bigint").alias("st"),
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("t_b") + 1).cast("double")
+                    / (F.col("tt") + b).cast("double")
+                )
+                - F.log(
+                    (F.col("s_b") + 1).cast("double")
+                    / (F.col("st") + b).cast("double")
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_micro").cast("bigint").alias("w_micro"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w_micro").cast("bigint").alias("total_w_micro"),
+    )

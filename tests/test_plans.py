@@ -269,6 +269,25 @@ class TestShuffleBudget:
             # distance fold runs per-row against the broadcast
             # centroid arrays — the corpus never shuffles
             ("embedding_label_outliers", 3),
+            # Gopher rule suite: explode → (doc, tok) counts (map-side
+            # combined) → per-doc stats → per-lang rollup; shuffle
+            # rows shrink at every hop, corpus text moves never
+            ("curation_gopher_rules", 3),
+            # clustering coefficient: the chunk-graph build + the
+            # compact-forward triangle chain + the degree join and
+            # final bucket rollup; every exchanged row is a (node,
+            # node) long pair or a 32-char chunk hash — the decomposed
+            # graph pipeline's cost, not a corpus shuffle
+            ("graph_clustering_coeff_buckets", 15),
+            # blocked fuzzy ER: pairwise work runs over the DISTINCT
+            # (name, freq) table — one groupBy to build it, one final
+            # per-block rollup; the pair join itself is broadcast
+            ("er_blocked_fuzzy_matches", 2),
+            # DSIR: bucket-stat pass collapses map-side to <=256 rows
+            # per partition; scoring joins the broadcast 256-row
+            # log-ratio table and partial-aggregates per doc — the
+            # corpus text shuffles in neither pass
+            ("mixture_dsir_weights", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
