@@ -1814,3 +1814,77 @@ def er_blocked_fuzzy_matches(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA (deterministic sequential fold per key)
+# ---------------------------------------------------------------------------
+EWMA_TAIL = 64  # bounded state: fold only the last N events per user
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vq, ts, event_id
+  FROM events
+), l AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list(vq ORDER BY ts, event_id) AS vs
+  FROM e GROUP BY user_id
+), t AS (
+  SELECT user_id, n_events,
+         list_slice(vs, greatest(len(vs) - {EWMA_TAIL - 1}, 1), len(vs))
+           AS tail
+  FROM l
+)
+SELECT user_id, n_events,
+       CAST(list_reduce(tail, (a, b) -> (a + b) >> 1) AS BIGINT)
+         AS ewma_milli
+FROM t
+"""
+
+
+@register(
+    "events_ewma_fixedpoint",
+    oracle=_EWMA_ORACLE,
+    tags=("advanced", "window", "temporal", "fold"),
+    doc="Per-user exponentially-weighted moving average as a "
+    "deterministic sequential fold: values quantize to integer "
+    "milli-units, events order by (ts, event_id), and the running "
+    "state halves via bit-shift — ew := (ew + v) >> 1 — so the fold "
+    "is exact integer arithmetic with zero float drift (values are "
+    "non-negative, so shift = floor division on both engines). "
+    "State is bounded by construction: only the LAST 64 events per "
+    "user enter the fold (one EWMA half-life per step decays "
+    "earlier events below milli resolution anyway), so the "
+    "collect-sort-fold stays O(64) per key no matter how hot the "
+    "key — the bounded-tail discipline a true sequential operator "
+    "needs at scale, vs. the associative partial-agg path that "
+    "EWMA's floor rounding does not admit. One shuffle on user_id.",
+)
+def events_ewma_fixedpoint(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vq"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "vq"))
+        ).alias("s"),
+    )
+    vs = F.transform(F.col("s"), lambda x: x["vq"])
+    tail = F.slice(
+        vs,
+        F.greatest(F.size(vs) - (EWMA_TAIL - 1), F.lit(1)),
+        F.lit(EWMA_TAIL),
+    )
+    ew = F.aggregate(
+        F.slice(tail, F.lit(2), F.greatest(F.size(tail) - 1, F.lit(0))),
+        F.element_at(tail, 1),
+        lambda acc, x: F.shiftright(acc + x, 1),
+    )
+    return per_user.select(
+        "user_id", "n_events", ew.cast("bigint").alias("ewma_milli")
+    )

@@ -1091,3 +1091,88 @@ def multimodal_frame_counts(spark, sf_dir):
             .alias("n_frames"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-k terms per document)
+# ---------------------------------------------------------------------------
+TFIDF_TOPK = 5
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), idf AS (
+  SELECT term,
+         CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                    * 1e6) AS BIGINT) AS idf_micro
+  FROM df, n
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf * i.idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf * i.idf_micro DESC, t.term)
+           AS rnk
+  FROM tf t JOIN idf i USING (term)
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, score_micro
+FROM scored WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=_TFIDF_ORACLE,
+    tags=("northstar", "text", "ranking"),
+    doc="TF-IDF keyword extraction: the top-5 highest-scoring terms "
+    "per document, score = tf · round(ln(N/df)·1e6) — the idf "
+    "quantizes to integer micro-nats per DISTINCT df value (a few "
+    "dozen ln() calls total, following the unigram-LM determinism "
+    "precedent), so every score is an exact BIGINT product and ties "
+    "break on the term string. Scale shape: (doc, term) counts "
+    "map-side combine before their exchange; the vocabulary idf "
+    "table is broadcast back onto them; the per-doc top-k compiles "
+    "to WindowGroupLimit so each partition keeps only k candidates "
+    "per document before the rank shuffle.",
+)
+def text_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double") / F.col("df").cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "rnk", "score_micro")
+    )

@@ -288,6 +288,13 @@ class TestShuffleBudget:
             # log-ratio table and partial-aggregates per doc — the
             # corpus text shuffles in neither pass
             ("mixture_dsir_weights", 5),
+            # TF-IDF top-k: (doc, term) tf counts + vocab df rollup +
+            # the broadcast idf join + per-doc rank (WindowGroupLimit
+            # keeps k per partition pre-shuffle, pinned below)
+            ("text_tfidf_topk", 5),
+            # EWMA fold: ONE shuffle on user_id; the sort + bounded
+            # 64-element tail fold are per-row array expressions
+            ("events_ewma_fixedpoint", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -396,6 +403,13 @@ class TestScaleShapes:
         plan = plan_of(spark, "agg_kmv_distinct", mode="simple")
         _, _, below = plan.partition("Exchange hashpartitioning")
         assert "WindowGroupLimit" in below, plan
+
+    def test_tfidf_topk_partial_shape(self, spark):
+        """TF-IDF's per-doc rank must compile to WindowGroupLimit so
+        each partition keeps only k scored terms per document before
+        the rank shuffle — top-k volume, not vocabulary volume."""
+        plan = plan_of(spark, "text_tfidf_topk", mode="simple")
+        assert "WindowGroupLimit" in plan, plan
 
     def test_quantile_sketch_partial_topk_shape(self, spark):
         """Same mergeable shape for the quantile sketch: each
