@@ -90,6 +90,19 @@ HEADLINE = [
     # algebra from day one.
     "pipeline_training_corpus_v2",
     "agg_kmv_source_overlap",
+    # Round-6 second wave: the Gopher rule suite (one-scan integer
+    # quality signals), clustering-coefficient histogram (triangle
+    # chain + degree join), blocked fuzzy ER (distinct-value pair
+    # space), DSIR importance weights (two-pass broadcast model),
+    # TF-IDF top-k (WindowGroupLimit rank), and the bounded-tail
+    # EWMA fold — pinned so the regression gate covers each new
+    # family from day one.
+    "curation_gopher_rules",
+    "graph_clustering_coeff_buckets",
+    "er_blocked_fuzzy_matches",
+    "mixture_dsir_weights",
+    "text_tfidf_topk",
+    "events_ewma_fixedpoint",
 ]
 
 

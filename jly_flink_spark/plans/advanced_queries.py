@@ -1888,3 +1888,142 @@ def events_ewma_fixedpoint(spark, sf_dir):
     return per_user.select(
         "user_id", "n_events", ew.cast("bigint").alias("ewma_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs
+  GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST((p.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    tags=("advanced", "sequence", "window", "markov"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() pairs each event with its successor in "
+    "(ts, event_id) order, transitions count per (from, to) type, "
+    "and the row-conditional probability lands as exact parts-per-"
+    "million via BIGINT floor division — no float path. Scale "
+    "shape: ONE corpus shuffle (the per-user sequence window); the "
+    "pair counts partial-aggregate map-side to at most "
+    "|types|² rows per partition and the row-total join is "
+    "broadcast model-state, so everything downstream of the window "
+    "moves O(|types|²) rows regardless of corpus size.",
+)
+def events_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST(n * 1000000 AS BIGINT) div tot").alias("prob_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto front / skyline (cheapest-and-largest parts per brand)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH p AS (
+  SELECT p_brand, p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+), m AS (
+  SELECT p_brand, p_partkey, p_size, price_c,
+         max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS m_cheaper,
+         max(p_size) OVER (PARTITION BY p_brand, price_c) AS m_same
+  FROM p
+)
+SELECT p_brand, p_partkey
+FROM m
+WHERE coalesce(m_cheaper >= p_size, FALSE) = FALSE
+  AND m_same <= p_size
+"""
+
+
+@register(
+    "pareto_front_parts",
+    oracle=_PARETO_ORACLE,
+    tags=("advanced", "window", "skyline"),
+    doc="2-D skyline (Pareto front) per brand: parts not dominated "
+    "on (price low, size high) — q dominates p when q is no more "
+    "expensive and no smaller, strictly better in one. Computed "
+    "WITHOUT the naive O(n²) dominance self-join: sort each brand "
+    "by price and take two window maxima — the running max size "
+    "over STRICTLY cheaper parts (RANGE frame to 1 preceding, so "
+    "price ties stay out) and the max size within the same price "
+    "point — a part is on the front iff neither dominates it. "
+    "O(n log n) per brand, one shuffle on p_brand, price in exact "
+    "BIGINT cents. The window-staircase rewrite IS the scale story: "
+    "the quadratic formulation dies at 100 TB, this one is a sort.",
+)
+def pareto_front_parts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_c")
+    m = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("m_cheaper"),
+        F.max("p_size").over(w_same).alias("m_same"),
+    )
+    return m.filter(
+        F.coalesce(F.col("m_cheaper") >= F.col("p_size"), F.lit(False))
+        == F.lit(False)
+    ).filter(F.col("m_same") <= F.col("p_size")).select(
+        "p_brand", "p_partkey"
+    )

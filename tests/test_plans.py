@@ -295,6 +295,13 @@ class TestShuffleBudget:
             # EWMA fold: ONE shuffle on user_id; the sort + bounded
             # 64-element tail fold are per-row array expressions
             ("events_ewma_fixedpoint", 1),
+            # Markov transitions: ONE corpus shuffle (per-user lead
+            # window); pair counts partial-aggregate to <=|types|^2
+            # rows per partition and the row-total join is broadcast
+            ("events_transition_matrix", 5),
+            # skyline: the window-staircase rewrite — one shuffle on
+            # p_brand, no dominance self-join anywhere in the plan
+            ("pareto_front_parts", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

@@ -582,3 +582,64 @@ def test_bpe_training_matches_python_on_random_corpora(spark, texts):
         for r in bpe_train_merges(docs, rounds=4).collect()
     )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Skyline window rewrite ≡ brute-force dominance
+# ---------------------------------------------------------------------------
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # price (coarse → ties)
+            st.integers(min_value=0, max_value=8),  # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pareto_window_rewrite_equals_bruteforce(pts):
+    """pareto_front_parts' two-window staircase must equal the naive
+    NOT EXISTS dominance definition on arbitrary point sets — the
+    coarse value grid forces heavy price AND size ties, the case the
+    RANGE frame / same-price-group split exists for. Checked in
+    DuckDB (same SQL semantics both engines; the oracle-parity test
+    covers the Spark mirror)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (pk INT, price_c BIGINT, sz INT)")
+    con.executemany(
+        "INSERT INTO p VALUES (?, ?, ?)",
+        [(i, pr, sz) for i, (pr, sz) in enumerate(pts)],
+    )
+    brute = con.execute(
+        """
+        SELECT pk FROM p a WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+            AND (b.price_c < a.price_c OR b.sz > a.sz))
+        ORDER BY pk
+        """
+    ).fetchall()
+    win = con.execute(
+        """
+        WITH m AS (
+          SELECT pk, sz,
+                 max(sz) OVER (ORDER BY price_c
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS m_cheaper,
+                 max(sz) OVER (PARTITION BY price_c) AS m_same
+          FROM p
+        )
+        SELECT pk FROM m
+        WHERE coalesce(m_cheaper >= sz, FALSE) = FALSE AND m_same <= sz
+        ORDER BY pk
+        """
+    ).fetchall()
+    con.close()
+    assert win == brute
