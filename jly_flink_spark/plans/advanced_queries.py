@@ -2027,3 +2027,109 @@ def pareto_front_parts(spark, sf_dir):
     ).filter(F.col("m_same") <= F.col("p_size")).select(
         "p_brand", "p_partkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD, exact integer ranks)
+# ---------------------------------------------------------------------------
+MAD_K = 3  # flag when |v - median| > K * MAD
+
+_MAD_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vq
+  FROM events
+), r AS (
+  SELECT event_type, vq,
+         row_number() OVER (PARTITION BY event_type ORDER BY vq)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), med AS (
+  SELECT event_type, vq AS med_milli FROM r WHERE rn = (n + 1) // 2
+), a AS (
+  SELECT e.event_type, abs(e.vq - m.med_milli) AS adev, m.med_milli
+  FROM e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, adev, med_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM a
+), mad AS (
+  SELECT event_type, med_milli, adev AS mad_milli
+  FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN a.adev > {MAD_K} * m.mad_milli
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       m.med_milli, m.mad_milli
+FROM a JOIN mad m USING (event_type)
+GROUP BY a.event_type, m.med_milli, m.mad_milli
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    tags=("advanced", "quality", "statistics", "window"),
+    doc="Robust outlier detection per event type: median / median-"
+    "absolute-deviation (the estimator that survives the outliers "
+    "it hunts, unlike mean/stddev), flagging events with "
+    "|v − median| > 3·MAD. Values quantize to integer milli-units "
+    "and both medians are the EXACT lower-median rank element "
+    "(row_number = (n+1) div 2) — pure integer arithmetic end to "
+    "end, no interpolation, no float drift. Scale shape: two rank "
+    "windows partitioned by event_type (each one shuffle of slim "
+    "(type, vq) rows) and broadcast joins of the |types|-row "
+    "median/MAD tables back onto the stream; at production "
+    "cardinalities the rank windows would swap for the mergeable "
+    "quantile sketch (agg_quantile_sketch) — this query is the "
+    "exact-twin anchor for that approximation.",
+)
+def events_anomaly_mad(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vq"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vq")
+    wc = Window.partitionBy("event_type")
+    med = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .filter(F.col("rn") == F.expr("CAST(n + 1 AS BIGINT) div 2"))
+        .select("event_type", F.col("vq").alias("med_milli"))
+    )
+    a = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_milli",
+        F.abs(F.col("vq") - F.col("med_milli")).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev")
+    mad = (
+        a.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count("*").over(wc))
+        .filter(F.col("rn") == F.expr("CAST(n + 1 AS BIGINT) div 2"))
+        .select("event_type", "med_milli", F.col("adev").alias("mad_milli"))
+    )
+    return (
+        a.select("event_type", "adev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_milli", "mad_milli")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad_milli"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "event_type", "n_events", "n_anomalies",
+            "med_milli", "mad_milli",
+        )
+    )

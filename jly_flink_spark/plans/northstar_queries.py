@@ -1176,3 +1176,244 @@ def text_tfidf_topk(spark, sf_dir):
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .select("doc_id", "term", "rnk", "score_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (exact integer, partition GEMM)
+# ---------------------------------------------------------------------------
+COV_Q = 10_000  # component quantization; n·q̄² must stay in int64 —
+# safe to corpora of ~5e5 vectors at this Q (bound in the docstring)
+
+_COV_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * {COV_Q}) AS BIGINT))
+           AS ql
+  FROM embeddings
+), flat AS (
+  SELECT vec_id, i, ql[i] AS q
+  FROM qs, unnest(generate_series(1, len(ql))) AS t(i)
+), sx AS (
+  SELECT i, CAST(sum(q) AS BIGINT) AS s FROM flat GROUP BY i
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+), sxy AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+  FROM flat a JOIN flat b
+    ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(x.i AS INT) AS i, CAST(x.j AS INT) AS j,
+       n.n * x.p - si.s * sj.s AS cov_q
+FROM sxy x
+JOIN sx si ON si.i = x.i
+JOIN sx sj ON sj.i = x.j
+CROSS JOIN n
+"""
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle=_COV_ORACLE,
+    tags=("northstar", "embedding", "linalg", "pandas_udf"),
+    doc="Exact integer covariance matrix of the embedding corpus "
+    "(upper triangle, 1-based dims): components quantize to 1e4 "
+    "fixed-point and the scaled covariance is the division-free "
+    "n·Σxy − Σx·Σy — pure BIGINT, so the d² matrix value-hashes "
+    "bit-exactly (int64-safe to ~5e5 vectors at this Q; beyond "
+    "that, re-quantize or widen to decimal). Scale shape: ONE "
+    "corpus scan through an Arrow-batched mapInPandas GEMM — each "
+    "partition emits its d×d int64 Qᵀ Q partial plus column sums "
+    "(O(partitions·d²) rows total, zero corpus shuffle), and the "
+    "final (i, j) rollup moves model-state only. The same "
+    "X-never-shuffles pattern as the per-label centroids, upgraded "
+    "to the full second-moment matrix — the input PCA, whitening, "
+    "and Mahalanobis outlier scoring all start from.",
+)
+def embedding_covariance_matrix(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..io import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
+
+    def gemm_parts(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if mat.ndim != 2:
+                raise ValueError(
+                    "ragged embedding input in covariance GEMM"
+                )
+            q = np.floor(mat * COV_Q).astype(np.int64)
+            d = q.shape[1]
+            m = q.T @ q
+            iu, ju = np.triu_indices(d)
+            sx = q.sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    # products (1-based i<=j), column sums (j=-1),
+                    # and the batch row count (i=j=-1) share one
+                    # output stream — a single corpus scan
+                    "i": np.concatenate(
+                        [iu + 1, np.arange(1, d + 1), [-1]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju + 1, np.full(d, -1), [-1]]
+                    ).astype(np.int32),
+                    "v": np.concatenate(
+                        [m[iu, ju], sx, [len(pdf)]]
+                    ).astype(np.int64),
+                }
+            )
+
+    parts = emb.mapInPandas(gemm_parts, schema="i int, j int, v long")
+    parts = parts.localCheckpoint(eager=False)
+    sxy = (
+        parts.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("bigint").alias("p"))
+    )
+    sx = (
+        parts.filter((F.col("j") == -1) & (F.col("i") >= 0))
+        .groupBy("i")
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    n = parts.filter(F.col("i") == -1).agg(
+        F.sum("v").cast("bigint").alias("n")
+    )
+    si = sx.select(F.col("i").alias("_si"), F.col("s").alias("s_i"))
+    sj = sx.select(F.col("i").alias("_sj"), F.col("s").alias("s_j"))
+    return (
+        sxy.join(F.broadcast(si), F.col("i") == F.col("_si"))
+        .join(F.broadcast(sj), F.col("j") == F.col("_sj"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n") * F.col("p") - F.col("s_i") * F.col("s_j")
+            ).alias("cov_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA top eigenvector (fixed-point power iteration over the d×d
+# covariance — model-state iterations, corpus touched once)
+# ---------------------------------------------------------------------------
+PCA_ITERS = 6
+PCA_W = 1_000_000  # fixed-point scale of the iterated vector
+
+
+def _tdiv(a: str, b: str) -> str:
+    """DuckDB fragment: integer division matching Spark's `div`.
+    Both engines TRUNCATE toward zero (probed: -7//2 = -3 in DuckDB,
+    -7 div 2 = -3 in Spark), so the operator maps verbatim."""
+    return f"(({a}) // ({b}))"
+
+
+def _pca_oracle() -> str:
+    cov_body = _COV_ORACLE.strip()
+    # Re-use the covariance query verbatim as a prefix CTE.
+    assert cov_body.startswith("WITH ")
+    prefix = cov_body[len("WITH "):]
+    head, _, tail = prefix.rpartition(")\nSELECT")
+    final_select = "SELECT" + tail  # the covariance SELECT list
+    sql = f"""
+WITH {head}), covf AS MATERIALIZED (
+  {final_select}
+), covfull AS (
+  SELECT i, j, cov_q FROM covf
+  UNION ALL
+  SELECT j AS i, i AS j, cov_q FROM covf WHERE i <> j
+), mc AS (
+  SELECT greatest(max(abs(cov_q)) // {PCA_W}, 1) AS dv FROM covfull
+), c AS MATERIALIZED (
+  SELECT i, j, {_tdiv('cov_q', 'dv')} AS c FROM covfull, mc
+), w0 AS (
+  SELECT DISTINCT i, CAST({PCA_W} AS BIGINT) AS w FROM c
+)"""
+    for t in range(1, PCA_ITERS + 1):
+        sql += f""", u{t} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * w.w) AS BIGINT) AS u
+  FROM c JOIN w{t - 1} w ON w.i = c.j GROUP BY c.i
+), m{t} AS (
+  SELECT greatest(max(abs(u)) // {PCA_W}, 1) AS dv FROM u{t}
+), w{t} AS (
+  SELECT i, {_tdiv('u', 'dv')} AS w FROM u{t}, m{t}
+)"""
+    sql += f"""
+SELECT CAST(i AS INT) AS i, CAST(w AS BIGINT) AS w_q FROM w{PCA_ITERS}
+"""
+    return sql
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    tags=("northstar", "embedding", "linalg", "iterative"),
+    doc="Top principal direction of the embedding corpus by "
+    f"fixed-point power iteration: {PCA_ITERS} unrolled w ← C·w "
+    "steps over the exact integer covariance matrix, renormalizing "
+    "to 1e6 fixed-point via truncating division each step (Spark "
+    "div ≡ the oracle's emulated trunc-div, so every iterate is "
+    "bit-identical cross-engine — the PageRank/GD discipline "
+    "applied to spectral methods). Scale shape: the corpus is "
+    "touched EXACTLY once (the covariance GEMM pass); every "
+    "iteration is O(d²) model-state — 4 096-row joins against the "
+    "broadcast 64-row vector — so iteration cost is independent of "
+    "corpus size, the only shape that survives 100 TB for an "
+    "iterative spectral solver.",
+)
+def embedding_pca_power(spark, sf_dir):
+    cov = embedding_covariance_matrix(spark, sf_dir)
+    covfull = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov_q"
+        )
+    )
+    mc = covfull.agg(
+        F.greatest(
+            F.expr(f"max(abs(cov_q)) div {PCA_W}"), F.lit(1)
+        ).alias("dv")
+    )
+    c = (
+        covfull.crossJoin(F.broadcast(mc))
+        .select("i", "j", F.expr("cov_q div dv").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = c.select("i").distinct().select(
+        "i", F.lit(PCA_W).cast("bigint").alias("w")
+    )
+    for _ in range(PCA_ITERS):
+        u = (
+            c.join(
+                F.broadcast(
+                    w.select(F.col("i").alias("j"), F.col("w"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("u"))
+            # u feeds BOTH the norm aggregate and the next iterate —
+            # checkpoint so each iteration's plan is O(1), not a
+            # doubling chain (the pagerank_fixed discipline)
+            .localCheckpoint(eager=False)
+        )
+        m = u.agg(
+            F.greatest(
+                F.expr(f"max(abs(u)) div {PCA_W}"), F.lit(1)
+            ).alias("dv")
+        )
+        w = u.crossJoin(F.broadcast(m)).select(
+            "i", F.expr("u div dv").alias("w")
+        )
+    return w.select("i", F.col("w").cast("bigint").alias("w_q"))

@@ -302,6 +302,18 @@ class TestShuffleBudget:
             # skyline: the window-staircase rewrite — one shuffle on
             # p_brand, no dominance self-join anywhere in the plan
             ("pareto_front_parts", 1),
+            # median/MAD: two rank windows over slim (type, vq) rows
+            # + the final rollup; the |types|-row median and MAD
+            # tables ride back as broadcasts
+            ("events_anomaly_mad", 4),
+            # covariance GEMM: the corpus rides ONE mapInPandas scan;
+            # the exchanges move O(partitions*d^2) partial-sum rows
+            # (products + column sums + counts) and model-state joins
+            ("embedding_covariance_matrix", 4),
+            # power iteration: everything behind the checkpointed
+            # rescaled matrix is O(d^2) model state; the visible
+            # exchange is the final distinct over 64 dims
+            ("embedding_pca_power", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
