@@ -2133,3 +2133,86 @@ def events_anomaly_mad(spark, sf_dir):
             "med_milli", "mad_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS od,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(cents) AS BIGINT) AS m_cents,
+         (SELECT max(od) FROM o) - max(od) AS days_since
+  FROM o GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY days_since DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY m_cents, o_custkey) AS m_score
+  FROM base
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("advanced", "window", "segmentation"),
+    doc="RFM segmentation: per customer, recency (days since last "
+    "order, anchored to the corpus max day — epoch-day integers), "
+    "frequency (order count) and monetary value (exact cents), each "
+    "cut into quintiles by ntile(5) with the customer key as a "
+    "total-order tiebreak (ntile is deterministic only under a "
+    "total order — both engines use the standard "
+    "front-loaded-bucket rule), rolled up to segment counts. Scale "
+    "shape: one aggregation on o_custkey, then three rank windows "
+    "over the |customers|-row metric table — the fact table "
+    "shuffles once; at production scale the global ntile would swap "
+    "for quantile-sketch boundaries (agg_quantile_sketch), with "
+    "this exact form as its anchor twin.",
+)
+def customer_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("f"),
+        F.sum("cents").cast("bigint").alias("m_cents"),
+        F.max("od").alias("last_day"),
+    )
+    anchor = o.agg(F.max("od").alias("max_day"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "f",
+        "m_cents",
+        (F.col("max_day") - F.col("last_day")).alias("days_since"),
+    )
+    wr = Window.orderBy(F.col("days_since").desc(), F.col("o_custkey"))
+    wf = Window.orderBy("f", "o_custkey")
+    wm = Window.orderBy("m_cents", "o_custkey")
+    scored = base.select(
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

@@ -314,6 +314,11 @@ class TestShuffleBudget:
             # rescaled matrix is O(d^2) model state; the visible
             # exchange is the final distinct over 64 dims
             ("embedding_pca_power", 2),
+            # RFM: ONE fact shuffle (per-customer agg); the three
+            # global ntile windows rank the |customers|-row metric
+            # table (documented single-partition anchor; sketch
+            # boundaries replace it at production cardinality)
+            ("customer_rfm_segments", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
