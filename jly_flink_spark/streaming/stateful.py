@@ -19,6 +19,9 @@ Operators:
 - `kmv_distinct_stream`: incremental KMV distinct-count sketch per
   group (the streaming form of the batch `agg_kmv_distinct` query),
   idempotent under replayed batches.
+- `ewma_stream`: the bounded-tail fixed-point EWMA fold (streaming
+  form of `events_ewma_fixedpoint`) — converges to the batch answer
+  under out-of-order and duplicated delivery.
 
 State is kept per key, partitioned by the groupBy hash shuffle — at
 cluster scale state shards across executors and lives in the state
@@ -560,6 +563,83 @@ def quantile_sketch_stream(
         fn,
         outputStructType=out_schema,
         stateStructType=_QSK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EWMA_STATE = "ks array<long>, ids array<long>, vqs array<long>"
+
+
+def ewma_stream(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    vq_col: str = "vq",
+    tail: int = 64,
+) -> DataFrame:
+    """Streaming form of the batch `events_ewma_fixedpoint` fold:
+    per key, state is the (ts, event_id, vq)-sorted tail of the last
+    `tail` events, and every batch that changes the tail re-emits the
+    bit-shift EWMA over it — ew := (ew + v) >> 1 in event order.
+
+    Exactness and replay story: membership in the last-`tail` window
+    is a deterministic function of the (ts, id) order, so merging is
+    idempotent under replayed/duplicated delivery (a dict keyed by
+    (ts, id) absorbs duplicates) and OUT-OF-ORDER arrivals converge
+    to the batch answer — a late event either still belongs to the
+    tail (it displaces the evicted minimum exactly as the batch sort
+    would) or sorts before a full tail's minimum, where the batch
+    fold would not include it either. After any prefix of the stream,
+    the emitted value equals the batch query on the same rows —
+    `tests/test_stateful_streaming.py` pins this against the
+    registry query. State is bounded at 3·`tail` longs per key."""
+
+    out_schema = f"{key_col} long, ewma_milli long, n_tail long"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, ids, vqs = state.get
+            seen = {
+                (int(k), int(i)): int(v)
+                for k, i, v in zip(ks, ids, vqs)
+            }
+        else:
+            seen = {}
+        before = sorted(seen)
+        for pdf in pdfs:
+            for k, i, v in zip(
+                pdf[ts_col], pdf[id_col], pdf[vq_col]
+            ):
+                seen[(int(k), int(i))] = int(v)
+        order = sorted(seen)[-tail:]
+        if order != before:
+            state.update(
+                (
+                    [k for k, _ in order],
+                    [i for _, i in order],
+                    [seen[t] for t in order],
+                )
+            )
+            vals = [seen[t] for t in order]
+            ew = vals[0]
+            for v in vals[1:]:
+                ew = (ew + v) >> 1
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "ewma_milli": [ew],
+                    "n_tail": [len(vals)],
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_EWMA_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

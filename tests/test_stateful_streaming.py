@@ -878,3 +878,110 @@ class TestQuantileSketchStream:
         union_ref = self._batch_reference(spark, b1 + b2, k=8)["g"]
         assert emissions[-1]["g"] == union_ref
         assert len(emissions) <= 2
+
+
+class TestEwmaStream:
+    """Streaming EWMA fold == the batch events_ewma_fixedpoint query
+    on the same rows, including out-of-order and duplicated
+    delivery."""
+
+    def _run(self, spark, tmp_path, batches, name):
+        from jly_flink_spark.streaming.stateful import ewma_stream
+
+        src = str(tmp_path / f"src_{name}")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_ms long, event_id long, vq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = []
+        q = (
+            ewma_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return out
+
+    @staticmethod
+    def _batch_rows(sf_dir):
+        """The batch-side rows: same quantization as the registry
+        query (floor(value*1000), epoch-millis ts)."""
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT user_id,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   event_id,
+                   CAST(floor(value * 1000) AS BIGINT) AS vq
+            FROM read_parquet('{sf_dir}/events.parquet')
+            """
+        ).fetchall()
+        con.close()
+        return [
+            {
+                "user_id": r[0],
+                "ts_ms": r[1],
+                "event_id": r[2],
+                "vq": r[3],
+            }
+            for r in rows
+        ]
+
+    def test_stream_matches_batch_query(self, spark, tmp_path):
+        sf_dir = "/root/testdata/sf0.001"
+        rows = self._batch_rows(sf_dir)
+        # Adversarial delivery: shuffle deterministically so batches
+        # interleave users and arrive out of event order, and replay
+        # the middle batch wholesale (at-least-once delivery).
+        rows.sort(key=lambda r: (r["event_id"] * 2654435761) % 2**32)
+        third = len(rows) // 3
+        batches = [
+            rows[:third],
+            rows[third : 2 * third],
+            rows[third : 2 * third],  # replayed batch
+            rows[2 * third :],
+        ]
+        out = self._run(spark, tmp_path, batches, "ewma_parity")
+        last = {}
+        for r in out:  # update mode: last emit per key wins
+            last[r.user_id] = r.ewma_milli
+
+        from jly_flink_spark.plans import REGISTRY
+
+        batch = {
+            r.user_id: r.ewma_milli
+            for r in REGISTRY["events_ewma_fixedpoint"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert last == batch
+
+    def test_late_event_outside_full_tail_is_ignored(
+        self, spark, tmp_path
+    ):
+        # 64 events fill the tail; a later-delivered event with an
+        # EARLIER ts than all of them must not change the fold (the
+        # batch query would not include it in the last-64 either).
+        first = [
+            {"user_id": 1, "ts_ms": 1000 + i, "event_id": i, "vq": 100}
+            for i in range(64)
+        ]
+        late = [{"user_id": 1, "ts_ms": 1, "event_id": 999, "vq": 0}]
+        out = self._run(
+            spark, tmp_path, [first, late], "ewma_late"
+        )
+        assert [r.ewma_milli for r in out] == [100]  # one emit only
