@@ -2142,7 +2142,7 @@ def events_anomaly_mad(spark, sf_dir):
 _RFM_ORACLE = """
 WITH o AS (
   SELECT o_custkey,
-         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS od,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS od,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
 ), base AS (
@@ -2215,4 +2215,75 @@ def customer_rfm_segments(spark, sf_dir):
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / returning / cumulative users per day)
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), firsts AS (
+  SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+), newd AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day
+), act AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM e GROUP BY day
+)
+SELECT a.day, a.n_active,
+       coalesce(nd.n_new, 0) AS n_new,
+       a.n_active - coalesce(nd.n_new, 0) AS n_returning,
+       CAST(sum(coalesce(nd.n_new, 0))
+            OVER (ORDER BY a.day) AS BIGINT) AS cum_users
+FROM act a LEFT JOIN newd nd ON nd.day = a.day
+"""
+
+
+@register(
+    "events_new_users_daily",
+    oracle=_GROWTH_ORACLE,
+    tags=("advanced", "window", "growth", "temporal"),
+    doc="Growth accounting: per epoch-day, active users, first-seen "
+    "(new) users, returning users, and the cumulative user count — "
+    "the standard new/returning/cumulative decomposition every "
+    "product-analytics stack runs. Scale shape: two aggregations "
+    "shuffle slim (user, day) pairs (first-seen and daily-active, "
+    "both map-side combined); everything after is |days|-row model "
+    "state, including the running-sum window — the global ordering "
+    "ranks days, never events.",
+)
+def events_new_users_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        "user_id",
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    newd = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    act = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    w = Window.orderBy("day")
+    return (
+        act.join(F.broadcast(newd), "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            (
+                F.col("n_active") - F.coalesce(F.col("n_new"), F.lit(0))
+            ).alias("n_returning"),
+        )
+        .withColumn(
+            "cum_users",
+            F.sum("n_new").over(w).cast("bigint"),
+        )
     )

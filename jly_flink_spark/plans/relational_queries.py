@@ -1061,3 +1061,109 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
         .groupBy(F.col("tok").alias("term"), F.col("cnt").alias("n_exact"))
         .agg(F.min("counter").cast("bigint").alias("n_cms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining (pairwise association rules)
+# ---------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 2  # pair must co-occur in >= 2 orders
+BASKET_MAX_ITEMS = 1_000  # degenerate-basket guard (like ER blocks)
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT b.* FROM baskets b
+  JOIN (SELECT l_orderkey FROM baskets GROUP BY l_orderkey
+        HAVING count(*) <= {BASKET_MAX_ITEMS}) k USING (l_orderkey)
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM sized
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM sized
+  GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM sized a JOIN sized b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       (p.n_ab * 1000000) // n.n_orders AS support_ppm,
+       (p.n_ab * 1000000) // sa.s AS conf_a_to_b_ppm,
+       (p.n_ab * n.n_orders * 1000000) // (sa.s * sb.s) AS lift_ppm
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
+@register(
+    "orders_basket_pairs",
+    oracle=_BASKET_ORACLE,
+    tags=("relational", "association", "join"),
+    doc="Pairwise market-basket mining over order line items: "
+    "co-occurrence count, support, directional confidence, and lift "
+    "for every part pair sharing >= 2 orders — all as exact "
+    "parts-per-million BIGINT floor divisions, no float path. Scale "
+    "shape: pairs generate basket-locally (a self-join on the order "
+    "key, so the work is Σ basket_size², bounded by the degenerate-"
+    "basket guard exactly like the ER block cap), pair counts "
+    "map-side combine before their exchange, and the item-support "
+    "and order-count tables ride back as broadcast model state — "
+    "the classic two-pass a-priori shape, never all-pairs over the "
+    "catalog.",
+)
+def orders_basket_pairs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= BASKET_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    sized = baskets.join(ok, "l_orderkey").localCheckpoint(eager=False)
+    n = sized.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    supp = sized.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    a = sized.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = sized.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("(n_ab * 1000000) div n_orders").alias("support_ppm"),
+            F.expr("(n_ab * 1000000) div s_a").alias("conf_a_to_b_ppm"),
+            F.expr(
+                "(n_ab * n_orders * 1000000) div (s_a * s_b)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -319,6 +319,13 @@ class TestShuffleBudget:
             # table (documented single-partition anchor; sketch
             # boundaries replace it at production cardinality)
             ("customer_rfm_segments", 3),
+            # basket pairs: distinct + the basket-local pair join on
+            # the order key + pair-count combine; support tables and
+            # the order count ride back as broadcasts
+            ("orders_basket_pairs", 5),
+            # growth accounting: two slim (user, day) aggregations;
+            # the running-sum window ranks |days| rows only
+            ("events_new_users_daily", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
