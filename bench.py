@@ -103,6 +103,19 @@ HEADLINE = [
     "mixture_dsir_weights",
     "text_tfidf_topk",
     "events_ewma_fixedpoint",
+    # Round-6 third wave: sequence/segmentation/statistics families
+    # (Markov transitions, skyline, median/MAD, RFM, basket pairs,
+    # growth accounting, ABC) and the linalg pair (partition-GEMM
+    # covariance + fixed-point PCA power iteration).
+    "events_transition_matrix",
+    "pareto_front_parts",
+    "events_anomaly_mad",
+    "customer_rfm_segments",
+    "orders_basket_pairs",
+    "events_new_users_daily",
+    "lineitem_abc_classes",
+    "embedding_covariance_matrix",
+    "embedding_pca_power",
 ]
 
 

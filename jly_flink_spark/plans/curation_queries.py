@@ -2432,3 +2432,96 @@ def graph_clustering_coeff_buckets(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic proportional interleave (training read order)
+# --------------------------------------------------------------------
+INTERLEAVE_WEIGHTS = {"web": 3, "books": 2, "code": 1}
+INTERLEAVE_LCM = 6  # lcm of the weights: stride_d = LCM / w_d
+INTERLEAVE_N = 100  # emitted prefix of the global order
+
+_ILV_STRIDES = " ".join(
+    f"WHEN '{d}' THEN {INTERLEAVE_LCM // w}"
+    for d, w in INTERLEAVE_WEIGHTS.items()
+)
+
+_INTERLEAVE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE CAST(substring(source, 4, 10) AS INT) % 3
+              WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+              ELSE 'code' END AS domain
+  FROM documents
+), r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM d
+), keyed AS (
+  SELECT doc_id, domain, rn,
+         (2 * rn - 1) * (CASE domain {_ILV_STRIDES} END) AS k
+  FROM r WHERE rn <= {INTERLEAVE_N}
+), pos AS (
+  SELECT doc_id, domain,
+         row_number() OVER (ORDER BY k, domain, rn) AS pos
+  FROM keyed
+)
+SELECT CAST(pos AS BIGINT) AS pos, domain, doc_id
+FROM pos WHERE pos <= {INTERLEAVE_N}
+"""
+
+
+@register(
+    "training_interleave_order",
+    oracle=_INTERLEAVE_ORACLE,
+    tags=("curation", "training", "mixture", "ordering"),
+    doc="Deterministic proportional interleave — the read order a "
+    "trainer consumes a weighted mixture in (weight 3:2:1 over "
+    "web/books/code): each domain's docs get a reproducible "
+    "hash-shuffled rank, doc k of domain d takes interleave key "
+    "(2k−1)·(LCM/w_d) (the exact-rational low-discrepancy stride — "
+    "same mechanism as tokenizer-level data mixing), and the global "
+    "order is the key sort. Emits the first 100 positions. Scale "
+    "shape: the per-domain rank filter compiles to WindowGroupLimit "
+    "(each partition forwards ≤ N rows per domain), so the global "
+    "ordering ranks ≤ |domains|·N candidate rows — never the "
+    "corpus; the full-order variant at production scale is the "
+    "sharded prefix-sum pattern (batch_by_token_budget), with this "
+    "prefix form as its anchor.",
+)
+def training_interleave_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dom_idx = F.substring(F.col("source"), 4, 10).cast("int") % 3
+    domain = (
+        F.when(dom_idx == 0, "web")
+        .when(dom_idx == 1, "books")
+        .otherwise("code")
+    )
+    d = docs.select("doc_id", domain.alias("domain"))
+    wdom = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(wdom)).filter(
+        F.col("rn") <= INTERLEAVE_N
+    )
+    stride = F.create_map(
+        *[
+            x
+            for dd, w in INTERLEAVE_WEIGHTS.items()
+            for x in (F.lit(dd), F.lit(INTERLEAVE_LCM // w))
+        ]
+    )[F.col("domain")]
+    keyed = r.select(
+        "doc_id",
+        "domain",
+        "rn",
+        ((2 * F.col("rn") - 1) * stride).alias("k"),
+    )
+    wg = Window.orderBy("k", "domain", "rn")
+    return (
+        keyed.withColumn("pos", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("pos") <= INTERLEAVE_N)
+        .select("pos", "domain", "doc_id")
+    )

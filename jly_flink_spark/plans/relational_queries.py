@@ -1167,3 +1167,93 @@ def orders_basket_pairs(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/20) revenue classification
+# ---------------------------------------------------------------------------
+# Class boundaries as exact small-ratio comparisons (cum*5 <= 4*t is
+# share <= 80%, cum*20 <= 19*t is <= 95%) — a ppm product cum*1e6
+# overflowed int64 on the 10x corpus; ratio compares never can.
+ABC_A_NUM, ABC_A_DEN = 5, 4  # share <= 4/5 = 80%
+ABC_B_NUM, ABC_B_DEN = 20, 19  # share <= 19/20 = 95%
+
+_ABC_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), ranked AS (
+  SELECT l_partkey, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+              AS BIGINT) AS cum_cents
+  FROM rev
+), classed AS (
+  SELECT l_partkey, cents,
+         CASE WHEN cum_cents * {ABC_A_NUM} <= t * {ABC_A_DEN} THEN 'A'
+              WHEN cum_cents * {ABC_B_NUM} <= t * {ABC_B_DEN} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked, tot
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM classed GROUP BY abc_class
+"""
+
+
+@register(
+    "lineitem_abc_classes",
+    oracle=_ABC_ORACLE,
+    tags=("relational", "window", "segmentation"),
+    doc="ABC / Pareto 80-20 inventory classification: parts ranked "
+    "by discounted revenue (exact cents), cumulative share tested by exact "
+    "small-ratio integer comparison (cum*5 <= 4*total is 80%; a ppm "
+    "product overflowed int64 at the 10x corpus), classes cut at "
+    "80% / 95%, rolled up to "
+    "per-class part counts and revenue. The running sum orders by "
+    "(revenue desc, partkey) — a total order, so the class "
+    "boundaries are deterministic under ties. Scale shape: the "
+    "fact table shuffles once into per-part revenue (map-side "
+    "combined); the global running-sum window ranks the |parts|-row "
+    "aggregate only — at production part cardinality the ordered "
+    "prefix sum shards exactly like batch_by_token_budget's "
+    "sharded-window pattern, with this form as its anchor.",
+)
+def lineitem_abc_classes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    ranked = rev.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("bigint")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(
+            F.expr(f"cum_cents * {ABC_A_NUM} <= t * {ABC_A_DEN}"), "A"
+        )
+        .when(F.expr(f"cum_cents * {ABC_B_NUM} <= t * {ABC_B_DEN}"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

@@ -326,6 +326,13 @@ class TestShuffleBudget:
             # growth accounting: two slim (user, day) aggregations;
             # the running-sum window ranks |days| rows only
             ("events_new_users_daily", 5),
+            # ABC: one fact shuffle into per-part revenue; the
+            # running-sum window ranks the |parts|-row aggregate
+            ("lineitem_abc_classes", 4),
+            # interleave: the per-domain rank shuffle (WindowGroupLimit
+            # keeps <=N rows per domain per partition, pinned below);
+            # the global position ranks <=|domains|*N rows
+            ("training_interleave_order", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -434,6 +441,13 @@ class TestScaleShapes:
         plan = plan_of(spark, "agg_kmv_distinct", mode="simple")
         _, _, below = plan.partition("Exchange hashpartitioning")
         assert "WindowGroupLimit" in below, plan
+
+    def test_interleave_partial_rank_shape(self, spark):
+        """The interleave's per-domain rank filter must compile to
+        WindowGroupLimit — each partition forwards at most N rows per
+        domain, so the global ordering never sees the corpus."""
+        plan = plan_of(spark, "training_interleave_order", mode="simple")
+        assert "WindowGroupLimit" in plan, plan
 
     def test_tfidf_topk_partial_shape(self, spark):
         """TF-IDF's per-doc rank must compile to WindowGroupLimit so
