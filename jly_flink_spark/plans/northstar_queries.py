@@ -1417,3 +1417,108 @@ def embedding_pca_power(spark, sf_dir):
             "i", F.expr("u div dv").alias("w")
         )
     return w.select("i", F.col("w").cast("bigint").alias("w_q"))
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate quality (precision/recall vs exact Jaccard truth)
+# ---------------------------------------------------------------------------
+
+def _lsh_eval_oracle() -> str:
+    return f"""
+WITH {_DOC_TOKS_CTE},
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+df AS (SELECT tok, count(*) AS dfreq FROM doc_toks GROUP BY tok),
+rare AS (SELECT d.doc_id, d.tok FROM doc_toks d
+         JOIN df ON df.tok = d.tok AND df.dfreq <= 1000),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM doc_toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE CAST(s.n_shared AS DOUBLE)
+        / CAST(sa.n_tok + sb.n_tok - s.n_shared AS DOUBLE) >= 0.5
+),
+j AS (
+  SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM cand c
+  FULL OUTER JOIN truth t
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+), agg AS (
+  SELECT CAST(sum(is_cand * is_true) AS BIGINT) AS tp,
+         CAST(sum(is_cand * (1 - is_true)) AS BIGINT) AS fp,
+         CAST(sum((1 - is_cand) * is_true) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm,
+       (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm
+FROM agg
+"""
+
+
+@register(
+    "dedup_lsh_eval_metrics",
+    oracle=_lsh_eval_oracle(),
+    tags=("northstar", "dedup", "minhash", "evaluation"),
+    doc="Candidate-quality evaluation of the MinHash-LSH pipeline: "
+    "LSH band-bucket pairs scored against the exact-Jaccard(>=0.5) "
+    "truth set (same df-capped pair space as dedup_jaccard_pairs) — "
+    "tp/fp/fn plus precision/recall in exact ppm floor division. "
+    "The eval-as-a-query pattern every dedup rollout needs before "
+    "trusting a banding config at scale: both pair sets are the "
+    "already-verified plans, composed by a slim full-outer join on "
+    "(doc_a, doc_b) — no new corpus pass, every exchanged row a "
+    "pair of longs.",
+)
+def dedup_lsh_eval_metrics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidate_pairs(docs)
+    truth = dedup.jaccard_pairs(
+        docs, min_jaccard=0.5, max_shingle_df=1000
+    ).select("doc_a", "doc_b")
+    c = cand.select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    t = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    j = c.join(t, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+        F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+    )
+    agg = j.agg(
+        F.sum(F.col("is_cand") * F.col("is_true"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("is_cand") * (1 - F.col("is_true")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("is_cand")) * F.col("is_true"))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "(tp * 1000000) div greatest(tp + fp, 1)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "(tp * 1000000) div greatest(tp + fn, 1)"
+        ).alias("recall_ppm"),
+    )

@@ -333,6 +333,10 @@ class TestShuffleBudget:
             # keeps <=N rows per domain per partition, pinned below);
             # the global position ranks <=|domains|*N rows
             ("training_interleave_order", 2),
+            # LSH eval: the two already-budgeted pair pipelines
+            # (bands chain + df-capped Jaccard chain) composed by one
+            # slim full-outer join on (doc_a, doc_b) + the 1-row agg
+            ("dedup_lsh_eval_metrics", 14),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
