@@ -2449,7 +2449,7 @@ _ILV_STRIDES = " ".join(
 _INTERLEAVE_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-         CASE CAST(substring(source, 4, 10) AS INT) % 3
+         CASE TRY_CAST(substring(source, 4, 10) AS INT) % 3
               WHEN 0 THEN 'web' WHEN 1 THEN 'books'
               ELSE 'code' END AS domain
   FROM documents
@@ -2493,7 +2493,12 @@ FROM pos WHERE pos <= {INTERLEAVE_N}
 )
 def training_interleave_order(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    dom_idx = F.substring(F.col("source"), 4, 10).cast("int") % 3
+    # try_cast on BOTH engines: ANSI-mode Spark (4.x default) throws
+    # on a malformed cast, and non-numeric source suffixes must
+    # route to the ELSE domain, not kill the job.
+    dom_idx = (
+        F.expr("try_cast(substring(source, 4, 10) AS int)") % 3
+    )
     domain = (
         F.when(dom_idx == 0, "web")
         .when(dom_idx == 1, "books")

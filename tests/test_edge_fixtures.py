@@ -97,6 +97,27 @@ def edge_sf_dir(tmp_path_factory):
         # ranking identically; tiny per-lang counts exercise the
         # ((rn-1)·k) div n bucket arithmetic at n < k
         "curation_lm_quantile_buckets",
+        # round-6 second wave: token-less docs must DROP from the
+        # per-lang rule counts (no token rows → no per-doc stats) on
+        # both engines, not appear as all-rules-failed
+        "curation_gopher_rules",
+        # tf-idf over near-identical tiny docs: df ≈ N drives idf to
+        # ln(1)=0 (score ties broken on the term string); empty docs
+        # contribute no rows
+        "text_tfidf_topk",
+        # hashed-unigram weights when the 'en' target is the WHOLE
+        # corpus → the source side is empty and every smoothed s_b
+        # is the 1/(0+256) floor; token-less docs drop from n_docs
+        "mixture_dsir_weights",
+        # dense duplicate chunks → near-clique graph: coefficient
+        # buckets at the c=1 cap (20T div d(d-1) = 10 → least(,9))
+        "graph_clustering_coeff_buckets",
+        # banding vs exact truth when almost everything is a dup:
+        # both pair sets dense, tp/fp/fn on the boundary shapes
+        "dedup_lsh_eval_metrics",
+        # non-numeric source suffix ('edge' → TRY_CAST NULL → the
+        # ELSE domain) must route identically on both engines
+        "training_interleave_order",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
