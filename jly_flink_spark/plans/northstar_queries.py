@@ -1522,3 +1522,149 @@ def dedup_lsh_eval_metrics(spark, sf_dir):
             "(tp * 1000000) div greatest(tp + fn, 1)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information of adjacent bigrams)
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
+
+# q(ln x) := round(ln(x)·1e6) per DISTINCT integer count — the
+# unigram-LM determinism discipline: only ~10² ln() calls are ever
+# hashed (min .5-boundary margin measured 3.8e-3 micro-nats at sf0.1,
+# vs ~1e-9 1-ulp libm noise), and the PMI itself is a sum of those
+# integers: q(c_ab) − q(N_bi) − q(c_a) − q(c_b) + 2·q(N_uni).
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> [ts[i], ts[i+1]])) AS pair
+  FROM t WHERE len(ts) >= 2
+), cb AS (
+  SELECT pair[1] AS tok_a, pair[2] AS tok_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY 1, 2
+), cu AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi,
+         (SELECT CAST(sum(c) AS BIGINT) FROM cu) AS n_uni
+  FROM cb
+), q AS (
+  SELECT c_ab AS x,
+         CAST(round(ln(CAST(c_ab AS DOUBLE)) * 1e6) AS BIGINT) AS q
+  FROM (SELECT DISTINCT c_ab FROM cb)
+  UNION
+  SELECT c, CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+  FROM (SELECT DISTINCT c FROM cu)
+  UNION
+  SELECT n_bi, CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e6) AS BIGINT)
+  FROM tot
+  UNION
+  SELECT n_uni, CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e6) AS BIGINT)
+  FROM tot
+)
+SELECT b.tok_a, b.tok_b, b.c_ab,
+       qab.q - qbi.q - qa.q - qb.q + 2 * qu.q AS pmi_micro
+FROM cb b
+JOIN cu ca ON ca.tok = b.tok_a
+JOIN cu cbk ON cbk.tok = b.tok_b
+JOIN q qab ON qab.x = b.c_ab
+JOIN q qa ON qa.x = ca.c
+JOIN q qb ON qb.x = cbk.c
+CROSS JOIN tot
+JOIN q qbi ON qbi.x = tot.n_bi
+JOIN q qu ON qu.x = tot.n_uni
+WHERE b.c_ab >= {PMI_MIN_COUNT}
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("northstar", "text", "statistics"),
+    doc="PMI collocations: pointwise mutual information of adjacent "
+    "token bigrams, ln-quantized to integer micro-nats per DISTINCT "
+    "count value so the score is a pure BIGINT sum (the unigram-LM "
+    "determinism discipline; support floor c_ab >= 5). Scale shape: "
+    "bigram and unigram counts map-side combine to vocabulary-sized "
+    "tables before any exchange; the count→micro-nat codebook and "
+    "the unigram table ride back as broadcasts — the corpus text "
+    "shuffles nowhere, and every joined row is vocabulary-volume, "
+    "not corpus-volume.",
+)
+def text_pmi_collocations(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = text.tokens(F.col("text"))
+    t = docs.select(ts.alias("ts")).filter(F.size("ts") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("a"),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+    )
+    # Both count tables feed the totals, the codebook, AND the final
+    # join — checkpoint so the corpus scans run once, not once per
+    # broadcast branch (the pagerank_fixed discipline).
+    cb = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    cu = (
+        docs.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = (
+        cb.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
+        .crossJoin(cu.agg(F.sum("c").cast("bigint").alias("n_uni")))
+        .localCheckpoint(eager=False)
+    )
+    qln = F.round(F.log(F.col("x").cast("double")) * 1e6).cast("bigint")
+    q = (
+        cb.select(F.col("c_ab").alias("x"))
+        .union(cu.select(F.col("c").alias("x")))
+        .union(tot.select(F.col("n_bi").alias("x")))
+        .union(tot.select(F.col("n_uni").alias("x")))
+        .distinct()
+        .select("x", qln.alias("q"))
+        .localCheckpoint(eager=False)
+    )
+    ca = cu.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cbk = cu.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    qab = q.select(F.col("x").alias("c_ab"), F.col("q").alias("q_ab"))
+    qa = q.select(F.col("x").alias("c_a"), F.col("q").alias("q_a"))
+    qb = q.select(F.col("x").alias("c_b"), F.col("q").alias("q_b"))
+    qbi = q.select(F.col("x").alias("n_bi"), F.col("q").alias("q_bi"))
+    qu = q.select(F.col("x").alias("n_uni"), F.col("q").alias("q_u"))
+    return (
+        cb.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cbk), "tok_b")
+        .join(F.broadcast(qab), "c_ab")
+        .join(F.broadcast(qa), "c_a")
+        .join(F.broadcast(qb), "c_b")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qbi), "n_bi")
+        .join(F.broadcast(qu), "n_uni")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            (
+                F.col("q_ab")
+                - F.col("q_bi")
+                - F.col("q_a")
+                - F.col("q_b")
+                + 2 * F.col("q_u")
+            ).alias("pmi_micro"),
+        )
+    )

@@ -337,6 +337,10 @@ class TestShuffleBudget:
             # (bands chain + df-capped Jaccard chain) composed by one
             # slim full-outer join on (doc_a, doc_b) + the 1-row agg
             ("dedup_lsh_eval_metrics", 14),
+            # PMI: the checkpointed vocabulary-sized count tables are
+            # derived once (two corpus-scan combines); everything
+            # visible in the final plan is broadcast codebook joins
+            ("text_pmi_collocations", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
