@@ -2287,3 +2287,92 @@ def events_new_users_daily(spark, sf_dir):
             F.sum("n_new").over(w).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against SCD2-style state history
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH dim AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, event_type AS state, 0 AS is_fact
+  FROM events WHERE event_type IN ('view', 'click')
+), fact AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id, NULL AS state, 1 AS is_fact
+  FROM events WHERE event_type = 'purchase'
+), unioned AS (
+  SELECT * FROM dim UNION ALL SELECT * FROM fact
+), swept AS (
+  SELECT user_id, event_id, is_fact,
+         last_value(state IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_s, is_fact, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS state_at
+  FROM unioned
+)
+SELECT coalesce(state_at, 'none') AS state_at,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM swept WHERE is_fact = 1
+GROUP BY 1
+"""
+
+
+@register(
+    "events_point_in_time_join",
+    oracle=_PIT_ORACLE,
+    tags=("advanced", "temporal", "scd", "join"),
+    doc="Point-in-time join: each purchase picks up the user's state "
+    "(last view/click) VALID AT its event time — the temporal/SCD2 "
+    "lookup every feature store and backtest runs, and the classic "
+    "leakage trap when done with a naive latest-state join. "
+    "Implemented as the union-sweep, not an interval range join: "
+    "state changes and facts merge into one per-user ordered pass "
+    "(dim rows sort before facts at equal timestamps, ties on "
+    "event_id), the running last(... ignorenulls) carries the valid "
+    "state, and fact rows emit. One shuffle on user_id, O(changes + "
+    "facts) per user — the interval self-join this replaces is "
+    "quadratic in version count. Purchases before any state are "
+    "'none', never leaked future state.",
+)
+def events_point_in_time_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+        "event_id",
+        "event_type",
+    )
+    dim = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts_s",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(0).alias("is_fact"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_s",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("is_fact"),
+    )
+    unioned = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = unioned.withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(w)
+    )
+    return (
+        swept.filter(F.col("is_fact") == 1)
+        .select(
+            F.coalesce(F.col("state_at"), F.lit("none")).alias(
+                "state_at"
+            )
+        )
+        .groupBy("state_at")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )

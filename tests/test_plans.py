@@ -341,6 +341,10 @@ class TestShuffleBudget:
             # derived once (two corpus-scan combines); everything
             # visible in the final plan is broadcast codebook joins
             ("text_pmi_collocations", 4),
+            # point-in-time join: the union-sweep — ONE user_id
+            # window shuffle + the final state rollup; no interval
+            # self-join anywhere in the plan
+            ("events_point_in_time_join", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
