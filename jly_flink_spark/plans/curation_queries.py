@@ -2530,3 +2530,78 @@ def training_interleave_order(spark, sf_dir):
         .filter(F.col("pos") <= INTERLEAVE_N)
         .select("pos", "domain", "doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Classifier calibration curve (predicted-probability deciles)
+# --------------------------------------------------------------------
+
+def _qc_calibration_oracle() -> str:
+    from ..operators import classifier as C
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    return f"""
+WITH {feats_ctes},
+{gd_ctes},
+pred AS (SELECT f.y, {p} AS p FROM feats f, {prev}),
+b AS (
+  SELECT least(p // 100, 9) AS bucket, y, p FROM pred
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN y = {C.S} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(p) AS BIGINT) AS sum_p_milli,
+       (CAST(sum(CASE WHEN y = {C.S} THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // count(*) AS obs_pos_ppm
+FROM b GROUP BY bucket
+"""
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=_qc_calibration_oracle(),
+    tags=("curation", "quality", "ml", "evaluation"),
+    doc="Calibration curve for the trained quality classifier: "
+    "predicted hard-sigmoid probabilities (milli-units) bucketed "
+    "into deciles against the observed rule-label positive rate "
+    "(exact ppm) — the reliability diagram every classifier gate "
+    "should ship with, as a query. Composes the same once-"
+    "checkpointed feature table and unrolled fixed-point GD the "
+    "train/serve queries use (oracle shares qc_oracle_fragments), "
+    "so train → score → bucket costs ONE corpus text scan and the "
+    "whole iterative computation value-hashes bit-for-bit. The "
+    "decile rollup exchanges ≤10 rows.",
+)
+def quality_classifier_calibration(spark, sf_dir):
+    from ..operators import classifier as C
+    from ..operators.classifier import _p_expr, fit_quality_classifier
+
+    feats, w = fit_quality_classifier(
+        load_table(spark, sf_dir, "documents")
+    )
+    pred = feats.crossJoin(F.broadcast(w)).select(
+        "y", F.expr(_p_expr()).alias("p")
+    )
+    b = pred.select(
+        "y",
+        "p",
+        F.least(F.expr("p div 100"), F.lit(9)).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("y") == C.S, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum("p").cast("bigint").alias("sum_p_milli"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "n_pos",
+            "sum_p_milli",
+            F.expr("(n_pos * 1000000) div n_docs").alias("obs_pos_ppm"),
+        )
+    )

@@ -345,6 +345,10 @@ class TestShuffleBudget:
             # window shuffle + the final state rollup; no interval
             # self-join anywhere in the plan
             ("events_point_in_time_join", 2),
+            # calibration: the classifier's linear-in-epochs GD chain
+            # (8 single-row gradient gathers over the checkpointed
+            # feature table) + the <=10-row decile rollup
+            ("quality_classifier_calibration", 9),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
