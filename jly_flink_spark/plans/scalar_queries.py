@@ -298,3 +298,41 @@ def scalar_array_funcs(spark, sf_dir):
             "has_zero"
         ),
     )
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS h_md5,
+       sha256(c_name) AS h_sha256,
+       md5(c_name || '|' || CAST(c_nationkey AS VARCHAR))
+         AS h_composite,
+       substring(md5(c_name), 1, 8) AS h_prefix
+FROM customer
+WHERE c_custkey <= 500
+""",
+    tags=("scalar", "hash"),
+    doc="Cryptographic-hash scalar surface: md5 and sha256 digests, "
+    "a composite-key digest (the canonical change-detection / "
+    "surrogate-key pattern), and a digest prefix — hex output is "
+    "identical across engines, which is exactly why every "
+    "deterministic operator in this repo (dedup, sampling, splits, "
+    "sketches) builds on md5 rather than engine-native hash(). "
+    "Pure per-row codegen, filter pushed to the scan.",
+)
+def scalar_hash_funcs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    )
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("c_name"), F.col("c_nationkey").cast("string")
+            )
+        ).alias("h_composite"),
+        F.substring(F.md5(F.col("c_name")), 1, 8).alias("h_prefix"),
+    )
