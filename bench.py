@@ -116,6 +116,11 @@ HEADLINE = [
     "lineitem_abc_classes",
     "embedding_covariance_matrix",
     "embedding_pca_power",
+    # Round-6 fourth wave: association rules, temporal lookup, the
+    # PMI codebook, and the classifier calibration composite.
+    "text_pmi_collocations",
+    "events_point_in_time_join",
+    "quality_classifier_calibration",
 ]
 
 

@@ -571,6 +571,44 @@ def quantile_sketch_stream(
 _EWMA_STATE = "ks array<long>, ids array<long>, vqs array<long>"
 
 
+def ewma_fold(vals: list) -> int:
+    """The batch query's fold: ew := (ew + v) >> 1 in event order.
+    ONE definition shared by the stream operator and its tests."""
+    ew = vals[0]
+    for v in vals[1:]:
+        ew = (ew + v) >> 1
+    return ew
+
+
+def ewma_step(state, rows, tail: int = 64):
+    """Pure per-batch state transition of `ewma_stream` for one key:
+    `state` is the (ks, ids, vqs) tuple (or None), `rows` an iterable
+    of (ts, id, vq). Returns (new_state, emit) where emit is
+    (ewma, n_tail) when the tail changed, else None and the state is
+    unchanged. Extracted so the schedule-fuzz property test drives
+    the EXACT operator logic without streaming machinery."""
+    if state is not None:
+        ks, ids, vqs = state
+        seen = {
+            (int(k), int(i)): int(v) for k, i, v in zip(ks, ids, vqs)
+        }
+    else:
+        seen = {}
+    before = sorted(seen)
+    for k, i, v in rows:
+        seen[(int(k), int(i))] = int(v)
+    order = sorted(seen)[-tail:]
+    if order == before:
+        return state, None
+    new_state = (
+        [k for k, _ in order],
+        [i for _, i in order],
+        [seen[t] for t in order],
+    )
+    vals = [seen[t] for t in order]
+    return new_state, (ewma_fold(vals), len(vals))
+
+
 def ewma_stream(
     sdf: DataFrame,
     key_col: str = "user_id",
@@ -601,38 +639,21 @@ def ewma_stream(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ks, ids, vqs = state.get
-            seen = {
-                (int(k), int(i)): int(v)
-                for k, i, v in zip(ks, ids, vqs)
-            }
-        else:
-            seen = {}
-        before = sorted(seen)
-        for pdf in pdfs:
-            for k, i, v in zip(
-                pdf[ts_col], pdf[id_col], pdf[vq_col]
-            ):
-                seen[(int(k), int(i))] = int(v)
-        order = sorted(seen)[-tail:]
-        if order != before:
-            state.update(
-                (
-                    [k for k, _ in order],
-                    [i for _, i in order],
-                    [seen[t] for t in order],
-                )
-            )
-            vals = [seen[t] for t in order]
-            ew = vals[0]
-            for v in vals[1:]:
-                ew = (ew + v) >> 1
+        rows = [
+            (k, i, v)
+            for pdf in pdfs
+            for k, i, v in zip(pdf[ts_col], pdf[id_col], pdf[vq_col])
+        ]
+        new_state, emit = ewma_step(
+            state.get if state.exists else None, rows, tail
+        )
+        if emit is not None:
+            state.update(new_state)
             yield pd.DataFrame(
                 {
                     key_col: [key[0]],
-                    "ewma_milli": [ew],
-                    "n_tail": [len(vals)],
+                    "ewma_milli": [emit[0]],
+                    "n_tail": [emit[1]],
                 }
             )
 

@@ -985,3 +985,65 @@ class TestEwmaStream:
             spark, tmp_path, [first, late], "ewma_late"
         )
         assert [r.ewma_milli for r in out] == [100]  # one emit only
+
+
+class TestEwmaStepProperty:
+    """Schedule-fuzz the EXACT ewma_stream state transition (the
+    extracted pure ewma_step) against the batch fold: arbitrary
+    event sets delivered as arbitrary batch partitions with
+    duplication and reordering must converge to the batch answer
+    after every prefix-closed schedule."""
+
+    def test_schedules_converge_to_batch(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from jly_flink_spark.streaming.stateful import (
+            ewma_fold,
+            ewma_step,
+        )
+
+        events = st.lists(
+            st.tuples(
+                st.integers(0, 5),       # ts (coarse → heavy ties)
+                st.integers(0, 10_000),  # value
+            ),
+            min_size=1,
+            max_size=40,
+        )
+        schedule = st.lists(
+            st.lists(st.integers(0, 39), max_size=15), max_size=8
+        )
+
+        @given(events=events, sched=schedule, tail=st.integers(1, 6))
+        @settings(
+            max_examples=300,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(events, sched, tail):
+            evs = [
+                (ts, i, v) for i, (ts, v) in enumerate(events)
+            ]  # unique ids
+            # Deliver per the schedule (indices mod len, so batches
+            # duplicate and reorder freely), then one final batch
+            # with everything — at-least-once delivery always
+            # eventually delivers each event.
+            state = None
+            for batch in sched:
+                rows = [evs[j % len(evs)] for j in batch]
+                state, _ = ewma_step(state, rows, tail)
+            state, emit = ewma_step(state, evs, tail)
+            # Batch reference: fold the (ts, id)-sorted last `tail`.
+            ordered = sorted(evs)[-tail:]
+            want = ewma_fold([v for _, _, v in ordered])
+            if emit is None:
+                # final batch changed nothing → state already holds
+                # the converged tail; recompute from it
+                ks, ids, vqs = state
+                got = ewma_fold(list(vqs))
+            else:
+                got = emit[0]
+            assert got == want
+
+        run()
