@@ -315,6 +315,7 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
     from jly_flink_spark.io import load_table
     from jly_flink_spark.operators import dedup
     from jly_flink_spark.streaming.stateful import (
+        ewma_stream,
         kmv_distinct_stream,
         latest_state_stream,
         quantile_sketch_stream,
@@ -364,6 +365,19 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
                 "h",
                 "event_id",
                 "qv",
+            ),
+            "update",
+        ),
+        # bounded-tail fold: state capped at 3*tail longs per user —
+        # must stay flat as volume grows; keys scale the state axis
+        "ewma_stream": writer(
+            ewma_stream(
+                ev_stream().select(
+                    "user_id",
+                    "ts_ms",
+                    "event_id",
+                    F.col("qv").alias("vq"),
+                )
             ),
             "update",
         ),
