@@ -1668,3 +1668,102 @@ def text_pmi_collocations(spark, sf_dir):
             ).alias("pmi_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis (diagonal) outlier scores over embeddings
+# ---------------------------------------------------------------------------
+MAHAL_SC = 100  # per-dim score scale; (n·q)²·SC must stay in int64 —
+# safe to ~5e4 vectors at COV_Q=1e4 (the covariance bound tightened
+# by the squared factor); beyond that, rescale COV_Q down
+MAHAL_TOPK = 10
+
+_MAHAL_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * {COV_Q}) AS BIGINT))
+           AS ql
+  FROM embeddings
+), flat AS (
+  SELECT vec_id, i, ql[i] AS q
+  FROM qs, unnest(generate_series(1, len(ql))) AS t(i)
+), stats AS (
+  SELECT i,
+         CAST(sum(q) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) * CAST(sum(q * q) AS BIGINT)
+           - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS v2
+  FROM flat GROUP BY i
+), scored AS (
+  SELECT f.vec_id,
+         CAST(sum(((s.n * f.q - s.sx) * (s.n * f.q - s.sx)
+                   * {MAHAL_SC}) // greatest(s.v2, 1)) AS BIGINT)
+           AS score_c
+  FROM flat f JOIN stats s ON s.i = f.i
+  GROUP BY f.vec_id
+)
+SELECT q.vec_id, q.label, s.score_c
+FROM scored s JOIN qs q ON q.vec_id = s.vec_id
+ORDER BY s.score_c DESC, q.vec_id
+LIMIT {MAHAL_TOPK}
+"""
+
+
+@register(
+    "embedding_mahalanobis_outliers",
+    oracle=_MAHAL_ORACLE,
+    tags=("northstar", "embedding", "statistics", "quality"),
+    doc="Diagonal-Mahalanobis outlier sweep: each vector's score is "
+    "Σ_i (x_i − μ_i)²/σ²_i in exact integer arithmetic — the "
+    "division-free forms n·q−Σq and n·Σq²−(Σq)² make every term a "
+    "BIGINT ratio, so the top-10 ranking value-hashes bit-exactly "
+    "(int64-safe to ~5e4 vectors at this quantization; documented). "
+    "Complements the per-label centroid outliers with the "
+    "variance-normalized global view that catches off-manifold "
+    "vectors in low-variance dimensions. Scale shape: one slim "
+    "(vec, dim, q) explode with map-side combine for the d-row "
+    "stats AND the per-vector fold; the stats ride back as a "
+    "broadcast; the top-10 compiles to TakeOrderedAndProject "
+    "(per-partition heads, never a global sort).",
+)
+def embedding_mahalanobis_outliers(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * COV_Q).cast("bigint"),
+        ).alias("ql"),
+    ).localCheckpoint(eager=False)
+    flat = qs.select(
+        "vec_id", F.posexplode(F.col("ql")).alias("i0", "q")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    stats = flat.groupBy("i").agg(
+        F.sum("q").cast("bigint").alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.count("*").cast("bigint")
+            * F.sum(F.col("q") * F.col("q")).cast("bigint")
+            - F.sum("q").cast("bigint") * F.sum("q").cast("bigint")
+        ).alias("v2"),
+    )
+    scored = (
+        flat.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            F.expr(
+                f"((n * q - sx) * (n * q - sx) * {MAHAL_SC})"
+                " div greatest(v2, 1)"
+            ).alias("term"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("term").cast("bigint").alias("score_c"))
+    )
+    return (
+        scored.join(qs.select("vec_id", "label"), "vec_id")
+        .orderBy(F.col("score_c").desc(), F.col("vec_id"))
+        .limit(MAHAL_TOPK)
+        .select("vec_id", "label", "score_c")
+    )

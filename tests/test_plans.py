@@ -349,6 +349,11 @@ class TestShuffleBudget:
             # (8 single-row gradient gathers over the checkpointed
             # feature table) + the <=10-row decile rollup
             ("quality_classifier_calibration", 9),
+            # Mahalanobis: the slim (vec, dim, q) explode feeds both
+            # the d-row stats and the per-vector fold (map-side
+            # combined); top-10 is TakeOrderedAndProject, no global
+            # sort exchange
+            ("embedding_mahalanobis_outliers", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
