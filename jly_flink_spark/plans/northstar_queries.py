@@ -1767,3 +1767,140 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
         .limit(MAHAL_TOPK)
         .select("vec_id", "label", "score_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy (signature-agreement vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+def _minhash_accuracy_oracle() -> str:
+    k = dedup.MINHASH_K
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+WITH {_DOC_TOKS_CTE},
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.ts, b.ts)) AS n_shared,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM cand c
+  JOIN tsets a ON a.doc_id = c.doc_a
+  JOIN tsets b ON b.doc_id = c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({eq}) * 1000000 // {k} AS est_ppm
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+j AS (
+  SELECT e.est_ppm,
+         (s.n_shared * 1000000) // (s.na + s.nb - s.n_shared)
+           AS exact_ppm
+  FROM est e
+  JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+)
+SELECT CAST(least(abs(est_ppm - exact_ppm) // 100000, 9) AS BIGINT)
+         AS err_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1
+"""
+
+
+@register(
+    "dedup_minhash_estimate_accuracy",
+    oracle=_minhash_accuracy_oracle(),
+    tags=("northstar", "dedup", "minhash", "evaluation"),
+    doc="MinHash estimator accuracy: for every LSH candidate pair, "
+    "the signature-agreement Jaccard estimate (matching components "
+    f"/ {dedup.MINHASH_K}, exact ppm) against the true token-set "
+    "Jaccard, rolled into an absolute-error decile histogram — the "
+    "second eval-as-a-query next to the banding precision/recall, "
+    "answering 'is K big enough' the way that one answers 'are the "
+    "bands right'. All integer arithmetic; the exact side joins "
+    "token sets only for the candidate pairs (never all-pairs), so "
+    "the verification cost is candidate-bounded exactly like the "
+    "production verify step.",
+)
+def dedup_minhash_estimate_accuracy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    k = dedup.MINHASH_K
+    sigs = dedup.minhash_signatures(docs).localCheckpoint(eager=False)
+    cand = dedup.minhash_candidate_pairs(docs)
+    # Exact side per candidate pair via array_intersect on the token
+    # SETS — the r6 verify-rewrite discipline: per-pair O(|a|+|b|)
+    # work, never an exploded token join (which hit ~1e9 rows at 10×
+    # in the pipeline before its rewrite).
+    tsets = docs.select(
+        "doc_id",
+        F.array_distinct(text.tokens(F.col("text"))).alias("ts"),
+    ).localCheckpoint(eager=False)
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("tsa"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tsb"))
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("tsa", "tsb")).alias("n_shared"),
+            F.size("tsa").alias("na"),
+            F.size("tsb").alias("nb"),
+        )
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_eq * 1000000).cast("bigint").alias("eq6"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"eq6 div {k}").alias("est_ppm"),
+        )
+    )
+    j = est.join(shared, ["doc_a", "doc_b"]).select(
+        "est_ppm",
+        F.expr(
+            "(n_shared * 1000000) div (na + nb - n_shared)"
+        ).alias("exact_ppm"),
+    )
+    return (
+        j.select(
+            F.least(
+                F.expr("abs(est_ppm - exact_ppm) div 100000"), F.lit(9)
+            )
+            .cast("bigint")
+            .alias("err_decile")
+        )
+        .groupBy("err_decile")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

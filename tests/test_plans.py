@@ -354,6 +354,11 @@ class TestShuffleBudget:
             # combined); top-10 is TakeOrderedAndProject, no global
             # sort exchange
             ("embedding_mahalanobis_outliers", 2),
+            # minhash accuracy: the bands chain + the candidate joins
+            # against the checkpointed signature/token-set tables —
+            # the exact side is per-pair array_intersect, never an
+            # exploded token join
+            ("dedup_minhash_estimate_accuracy", 12),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
