@@ -2376,3 +2376,81 @@ def events_point_in_time_join(spark, sf_dir):
         .groupBy("state_at")
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE workaround)
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ts2,
+         ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hits AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts2)) - floor(epoch(ts)) AS BIGINT) AS span_s
+  FROM seq
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(coalesce(min(span_s), -1) AS BIGINT) AS min_span_s,
+       CAST(coalesce(max(span_s), -1) AS BIGINT) AS max_span_s
+FROM hits
+"""
+
+
+@register(
+    "events_pattern_view_click_buy",
+    oracle=_PATTERN_ORACLE,
+    tags=("advanced", "sequence", "window", "pattern"),
+    doc="Row-pattern matching (the MATCH_RECOGNIZE workaround Spark "
+    "needs): strictly CONSECUTIVE view→click→purchase triples per "
+    "user, found by materializing a 3-event sliding frame with "
+    "lead() over the (ts, event_id) order and predicating on it — "
+    "no k-way self-join, no regex engine, one window pass. Reports "
+    "match count, matched users, and the min/max match span in "
+    "whole seconds (exact integers; the funnel query covers the "
+    "eventually-ordered variant, this covers the adjacency-strict "
+    "one). ONE corpus shuffle (the per-user window); the rollup "
+    "exchanges a single row.",
+)
+def events_pattern_view_click_buy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts_s", 2).over(w).alias("ts2_s"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    ).select("user_id", (F.col("ts2_s") - F.col("ts_s")).alias("span_s"))
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.coalesce(F.min("span_s"), F.lit(-1))
+        .cast("bigint")
+        .alias("min_span_s"),
+        F.coalesce(F.max("span_s"), F.lit(-1))
+        .cast("bigint")
+        .alias("max_span_s"),
+    )

@@ -359,6 +359,9 @@ class TestShuffleBudget:
             # the exact side is per-pair array_intersect, never an
             # exploded token join
             ("dedup_minhash_estimate_accuracy", 12),
+            # pattern match: ONE per-user window shuffle + the 1-row
+            # rollup; no k-way self-join
+            ("events_pattern_view_click_buy", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
