@@ -2454,3 +2454,136 @@ def events_pattern_view_click_buy(spark, sf_dir):
         .cast("bigint")
         .alias("max_span_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (either direction, bounded tolerance)
+# ---------------------------------------------------------------------------
+ASOF_NEAREST_TOL_S = 3600  # match window on each side
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+         CASE WHEN event_type = 'view'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS view_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+), swept AS (
+  SELECT user_id, ts_s, event_id, is_p,
+         last_value(view_id IGNORE NULLS) OVER wb AS pv_id,
+         last_value(view_ts IGNORE NULLS) OVER wb AS pv_ts,
+         first_value(view_id IGNORE NULLS) OVER wf AS nv_id,
+         first_value(view_ts IGNORE NULLS) OVER wf AS nv_ts
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_s, is_p, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts_s, is_p, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), m AS (
+  SELECT event_id AS purchase_id,
+         CASE
+           WHEN pv_ts IS NOT NULL AND ts_s - pv_ts <= {ASOF_NEAREST_TOL_S}
+                AND (nv_ts IS NULL OR ts_s - pv_ts <= nv_ts - ts_s
+                     OR nv_ts - ts_s > {ASOF_NEAREST_TOL_S})
+           THEN pv_id
+           WHEN nv_ts IS NOT NULL AND nv_ts - ts_s <= {ASOF_NEAREST_TOL_S}
+           THEN nv_id
+         END AS view_id,
+         CASE
+           WHEN pv_ts IS NOT NULL AND ts_s - pv_ts <= {ASOF_NEAREST_TOL_S}
+                AND (nv_ts IS NULL OR ts_s - pv_ts <= nv_ts - ts_s
+                     OR nv_ts - ts_s > {ASOF_NEAREST_TOL_S})
+           THEN ts_s - pv_ts
+           WHEN nv_ts IS NOT NULL AND nv_ts - ts_s <= {ASOF_NEAREST_TOL_S}
+           THEN nv_ts - ts_s
+         END AS dist_s
+  FROM swept WHERE is_p = 1
+)
+SELECT purchase_id,
+       coalesce(view_id, -1) AS view_id,
+       coalesce(dist_s, -1) AS dist_s
+FROM m
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("advanced", "join", "asof", "temporal"),
+    doc="Nearest-direction as-of join: each purchase matches the "
+    "CLOSEST view by the same user within ±1 h, backward winning "
+    "ties — the bidirectional variant next to the backward-only "
+    "join_asof_events/tolerance pair (sensor alignment, attribution "
+    "with post-hoc views). Same union-sweep scale shape: views and "
+    "purchases merge into ONE per-user ordered pass; two frames "
+    "over the SAME window ordering (running last + forward first) "
+    "share one shuffle, so the bidirectional lookup costs exactly "
+    "what the one-directional one does — no range join, no per-row "
+    "candidate explosion.",
+)
+def join_asof_nearest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tol = ASOF_NEAREST_TOL_S
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+        F.when(
+            F.col("event_type") == "view", F.col("event_id")
+        ).alias("view_id"),
+        F.when(
+            F.col("event_type") == "view",
+            F.floor(F.unix_timestamp("ts")).cast("bigint"),
+        ).alias("view_ts"),
+    )
+    order = [F.col("ts_s"), F.col("is_p"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    swept = u.select(
+        "event_id",
+        "ts_s",
+        "is_p",
+        F.last("view_id", ignorenulls=True).over(wb).alias("pv_id"),
+        F.last("view_ts", ignorenulls=True).over(wb).alias("pv_ts"),
+        F.first("view_id", ignorenulls=True).over(wf).alias("nv_id"),
+        F.first("view_ts", ignorenulls=True).over(wf).alias("nv_ts"),
+    ).filter(F.col("is_p") == 1)
+    prev_ok = F.col("pv_ts").isNotNull() & (
+        F.col("ts_s") - F.col("pv_ts") <= tol
+    )
+    prev_wins = prev_ok & (
+        F.col("nv_ts").isNull()
+        | (F.col("ts_s") - F.col("pv_ts") <= F.col("nv_ts") - F.col("ts_s"))
+        | (F.col("nv_ts") - F.col("ts_s") > tol)
+    )
+    next_ok = F.col("nv_ts").isNotNull() & (
+        F.col("nv_ts") - F.col("ts_s") <= tol
+    )
+    view_id = F.when(prev_wins, F.col("pv_id")).when(
+        next_ok, F.col("nv_id")
+    )
+    dist = F.when(prev_wins, F.col("ts_s") - F.col("pv_ts")).when(
+        next_ok, F.col("nv_ts") - F.col("ts_s")
+    )
+    return swept.select(
+        F.col("event_id").alias("purchase_id"),
+        F.coalesce(view_id, F.lit(-1)).alias("view_id"),
+        F.coalesce(dist, F.lit(-1)).alias("dist_s"),
+    )

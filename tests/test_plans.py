@@ -362,6 +362,9 @@ class TestShuffleBudget:
             # pattern match: ONE per-user window shuffle + the 1-row
             # rollup; no k-way self-join
             ("events_pattern_view_click_buy", 2),
+            # nearest as-of: the bidirectional sweep — both frames
+            # ride ONE per-user window shuffle
+            ("join_asof_nearest", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
