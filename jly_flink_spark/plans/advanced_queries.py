@@ -2587,3 +2587,78 @@ def join_asof_nearest(spark, sf_dir):
         F.coalesce(view_id, F.lit(-1)).alias("view_id"),
         F.coalesce(dist, F.lit(-1)).alias("dist_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval stabbing via difference arrays (open-order backlog)
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS d0,
+         CAST(floor(epoch(max(l.l_shipdate)) / 86400) AS BIGINT) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 + 1 AS day, -1 AS delta FROM iv
+), byday AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM deltas
+  GROUP BY day
+)
+SELECT day, delta,
+       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+FROM byday
+"""
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle=_BACKLOG_ORACLE,
+    tags=("advanced", "temporal", "window", "interval"),
+    doc="Open-order backlog over time by interval stabbing: each "
+    "order is open from its order day through its last ship day; "
+    "the daily open count is the difference-array sweep (+1 at "
+    "start, −1 past end, running sum over days) — O(intervals) "
+    "instead of the interval×day stabbing join, the only shape "
+    "that survives billions of intervals. One fact shuffle to "
+    "close each order's interval (map-side combined max), one "
+    "O(|days|) delta rollup; the running sum ranks days, never "
+    "orders. Epoch-day integers throughout.",
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("d0"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.unix_timestamp("l_shipdate") / 86400)
+        .cast("bigint")
+        .alias("sd"),
+    )
+    iv = (
+        li.groupBy("o_orderkey")
+        .agg(F.max("sd").alias("d1"))
+        .join(o, "o_orderkey")
+    )
+    deltas = iv.select(
+        F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            (F.col("d1") + 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("delta")
+    )
+    w = Window.orderBy("day")
+    return byday.withColumn(
+        "n_open", F.sum("delta").over(w).cast("bigint")
+    )

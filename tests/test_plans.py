@@ -365,6 +365,9 @@ class TestShuffleBudget:
             # nearest as-of: the bidirectional sweep — both frames
             # ride ONE per-user window shuffle
             ("join_asof_nearest", 1),
+            # backlog sweep: interval close (orderkey agg + join) +
+            # the O(|days|) delta rollup and day-ranked running sum
+            ("orders_open_backlog_daily", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
