@@ -2662,3 +2662,86 @@ def orders_open_backlog_daily(spark, sf_dir):
     return byday.withColumn(
         "n_open", F.sum("delta").over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the value distribution per event type
+# ---------------------------------------------------------------------------
+ENTROPY_BUCKETS = 10  # value deciles (fixed 0..500 domain → 50/bucket)
+
+# Quantization discipline as the unigram-LM oracle: q(ln x) :=
+# round(ln(x)·1e6) per DISTINCT count, then H = q(ln N) − (Σ c·q(ln c))
+# div N — exact BIGINT afterwards, ≤ |buckets|·|types| ln() calls.
+_ENTROPY_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor(value / 50.0) AS BIGINT),
+               {ENTROPY_BUCKETS - 1}) AS bucket
+  FROM events
+), c AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY event_type, bucket
+), n AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c
+  GROUP BY event_type
+)
+SELECT c.event_type,
+       n.n AS n_events,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(round(ln(CAST(n.n AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(sum(c.c * CAST(round(ln(CAST(c.c AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS BIGINT) // n.n
+         AS entropy_micro
+FROM c JOIN n ON n.event_type = c.event_type
+GROUP BY c.event_type, n.n
+"""
+
+
+@register(
+    "events_entropy_by_type",
+    oracle=_ENTROPY_ORACLE,
+    tags=("advanced", "statistics", "information"),
+    doc="Shannon entropy of each event type's value distribution "
+    "(fixed deciles of the value domain): H = ln N − (Σ c·ln c)/N "
+    "with every ln quantized to integer micro-nats per DISTINCT "
+    "count (the unigram-LM determinism discipline) and the rest "
+    "exact BIGINT — the drift/diversity signal monitoring stacks "
+    "track per segment. Scale shape: bucket counts map-side combine "
+    "to |types|·|buckets| rows before any exchange; everything "
+    "after is model-state.",
+)
+def events_entropy_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"),
+            F.lit(ENTROPY_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n = c.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    qln = lambda col: F.round(  # noqa: E731
+        F.log(F.col(col).cast("double")) * 1e6
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("c") * qln("c")).alias("clnc"),
+        )
+        .groupBy("event_type", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("clnc").cast("bigint").alias("sum_clnc"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "n_buckets",
+            (qln("n") - F.expr("sum_clnc div n")).alias("entropy_micro"),
+        )
+    )

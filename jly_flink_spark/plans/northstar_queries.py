@@ -1904,3 +1904,111 @@ def dedup_minhash_estimate_accuracy(spark, sf_dir):
         .groupBy("err_decile")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (first-occurrence curve)
+# ---------------------------------------------------------------------------
+HEAPS_CHECKPOINTS = 10  # report vocab at corpus-prefix deciles
+
+_HEAPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), firsts AS (
+  SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM t
+  GROUP BY tok
+), toksum AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM t
+  GROUP BY doc_id
+), ids AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS n_docs
+  FROM (SELECT DISTINCT doc_id FROM documents)
+), cps AS (
+  SELECT doc_id AS cp_doc, CAST(rn AS BIGINT) AS n_docs_prefix
+  FROM ids
+  WHERE rn % greatest(n_docs // {HEAPS_CHECKPOINTS}, 1) = 0
+     OR rn = n_docs
+)
+SELECT c.n_docs_prefix,
+       CAST((SELECT count(*) FROM firsts f
+             WHERE f.first_doc <= c.cp_doc) AS BIGINT) AS vocab_size,
+       CAST((SELECT coalesce(sum(s.n_tok), 0) FROM toksum s
+             WHERE s.doc_id <= c.cp_doc) AS BIGINT) AS tokens_cum
+FROM cps c
+"""
+
+
+@register(
+    "text_vocab_growth",
+    oracle=_HEAPS_ORACLE,
+    tags=("northstar", "text", "statistics"),
+    doc="Heaps-law vocabulary growth: distinct-vocabulary size and "
+    "cumulative token count at corpus-prefix decile checkpoints "
+    "(prefix order = doc_id). The trick that makes a running "
+    "distinct count distributable: a token joins the vocabulary at "
+    "its FIRST document (min doc_id), so vocab(n) is a count of "
+    "first-occurrences ≤ n — two map-side-combined aggregations "
+    "and a ≤10-row checkpoint probe, no sequential scan, no "
+    "global running distinct state. The curve every tokenizer "
+    "budget and dedup-health review starts from.",
+)
+def text_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    firsts = t.groupBy("tok").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    toksum = t.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    ids = (
+        docs.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("doc_id"))
+            .alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n_docs"),
+        )
+    )
+    cps = ids.filter(
+        (
+            F.col("rn")
+            % F.greatest(
+                F.expr(f"n_docs div {HEAPS_CHECKPOINTS}"), F.lit(1)
+            )
+            == 0
+        )
+        | (F.col("rn") == F.col("n_docs"))
+    ).select(
+        F.col("doc_id").alias("cp_doc"),
+        F.col("rn").cast("bigint").alias("n_docs_prefix"),
+    )
+    # The 10-row checkpoint table broadcasts; the vocabulary-sized
+    # and doc-sized tables STREAM through the theta join and
+    # partial-aggregate map-side down to <=10 rows each — never the
+    # other way around (a vocab broadcast dies at web scale).
+    vocab = (
+        firsts.join(
+            F.broadcast(cps), F.col("first_doc") <= F.col("cp_doc")
+        )
+        .groupBy("cp_doc", "n_docs_prefix")
+        .agg(F.count("*").cast("bigint").alias("vocab_size"))
+    )
+    toks = (
+        toksum.join(
+            F.broadcast(cps), F.col("doc_id") <= F.col("cp_doc")
+        )
+        .groupBy("cp_doc", "n_docs_prefix")
+        .agg(F.sum("n_tok").cast("bigint").alias("tokens_cum"))
+    )
+    return vocab.join(toks, ["cp_doc", "n_docs_prefix"]).select(
+        "n_docs_prefix", "vocab_size", "tokens_cum"
+    )

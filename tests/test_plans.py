@@ -368,6 +368,13 @@ class TestShuffleBudget:
             # backlog sweep: interval close (orderkey agg + join) +
             # the O(|days|) delta rollup and day-ranked running sum
             ("orders_open_backlog_daily", 4),
+            # entropy: bucket counts map-side combine to
+            # |types|*|buckets| rows; everything after is model-state
+            ("events_entropy_by_type", 4),
+            # Heaps curve: first-occurrence + token-count combines,
+            # each streamed against the broadcast 10-row checkpoint
+            # table and re-combined map-side to <=10 rows
+            ("text_vocab_growth", 8),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
