@@ -2012,3 +2012,142 @@ def text_vocab_growth(spark, sf_dir):
     return vocab.join(toks, ["cp_doc", "n_docs_prefix"]).select(
         "n_docs_prefix", "vocab_size", "tokens_cum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Source distribution drift (KL divergence from the corpus unigram mix)
+# ---------------------------------------------------------------------------
+KL_BUCKETS = 256  # hashed-unigram feature space (as DSIR)
+
+
+def _kl_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    b = KL_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT source,
+         ({_sql_hex_to_int(1)}) % {b} AS bucket
+  FROM (SELECT source, md5(unnest({_TOKS})) AS d FROM documents)
+), sc AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, bucket
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY source
+), cb AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS cb FROM sc GROUP BY bucket
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM sc
+), q AS (
+  SELECT x, CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS q
+  FROM (
+    SELECT DISTINCT c AS x FROM sc
+    UNION SELECT DISTINCT n_s FROM ns
+    UNION SELECT DISTINCT cb FROM cb
+    UNION SELECT n FROM nt
+  )
+)
+SELECT s.source, ns.n_s AS n_tokens,
+       CAST(sum(s.c * (qc.q - qns.q - qcb.q + qn.q)) AS BIGINT)
+         // ns.n_s AS kl_micro
+FROM sc s
+JOIN ns ON ns.source = s.source
+JOIN cb ON cb.bucket = s.bucket
+CROSS JOIN nt
+JOIN q qc ON qc.x = s.c
+JOIN q qns ON qns.x = ns.n_s
+JOIN q qcb ON qcb.x = cb.cb
+JOIN q qn ON qn.x = nt.n
+GROUP BY s.source, ns.n_s
+"""
+
+
+@register(
+    "text_kl_source_drift",
+    oracle=_kl_oracle(),
+    tags=("northstar", "text", "statistics", "mixture"),
+    doc="Per-source distribution drift: KL divergence of each "
+    "source's hashed-unigram distribution from the corpus mixture, "
+    "in integer micro-nats — KL(P_s‖P) decomposes into per-distinct-"
+    "count ln codebook entries (the unigram-LM discipline; source "
+    "support is a subset of corpus support, so no smoothing term is "
+    "needed) and every sum after quantization is exact BIGINT. The "
+    "contamination/drift monitor a mixture pipeline runs per "
+    "ingest: a source whose KL jumps changed its content mix. "
+    "Scale shape: one token pass map-side combines to "
+    "|sources|·256 rows; the codebook and marginals are broadcast "
+    "model-state.",
+)
+def text_kl_source_drift(spark, sf_dir):
+    b = KL_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    occ = tok.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 14), 16, 10)
+            .cast("bigint")
+            % b
+        ).alias("bucket"),
+    )
+    sc = (
+        occ.groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ns = sc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    cb = sc.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("cb")
+    )
+    nt = sc.agg(F.sum("c").cast("bigint").alias("n"))
+    q = (
+        sc.select(F.col("c").alias("x"))
+        .union(ns.select(F.col("n_s").alias("x")))
+        .union(cb.select(F.col("cb").alias("x")))
+        .union(nt.select(F.col("n").alias("x")))
+        .distinct()
+        .select(
+            "x",
+            F.round(F.log(F.col("x").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qc = q.select(F.col("x").alias("c"), F.col("q").alias("q_c"))
+    qns = q.select(F.col("x").alias("n_s"), F.col("q").alias("q_ns"))
+    qcb = q.select(F.col("x").alias("cb"), F.col("q").alias("q_cb"))
+    qn = q.select(F.col("x").alias("n"), F.col("q").alias("q_n"))
+    return (
+        sc.join(F.broadcast(ns), "source")
+        .join(F.broadcast(cb), "bucket")
+        .crossJoin(F.broadcast(nt))
+        .join(F.broadcast(qc), "c")
+        .join(F.broadcast(qns), "n_s")
+        .join(F.broadcast(qcb), "cb")
+        .join(F.broadcast(qn), "n")
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("c")
+                * (
+                    F.col("q_c")
+                    - F.col("q_ns")
+                    - F.col("q_cb")
+                    + F.col("q_n")
+                )
+            ).alias("term"),
+        )
+        .groupBy("source", "n_s")
+        .agg(F.sum("term").cast("bigint").alias("sum_t"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr("sum_t div n_s").alias("kl_micro"),
+        )
+    )

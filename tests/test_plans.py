@@ -375,6 +375,9 @@ class TestShuffleBudget:
             # each streamed against the broadcast 10-row checkpoint
             # table and re-combined map-side to <=10 rows
             ("text_vocab_growth", 8),
+            # KL drift: one token pass combines to |sources|*256 rows
+            # behind the checkpoint; marginals + codebook broadcast
+            ("text_kl_source_drift", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
