@@ -2605,3 +2605,105 @@ def quality_classifier_calibration(spark, sf_dir):
             F.expr("(n_pos * 1000000) div n_docs").alias("obs_pos_ppm"),
         )
     )
+
+
+def _degree_dist_oracle() -> str:
+    return f"""{_chunk_graph_prefix()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+)
+SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_degree_dist_oracle(),
+    tags=("curation", "graph", "statistics"),
+    doc="Degree distribution of the duplicate-chunk graph in exact "
+    "log₂ buckets — floor(log2(d)) computed as the binary-digit "
+    "count (bin()/printf('%%b') length, identical on both engines; "
+    "a float log2 would drift one ulp at exact powers of two), with "
+    "per-bucket min/max degree. The heavy-tail health check run "
+    "before any per-node graph algorithm: a bucket appearing at "
+    "2¹⁵ means a boilerplate chunk slipped the df cap. Slim "
+    "(node, node) shuffles; the histogram is |buckets| rows.",
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Chunk-edge derivation duplicates graph_pagerank_dup_chunks'
+    pin-frozen inline construction (see graph_triangles_dup_chunks);
+    changes to the chunk/df-cap definition must touch all four."""
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    und = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    return (
+        deg.select(
+            (F.length(F.bin(F.col("d"))) - 1)
+            .cast("bigint")
+            .alias("log2_bucket"),
+            "d",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("d").cast("bigint").alias("min_deg"),
+            F.max("d").cast("bigint").alias("max_deg"),
+        )
+    )

@@ -378,6 +378,9 @@ class TestShuffleBudget:
             # KL drift: one token pass combines to |sources|*256 rows
             # behind the checkpoint; marginals + codebook broadcast
             ("text_kl_source_drift", 4),
+            # degree histogram: the checkpointed chunk graph + the
+            # degree combine and |buckets|-row rollup
+            ("graph_degree_distribution", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
