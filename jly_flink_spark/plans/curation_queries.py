@@ -2707,3 +2707,75 @@ def graph_degree_distribution(spark, sf_dir):
             F.max("d").cast("bigint").alias("max_deg"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Embedding-curation composite pipeline (SemDeDup + Mahalanobis gate)
+# --------------------------------------------------------------------
+
+def _embedding_pipeline_oracle() -> str:
+    from .northstar_queries import _MAHAL_ORACLE
+
+    return f"""
+WITH sd AS (SELECT * FROM ({_semdedup_oracle()})),
+mh AS (SELECT * FROM ({_MAHAL_ORACLE})),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT l.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sd.is_dup) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outlier,
+       CAST(sum(CASE WHEN sd.is_dup = 0 AND m.vec_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM sd
+JOIN lab l ON l.vec_id = sd.vec_id
+LEFT JOIN mh m ON m.vec_id = sd.vec_id
+GROUP BY l.label
+"""
+
+
+@register(
+    "pipeline_embedding_curation",
+    oracle=_embedding_pipeline_oracle(),
+    tags=("curation", "embedding", "pipeline", "dedup", "quality"),
+    doc="The embedding-side flagship composition, mirroring the text "
+    "corpus pipeline: SemDeDup semantic near-dup flags (K-means-"
+    "bucketed cosine) and the diagonal-Mahalanobis outlier sweep "
+    "gate the corpus together, rolled up per label into kept / "
+    "dup-flagged / outlier-flagged counts — dedup and quality "
+    "filtering composed in ONE declarative plan, value-hashed end "
+    "to end through the clustering, the per-cluster GEMM kernels, "
+    "the variance statistics, and the top-k. The outlier set is a "
+    "broadcast 10-row join; the label rollup exchanges "
+    "|labels|-row model state.",
+)
+def pipeline_embedding_curation(spark, sf_dir):
+    from ..operators.semdedup import semantic_dup_flags
+    from .northstar_queries import embedding_mahalanobis_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dup_flags(emb)
+    outliers = embedding_mahalanobis_outliers(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("is_out")
+    )
+    lab = emb.select("vec_id", "label")
+    j = (
+        flags.join(lab, "vec_id")
+        .join(F.broadcast(outliers), "vec_id", "left")
+        .select(
+            "label",
+            "is_dup",
+            F.coalesce(F.col("is_out"), F.lit(0)).alias("is_out"),
+        )
+    )
+    return j.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
+        F.sum("is_out").cast("bigint").alias("n_outlier"),
+        F.sum(
+            F.when((F.col("is_dup") == 0) & (F.col("is_out") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )

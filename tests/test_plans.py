@@ -381,6 +381,10 @@ class TestShuffleBudget:
             # degree histogram: the checkpointed chunk graph + the
             # degree combine and |buckets|-row rollup
             ("graph_degree_distribution", 2),
+            # embedding pipeline: SemDeDup's budgeted chain + the
+            # Mahalanobis stats legs; the outlier set is a broadcast
+            # 10-row join and the label rollup is model-state
+            ("pipeline_embedding_curation", 6),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
