@@ -1257,3 +1257,62 @@ def lineitem_abc_classes(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period change (month-over-month revenue)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue_cents,
+       CAST(coalesce(
+         ((revenue_cents - lag(revenue_cents) OVER (ORDER BY month))
+          * 1000000) // lag(revenue_cents) OVER (ORDER BY month),
+         0) AS BIGINT) AS mom_ppm
+FROM m
+"""
+
+
+@register(
+    "orders_revenue_mom_change",
+    oracle=_MOM_ORACLE,
+    tags=("relational", "window", "temporal"),
+    doc="Month-over-month revenue change: monthly exact-cents "
+    "revenue with the signed period-over-period delta in exact ppm "
+    "(truncating division agrees across engines for signed values; "
+    "first month coalesces to 0) — the period-comparison shape "
+    "every BI layer needs. One fact shuffle into |months| rows; "
+    "the lag window ranks months only.",
+)
+def orders_revenue_mom_change(spark, sf_dir):
+    m = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    return m.withColumn(
+        "mom_ppm",
+        F.coalesce(
+            F.expr(
+                "((revenue_cents - lag(revenue_cents) OVER (ORDER BY month))"
+                " * 1000000) div lag(revenue_cents) OVER (ORDER BY month)"
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    ).select("month", "n_orders", "revenue_cents", "mom_ppm")

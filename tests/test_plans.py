@@ -385,6 +385,9 @@ class TestShuffleBudget:
             # Mahalanobis stats legs; the outlier set is a broadcast
             # 10-row join and the label rollup is model-state
             ("pipeline_embedding_curation", 6),
+            # MoM: one fact shuffle into |months| rows + the lag
+            # window over months
+            ("orders_revenue_mom_change", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
