@@ -2745,3 +2745,79 @@ def events_entropy_by_type(spark, sf_dir):
             (qln("n") - F.expr("sum_clnc div n")).alias("entropy_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness (sliding-window distinct users)
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), cover AS (
+  SELECT DISTINCT u.user_id, d.day
+  FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       (d.dau * 1000000) // w.wau AS stickiness_ppm
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=_DAU_WAU_ORACLE,
+    tags=("advanced", "temporal", "growth", "window"),
+    doc="DAU/WAU stickiness: per day, distinct daily actives over "
+    "distinct trailing-7-day actives, as exact ppm. The sliding "
+    "DISTINCT is the trick — a windowed count(distinct) does not "
+    "distribute, so each (user, day) pair instead CONTRIBUTES to "
+    "the 7 days it covers (a bounded 7× fan-out of slim long "
+    "pairs, deduped per user-day), turning the sliding distinct "
+    "into two plain count aggregations. The fan-out factor is the "
+    "window length, independent of corpus size — the only exact "
+    "shape that survives scale (the approximate alternative is the "
+    "KMV sketch per day, anchored by this query).",
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = ud.select("day").distinct()
+    cover = (
+        ud.withColumn(
+            "day_c", F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("day_c"))), "day_c")
+        .select("user_id", F.col("day_c").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = cover.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+        )
+    )

@@ -1316,3 +1316,84 @@ def orders_revenue_mom_change(spark, sf_dir):
             F.lit(0),
         ).cast("bigint"),
     ).select("month", "n_orders", "revenue_cents", "mom_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (Herfindahl–Hirschman index per nation)
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), tot AS (
+  SELECT nationkey, CAST(sum(cents) AS BIGINT) AS t FROM rev
+  GROUP BY nationkey
+), shares AS (
+  SELECT r.nationkey,
+         (r.cents * 10000) // t.t AS share_bp
+  FROM rev r JOIN tot t ON t.nationkey = r.nationkey
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2
+FROM shares s JOIN nation n ON n.n_nationkey = s.nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "supplier_nation_hhi",
+    oracle=_HHI_ORACLE,
+    tags=("relational", "segmentation", "statistics"),
+    doc="Herfindahl–Hirschman market concentration per nation: each "
+    "supplier's discounted-revenue share in exact basis points "
+    "(truncating integer division), HHI = Σ share², so the index "
+    "lands in the standard 0–10000² bp² scale with zero float "
+    "path. One fact shuffle into (nation, supplier) revenue, "
+    "broadcast nation totals and names; the HHI rollup is "
+    "|nations| rows. The concentration audit behind any "
+    "down-weight-dominant-sources curation decision.",
+)
+def supplier_nation_hhi(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nationkey", "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum("cents").cast("bigint").alias("t")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .select(
+            "nationkey",
+            F.expr("(cents * 10000) div t").alias("share_bp"),
+        )
+        .join(F.broadcast(nat), "nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi_bp2"),
+        )
+    )

@@ -388,6 +388,13 @@ class TestShuffleBudget:
             # MoM: one fact shuffle into |months| rows + the lag
             # window over months
             ("orders_revenue_mom_change", 2),
+            # DAU/WAU: the checkpointed (user, day) distinct + the
+            # bounded 7x cover fan-out dedup + two day rollups —
+            # the sliding distinct never windows raw events
+            ("events_dau_wau_stickiness", 4),
+            # HHI: one fact shuffle into (nation, supplier) revenue;
+            # totals/names broadcast; |nations|-row rollup
+            ("supplier_nation_hhi", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
