@@ -2151,3 +2151,114 @@ def text_kl_source_drift(spark, sf_dir):
             F.expr("sum_t div n_s").alias("kl_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup: one document inside another)
+# ---------------------------------------------------------------------------
+CONTAIN_MIN_PPM = 900_000  # flag when >= 90% of the smaller side is
+# contained in the other
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {_DOC_TOKS_CTE},
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
+),
+sc AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.ts, b.ts)) AS n_shared,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM cand c
+  JOIN tsets a ON a.doc_id = c.doc_a
+  JOIN tsets b ON b.doc_id = c.doc_b
+)
+, cp AS (
+  SELECT greatest((n_shared * 1000000) // na,
+                  (n_shared * 1000000) // nb) AS c_ppm,
+         (n_shared * 1000000) // na >= {CONTAIN_MIN_PPM} AS fa,
+         (n_shared * 1000000) // nb >= {CONTAIN_MIN_PPM} AS fb
+  FROM sc
+)
+SELECT CAST(least(c_ppm // 100000, 9) AS BIGINT) AS contain_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contain_a,
+       CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contain_b
+FROM cp GROUP BY 1
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_containment_oracle(),
+    tags=("northstar", "dedup", "minhash"),
+    doc="Asymmetric containment dedup: for LSH candidate pairs, the "
+    "fraction of EACH side's token set contained in the other "
+    "(exact ppm) — catches subset/superset duplicates (a doc "
+    "embedded in a longer one) that symmetric Jaccard misses: "
+    "containment can be 100% while Jaccard sits below every dedup "
+    "threshold. Candidate-bounded verification via per-pair "
+    "array_intersect on checkpointed token sets — the same "
+    "never-explode discipline as the estimator-accuracy query; "
+    "flags pairs over 90% containment in either direction.",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidate_pairs(docs)
+    tsets = docs.select(
+        "doc_id",
+        F.array_distinct(text.tokens(F.col("text"))).alias("ts"),
+    ).localCheckpoint(eager=False)
+    ta = tsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ts").alias("tsa")
+    )
+    tb = tsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ts").alias("tsb")
+    )
+    sc = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("tsa", "tsb")).alias("n_shared"),
+            F.size("tsa").alias("na"),
+            F.size("tsb").alias("nb"),
+        )
+    )
+    ca = F.expr("(n_shared * 1000000) div na")
+    cb = F.expr("(n_shared * 1000000) div nb")
+    cp = sc.select(
+        F.greatest(ca, cb).alias("c_ppm"),
+        (ca >= CONTAIN_MIN_PPM).alias("fa"),
+        (cb >= CONTAIN_MIN_PPM).alias("fb"),
+    )
+    return (
+        cp.select(
+            F.least(F.expr("c_ppm div 100000"), F.lit(9))
+            .cast("bigint")
+            .alias("contain_decile"),
+            "fa",
+            "fb",
+        )
+        .groupBy("contain_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("fa"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contain_a"),
+            F.sum(F.when(F.col("fb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contain_b"),
+        )
+    )

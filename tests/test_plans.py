@@ -395,6 +395,10 @@ class TestShuffleBudget:
             # HHI: one fact shuffle into (nation, supplier) revenue;
             # totals/names broadcast; |nations|-row rollup
             ("supplier_nation_hhi", 4),
+            # containment: the bands chain + candidate joins against
+            # the checkpointed token sets; per-pair array_intersect
+            # and a <=10-row histogram rollup
+            ("dedup_containment_pairs", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
