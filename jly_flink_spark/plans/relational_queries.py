@@ -1397,3 +1397,96 @@ def supplier_nation_hhi(spark, sf_dir):
             .alias("hhi_bp2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (brand × type contingency)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH o AS (
+  SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS o
+  FROM part GROUP BY p_brand, p_type
+), r AS (
+  SELECT p_brand, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY p_brand
+), c AS (
+  SELECT p_type, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY p_type
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM o
+), cells AS (
+  SELECT r.p_brand, c.p_type, coalesce(o.o, 0) AS o, r.r, c.c
+  FROM r CROSS JOIN c
+  LEFT JOIN o ON o.p_brand = r.p_brand AND o.p_type = c.p_type
+), terms AS (
+  SELECT (((o * n.n - r * c) * (o * n.n - r * c)) // (r * c))
+           * 1000 // n.n AS t_milli
+  FROM cells, n
+)
+SELECT (SELECT n FROM n) AS n_parts,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_brands,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_types,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM r)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM c) AS dof,
+       CAST(sum(t_milli) AS BIGINT) AS chi2_milli
+FROM terms
+"""
+
+
+@register(
+    "part_brand_type_chi2",
+    oracle=_CHI2_ORACLE,
+    tags=("relational", "statistics"),
+    doc="Pearson chi-square independence test over the brand × type "
+    "contingency table (zero cells included via the margin cross "
+    "join): per-cell terms use the division-free expected-count "
+    "form (O·N − R·C)²/(R·C·N), evaluated as a fixed truncating-"
+    "division chain in milli-units — deterministic cross-engine by "
+    "construction, exact within the documented int64 envelope "
+    "(min column total ≳ N²·R·10³/2⁶³, easily met at every test "
+    "scale). Scale shape: the contingency and both margins are "
+    "map-side-combined model state (|brands|·|types| cells); the "
+    "fact table shuffles once.",
+)
+def part_brand_type_chi2(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    r = o.groupBy("p_brand").agg(F.sum("o").cast("bigint").alias("r"))
+    c = o.groupBy("p_type").agg(F.sum("o").cast("bigint").alias("c"))
+    n = o.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .join(F.broadcast(o), ["p_brand", "p_type"], "left")
+        .select(
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    terms = cells.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "(((o * n - r * c) * (o * n - r * c)) div (r * c))"
+            " * 1000 div n"
+        ).alias("t_milli")
+    )
+    stats = (
+        r.agg(F.count("*").cast("bigint").alias("n_brands"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_types")))
+        .crossJoin(n)
+    )
+    return (
+        terms.agg(F.sum("t_milli").cast("bigint").alias("chi2_milli"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n").alias("n_parts"),
+            "n_brands",
+            "n_types",
+            (
+                (F.col("n_brands") - 1) * (F.col("n_types") - 1)
+            ).alias("dof"),
+            "chi2_milli",
+        )
+    )

@@ -399,6 +399,10 @@ class TestShuffleBudget:
             # the checkpointed token sets; per-pair array_intersect
             # and a <=10-row histogram rollup
             ("dedup_containment_pairs", 5),
+            # chi-square: the contingency combine behind the
+            # checkpoint + margin rollups; every exchanged row is
+            # |brands|x|types| model state
+            ("part_brand_type_chi2", 9),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
