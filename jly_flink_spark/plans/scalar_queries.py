@@ -336,3 +336,42 @@ def scalar_hash_funcs(spark, sf_dir):
         ).alias("h_composite"),
         F.substring(F.md5(F.col("c_name")), 1, 8).alias("h_prefix"),
     )
+
+
+@register(
+    "scalar_padding_funcs",
+    oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       rpad(c_mktsegment, 12, '.') AS seg_padded,
+       repeat('-', CAST(c_nationkey % 5 AS INT) + 1) AS rule,
+       reverse(c_name) AS name_rev,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+FROM customer
+WHERE c_custkey <= 500
+""",
+    tags=("scalar", "string"),
+    doc="String shaping scalar surface: zero-padded fixed-width keys "
+    "(lpad — the surrogate/sort-key formatter), rpad, repeat with a "
+    "computed count, reverse, and translate — identical semantics "
+    "on both engines. Pure per-row codegen, filter pushed to the "
+    "scan.",
+)
+def scalar_padding_funcs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    )
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
+            "key_padded"
+        ),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
+        F.repeat(
+            F.lit("-"), (F.col("c_nationkey") % 5).cast("int") + 1
+        ).alias("rule"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias(
+            "seg_translated"
+        ),
+    )
