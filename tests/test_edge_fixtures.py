@@ -118,6 +118,12 @@ def edge_sf_dir(tmp_path_factory):
         # non-numeric source suffix ('edge' → TRY_CAST NULL → the
         # ELSE domain) must route identically on both engines
         "training_interleave_order",
+        # near-identical tiny docs: estimator agreement and
+        # containment both sit at their 100% boundaries (est = K/K,
+        # containment decile 9 capped by least()); token-less docs
+        # have no signatures and drop from the candidate space
+        "dedup_minhash_estimate_accuracy",
+        "dedup_containment_pairs",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
