@@ -158,12 +158,15 @@ def exact_dedup_stream(
     original's state was evicted re-admits — size `delay` to the
     ingest pipeline's real dedup horizon; cross-horizon dedup is the
     batch operator's job (or the persisted LSH/fingerprint index)."""
+    # collision-safe temp name: an input that already carries an
+    # `fp` column must survive the round-trip unclobbered
+    fp_col = "__dedup_fp"
     t = F.col(text_col)
     return (
-        docs_sdf.withColumn("fp", fingerprint(t))
+        docs_sdf.withColumn(fp_col, fingerprint(t))
         .withWatermark(eventtime_col, delay)
-        .dropDuplicatesWithinWatermark(["fp"])
-        .drop("fp")
+        .dropDuplicatesWithinWatermark([fp_col])
+        .drop(fp_col)
     )
 
 
@@ -791,6 +794,13 @@ def verify_candidates_jaccard(
     return (
         sized.join(arr_a.select("doc_a", "ts_a"), "doc_a")
         .join(arr_b.select("doc_b", "ts_b"), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            "doc_a", "doc_b", jac.alias("jaccard"), n_shared.alias("_ns")
+        )
+        # _ns > 0 keeps the min_jaccard=0 boundary identical to the
+        # pre-r6 shared-token inner join (a pair with ZERO overlap is
+        # not a verified duplicate at any threshold); redundant for
+        # min_jaccard > 0 where jaccard >= threshold implies overlap
+        .filter((F.col("jaccard") >= min_jaccard) & (F.col("_ns") > 0))
+        .drop("_ns")
     )

@@ -4,12 +4,17 @@ transforms.
 
 The Spark-side plumbing is real and tested: schema contract,
 `mapInPandas` batch iteration (Arrow transfer, no per-row Python),
-partition-count preservation, deterministic batch shapes. The actual
-media decode is STUBBED (`decode_image_stub`) because no image/audio
-libraries exist in this container — the stub is a clearly-marked
-deterministic fake keyed on the binary payload, so tests pin the
-plumbing end to end. Swapping in a real decoder (PIL / torchaudio /
-ffmpeg) changes only the function body, not the Spark plan.
+partition-count preservation, deterministic batch shapes. The decode
+kernel is REAL pure-Python container parsing — PNG IHDR
+width/height/channels, JPEG SOF0/SOF2 dimensions, WAV RIFF fmt-chunk
+channels/sample-rate (`decode_media_header`) — over payloads whose
+headers are genuine format bytes (`encode_*` below plant them with
+dimensions derived from doc_id, so an arithmetic SQL oracle can
+value-check the full binary encode→parse round trip). Only the
+PIXEL/SAMPLE side (full image decode, audio PCM, video frames)
+remains stubbed: no media libraries exist in this container, and
+those stubs are clearly marked; swapping in PIL/ffmpeg changes the
+function body, never the Spark plan.
 
 At 100 TB: binary payloads dominate partition size — size
 `spark.sql.files.maxPartitionBytes` down (payloads don't compress in
@@ -19,20 +24,101 @@ by the metadata columns and let the binary ride along.
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Schema of the decoded-feature output: metadata carried through,
-# features appended. Mirrors a real image pipeline's (width, height,
-# channels, feature vector) contract.
-FEATURE_SCHEMA = (
+# Schema of the decoded-header output: metadata carried through,
+# parsed container fields appended (NULL where the modality lacks
+# them or the payload is malformed). Mirrors a real media-ingest
+# pipeline's sniff-stage contract.
+HEADER_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, channels int, feature0 double"
+    "width int, height int, channels int, sample_rate int"
 )
+
+ENCODED_MEDIA_SCHEMA = "doc_id bigint, media_type string, payload binary"
+
+# Planted-corpus arithmetic (ONE definition, mirrored by the SQL
+# oracles in plans/northstar_queries.py): every doc becomes one
+# media file whose header fields are pure functions of doc_id, so
+# the binary encode→parse round trip is value-checkable end to end.
+MALFORMED_MOD = 37   # doc_id % 37 == 0 → payload truncated to 6 bytes
+MALFORMED_LEN = 6
+
+
+def _planted_fields(doc_id: int) -> tuple[str, dict]:
+    fmt = doc_id % 3
+    k = doc_id // 3
+    if fmt == 0:
+        return "png", {
+            "width": 1 + (doc_id * 7) % 4096,
+            "height": 1 + (doc_id * 13) % 4096,
+            "channels": (1, 3, 4)[k % 3],
+        }
+    if fmt == 1:
+        return "jpeg", {
+            "width": 1 + (doc_id * 11) % 60000,
+            "height": 1 + (doc_id * 17) % 60000,
+            "channels": 1 if k % 2 == 0 else 3,
+        }
+    return "wav", {
+        "channels": 1 + k % 2,
+        "sample_rate": 8000 * (1 + k % 5),
+    }
+
+
+def plant_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+    """(media_type, payload) for one document: REAL container bytes
+    (PNG/JPEG/WAV headers with doc_id-derived fields, the utf-8 text
+    as body), truncated mid-signature for every MALFORMED_MOD-th doc
+    — the garbage a crawl always contains, planted deterministically
+    so both engines can count it."""
+    media_type, f = _planted_fields(doc_id)
+    body = text.encode("utf-8")
+    if media_type == "png":
+        payload = encode_png(f["width"], f["height"], f["channels"], body)
+    elif media_type == "jpeg":
+        payload = encode_jpeg(f["width"], f["height"], f["channels"], body)
+    else:
+        payload = encode_wav(f["channels"], f["sample_rate"], body)
+    if doc_id % MALFORMED_MOD == 0:
+        payload = payload[:MALFORMED_LEN]
+    return media_type, payload
+
+
+def documents_as_encoded_media(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The documents corpus as a REAL-format media table: one
+    mapInPandas pass plants a structurally-valid PNG/JPEG/WAV per doc
+    (header fields derived from doc_id — `_planted_fields` — body =
+    the utf-8 text). Arrow-batched; the payload column is built
+    worker-side, never on the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            planted = [
+                plant_payload(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": [m for m, _ in planted],
+                    "payload": [p for _, p in planted],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )
 
 
 def documents_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,45 +137,206 @@ def documents_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decoder (no media libs in this container): deterministic
-    fake dimensions/feature derived from the payload bytes. A real
-    implementation would `PIL.Image.open(io.BytesIO(payload))` etc.
-    Raising NotImplementedError here would also be contract-valid; the
-    deterministic fake is used so the distributed plumbing is testable.
-    """
-    n = len(payload)
-    checksum = sum(payload[:64]) if n else 0
-    width = 16 + (checksum % 64)
-    height = 16 + (n % 64)
-    channels = 3
-    feature0 = float((checksum * 31 + n) % 1000) / 1000.0
-    return width, height, channels, feature0
+# ---------------------------------------------------------------------------
+# Real container-header codecs (pure Python, no media libraries):
+# PNG IHDR, JPEG SOF0/SOF2, WAV RIFF fmt. The encoders plant genuine
+# format bytes (used by `documents_as_encoded_media` to build a
+# deterministic corpus whose planted dimensions an arithmetic SQL
+# oracle can recompute); the parsers read them back the way any real
+# ingest pipeline sniffs media metadata before full decode.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # planted channels → color type
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Decode/feature-extract over the binary column with mapInPandas:
-    Arrow-batched, one Python roundtrip per batch (not per row), binary
-    payload dropped from the output so only slim features shuffle."""
+def encode_png(width: int, height: int, channels: int, body: bytes) -> bytes:
+    """Minimal structurally-valid PNG: signature, IHDR with the given
+    dimensions/color type, the body as one IDAT chunk, IEND. Chunk
+    CRCs are zeroed (header parsing never validates them; a full
+    decoder would). Total size = 57 + len(body)."""
+    ihdr = struct.pack(
+        ">II5B", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\0\0\0\0"
+        + struct.pack(">I", len(body)) + b"IDAT" + body + b"\0\0\0\0"
+        + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
+    )
+
+
+def parse_png(payload: bytes) -> Optional[tuple[int, int, int]]:
+    """(width, height, channels) from the IHDR chunk, or None if the
+    signature/IHDR is missing or truncated."""
+    if len(payload) < 26 or payload[:8] != _PNG_SIG:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    color_type = payload[25]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or width <= 0 or height <= 0:
+        return None
+    return width, height, channels
+
+
+_JPEG_APP0 = (
+    b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+    + b"\x01\x01" + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+)
+
+
+def encode_jpeg(width: int, height: int, channels: int, body: bytes) -> bytes:
+    """Minimal structurally-valid JPEG: SOI, JFIF APP0, SOF0 with the
+    given dimensions/component count, the body as entropy data, EOI.
+    Total size = 32 + 3*channels + len(body)."""
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+        + b"".join(
+            struct.pack(">BBB", i + 1, 0x11, 0) for i in range(channels)
+        )
+    )
+    return b"\xff\xd8" + _JPEG_APP0 + sof0 + body + b"\xff\xd9"
+
+
+def parse_jpeg(payload: bytes) -> Optional[tuple[int, int, int]]:
+    """(width, height, channels) from the first SOF0/SOF2 segment,
+    walking the marker-segment chain the way every JPEG sniffer does;
+    None when SOI is missing or the chain truncates before a SOF."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if i + 10 > len(payload):
+                return None
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            channels = payload[i + 9]
+            if width <= 0 or height <= 0 or channels == 0:
+                return None
+            return width, height, channels
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def encode_wav(channels: int, sample_rate: int, body: bytes) -> bytes:
+    """Minimal structurally-valid WAV: RIFF/WAVE header, canonical
+    16-byte PCM fmt chunk, the body as the data chunk. Total size =
+    44 + len(body)."""
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def parse_wav(payload: bytes) -> Optional[tuple[int, int]]:
+    """(channels, sample_rate) from the fmt chunk, walking the RIFF
+    chunk chain; None when RIFF/WAVE is missing or fmt truncates."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            if i + 16 > len(payload):
+                return None
+            channels, sample_rate = struct.unpack(
+                "<HI", payload[i + 10 : i + 16]
+            )
+            if channels == 0 or sample_rate == 0:
+                return None
+            return channels, sample_rate
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+def decode_media_header(
+    payload,
+) -> tuple[
+    Optional[int], Optional[int], Optional[int], Optional[int]
+]:
+    """Sniff-and-parse: (width, height, channels, sample_rate) from
+    whichever container the magic bytes identify — PNG/JPEG fill the
+    image fields (sample_rate NULL), WAV fills channels/sample_rate
+    (dimensions NULL). Malformed, truncated, or unrecognized payloads
+    return all-None: a 100-TB media crawl ALWAYS contains garbage, so
+    the decoder's failure mode is a typed NULL row, never a task
+    kill."""
+    p = bytes(payload) if payload is not None else b""
+    if p[:8] == _PNG_SIG:
+        r = parse_png(p)
+        if r:
+            return r[0], r[1], r[2], None
+    elif p[:2] == b"\xff\xd8":
+        r = parse_jpeg(p)
+        if r:
+            return r[0], r[1], r[2], None
+    elif p[:4] == b"RIFF":
+        r = parse_wav(p)
+        if r:
+            return None, None, r[0], r[1]
+    return None, None, None, None
+
+
+def extract_media_headers(media: DataFrame) -> DataFrame:
+    """Parse the container headers over the binary column with
+    mapInPandas: Arrow-batched, one Python roundtrip per batch (not
+    per row), binary payload dropped from the output so only the slim
+    parsed-metadata rows shuffle onward. Malformed payloads become
+    typed NULL rows (`decode_media_header`), never task failures."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            decoded = pdf["payload"].map(decode_image_stub)
+            decoded = [decode_media_header(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["n_bytes"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "channels": [d[2] for d in decoded],
-                    "feature0": [d[3] for d in decoded],
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf["payload"]
+                    ],
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [d[2] for d in decoded], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [d[3] for d in decoded], dtype="Int32"
+                    ),
                 }
             )
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    return media.mapInPandas(batches, HEADER_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
@@ -155,12 +402,21 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_images(media: DataFrame, max_dim: int = 32) -> DataFrame:
-    """Resize stub: clamp stub-decoded dimensions to ``max_dim`` and
-    emit a proportionally truncated payload (a real build calls
-    PIL.Image.thumbnail and re-encodes; schema and plan are identical).
-    Only image rows are resized — others pass through untouched, the
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Thumbnail pass over an encoded-media table: image rows
+    (PNG/JPEG) whose REAL parsed dimensions exceed ``max_dim`` are
+    re-encoded with proportionally clamped dimensions — the output
+    payload is again a structurally-valid container that
+    `decode_media_header` round-trips to the new size. The PIXEL
+    resampling is the stub part (no media libs: the body is truncated
+    proportionally instead of resampled; PIL.Image.thumbnail swaps in
+    here); the header decode and re-encode are real. Non-image and
+    malformed rows pass through untouched with NULL dimensions — the
     mixed-modality routing a real pipeline needs."""
+
+    def clamp(w: int, h: int) -> tuple[int, int]:
+        scale = max_dim / max(w, h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -171,18 +427,52 @@ def resize_images(media: DataFrame, max_dim: int = 32) -> DataFrame:
                 "height": [], "resized_payload": [], "n_bytes": [],
             }
             for _, r in pdf.iterrows():
-                w, h, _, _ = decode_image_stub(r["payload"])
-                payload = r["payload"]
-                if r["media_type"] == "image" and max(w, h) > max_dim:
-                    scale = max_dim / max(w, h)
-                    w, h = max(1, int(w * scale)), max(1, int(h * scale))
-                    payload = payload[: max(1, int(len(payload) * scale))]
+                payload = bytes(r["payload"])
+                w = h = None
+                parsed = decode_media_header(payload)
+                if parsed[0] is not None:  # image with real dims
+                    w, h, ch = parsed[0], parsed[1], parsed[2]
+                    if max(w, h) > max_dim:
+                        ow, oh = w, h
+                        w, h = clamp(w, h)
+                        is_png = payload[:8] == _PNG_SIG
+                        # body offsets of OUR encoders: PNG sig+IHDR+
+                        # IDAT header = 41, trailing crc+IEND = 16;
+                        # JPEG SOI+APP0+SOF0 = 30+3ch, trailing EOI=2
+                        start = 41 if is_png else 30 + 3 * ch
+                        end = -16 if is_png else -2
+                        body = payload[start:end]
+                        # stub resample: the body shrinks by the same
+                        # scale the pixels would (a real build
+                        # resamples); the header re-encode is real
+                        body = body[
+                            : max(1, int(len(body) * max_dim / max(ow, oh)))
+                        ]
+                        payload = (
+                            encode_png(w, h, ch, body)
+                            if is_png
+                            else encode_jpeg(w, h, ch, body)
+                        )
                 out["doc_id"].append(r["doc_id"])
                 out["media_type"].append(r["media_type"])
                 out["width"].append(w)
                 out["height"].append(h)
                 out["resized_payload"].append(payload)
                 out["n_bytes"].append(len(payload))
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    **{
+                        k: out[k]
+                        for k in (
+                            "doc_id",
+                            "media_type",
+                            "resized_payload",
+                            "n_bytes",
+                        )
+                    },
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                }
+            )
 
     return media.mapInPandas(batches, RESIZED_SCHEMA)

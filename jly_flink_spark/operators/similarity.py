@@ -526,7 +526,26 @@ def _topk_from_probes(
 
 
 def _tombstone_dir(layout_path: str) -> str:
+    _require_local_layout(layout_path)
     return layout_path.rstrip("/") + ".tombstones"
+
+
+def _require_local_layout(path: str) -> None:
+    """The tombstone presence check (`os.path.isdir`) and compaction
+    drain (`shutil.rmtree`) are driver-local filesystem operations.
+    On a remote layout (s3a://, hdfs://) the isdir probe would read
+    False and pending deletes would keep serving SILENTLY — the one
+    failure mode worse than not supporting remote layouts at all —
+    so refuse loudly. (`swap_layout` is also local-FS-only but
+    already fails loudly on rename.) Remote support means resolving
+    through the Hadoop FileSystem API instead of os/shutil."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            "IVF/LSH layout tombstones require a driver-local layout "
+            f"path (got scheme {scheme!r} in {path!r}); remote "
+            "filesystems would silently skip pending deletes"
+        )
 
 
 def delete_from_ivf(spark: SparkSession, layout_path: str, vec_ids) -> None:

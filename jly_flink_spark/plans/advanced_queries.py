@@ -2177,14 +2177,17 @@ FROM scored GROUP BY 1, 2, 3
     "total-order tiebreak (ntile is deterministic only under a "
     "total order — both engines use the standard "
     "front-loaded-bucket rule), rolled up to segment counts. Scale "
-    "shape: one aggregation on o_custkey, then three rank windows "
-    "over the |customers|-row metric table — the fact table "
-    "shuffles once; at production scale the global ntile would swap "
-    "for quantile-sketch boundaries (agg_quantile_sketch), with "
-    "this exact form as its anchor twin.",
+    "shape: one aggregation on o_custkey, then three SHARDED ntile "
+    "passes over the |customers|-row metric table via "
+    "operators/ranking.py::global_rank_analytics (range partition "
+    "on the score key, per-shard row_number in parallel, broadcast "
+    "prefix offsets, ntile as arithmetic on the exact global row "
+    "number) — no partition-less window anywhere: |customers| grows "
+    "with the corpus, and a single-task ntile over billions of "
+    "customers is exactly the stall the sharded form eliminates.",
 )
 def customer_rfm_segments(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.ranking import global_rank_analytics
 
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -2205,14 +2208,37 @@ def customer_rfm_segments(spark, sf_dir):
         "m_cents",
         (F.col("max_day") - F.col("last_day")).alias("days_since"),
     )
-    wr = Window.orderBy(F.col("days_since").desc(), F.col("o_custkey"))
-    wf = Window.orderBy("f", "o_custkey")
-    wm = Window.orderBy("m_cents", "o_custkey")
-    scored = base.select(
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
-    )
+    # The metric table fans out into nine branches (3 passes × each
+    # pass's boundary aggregate + offsets + output): materialize the
+    # dim-sized frame ONCE instead of re-aggregating the fact table
+    # per branch. At cluster scale this is persist-to-storage of a
+    # |customers|-slim projection — the standard fan-out staging.
+    base = base.localCheckpoint(eager=False)
+    # Three INDEPENDENT sharded-ntile passes over the SAME base (not
+    # chained — chaining nests each pass's boundary aggregate and
+    # offsets branch inside the next pass's plan, recomputing the
+    # whole upstream per level). Independent passes share the one
+    # orders-aggregation exchange (ReuseExchange: identical base
+    # subtree 3×), each emits a slim (custkey, score) frame, and the
+    # custkey equi-joins that reassemble them are ordinary
+    # bounded-parallel shuffle joins.
+    scored = None
+    for col, out_name, is_desc in (
+        ("days_since", "r_score", True),
+        ("f", "f_score", False),
+        ("m_cents", "m_score", False),
+    ):
+        s = global_rank_analytics(
+            base,
+            col,
+            desc=is_desc,
+            tiebreak=("o_custkey",),
+            ntile=5,
+            row_number_only=True,
+        ).select(
+            "o_custkey", F.col("g_ntile").cast("bigint").alias(out_name)
+        )
+        scored = s if scored is None else scored.join(s, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )

@@ -953,100 +953,120 @@ def multimodal_media_stats(spark, sf_dir):
     return multimodal.media_stats(media)
 
 
-@register(
-    "multimodal_extract_features",
-    oracle="""
-WITH media AS (
+# Planted-corpus arithmetic shared by the two header-decode oracles:
+# mirrors operators/multimodal._planted_fields + plant_payload (one
+# definition per engine; a drift in either breaks the value hash).
+_MEDIA_PLANTED = """
+WITH planted AS (
   SELECT doc_id,
-         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         text,
+         doc_id % 3 AS fmt,
+         doc_id // 3 AS k,
+         (doc_id % 37 = 0) AS malformed,
          octet_length(encode(text)) AS n
   FROM documents
 ),
-dec AS (
-  SELECT doc_id, media_type, n,
-         CASE WHEN n = 0 THEN 0 ELSE
-           list_sum(list_transform(generate_series(1, least(n, 64)),
-                    i -> ascii(substring(text, i, 1)))) END AS checksum
-  FROM media
+expected AS (
+  SELECT doc_id,
+         CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'wav' END AS media_type,
+         CAST(CASE WHEN malformed THEN 6
+              WHEN fmt = 0 THEN 57 + n
+              WHEN fmt = 1 THEN 32 + 3 * (CASE WHEN k % 2 = 0
+                                          THEN 1 ELSE 3 END) + n
+              ELSE 44 + n END AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN 1 + (doc_id * 7) % 4096
+              WHEN fmt = 1 THEN 1 + (doc_id * 11) % 60000
+              ELSE NULL END AS INT) AS width,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN 1 + (doc_id * 13) % 4096
+              WHEN fmt = 1 THEN 1 + (doc_id * 17) % 60000
+              ELSE NULL END AS INT) AS height,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN ([1, 3, 4])[CAST(k % 3 AS INT) + 1]
+              WHEN fmt = 1 THEN CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END
+              ELSE 1 + k % 2 END AS INT) AS channels,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 2 THEN 8000 * (1 + k % 5)
+              ELSE NULL END AS INT) AS sample_rate
+  FROM planted
 )
-SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
-       CAST(16 + checksum % 64 AS INT) AS width,
-       CAST(16 + n % 64 AS INT) AS height,
-       CAST(3 AS INT) AS channels,
-       CAST((checksum * 31 + n) % 1000 AS DOUBLE) / 1000.0 AS feature0
-FROM dec
+"""
+
+
+@register(
+    "multimodal_extract_features",
+    oracle=_MEDIA_PLANTED
+    + """
+SELECT doc_id, media_type, n_bytes, width, height, channels,
+       sample_rate
+FROM expected
 """,
     tags=("northstar", "multimodal", "pandas_udf"),
-    doc="Arrow-batched mapInPandas feature extraction over opaque "
-    "binary payloads. The decode is a deterministic stub (no media "
-    "libs in this container) whose arithmetic is mirrored in SQL "
-    "over the same bytes (ASCII corpus: char codes == bytes), so "
-    "the full per-row output — not just aggregates — is "
-    "value-hash-checked; a real decoder swaps the kernel without "
-    "touching the plan.",
+    doc="REAL binary media decode, value-checked per row: one "
+    "mapInPandas pass plants a structurally-valid PNG/JPEG/WAV per "
+    "document (header fields derived from doc_id, utf-8 text as "
+    "body, every 37th payload truncated mid-signature), a second "
+    "Arrow-batched pass parses the containers back — PNG IHDR "
+    "width/height/color-type, JPEG SOF0 marker-segment walk, WAV "
+    "RIFF fmt-chunk channels/sample-rate — with malformed payloads "
+    "becoming typed NULL rows, never task kills. The oracle "
+    "recomputes the planted fields arithmetically, so any byte the "
+    "encoder or parser gets wrong breaks the hash. Only the "
+    "pixel/sample plane stays stubbed (no media libs in this "
+    "container); the container codecs are genuine "
+    "(operators/multimodal.py: encode_png/parse_png, encode_jpeg/"
+    "parse_jpeg, encode_wav/parse_wav).",
 )
 def multimodal_extract_features(spark, sf_dir):
-    media = multimodal.documents_as_media(
+    media = multimodal.documents_as_encoded_media(
         load_table(spark, sf_dir, "documents")
     )
-    return multimodal.extract_features(media)
+    return multimodal.extract_media_headers(media)
 
 
 @register(
     "multimodal_decode_stats",
-    oracle="""
-WITH media AS (
-  SELECT doc_id,
-         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         text,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-dec AS (
-  SELECT media_type, n,
-         CASE WHEN n = 0 THEN 0 ELSE
-           list_sum(list_transform(generate_series(1, least(n, 64)),
-                    i -> ascii(substring(text, i, 1)))) END AS checksum
-  FROM media
-),
-feat AS (
-  SELECT media_type,
-         16 + checksum % 64 AS width,
-         16 + n % 64 AS height,
-         CAST((checksum * 31 + n) % 1000 AS DOUBLE) / 1000.0 AS feature0
-  FROM dec
-)
+    oracle=_MEDIA_PLANTED
+    + """
 SELECT media_type,
-       count(*) AS n_media,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN width IS NULL AND sample_rate IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        CAST(sum(width) AS BIGINT) AS sum_width,
        CAST(sum(height) AS BIGINT) AS sum_height,
-       CAST(sum(CAST(floor(feature0 * 1000 + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_q_feature
-FROM feat GROUP BY media_type
+       CAST(sum(channels) AS BIGINT) AS sum_channels,
+       CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate
+FROM expected GROUP BY media_type
 """,
     tags=("northstar", "multimodal", "pandas_udf"),
-    doc="Value-hash check of the ACTUAL mapInPandas decode path: the "
-    "stub decoder's arithmetic (byte-checksum dimensions, rational "
-    "feature) is mirrored in SQL over the same payload bytes (the "
-    "corpus is ASCII, so char codes == bytes), turning the "
-    "previously rows-only decode into an end-to-end value check of "
-    "the Arrow batch plumbing. A real decoder swaps the kernel; this "
-    "pins that the distributed machinery delivers every byte to it "
-    "intact.",
+    doc="Decode-health rollup over the real container parse "
+    "(multimodal_extract_features' pipeline): per format, media "
+    "count, MALFORMED count (the truncated payloads both engines "
+    "plant deterministically — the garbage-rate monitor a media "
+    "crawl runs continuously), byte totals and parsed-field sums. "
+    "Value-hash-checked against the planted arithmetic, so the "
+    "malformed-payload path (truncated header → typed NULLs, no "
+    "task kill) is itself oracle-verified.",
 )
 def multimodal_decode_stats(spark, sf_dir):
-    media = multimodal.documents_as_media(
+    media = multimodal.documents_as_encoded_media(
         load_table(spark, sf_dir, "documents")
     )
-    feats = multimodal.extract_features(media)
+    feats = multimodal.extract_media_headers(media)
     return feats.groupBy("media_type").agg(
-        F.count("*").alias("n_media"),
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum(
+            (
+                F.col("width").isNull() & F.col("sample_rate").isNull()
+            ).cast("int")
+        ).cast("bigint").alias("n_malformed"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.sum("width").cast("bigint").alias("sum_width"),
         F.sum("height").cast("bigint").alias("sum_height"),
-        F.sum(
-            F.floor(F.col("feature0") * 1000 + F.lit(0.5)).cast("bigint")
-        ).cast("bigint").alias("sum_q_feature"),
+        F.sum("channels").cast("bigint").alias("sum_channels"),
+        F.sum("sample_rate").cast("bigint").alias("sum_sample_rate"),
     )
 
 
@@ -1951,11 +1971,17 @@ FROM cps c
     "its FIRST document (min doc_id), so vocab(n) is a count of "
     "first-occurrences ≤ n — two map-side-combined aggregations "
     "and a ≤10-row checkpoint probe, no sequential scan, no "
-    "global running distinct state. The curve every tokenizer "
-    "budget and dedup-health review starts from.",
+    "global running distinct state. Checkpoint selection ranks the "
+    "distinct doc_ids with the SHARDED rank operator "
+    "(operators/ranking.py::global_rank_analytics — range "
+    "partition, per-shard row_number, broadcast offsets; g_total "
+    "carries count(*) OVER () for free) — no partition-less "
+    "window: |docs| IS the corpus, and a single-task row_number "
+    "over every document is the canonical 100-TB stall. The curve "
+    "every tokenizer budget and dedup-health review starts from.",
 )
 def text_vocab_growth(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.ranking import global_rank_analytics
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -1967,16 +1993,19 @@ def text_vocab_growth(spark, sf_dir):
     toksum = t.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tok")
     )
-    ids = (
-        docs.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy("doc_id"))
-            .alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("n_docs"),
-        )
+    # The distinct-id frame fans out into the sharded pass's three
+    # branches (boundary aggregate, offsets, output): materialize it
+    # ONCE instead of re-running the distinct per branch.
+    ids = docs.select("doc_id").distinct().localCheckpoint(eager=False)
+    ids = global_rank_analytics(
+        ids,
+        "doc_id",
+        with_total=True,
+        row_number_only=True,
+    ).select(
+        "doc_id",
+        F.col("g_row_number").alias("rn"),
+        F.col("g_total").alias("n_docs"),
     )
     cps = ids.filter(
         (

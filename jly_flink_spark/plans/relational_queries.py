@@ -1218,13 +1218,16 @@ FROM classed GROUP BY abc_class
     "(revenue desc, partkey) — a total order, so the class "
     "boundaries are deterministic under ties. Scale shape: the "
     "fact table shuffles once into per-part revenue (map-side "
-    "combined); the global running-sum window ranks the |parts|-row "
-    "aggregate only — at production part cardinality the ordered "
-    "prefix sum shards exactly like batch_by_token_budget's "
-    "sharded-window pattern, with this form as its anchor.",
+    "combined); the ordered prefix sum over the |parts|-row "
+    "aggregate is SHARDED via operators/ranking.py::"
+    "sharded_prefix_sum (range partition on revenue desc, per-shard "
+    "running sums in parallel, broadcast prefix offsets) — no "
+    "partition-less window: |parts| grows with the catalog, and a "
+    "single-task cumulative sum over billions of parts is exactly "
+    "the stall the sharded form eliminates.",
 )
 def lineitem_abc_classes(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.ranking import sharded_prefix_sum
 
     rev = (
         _t(spark, sf_dir, "lineitem")
@@ -1239,11 +1242,16 @@ def lineitem_abc_classes(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
+    # The per-part aggregate fans out into four branches (grand
+    # total + the sharded pass's boundary aggregate, offsets and
+    # output): materialize the dim-sized frame ONCE instead of
+    # re-aggregating lineitem per branch. At cluster scale this is
+    # persist-to-storage of a |parts|-slim projection.
+    rev = rev.localCheckpoint(eager=False)
     tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
-    ranked = rev.withColumn(
-        "cum_cents", F.sum("cents").over(w).cast("bigint")
-    )
+    ranked = sharded_prefix_sum(
+        rev, "cents", "cents", desc=True, tiebreak=("l_partkey",)
+    ).withColumn("cum_cents", F.col("g_cum").cast("bigint"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "cents",
         F.when(

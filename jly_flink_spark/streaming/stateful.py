@@ -22,6 +22,11 @@ Operators:
 - `ewma_stream`: the bounded-tail fixed-point EWMA fold (streaming
   form of `events_ewma_fixedpoint`) — converges to the batch answer
   under out-of-order and duplicated delivery.
+- `codebook_drift_stream`: per-group count-codebook distribution
+  monitor emitting quantized entropy and KL-vs-reference (streaming
+  forms of `events_entropy_by_type` / `text_kl_source_drift`),
+  bit-exact with the batch queries after any prefix; at-least-once
+  inputs absorbed by a bounded dedup-within-watermark stage.
 
 State is kept per key, partitioned by the groupBy hash shuffle — at
 cluster scale state shards across executors and lives in the state
@@ -595,10 +600,17 @@ def ewma_step(state, rows, tail: int = 64):
     else:
         seen = {}
     before = sorted(seen)
+    before_vals = {t: seen[t] for t in before}
     for k, i, v in rows:
         seen[(int(k), int(i))] = int(v)
     order = sorted(seen)[-tail:]
-    if order == before:
+    # Emit when the tail's MEMBERSHIP or its VALUES changed: a
+    # re-delivered (ts, id) carrying a rewritten vq must update
+    # state and re-emit (last-write-wins), not be silently dropped
+    # because the key set is unchanged.
+    if order == before and all(
+        seen[t] == before_vals[t] for t in order
+    ):
         return state, None
     new_state = (
         [k for k, _ in order],
@@ -661,6 +673,153 @@ def ewma_stream(
         fn,
         outputStructType=out_schema,
         stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution monitors: per-group count codebook → entropy
+# and KL-vs-reference drift (the incremental forms of the batch
+# `events_entropy_by_type` / `text_kl_source_drift` queries)
+# ---------------------------------------------------------------------------
+
+_CODEBOOK_STATE = "counts array<long>"
+
+
+def _qln(x: int) -> int:
+    """round(ln(x)·1e6) with HALF-UP ties for x >= 1 — the identical
+    quantization the batch information-theory queries use (Spark
+    F.round / DuckDB round are half-up; Python round() is half-even,
+    so this must NOT be `round()`)."""
+    import math
+
+    return math.floor(math.log(x) * 1e6 + 0.5)
+
+
+def _trunc_div(a: int, n: int) -> int:
+    """Truncate-toward-zero integer division — Spark `div` / DuckDB
+    `//` semantics (Python // floors, which differs for negative
+    numerators; the quantized KL sum can dip below zero)."""
+    return a // n if a >= 0 else -((-a) // n)
+
+
+def codebook_measures(
+    counts: list[int],
+    reference: "list[int] | None" = None,
+) -> tuple[int, int, int, "int | None"]:
+    """(n_obs, n_buckets_used, entropy_micro, kl_micro) of a count
+    codebook, in the batch queries' exact integer discipline:
+    entropy = qln(N) − (Σ c·qln(c)) div N (events_entropy_by_type),
+    KL vs the reference distribution = (Σ c·(qln(c) − qln(N) −
+    qln(r) + qln(M))) div N (text_kl_source_drift — observed support
+    must be inside reference support, the unigram-LM no-smoothing
+    contract; a bucket observed with zero reference raises).
+    Extracted pure so tests drive the arithmetic without streaming
+    machinery."""
+    n = sum(counts)
+    if n == 0:
+        return 0, 0, 0, None
+    used = sum(1 for c in counts if c > 0)
+    s_clnc = sum(c * _qln(c) for c in counts if c > 0)
+    entropy = _qln(n) - s_clnc // n  # both non-negative: floor == trunc
+    kl = None
+    if reference is not None:
+        m = sum(reference)
+        q_n, q_m = _qln(n), _qln(m)
+        acc = 0
+        for b, c in enumerate(counts):
+            if c == 0:
+                continue
+            if reference[b] <= 0:
+                raise ValueError(
+                    f"bucket {b} observed but reference count is 0 — "
+                    "the KL contract needs reference support to cover "
+                    "observed support (build the reference from the "
+                    "corpus mixture)"
+                )
+            acc += c * (_qln(c) - q_n - _qln(reference[b]) + q_m)
+        kl = _trunc_div(acc, n)
+    return n, used, entropy, kl
+
+
+def codebook_drift_stream(
+    sdf: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    id_col: str,
+    eventtime_col: str,
+    n_buckets: int,
+    reference: "list[int] | None" = None,
+    dedup_delay: str = "10 minutes",
+    group_type: str = "string",
+) -> DataFrame:
+    """Streaming distribution monitor — the incremental form of the
+    batch information-theory tier: per group, state is a dense
+    ``n_buckets`` count codebook (bounded: n_buckets longs per group,
+    stream-length-independent); every micro-batch folds its
+    pre-bucketed observations in and emits
+
+        (group, n_obs, n_buckets_used, entropy_micro, kl_micro)
+
+    where entropy is the group's own distribution entropy
+    (`events_entropy_by_type`'s exact integer discipline) and
+    kl_micro — when a ``reference`` codebook is given (model state,
+    e.g. the corpus mixture the batch `text_kl_source_drift` query
+    compares against) — is the quantized KL(group ‖ reference). After
+    any prefix of the stream the emitted values equal the batch
+    queries on the same observations (bit-exact; pinned in
+    tests/test_stateful_streaming.py).
+
+    Delivery contract: counts are additive, so at-least-once inputs
+    are absorbed by the `dropDuplicatesWithinWatermark` stage this
+    operator prepends on ``id_col`` (one row per observation id) —
+    replays and duplicates inside the ``dedup_delay`` horizon count
+    once, the same horizon contract as `exact_dedup_stream`; a
+    duplicate arriving after its original's dedup state was evicted
+    double-counts, so size the delay to the pipeline's real replay
+    horizon. ``bucket_col`` must be computed BEFORE this operator
+    with the batch query's identical expression (the `kmv` hash-col
+    contract). Late rows are never dropped — a drift monitor wants
+    every observation; the watermark only bounds dedup state."""
+    out_schema = (
+        f"{group_col} {group_type}, n_obs long, n_buckets long, "
+        "entropy_micro long, kl_micro long"
+    )
+    if reference is not None and len(reference) != n_buckets:
+        raise ValueError("reference length must equal n_buckets")
+
+    deduped = sdf.withWatermark(
+        eventtime_col, dedup_delay
+    ).dropDuplicatesWithinWatermark([id_col])
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * n_buckets
+        changed = False
+        for pdf in pdfs:
+            for b in pdf[bucket_col]:
+                counts[int(b)] += 1
+                changed = True
+        if not changed:
+            return
+        state.update((counts,))
+        n, used, entropy, kl = codebook_measures(counts, reference)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_obs": [n],
+                "n_buckets": [used],
+                "entropy_micro": [entropy],
+                "kl_micro": pd.array([kl], dtype="Int64"),
+            }
+        )
+
+    return deduped.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_CODEBOOK_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -217,3 +217,64 @@ def test_exact_dedup_stream_admits_one_per_fingerprint(spark, tmp_path):
         assert set(admitted) == first | {5}
     finally:
         q.stop()
+
+
+def test_exact_dedup_stream_preserves_user_fp_column(spark, tmp_path):
+    """The operator's internal fingerprint must live in a
+    collision-safe temp column: an input stream that already carries
+    an `fp` column keeps it (schema AND values) instead of having it
+    clobbered and dropped."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "fp_src")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b1.json"), "w") as f:
+        f.write(_json.dumps({
+            "doc_id": 1, "text": "keep me", "fp": "user-fp-1",
+            "ts": 1700000000000,
+        }) + "\n")
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, fp string, ts long")
+        .json(src)
+        .withColumn("ets", (F.col("ts") / 1000).cast("timestamp"))
+    )
+    out = dedup.exact_dedup_stream(stream, "ets")
+    assert "fp" in out.columns and "__dedup_fp" not in out.columns
+    rows = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r["fp"] for r in rows] == ["user-fp-1"]
+
+
+def test_verify_candidates_zero_threshold_requires_overlap(spark):
+    """min_jaccard=0 boundary: a candidate pair with ZERO token
+    overlap is never a verified duplicate (the pre-r6 shared-token
+    inner-join boundary), while an overlapping pair still passes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "gamma delta"),
+            (3, "alpha gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.verify_candidates_jaccard(
+            docs, cands, min_jaccard=0.0
+        ).collect()
+    }
+    assert got == {(1, 3)}

@@ -290,3 +290,21 @@ class TestIvfDeletes:
         pf = plan.split("PartitionFilters")[1].split("]")[0]
         assert "list_id" in pf, plan
         assert "BroadcastExchange" in plan, plan
+
+
+def test_tombstones_refuse_remote_layout_paths():
+    """Tombstone bookkeeping is driver-local (os.path.isdir probe,
+    shutil.rmtree drain): on a remote layout a missing-dir probe
+    would read False and pending deletes would keep serving
+    SILENTLY — so every tombstone entry point must raise loudly on a
+    non-local scheme instead."""
+    import pytest
+
+    from jly_flink_spark.operators.similarity import _tombstone_dir
+
+    for bad in ("s3a://bucket/ivf_layout", "hdfs://nn:8020/ivf"):
+        with pytest.raises(ValueError, match="driver-local"):
+            _tombstone_dir(bad)
+    # local forms still fine
+    assert _tombstone_dir("/tmp/x").endswith(".tombstones")
+    assert _tombstone_dir("file:///tmp/x").endswith(".tombstones")

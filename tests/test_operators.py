@@ -269,23 +269,37 @@ def test_lsh_bucket_deterministic(spark):
     assert 0 <= buckets[0] < 16
 
 
-def test_multimodal_feature_extraction(spark, sf_dir):
+def test_multimodal_header_extraction(spark, sf_dir):
+    """The encoded-media pipeline end to end: planted REAL container
+    bytes round-trip through the Arrow-batched header parse to
+    exactly the doc_id-derived fields; malformed (truncated) plants
+    come back as typed NULL rows."""
     from jly_flink_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(20)
-    media = multimodal.documents_as_media(docs)
-    feats = multimodal.extract_features(media)
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = multimodal.documents_as_encoded_media(docs)
+    feats = multimodal.extract_media_headers(media)
     rows = feats.collect()
-    assert len(rows) == 20
+    assert len(rows) == 60
     for r in rows:
-        assert r["media_type"] in ("image", "audio", "video")
-        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
-        assert r["channels"] == 3
-        assert 0.0 <= r["feature0"] < 1.0
-    # determinism: run twice, same features
-    again = {r["doc_id"]: r["feature0"] for r in feats.collect()}
-    for r in rows:
-        assert again[r["doc_id"]] == r["feature0"]
+        _, want = multimodal._planted_fields(r["doc_id"])
+        if r["doc_id"] % multimodal.MALFORMED_MOD == 0:
+            assert (
+                r["width"] is None
+                and r["height"] is None
+                and r["channels"] is None
+                and r["sample_rate"] is None
+            )
+            assert r["n_bytes"] == multimodal.MALFORMED_LEN
+        elif r["media_type"] == "wav":
+            assert r["width"] is None and r["height"] is None
+            assert r["channels"] == want["channels"]
+            assert r["sample_rate"] == want["sample_rate"]
+        else:
+            assert r["width"] == want["width"]
+            assert r["height"] == want["height"]
+            assert r["channels"] == want["channels"]
+            assert r["sample_rate"] is None
 
 
 class TestSaltedJoin:
@@ -351,24 +365,57 @@ class TestMultimodalTransforms:
         from jly_flink_spark.io import load_table
         from jly_flink_spark.operators import multimodal
 
-        media = multimodal.documents_as_media(
+        media = multimodal.documents_as_encoded_media(
             load_table(spark, "/root/testdata/sf0.001", "documents")
         )
         resized = multimodal.resize_images(media, max_dim=32).collect()
         by_type = {}
         for r in resized:
             by_type.setdefault(r["media_type"], []).append(r)
-        assert all(
-            max(r["width"], r["height"]) <= 32 for r in by_type["image"]
-        )
-        # non-images pass through with original byte length
-        orig = {
-            r["doc_id"]: r["n_bytes"]
-            for r in media.filter("media_type <> 'image'").collect()
+        orig_len = {
+            r["doc_id"]: len(bytes(r["payload"]))
+            for r in media.collect()
         }
-        for t in ("audio", "video"):
+        for t in ("png", "jpeg"):
             for r in by_type[t]:
-                assert r["n_bytes"] == orig[r["doc_id"]]
+                if r["width"] is None:  # malformed plant: untouched
+                    assert r["n_bytes"] == orig_len[r["doc_id"]]
+                    continue
+                assert max(r["width"], r["height"]) <= 32
+                # the resized payload is AGAIN a valid container that
+                # parses to the clamped dims — real header re-encode
+                w, h, ch, sr = multimodal.decode_media_header(
+                    bytes(r["resized_payload"])
+                )
+                assert (w, h) == (r["width"], r["height"]) and sr is None
+        # non-images pass through byte-identical
+        for r in by_type["wav"]:
+            assert r["width"] is None and r["height"] is None
+            assert r["n_bytes"] == orig_len[r["doc_id"]]
+
+    def test_codec_roundtrip_and_malformed_edges(self):
+        """Pure-codec fixtures: encode→parse round-trips exact
+        fields; truncated headers, bodies-only, wrong magics and
+        empty payloads all come back None, never raise."""
+        from jly_flink_spark.operators import multimodal as mm
+
+        assert mm.parse_png(mm.encode_png(640, 480, 3, b"x" * 9)) == (
+            640, 480, 3,
+        )
+        assert mm.parse_jpeg(mm.encode_jpeg(31, 17, 1, b"")) == (31, 17, 1)
+        assert mm.parse_wav(mm.encode_wav(2, 44100, b"pcm")) == (2, 44100)
+        png = mm.encode_png(9, 9, 4, b"body")
+        jpg = mm.encode_jpeg(9, 9, 3, b"body")
+        wav = mm.encode_wav(1, 8000, b"body")
+        for bad in (
+            b"", b"\x00" * 64, png[:6], png[:20], jpg[:3],
+            b"\xff\xd8\xff\xd9",      # JPEG with EOI before any SOF
+            wav[:10], b"RIFF\x00\x00\x00\x00JUNK",
+            jpg[:2] + b"\x00" + jpg[3:],  # broken marker chain
+        ):
+            assert mm.decode_media_header(bad) == (
+                None, None, None, None,
+            )
 
 
 def test_connected_components_two_clusters(spark):
@@ -479,6 +526,60 @@ class TestGlobalRankAnalytics:
         assert sorted(
             (r["g_row_number"], r["g_ntile"]) for r in got.collect()
         ) == [(1, 1), (2, 2), (3, 3)]
+
+    def test_with_total_carries_exact_count(self, spark):
+        from jly_flink_spark.operators.ranking import global_rank_analytics
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(41)], "id long, val double"
+        )
+        got = global_rank_analytics(
+            df, "val", n_shards=8, with_total=True
+        )
+        totals = {r["g_total"] for r in got.collect()}
+        assert totals == {41}
+
+
+class TestShardedPrefixSum:
+    """The sharded running sum must equal the single-task global
+    cumulative window bit for bit — ties resolved by the tiebreak
+    inside one shard, and negative values (shard total = sum, not
+    max-of-running-sum) handled exactly."""
+
+    def test_matches_global_window_desc_with_ties_and_negatives(
+        self, spark
+    ):
+        from pyspark.sql import Window
+        from jly_flink_spark.operators.ranking import sharded_prefix_sum
+
+        # ties on the ordering key + negative values; n_shards >
+        # distinct keys forces tie groups against shard boundaries
+        rows = [(i, float(i % 5), (-1) ** i * (i + 1)) for i in range(83)]
+        df = spark.createDataFrame(rows, "id long, key double, v long")
+
+        got = sharded_prefix_sum(
+            df, "v", "key", desc=True, tiebreak=("id",), n_shards=8
+        ).select("id", "g_cum")
+
+        w = (
+            Window.orderBy(F.col("key").desc(), F.col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.select("id", F.sum("v").over(w).alias("g_cum"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_single_row_and_empty(self, spark):
+        from jly_flink_spark.operators.ranking import sharded_prefix_sum
+
+        one = spark.createDataFrame([(1, 2.0, 7)], "id long, key double, v long")
+        assert [
+            (r["id"], r["g_cum"])
+            for r in sharded_prefix_sum(one, "v", "key").collect()
+        ] == [(1, 7)]
+        empty = one.filter(F.lit(False))
+        assert sharded_prefix_sum(empty, "v", "key").count() == 0
 
 
 class TestLshSkewGuard:

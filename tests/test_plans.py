@@ -314,11 +314,14 @@ class TestShuffleBudget:
             # rescaled matrix is O(d^2) model state; the visible
             # exchange is the final distinct over 64 dims
             ("embedding_pca_power", 2),
-            # RFM: ONE fact shuffle (per-customer agg); the three
-            # global ntile windows rank the |customers|-row metric
-            # table (documented single-partition anchor; sketch
-            # boundaries replace it at production cardinality)
-            ("customer_rfm_segments", 3),
+            # RFM: the fact shuffle lives behind the staged metric
+            # checkpoint; the visible exchanges are the three sharded
+            # ntile passes (per pass: boundary 1-row aggregate,
+            # _shard window shuffle, <=32-row offsets combine), the
+            # two slim (custkey, score) reassembly joins and the
+            # final 125-row rollup — every one bounded-parallel,
+            # none a single-task global sort
+            ("customer_rfm_segments", 16),
             # basket pairs: distinct + the basket-local pair join on
             # the order key + pair-count combine; support tables and
             # the order count ride back as broadcasts
@@ -326,9 +329,12 @@ class TestShuffleBudget:
             # growth accounting: two slim (user, day) aggregations;
             # the running-sum window ranks |days| rows only
             ("events_new_users_daily", 5),
-            # ABC: one fact shuffle into per-part revenue; the
-            # running-sum window ranks the |parts|-row aggregate
-            ("lineitem_abc_classes", 4),
+            # ABC: the fact shuffle lives behind the staged per-part
+            # revenue checkpoint; the visible exchanges are the
+            # sharded prefix-sum pass (boundary 1-row aggregate,
+            # _shard window shuffle, <=32-row offsets combine), the
+            # 1-row grand total and the 3-row class rollup
+            ("lineitem_abc_classes", 7),
             # interleave: the per-domain rank shuffle (WindowGroupLimit
             # keeps <=N rows per domain per partition, pinned below);
             # the global position ranks <=|domains|*N rows
@@ -373,8 +379,11 @@ class TestShuffleBudget:
             ("events_entropy_by_type", 4),
             # Heaps curve: first-occurrence + token-count combines,
             # each streamed against the broadcast 10-row checkpoint
-            # table and re-combined map-side to <=10 rows
-            ("text_vocab_growth", 8),
+            # table and re-combined map-side to <=10 rows, plus the
+            # sharded row_number pass that picks the checkpoints
+            # (boundary aggregate, _shard window shuffle, <=32-row
+            # offsets combine over the staged distinct-id frame)
+            ("text_vocab_growth", 14),
             # KL drift: one token pass combines to |sources|*256 rows
             # behind the checkpoint; marginals + codebook broadcast
             ("text_kl_source_drift", 4),
@@ -482,6 +491,36 @@ class TestScaleShapes:
         for frag in analyzed.split("windowspecdefinition(")[1:]:
             head = frag.split(")")[0]
             assert "shard" in head or "_shard" in head, analyzed
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "customer_rfm_segments",
+            "lineitem_abc_classes",
+            "text_vocab_growth",
+        ],
+    )
+    def test_dim_sized_windows_are_sharded(self, spark, name):
+        """The r6-verdict scale-killers: these three ranked/cumsum
+        analytics run over dim-sized frames (|customers|, |parts|,
+        |docs|) that grow with the corpus, so every window visible
+        in their plans must be offsets-side — ordered by `_shard`
+        or partitioned by lit(1) over the ≤n_shards per-shard stats
+        frame. (The dim-sized local windows are `_shard`-partitioned
+        but hidden behind the stability checkpoint; their shape is
+        pinned by test_global_rank_is_range_sharded.) A window
+        matching neither is a single-task global sort over the
+        dim frame."""
+        df = REGISTRY[name].spark_fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        frags = analyzed.split("windowspecdefinition(")[1:]
+        assert frags, f"{name}: expected sharded windows in plan"
+        for frag in frags:
+            head = frag.split(")")[0]
+            assert "_shard" in head or head.startswith("1,"), (
+                name,
+                analyzed,
+            )
 
     def test_unigram_lm_reuses_vocab_exchange(self, spark):
         """The LM-build and scoring branches share the token-groupBy

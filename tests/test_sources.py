@@ -211,9 +211,17 @@ class TestBinaryFileIngestion:
 
         media_dir = str(tmp_path / "media")
         os.makedirs(media_dir)
-        for i in range(6):
+        planted = {
+            0: multimodal.encode_png(320, 200, 3, b"png-body"),
+            1: multimodal.encode_jpeg(64, 48, 1, b"jpeg-body"),
+            2: multimodal.encode_wav(2, 16000, b"wav-body"),
+            3: multimodal.encode_png(7, 5, 1, b""),
+            4: b"not a media file at all",
+            5: multimodal.encode_png(320, 200, 3, b"x")[:12],  # truncated
+        }
+        for i, payload in planted.items():
             with open(f"{media_dir}/doc_{i}.bin", "wb") as f:
-                f.write((f"payload-{i}-" * (i + 1)).encode())
+                f.write(payload)
 
         raw = spark.read.format("binaryFile").load(media_dir)
         assert {"path", "length", "content"} <= set(raw.columns)
@@ -221,17 +229,27 @@ class TestBinaryFileIngestion:
             F_.regexp_extract(F_.col("path"), r"doc_(\d+)\.bin", 1)
             .cast("long")
             .alias("doc_id"),
-            F_.lit("image").alias("media_type"),
+            F_.lit("unknown").alias("media_type"),
             F_.col("content").alias("payload"),
-            F_.length(F_.col("content")).alias("n_bytes"),
         )
-        feats = multimodal.extract_features(media).collect()
+        feats = {
+            r["doc_id"]: r
+            for r in multimodal.extract_media_headers(media).collect()
+        }
         assert len(feats) == 6
-        # deterministic features from the bytes, not the path
-        again = {r["doc_id"]: r["feature0"] for r in
-                 multimodal.extract_features(media).collect()}
-        for r in feats:
-            assert again[r["doc_id"]] == r["feature0"]
+        assert (feats[0]["width"], feats[0]["height"],
+                feats[0]["channels"]) == (320, 200, 3)
+        assert (feats[1]["width"], feats[1]["height"],
+                feats[1]["channels"]) == (64, 48, 1)
+        assert (feats[2]["channels"], feats[2]["sample_rate"]) == (
+            2, 16000,
+        )
+        assert feats[2]["width"] is None
+        assert (feats[3]["width"], feats[3]["height"]) == (7, 5)
+        for bad in (4, 5):  # garbage and truncated → typed NULL rows
+            assert feats[bad]["width"] is None
+            assert feats[bad]["sample_rate"] is None
+            assert feats[bad]["n_bytes"] == len(planted[bad])
 
 
 class TestObserveMetrics:

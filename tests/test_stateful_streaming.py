@@ -1047,3 +1047,201 @@ class TestEwmaStepProperty:
             assert got == want
 
         run()
+
+
+def test_ewma_step_rewritten_value_reemits():
+    """A re-delivered (ts, id) carrying a DIFFERENT value must update
+    state and re-emit (last-write-wins) — not be silently dropped
+    because the tail's key set is unchanged."""
+    from jly_flink_spark.streaming.stateful import ewma_step
+
+    state, emit = ewma_step(None, [(1, 1, 100), (2, 2, 300)], tail=4)
+    assert emit == ((100 + 300) >> 1, 2)
+    # same keys, same values → no emit, state unchanged
+    state2, emit2 = ewma_step(state, [(1, 1, 100)], tail=4)
+    assert emit2 is None and state2 == state
+    # same keys, REWRITTEN value → state updated and re-emitted
+    state3, emit3 = ewma_step(state, [(1, 1, 500)], tail=4)
+    assert emit3 == ((500 + 300) >> 1, 2)
+    assert list(state3[2]) == [500, 300]
+
+
+class TestCodebookDriftStream:
+    """Streaming count-codebook monitor == the batch information-
+    theory queries on the same observations: entropy per group
+    mirrors events_entropy_by_type, KL vs the corpus-mixture
+    reference mirrors text_kl_source_drift — bit-exact after any
+    prefix, with a replayed batch absorbed by the dedup horizon."""
+
+    def _run(self, spark, tmp_path, batches, name, **kw):
+        from jly_flink_spark.streaming.stateful import (
+            codebook_drift_stream,
+        )
+
+        src = str(tmp_path / f"src_{name}")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema(
+                "grp string, bucket long, obs_id string, ts long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ets", (F.col("ts") / 1000).cast("timestamp"))
+        )
+        out = []
+        q = (
+            codebook_drift_stream(
+                stream, "grp", "bucket", "obs_id", "ets", **kw
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return out
+
+    def test_entropy_matches_batch_query(self, spark, tmp_path):
+        """events_entropy_by_type parity: stream the events corpus
+        (identical bucketing expression), replay the middle batch —
+        final per-type entropy equals the registry query."""
+        import duckdb
+
+        sf_dir = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT event_type AS grp,
+                   least(CAST(floor(value / 50.0) AS BIGINT), 9)
+                     AS bucket,
+                   CAST(event_id AS VARCHAR) AS obs_id,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts
+            FROM read_parquet('{sf_dir}/events.parquet')
+            """
+        ).fetchall()
+        con.close()
+        recs = [
+            {"grp": r[0], "bucket": r[1], "obs_id": r[2], "ts": r[3]}
+            for r in rows
+        ]
+        recs.sort(key=lambda r: (hash(r["obs_id"]) % 997))
+        third = len(recs) // 3
+        batches = [
+            recs[:third],
+            recs[third : 2 * third],
+            recs[third : 2 * third],  # replayed wholesale
+            recs[2 * third :],
+        ]
+        out = self._run(
+            spark, tmp_path, batches, "entropy",
+            n_buckets=10, dedup_delay="365 days",
+        )
+        last = {}
+        for r in out:
+            last[r["grp"]] = (
+                r["n_obs"], r["n_buckets"], r["entropy_micro"],
+            )
+
+        from jly_flink_spark.plans import REGISTRY
+
+        batch = {
+            r["event_type"]: (
+                r["n_events"], r["n_buckets"], r["entropy_micro"],
+            )
+            for r in REGISTRY["events_entropy_by_type"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert last == batch
+
+    def test_kl_matches_batch_query(self, spark, tmp_path):
+        """text_kl_source_drift parity: bucket the corpus tokens with
+        the registry query's identical md5 expression, stream them
+        per source with the corpus mixture as the reference codebook
+        — final per-source KL equals the registry query."""
+        from jly_flink_spark.io import load_table
+        from jly_flink_spark.operators import text
+        from jly_flink_spark.plans.northstar_queries import KL_BUCKETS
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf_dir, "documents")
+        occ = (
+            docs.select(
+                F.col("source").alias("grp"),
+                F.explode(text.tokens(F.col("text"))).alias("tok"),
+            )
+            .select(
+                "grp",
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("tok")), 1, 14), 16, 10
+                    )
+                    .cast("bigint")
+                    % KL_BUCKETS
+                ).alias("bucket"),
+            )
+            .collect()
+        )
+        reference = [0] * KL_BUCKETS
+        for r in occ:
+            reference[r["bucket"]] += 1
+        recs = [
+            {
+                "grp": r["grp"],
+                "bucket": r["bucket"],
+                "obs_id": str(i),
+                "ts": 1_700_000_000_000 + i,
+            }
+            for i, r in enumerate(occ)
+        ]
+        half = len(recs) // 2
+        batches = [recs[:half], recs[half:], recs[half:]]  # replay
+        out = self._run(
+            spark, tmp_path, batches, "kl",
+            n_buckets=KL_BUCKETS, reference=reference,
+            dedup_delay="365 days",
+        )
+        last = {}
+        for r in out:
+            last[r["grp"]] = (r["n_obs"], r["kl_micro"])
+
+        from jly_flink_spark.plans import REGISTRY
+
+        batch = {
+            r["source"]: (r["n_tokens"], r["kl_micro"])
+            for r in REGISTRY["text_kl_source_drift"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert last == batch
+
+    def test_reference_support_violation_raises(self, spark, tmp_path):
+        import pytest
+
+        batches = [[
+            {"grp": "a", "bucket": 1, "obs_id": "x",
+             "ts": 1_700_000_000_000},
+        ]]
+        with pytest.raises(Exception, match="reference"):
+            self._run(
+                spark, tmp_path, batches, "viol",
+                n_buckets=4, reference=[5, 0, 5, 5],
+            )
+
+    def test_measures_pure_edges(self):
+        from jly_flink_spark.streaming.stateful import (
+            codebook_measures,
+        )
+
+        assert codebook_measures([0, 0]) == (0, 0, 0, None)
+        # single bucket: entropy exactly 0 (qln(n) - n*qln(n)//n)
+        n, used, e, kl = codebook_measures([7, 0])
+        assert (n, used, e) == (7, 1, 0)
+        # uniform reference, uniform counts: KL == 0 exactly
+        n, used, e, kl = codebook_measures([3, 3], [10, 10])
+        assert kl == 0

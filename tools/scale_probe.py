@@ -98,8 +98,38 @@ STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
 MIN_MEDIAN_MS = 500    # sub-second tasks: scheduler jitter dominates
 
+# --dims probe list: queries whose REDUCTION is dimension-sized
+# (|customers|, |parts|, |suppliers|, |docs|). The default corpus
+# grows facts with UNCHANGED dim keys (by design — dims stay
+# broadcastable), which makes a single-task stage over a dim-sized
+# frame structurally INVISIBLE to the decade ratio (the r6-verdict
+# blind spot: the scale-broken RFM/ABC global windows probed
+# 1.0–1.2×). The dims corpus grows customer/part/supplier ×factor
+# (new keys; each fact replica re-points to its own dim replica) so
+# a dim-sized single-task stage now shows up as a superlinear row.
+DIM_QUERIES = [
+    "customer_rfm_segments",        # ntile over |customers|
+    "lineitem_abc_classes",         # running sum over |parts|
+    "text_vocab_growth",            # row_number over |docs|
+    "window_rank_dense",            # rank/dense_rank over |suppliers|
+    "pareto_front_parts",           # brand staircase over |parts|
+    "tpch_q10_returned_items",      # |customers|-sized join output
+    "supplier_nation_hhi",          # per-supplier revenue reduction
+]
 
-def build_corpus(out_dir: str, factor: int) -> None:
+
+def build_corpus(
+    out_dir: str, factor: int, scale_dims: bool = False
+) -> None:
+    """×factor corpus for the decade probe. Default: facts grow,
+    dims are symlinked 1× (keys unchanged — dims stay broadcastable,
+    the realistic shape for most fact-side operators). With
+    ``scale_dims``, customer/part/supplier ALSO grow ×factor with
+    NEW keys and each fact replica re-points its FKs to its own dim
+    replica (per-dim-row fact distribution preserved) — the corpus
+    that makes dim-sized reductions (RFM, ABC, rank-over-suppliers)
+    actually grow, closing the probe blind spot where a single-task
+    stage over a dim-sized frame reads as 1.0×."""
     import numpy as np
     import pandas as pd
 
@@ -107,7 +137,12 @@ def build_corpus(out_dir: str, factor: int) -> None:
     # symlinks FIRST, embeddings LAST: main() uses embeddings.parquet
     # as the build-complete marker, so an interrupted build (missing
     # symlinks/documents) is rebuilt, never resumed half-made
-    for t in "region nation customer supplier part".split():
+    small_dims = (
+        "region nation"
+        if scale_dims
+        else "region nation customer supplier part"
+    )
+    for t in small_dims.split():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), dst)
@@ -119,11 +154,18 @@ def build_corpus(out_dir: str, factor: int) -> None:
     ) -> dict[str, int]:
         """×factor replication with per-replica offsets on the given
         key columns (span = max+1, so replicas are disjoint); pass
-        `spans` to shift an FK by the SAME span as its parent key.
+        `spans` to shift an FK by the SAME span as its parent key
+        (a None entry falls back to the column's own max+1).
         Replica 0 stays byte-identical. Returns the spans used."""
         t = pd.read_parquet(os.path.join(SRC_SF, f"{table}.parquet"))
-        if spans is None:
-            spans = {c: int(t[c].max()) + 1 for c in offset_cols}
+        spans = {
+            c: (
+                (spans or {}).get(c)
+                if (spans or {}).get(c) is not None
+                else int(t[c].max()) + 1
+            )
+            for c in offset_cols
+        }
         parts = []
         for k in range(factor):
             rep = t.copy()
@@ -135,18 +177,46 @@ def build_corpus(out_dir: str, factor: int) -> None:
         )
         return spans
 
-    # facts grow, dims don't: lineitem's FK shifts by ORDERS' span
-    # (deriving it from max(l_orderkey) would silently corrupt the FK
-    # whenever the highest-keyed order has no lineitems);
-    # cust/part/supp keys untouched; events offset user_id too so the
-    # user universe grows instead of stacking copies per user
-    o_spans = replicate("orders", ["o_orderkey"])
-    replicate(
-        "lineitem",
-        ["l_orderkey"],
-        spans={"l_orderkey": o_spans["o_orderkey"]},
-    )
-    replicate("events", ["event_id", "user_id"])
+    if scale_dims:
+        # dims grow too: replica k of every fact row points at
+        # replica k of its dim rows, so per-customer order counts,
+        # per-part revenue shares etc. keep their 1× distribution
+        # while the dim universes grow ×factor
+        c_spans = replicate("customer", ["c_custkey"])
+        p_spans = replicate("part", ["p_partkey"])
+        s_spans = replicate("supplier", ["s_suppkey"])
+        o_spans = replicate(
+            "orders",
+            ["o_orderkey", "o_custkey"],
+            spans={
+                "o_orderkey": None,
+                "o_custkey": c_spans["c_custkey"],
+            },
+        )
+        replicate(
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+            spans={
+                "l_orderkey": o_spans["o_orderkey"],
+                "l_partkey": p_spans["p_partkey"],
+                "l_suppkey": s_spans["s_suppkey"],
+            },
+        )
+        replicate("events", ["event_id", "user_id"])
+    else:
+        # facts grow, dims don't: lineitem's FK shifts by ORDERS'
+        # span (deriving it from max(l_orderkey) would silently
+        # corrupt the FK whenever the highest-keyed order has no
+        # lineitems); cust/part/supp keys untouched; events offset
+        # user_id too so the user universe grows instead of stacking
+        # copies per user
+        o_spans = replicate("orders", ["o_orderkey"])
+        replicate(
+            "lineitem",
+            ["l_orderkey"],
+            spans={"l_orderkey": o_spans["o_orderkey"]},
+        )
+        replicate("events", ["event_id", "user_id"])
 
     docs = pd.read_parquet(os.path.join(SRC_SF, "documents.parquet"))
     n_docs = len(docs)
@@ -315,6 +385,7 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
     from jly_flink_spark.io import load_table
     from jly_flink_spark.operators import dedup
     from jly_flink_spark.streaming.stateful import (
+        codebook_drift_stream,
         ewma_stream,
         kmv_distinct_stream,
         latest_state_stream,
@@ -365,6 +436,31 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
                 "h",
                 "event_id",
                 "qv",
+            ),
+            "update",
+        ),
+        # drift monitor: codebook state bounded at |types|·buckets
+        # longs; the dedup stage's state is bounded by the watermark
+        # horizon, not stream length
+        "codebook_drift_stream": writer(
+            codebook_drift_stream(
+                ev_stream().select(
+                    "event_type",
+                    F.least(
+                        F.floor(F.col("qv") / 500_000), F.lit(9)
+                    )
+                    .cast("long")
+                    .alias("bucket"),
+                    "event_id",
+                    (F.col("ts_ms") / 1000)
+                    .cast("timestamp")
+                    .alias("ets"),
+                ),
+                "event_type",
+                "bucket",
+                "event_id",
+                "ets",
+                n_buckets=10,
             ),
             "update",
         ),
@@ -540,6 +636,54 @@ def _write_streaming_section(results: dict, factor: int) -> None:
     print(f"appended streaming section to {report}")
 
 
+def _write_dims_section(
+    report: str, results: dict, factor: int
+) -> None:
+    """Replace-or-append the `## Dim-scaled probe` section: a re-run
+    refreshes its own section without duplicating it and without
+    touching the main table or the streaming section."""
+    head = "\n## Dim-scaled probe"
+    body = [
+        f"{head} — customer/part/supplier ×{factor}\n\n"
+        "The default probe corpus grows FACTS with unchanged dim "
+        "keys (dims stay broadcastable), so a single-task stage over "
+        "a dim-sized frame is structurally invisible to its decade "
+        "ratio — the r6-verdict blind spot. This corpus grows the "
+        "customer/part/supplier universes too (new keys; each fact "
+        f"replica re-points to its own dim replica ×{factor}), so "
+        "the queries below — all dim-sized reductions — now measure "
+        "their reduction's scaling, not just their fact scan's. "
+        "Generated by `python -m tools.scale_probe --dims`.\n\n"
+        "| query | wall (s) | sf0.1 wall (s) | ratio |"
+        " worst max/median task | stragglers |\n"
+        "|---|---|---|---|---|---|\n"
+    ]
+    for name, r in results.items():
+        worst = max(
+            (
+                s["max_task_ms"] / max(s["median_task_ms"], 1)
+                for s in r["stages"]
+            ),
+            default=0,
+        )
+        n_strag = sum(s["straggler"] for s in r["stages"])
+        body.append(
+            f"| {name} | {r['wall_s']} | {r['ref_wall_s']:.2f} |"
+            f" {r['wall_s'] / r['ref_wall_s']:.1f}x | {worst:.1f}x |"
+            f" {n_strag} |\n"
+        )
+    old = ""
+    if os.path.exists(report):
+        old = open(report, encoding="utf-8").read()
+        i = old.find(head)
+        if i >= 0:
+            j = old.find("\n## ", i + 1)
+            old = old[:i] + (old[j:] if j >= 0 else "")
+    with open(report, "w", encoding="utf-8") as f:
+        f.write(old)
+        f.writelines(body)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -558,20 +702,32 @@ def main() -> None:
         "upsert view, LSH probe, binlog tailer) at 1x vs FACTORx "
         "source volume; appends a section to docs/SCALE_PROBE.md",
     )
+    ap.add_argument(
+        "--dims",
+        action="store_true",
+        help="probe the dim-sized reductions (RFM/ABC/rank-over-"
+        "suppliers/...) on a corpus whose customer/part/supplier "
+        "universes ALSO grow xFACTOR — the default corpus keeps dim "
+        "keys unchanged, which hides single-task stages over "
+        "dim-sized frames; appends a section to docs/SCALE_PROBE.md",
+    )
     args = ap.parse_args()
 
     global QUERIES
-    if args.full:
+    if args.dims:
+        QUERIES = list(DIM_QUERIES)
+    elif args.full:
         from bench import HEADLINE
 
         # the whole bench headline set (order-preserving dedup: the
         # default probe list and HEADLINE overlap)
         QUERIES = list(dict.fromkeys(HEADLINE))
 
-    corpus = os.path.join(args.out_dir, f"x{args.factor}")
+    suffix = "_dims" if args.dims else ""
+    corpus = os.path.join(args.out_dir, f"x{args.factor}{suffix}")
     if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
         t0 = time.time()
-        build_corpus(corpus, args.factor)
+        build_corpus(corpus, args.factor, scale_dims=args.dims)
         print(f"corpus built in {time.time() - t0:.1f}s → {corpus}")
 
     from jly_flink_spark.plans import REGISTRY
@@ -624,14 +780,30 @@ def main() -> None:
         )
 
     report = os.path.join(HERE, "docs", "SCALE_PROBE.md")
-    # a batch re-run must not destroy the streaming section the
-    # --streaming mode appended — carry it over across the rewrite
+    if args.dims:
+        _write_dims_section(report, results, args.factor)
+        print(f"wrote dim-scaled section → {report}")
+        if not args.keep_corpus:
+            shutil.rmtree(args.out_dir, ignore_errors=True)
+        return
+    # a batch re-run must not destroy the streaming/dims sections
+    # the --streaming/--dims modes appended — carry them over
     streaming_section = ""
     if os.path.exists(report):
         old = open(report, encoding="utf-8").read()
-        i = old.find("\n## Streaming probe")
-        if i >= 0:
-            streaming_section = old[i:]
+        cut = min(
+            (
+                i
+                for i in (
+                    old.find("\n## Streaming probe"),
+                    old.find("\n## Dim-scaled probe"),
+                )
+                if i >= 0
+            ),
+            default=-1,
+        )
+        if cut >= 0:
+            streaming_section = old[cut:]
     with open(report, "w", encoding="utf-8") as f:
         probed = (
             "the FULL bench headline set (TPC-H joins/windows/CDC "

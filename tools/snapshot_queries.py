@@ -1,7 +1,11 @@
 """Regenerate docs/QUERIES.md: the full registry inventory — every
 query exposed through `__spark_entry__.queries()`, its tags, its
 correctness mode (value-hash oracle vs rows-only), and its one-line
-description. The line-by-line companion to SURVEY.md §2.2.
+description — plus the per-family gate summary (count per tag ×
+check status). The line-by-line companion to SURVEY.md §2.2: at
+200+ queries a prose inventory drifts, so the doc is generated from
+the live registry and `tests/test_registry_snapshot.py` pins the
+committed file against a fresh render.
 
 Run: python tools/snapshot_queries.py
 """
@@ -10,13 +14,17 @@ from __future__ import annotations
 
 import os
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jly_flink_spark.plans import REGISTRY  # noqa: E402
 
 
-def main() -> None:
+def render() -> str:
+    """The full docs/QUERIES.md content from the live registry —
+    pure function of REGISTRY so the snapshot test can compare the
+    committed file against a fresh render byte for byte."""
     n_oracle = sum(1 for s in REGISTRY.values() if s.oracle)
     out = [
         "# QUERIES — the registered operator surface",
@@ -25,6 +33,33 @@ def main() -> None:
         "(the rest are rows-only by declared approximation). Generated "
         "by `tools/snapshot_queries.py` from the live registry — every "
         "row is a callable in `__spark_entry__.queries()`.",
+        "",
+        "## Per-family gate summary",
+        "",
+        "Count per tag × check status (a query carries several tags, "
+        "so the totals exceed the registry size). The mechanical "
+        "check against SURVEY §2.2's family claims: if the survey "
+        "says a family exists, its tag appears here with its oracle "
+        "coverage.",
+        "",
+        "| tag | queries | oracle | rows-only |",
+        "|---|---|---|---|",
+    ]
+    totals: Counter[str] = Counter()
+    with_oracle: Counter[str] = Counter()
+    for s in REGISTRY.values():
+        for t in s.tags:
+            totals[t] += 1
+            if s.oracle:
+                with_oracle[t] += 1
+    for t in sorted(totals, key=lambda t: (-totals[t], t)):
+        out.append(
+            f"| {t} | {totals[t]} | {with_oracle[t]} |"
+            f" {totals[t] - with_oracle[t]} |"
+        )
+    out += [
+        "",
+        "## Registry",
         "",
         "| query | check | tags | what it does |",
         "|---|---|---|---|",
@@ -39,9 +74,13 @@ def main() -> None:
         doc = doc.replace("|", "\\|")
         out.append(f"| `{name}` | {check} | {tags} | {doc} |")
     out.append("")
+    return "\n".join(out)
+
+
+def main() -> None:
     os.makedirs("docs", exist_ok=True)
     with open("docs/QUERIES.md", "w", encoding="utf-8") as f:
-        f.write("\n".join(out))
+        f.write(render())
     print(f"wrote docs/QUERIES.md ({len(REGISTRY)} queries)")
 
 
