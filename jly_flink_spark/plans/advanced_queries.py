@@ -2847,3 +2847,169 @@ def events_dau_wau_stickiness(spark, sf_dir):
             F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantified row-pattern matching: view+ click? purchase
+# ---------------------------------------------------------------------------
+
+_PATTERN_QUANT_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS len,
+         min(rn) AS rn0,
+         min(ts_s) AS start_s
+  FROM e GROUP BY user_id, event_type, rn - rnt
+), seq AS (
+  SELECT user_id, event_type, len, start_s,
+         lead(event_type, 1) OVER w AS t1,
+         lead(len, 1) OVER w AS l1,
+         lead(start_s, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(start_s, 2) OVER w AS s2
+  FROM runs
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn0)
+), hits AS (
+  SELECT user_id, len AS n_views,
+         CASE WHEN t1 = 'click' THEN 1 ELSE 0 END AS with_click,
+         CASE WHEN t1 = 'click' THEN s2 ELSE s1 END - start_s AS span_s
+  FROM seq
+  WHERE event_type = 'view'
+    AND (t1 = 'purchase'
+         OR (t1 = 'click' AND l1 = 1 AND t2 = 'purchase'))
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(coalesce(sum(n_views), 0) AS BIGINT) AS n_views_consumed,
+       CAST(coalesce(sum(with_click), 0) AS BIGINT) AS n_with_click,
+       CAST(coalesce(max(n_views), 0) AS BIGINT) AS max_views,
+       CAST(coalesce(min(span_s), -1) AS BIGINT) AS min_span_s,
+       CAST(coalesce(max(span_s), -1) AS BIGINT) AS max_span_s
+FROM hits
+"""
+
+
+@register(
+    "events_pattern_quantified",
+    oracle=_PATTERN_QUANT_ORACLE,
+    tags=("advanced", "sequence", "window", "pattern"),
+    doc="QUANTIFIED row-pattern matching — MATCH_RECOGNIZE "
+    "`view+ click? purchase` per user with greedy quantifiers and "
+    "AFTER MATCH SKIP PAST LAST ROW, compiled to RUN ALGEBRA instead "
+    "of a regex engine: run-length-encode each user's (ts, event_id)-"
+    "ordered event stream (change-flag + running sum over ONE window "
+    "partitioning, then a per-run combine), and a match is exactly a "
+    "view-run followed by purchase, or by a length-1 click-run then "
+    "purchase (runs are maximal, so greedy view+ consumes the whole "
+    "run, click? admits at most one click, and a longer click-run "
+    "can never match — the same backtracking outcome a regex engine "
+    "would reach, derived statically). Generalizes the fixed-width "
+    "lead() trick (`events_pattern_view_click_buy`) to variable-"
+    "length patterns; arbitrary regex patterns would compile to an "
+    "NFA fold via applyInPandas, but every concatenation-of-"
+    "quantified-literals pattern compiles to this declarative form. "
+    "Reports matches, users, views consumed, optional-click count, "
+    "longest view run and span bounds — all exact integers. Scale "
+    "shape: ONE fact shuffle total — the run-id windows, the run "
+    "combine (groupBy user_id+run_id) and the run-sequence window "
+    "all ride the same user_id partitioning (colocated: clustering "
+    "by a superset key is satisfied without re-exchange), then a "
+    "1-row rollup; no self-join, no per-row Python.",
+)
+def events_pattern_quantified(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running sum orders by the already-computed rn (same total
+    # order; ts/event_id are projected away by then)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn("run_id", F.sum("chg").over(wcum))
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.count("*").cast("bigint").alias("len"),
+        F.min("rn").alias("rn0"),
+        F.min("ts_s").alias("start_s"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn0")
+    seq = runs.select(
+        "user_id",
+        "event_type",
+        "len",
+        "start_s",
+        F.lead("event_type", 1).over(wr).alias("t1"),
+        F.lead("len", 1).over(wr).alias("l1"),
+        F.lead("start_s", 1).over(wr).alias("s1"),
+        F.lead("event_type", 2).over(wr).alias("t2"),
+        F.lead("start_s", 2).over(wr).alias("s2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (
+            (F.col("t1") == "purchase")
+            | (
+                (F.col("t1") == "click")
+                & (F.col("l1") == 1)
+                & (F.col("t2") == "purchase")
+            )
+        )
+    ).select(
+        "user_id",
+        F.col("len").alias("n_views"),
+        F.when(F.col("t1") == "click", 1).otherwise(0).alias("with_click"),
+        (
+            F.when(F.col("t1") == "click", F.col("s2")).otherwise(
+                F.col("s1")
+            )
+            - F.col("start_s")
+        ).alias("span_s"),
+    )
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.coalesce(F.sum("n_views"), F.lit(0))
+        .cast("bigint")
+        .alias("n_views_consumed"),
+        F.coalesce(F.sum("with_click"), F.lit(0))
+        .cast("bigint")
+        .alias("n_with_click"),
+        F.coalesce(F.max("n_views"), F.lit(0))
+        .cast("bigint")
+        .alias("max_views"),
+        F.coalesce(F.min("span_s"), F.lit(-1))
+        .cast("bigint")
+        .alias("min_span_s"),
+        F.coalesce(F.max("span_s"), F.lit(-1))
+        .cast("bigint")
+        .alias("max_span_s"),
+    )

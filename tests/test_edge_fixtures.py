@@ -273,3 +273,96 @@ def test_ann_paths_survive_zero_norm_vectors(spark, edge_emb_dir, name):
     # the identical pair must surface for the valid query ids
     by_query = {r["query_id"] for r in rows}
     assert {2, 3} <= by_query, rows
+
+
+# ---------------------------------------------------------------------------
+# Events fixture: quantified row-pattern boundary semantics
+# ---------------------------------------------------------------------------
+
+# Per-user event-type sequences, events 10 s apart. Hand-derived
+# MATCH_RECOGNIZE `view+ click? purchase` (greedy, skip past last
+# row) outcomes in the comments — the fixture exercises exactly the
+# shapes where naive implementations diverge from a regex engine.
+_PATTERN_SEQS = {
+    1: "v v p p",        # 1 match: greedy v+ eats both views; the
+                         #   2nd purchase can't start a match
+    2: "v c c p",        # 0: click? admits at most ONE click — the
+                         #   regex backtracks and fails
+    3: "v p v p",        # 2 disjoint matches
+    4: "c p",            # 0: must start with a view
+    5: "v c p",          # 1 match, with click
+    6: "v",              # 0: dangling view
+    7: "v v v c p p",    # 1 match: 3 views + click + 1st purchase
+    8: "p v",            # 0: wrong order
+    9: "v c v p",        # 1 match: the SECOND view + purchase; the
+                         #   first view's click is followed by a
+                         #   view, so that attempt fails
+}
+_TYPE = {"v": "view", "c": "click", "p": "purchase"}
+
+
+@pytest.fixture(scope="module")
+def edge_events_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events_sf")
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(
+            os.path.join(SF_SRC, f"{t}.parquet"),
+            os.path.join(str(d), f"{t}.parquet"),
+        )
+    rows = []
+    eid = 0
+    for user, seq in _PATTERN_SEQS.items():
+        for i, s in enumerate(seq.split()):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=10 * i),
+                    "user_id": user,
+                    "event_type": _TYPE[s],
+                    "value": float(i),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pd.DataFrame(rows).to_parquet(
+        os.path.join(str(d), "events.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_pattern_quantified",
+        # the fixed-width strict-adjacency pattern on the same
+        # boundary shapes (u5 'v c p' is its only hit)
+        "events_pattern_view_click_buy",
+    ],
+)
+def test_pattern_boundaries_match_oracle(
+    spark, edge_events_sf_dir, name
+):
+    res = compare_query(spark, name, edge_events_sf_dir)
+    assert res.ok, str(res)
+
+
+def test_pattern_quantified_hand_derived(spark, edge_events_sf_dir):
+    """The run-algebra compilation must reproduce the hand-derived
+    regex-engine outcomes on every fixture shape."""
+    from jly_flink_spark.plans import REGISTRY
+
+    [r] = (
+        REGISTRY["events_pattern_quantified"]
+        .spark_fn(spark, edge_events_sf_dir)
+        .collect()
+    )
+    assert r["n_matches"] == 6
+    assert r["n_users"] == 5          # users 1, 3, 5, 7, 9
+    assert r["n_views_consumed"] == 9
+    assert r["n_with_click"] == 2     # users 5 and 7
+    assert r["max_views"] == 3        # user 7's run
+    assert r["min_span_s"] == 10      # u3 / u9 single-step matches
+    assert r["max_span_s"] == 40      # u7: view@0 → purchase@40

@@ -368,6 +368,11 @@ class TestShuffleBudget:
             # pattern match: ONE per-user window shuffle + the 1-row
             # rollup; no k-way self-join
             ("events_pattern_view_click_buy", 2),
+            # quantified pattern: run-id windows, run combine and
+            # run-sequence window all colocated on the ONE user_id
+            # exchange + the 1-row rollup; no regex engine, no
+            # self-join
+            ("events_pattern_quantified", 2),
             # nearest as-of: the bidirectional sweep — both frames
             # ride ONE per-user window shuffle
             ("join_asof_nearest", 1),
