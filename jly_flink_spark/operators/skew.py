@@ -10,6 +10,11 @@ The same structural guards live inside the operators that need them
 (LSH bucket caps in dedup.py, document-frequency caps in jaccard,
 band-key hashing) — salting is the general-purpose fallback when the
 key distribution is not under the operator's control.
+
+Measured evidence that the salt actually beats the straggler-bound
+plan on a single-hot-key distribution (1.7× at local[8], output
+equality asserted; AQE's skew-join left the same join
+straggler-bound): docs/SKEW.md, repro `python -m tools.skew_bench`.
 """
 
 from __future__ import annotations
