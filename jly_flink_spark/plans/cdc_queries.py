@@ -292,3 +292,124 @@ def cdc_schema_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_ms").alias("last_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: fold a changelog into an aggregate view
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH log AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CASE WHEN event_id % 5 IN (0, 1) THEN 'd'
+              WHEN event_id % 5 = 2 THEN 'i'
+              ELSE 'u' END AS op,
+         CAST(floor(value * 100) AS BIGINT) AS val
+  FROM events
+), imaged AS (
+  SELECT event_type, day, op,
+         CASE WHEN op = 'i' THEN NULL ELSE val END AS before_cents,
+         CASE WHEN op = 'd' THEN NULL
+              WHEN op = 'u' THEN val + 7 ELSE val END AS after_cents
+  FROM log
+), tile AS (
+  SELECT event_type, day,
+         CAST(sum(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_i,
+         CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_u,
+         CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_d,
+         CAST(sum(coalesce(after_cents, 0) - coalesce(before_cents, 0))
+              AS BIGINT) AS delta_cents
+  FROM imaged GROUP BY event_type, day
+)
+SELECT event_type, day, n_i, n_u, n_d, delta_cents,
+       CAST(sum(n_i - n_d) OVER w AS BIGINT) AS view_rows,
+       CAST(sum(delta_cents) OVER w AS BIGINT) AS view_cents
+FROM tile
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "cdc_ivm_view_evolution",
+    oracle=_IVM_ORACLE,
+    tags=("cdc", "window", "temporal", "ivm"),
+    doc="Incremental view maintenance: fold a Debezium-shaped "
+    "changelog (op i/u/d with before/after images, derived "
+    "deterministically from events — same op convention as the "
+    "envelope fixture) into a per-(type, day) DELTA TILE (net row "
+    "and value deltas; inserts +after, deletes −before, updates "
+    "after−before), then replay the tiles in day order to the "
+    "view's value AFTER each day's changelog — the maintained "
+    "aggregate a 100-TB pipeline keeps instead of recomputing: the "
+    "fact-sized work is ONE changelog pass that map-side combines "
+    "to |types|·|days| tiles, and the replay window runs over the "
+    "tile table only. The streaming twin is `latest_state_stream` + "
+    "an additive rollup; this is its batch-audit form.",
+)
+def cdc_ivm_view_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400))
+        .cast("bigint")
+        .alias("day"),
+        F.when(F.col("event_id") % 5 <= 1, "d")
+        .when(F.col("event_id") % 5 == 2, "i")
+        .otherwise("u")
+        .alias("op"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("val"),
+    )
+    imaged = log.select(
+        "event_type",
+        "day",
+        "op",
+        F.when(F.col("op") == "i", F.lit(None))
+        .otherwise(F.col("val"))
+        .alias("before_cents"),
+        F.when(F.col("op") == "d", F.lit(None))
+        .when(F.col("op") == "u", F.col("val") + 7)
+        .otherwise(F.col("val"))
+        .alias("after_cents"),
+    )
+    tile = imaged.groupBy("event_type", "day").agg(
+        F.sum((F.col("op") == "i").cast("int"))
+        .cast("bigint")
+        .alias("n_i"),
+        F.sum((F.col("op") == "u").cast("int"))
+        .cast("bigint")
+        .alias("n_u"),
+        F.sum((F.col("op") == "d").cast("int"))
+        .cast("bigint")
+        .alias("n_d"),
+        F.sum(
+            F.coalesce(F.col("after_cents"), F.lit(0))
+            - F.coalesce(F.col("before_cents"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tile.select(
+        "event_type",
+        "day",
+        "n_i",
+        "n_u",
+        "n_d",
+        "delta_cents",
+        F.sum(F.col("n_i") - F.col("n_d"))
+        .over(w)
+        .cast("bigint")
+        .alias("view_rows"),
+        F.sum("delta_cents").over(w).cast("bigint").alias("view_cents"),
+    )

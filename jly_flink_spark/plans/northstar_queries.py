@@ -2291,3 +2291,138 @@ def dedup_containment_pairs(spark, sf_dir):
             .alias("n_contain_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS)
+# ---------------------------------------------------------------------------
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # k-grams per winnowing window
+
+
+def _winnow_oracle() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    # 10 hex chars of md5 → 40-bit BIGINT (DuckDB has no conv; the
+    # positional digit sum mirrors F.conv — dedup._sql_hex_to_int's
+    # technique at width 10)
+    hex10 = " + ".join(
+        f"(instr('0123456789abcdef', substring(d, {1 + j}, 1)) - 1)"
+        f" * {16 ** (9 - j)}"
+        for j in range(10)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), kg AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS d
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {k - 1})) AS g(i)
+  WHERE len(ts) >= {k}
+), enc AS (
+  SELECT doc_id, i,
+         ({hex10}) * 1048576 + (1048575 - i) AS c
+  FROM kg
+), wmin AS (
+  SELECT doc_id,
+         min(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           AS fp,
+         i
+  FROM enc
+), sel AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= {w}
+), counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+  FROM sel GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) - {k - 1} AS BIGINT) AS n_kgrams,
+       CAST(len(t.ts) - {k + w - 2} AS BIGINT) AS n_windows,
+       c.n_fingerprints,
+       c.n_fingerprints * 1000000
+         // (len(t.ts) - {k + w - 2}) AS density_ppm
+FROM toks t JOIN counts c ON c.doc_id = t.doc_id
+WHERE len(t.ts) >= {k + w - 1}
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("northstar", "text", "dedup", "fingerprint"),
+    doc="Winnowing document fingerprints (the MOSS scheme — "
+    "Schleimer, Wilkerson, Aiken, SIGMOD'03): token 3-gram hashes, "
+    "and from every window of 4 consecutive k-gram hashes select "
+    "the RIGHTMOST minimum — the guarantee-bearing fingerprint "
+    "scheme (any shared substring of length k+w-1 tokens yields at "
+    "least one shared fingerprint, density ~2/(w+1)) that plagiarism "
+    "and near-dup detectors run at web scale. The rightmost-min tie "
+    "rule is encoded arithmetically: c = h·2^20 + (2^20−1−pos), so "
+    "ONE min() window both minimizes the 40-bit hash and, on ties, "
+    "maximizes the position (positions are capped at 2^20 tokens "
+    "per doc — enforce upstream chunking for longer docs). Output "
+    "per doc: k-gram/window counts, distinct fingerprints, density "
+    "(ppm, trunc division). Scale shape: tokens explode once, the "
+    "k-gram build (lead) and the window min share ONE per-doc "
+    "exchange, then a per-doc distinct+count combine — no "
+    "cross-doc shuffle at all until the slim counts.",
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    kgram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wd) for j in range(1, k)],
+    )
+    kg = t.select(
+        "doc_id",
+        "i",
+        F.lead("tok", k - 1).over(wd).isNotNull().alias("full"),
+        kgram.alias("kgram"),
+    ).filter(F.col("full"))
+    enc = kg.select(
+        "doc_id",
+        "i",
+        (
+            F.conv(F.substring(F.md5("kgram"), 1, 10), 16, 10).cast(
+                "bigint"
+            )
+            * 1048576
+            + (F.lit(1048575) - F.col("i"))
+        ).alias("c"),
+    )
+    wmin = enc.select(
+        "doc_id",
+        "i",
+        F.min("c")
+        .over(wd.rowsBetween(-(w - 1), Window.currentRow))
+        .alias("fp"),
+    ).filter(F.col("i") >= w)
+    counts = (
+        wmin.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_fingerprints"))
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("m"),
+    ).filter(F.col("m") >= k + w - 1)
+    return sizes.join(counts, "doc_id").select(
+        "doc_id",
+        (F.col("m") - (k - 1)).cast("bigint").alias("n_kgrams"),
+        (F.col("m") - (k + w - 2)).cast("bigint").alias("n_windows"),
+        "n_fingerprints",
+        F.expr(
+            f"n_fingerprints * 1000000 div (m - {k + w - 2})"
+        ).alias("density_ppm"),
+    )

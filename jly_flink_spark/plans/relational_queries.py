@@ -1498,3 +1498,328 @@ def part_brand_type_chi2(spark, sf_dir):
             "chi2_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-brand OLS revenue trend (closed-form least squares on combines)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT p.p_brand,
+         CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, floor(epoch(l.l_shipdate) / 86400)
+), anchored AS (
+  SELECT p_brand, day - min(day) OVER (PARTITION BY p_brand) AS x,
+         cents AS y
+  FROM daily
+), sums AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM anchored GROUP BY p_brand
+)
+, nd AS (
+  SELECT p_brand, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM sums
+), slope AS (
+  -- num*1e6 // den computed as q*1e6 + (r*1e6)//den (exact: the
+  -- fractional part lives entirely in r = num % den, |r| < |den|;
+  -- den depends only on the day axis, so r*1e6 never overflows no
+  -- matter how large revenue grows)
+  SELECT p_brand, n, sx, sy,
+         (num // den) * 1000000 + ((num % den) * 1000000) // den
+           AS slope_ppm
+  FROM nd WHERE den <> 0
+)
+SELECT p_brand, n AS n_days, slope_ppm,
+       (sy * 1000000 - slope_ppm * sx) // n AS intercept_micro
+FROM slope
+"""
+
+
+@register(
+    "lineitem_ols_trend",
+    oracle=_OLS_ORACLE,
+    tags=("relational", "statistics", "groupby", "regression"),
+    doc="Per-brand ordinary-least-squares revenue trend: daily "
+    "revenue (cents) per brand regressed on the ship-day index — "
+    "slope via the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), "
+    "intercept from it, both as exact integer ratios (ppm/micro "
+    "units, trunc division; days are anchored per brand so the "
+    "BIGINT products never overflow). The trend-per-segment fit "
+    "every revenue dashboard runs. Scale shape: ONE fact pass "
+    "map-side combines to |brands|·|days| daily rows; the per-brand "
+    "day anchor is a window over that slim table; the five "
+    "regression sums combine again to |brands| rows — closed-form "
+    "regression IS an aggregation, no iteration, no solver.",
+)
+def lineitem_ols_trend(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        l.select(
+            "l_partkey",
+            (F.floor(F.unix_timestamp("l_shipdate") / 86400))
+            .cast("bigint")
+            .alias("day"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "day")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    anchored = daily.select(
+        "p_brand",
+        (
+            F.col("day")
+            - F.min("day").over(Window.partitionBy("p_brand"))
+        ).alias("x"),
+        "y",
+    )
+    sums = anchored.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = sums.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "den"
+        ),
+    ).filter(F.col("den") != 0)
+    # num*1e6 div den as q*1e6 + (r*1e6) div den — exact (the
+    # fractional part lives entirely in r = num % den, |r| < |den|),
+    # and den depends only on the day axis, so r*1e6 never overflows
+    # however large revenue grows
+    slope = nd.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "(num div den) * 1000000 + ((num % den) * 1000000) div den"
+        ).alias("slope_ppm"),
+    )
+    return slope.select(
+        "p_brand",
+        F.col("n").alias("n_days"),
+        "slope_ppm",
+        F.expr("(sy * 1000000 - slope_ppm * sx) div n").alias(
+            "intercept_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via bounded fan-out (transit windows × months)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT date_trunc('month', l_shipdate) AS m0,
+         date_trunc('month', l_shipdate
+                    + (l_orderkey % 45 + 3) * INTERVAL 1 DAY) AS m1,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem
+), fan AS (
+  SELECT CAST(g.m AS DATE) AS month_start, cents
+  FROM iv, unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS g(m)
+)
+SELECT month_start,
+       CAST(count(*) AS BIGINT) AS n_in_transit,
+       CAST(sum(cents) AS BIGINT) AS transit_cents
+FROM fan GROUP BY month_start
+"""
+
+
+@register(
+    "lineitem_transit_by_month",
+    oracle=_INTERVAL_OVERLAP_ORACLE,
+    tags=("relational", "join", "temporal", "interval"),
+    doc="Interval-overlap join via BOUNDED FAN-OUT: each lineitem's "
+    "transit interval [shipdate, shipdate + a 3-47 day transit "
+    "derived from the order key] is exploded to the "
+    "calendar months it touches (sequence + explode — fan-out "
+    "bounded by the transit duration, ≤ a few rows each), then a "
+    "plain groupBy counts and revenue-weighs the in-transit "
+    "population per month. The third interval technique in the "
+    "repo, for the short-interval regime: the theta/banded join "
+    "(join_range_banded) suits arbitrary range predicates, the "
+    "delta sweep (orders_open_backlog_daily) suits long intervals "
+    "over a fine grid, and bounded explode beats both when every "
+    "interval spans few grid cells — no theta join, no window, one "
+    "map-side-combined aggregation, never a cross product. Scale "
+    "shape: |lineitem|·(months spanned) rows through ONE exchange "
+    "into |months| groups.",
+)
+def lineitem_transit_by_month(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    iv = l.select(
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m0"),
+        F.trunc(
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (F.col("l_orderkey") % 45 + 3).cast("int"),
+            ),
+            "month",
+        ).alias("m1"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    fan = iv.select(
+        F.explode(
+            F.sequence("m0", "m1", F.expr("interval 1 month"))
+        ).alias("month_start"),
+        "cents",
+    )
+    return fan.groupBy("month_start").agg(
+        F.count("*").cast("bigint").alias("n_in_transit"),
+        F.sum("cents").cast("bigint").alias("transit_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine neighbors (co-occurrence rec-sys serving artifact)
+# ---------------------------------------------------------------------------
+NEIGHBORS_TOPK = 5
+
+_ITEM_NEIGHBORS_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT b.* FROM baskets b
+  JOIN (SELECT l_orderkey FROM baskets GROUP BY l_orderkey
+        HAVING count(*) <= {BASKET_MAX_ITEMS}) k USING (l_orderkey)
+), supp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM sized
+  GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM sized a JOIN sized b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), sym AS (
+  SELECT part_a AS item, part_b AS neighbor, n_ab FROM pairs
+  UNION ALL
+  SELECT part_b AS item, part_a AS neighbor, n_ab FROM pairs
+), scored AS (
+  SELECT s.item, s.neighbor, s.n_ab,
+         (s.n_ab * s.n_ab * 1000000) // (si.s * sn.s) AS cos2_ppm
+  FROM sym s
+  JOIN supp si ON si.l_partkey = s.item
+  JOIN supp sn ON sn.l_partkey = s.neighbor
+), ranked AS (
+  SELECT item, neighbor, n_ab, cos2_ppm,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cos2_ppm DESC, neighbor)
+           AS rnk
+  FROM scored
+)
+SELECT item, neighbor, n_ab, cos2_ppm, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {NEIGHBORS_TOPK}
+"""
+
+
+@register(
+    "orders_item_neighbors_topk",
+    oracle=_ITEM_NEIGHBORS_ORACLE,
+    tags=("relational", "association", "topk", "similarity"),
+    doc="Item-item collaborative-filtering neighbors: cosine "
+    "similarity between parts over the order-basket incidence "
+    "(cos² = n_ab²/(s_a·s_b), exact ppm integers — squaring avoids "
+    "the irrational sqrt while preserving the ranking; valid while "
+    "n_ab ≤ ~3e6, switch the scale to ppb beyond), top-5 neighbors "
+    "per item by a per-item rank — the co-occurrence rec-sys "
+    "serving table ('users who bought X also bought'). Scale shape: "
+    "pairs generate basket-locally under the degenerate-basket cap "
+    "(Σ basket² work, never catalog all-pairs), supports ride back "
+    "broadcast, the symmetric doubling is a union of the SAME pair "
+    "aggregate (one computation), and the top-k window is "
+    "partitioned per item — WindowGroupLimit keeps ≤ k rows per "
+    "item per partition before the rank shuffle.",
+)
+def orders_item_neighbors_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= BASKET_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    sized = baskets.join(ok, "l_orderkey").localCheckpoint(eager=False)
+    supp = sized.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    a = sized.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = sized.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("item"),
+        F.col("part_b").alias("neighbor"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("neighbor"),
+            "n_ab",
+        )
+    )
+    si = supp.select(F.col("l_partkey").alias("item"), F.col("s").alias("s_i"))
+    sn = supp.select(
+        F.col("l_partkey").alias("neighbor"), F.col("s").alias("s_n")
+    )
+    scored = (
+        sym.join(F.broadcast(si), "item")
+        .join(F.broadcast(sn), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "n_ab",
+            F.expr("(n_ab * n_ab * 1000000) div (s_i * s_n)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos2_ppm").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= NEIGHBORS_TOPK)
+        .select("item", "neighbor", "n_ab", "cos2_ppm", "rnk")
+    )

@@ -417,6 +417,24 @@ class TestShuffleBudget:
             # checkpoint + margin rollups; every exchanged row is
             # |brands|x|types| model state
             ("part_brand_type_chi2", 9),
+            # OLS trend: one fact combine into |brands|x|days| tiles
+            # + the per-brand regression-sums combine; the closed
+            # form is pure arithmetic on |brands| rows
+            ("lineitem_ols_trend", 2),
+            # winnowing: k-gram build, window min and per-doc
+            # fingerprint distinct/count all colocated on ONE
+            # per-doc exchange
+            ("text_winnowing_fingerprints", 1),
+            # IVM: one changelog pass combines to |types|x|days|
+            # delta tiles + the per-type replay window over tiles
+            ("cdc_ivm_view_evolution", 2),
+            # interval fan-out: bounded month explode into ONE
+            # map-side-combined aggregation; no theta join
+            ("lineitem_transit_by_month", 1),
+            # item neighbors: basket distinct + the basket-local pair
+            # combine (both behind the staging checkpoint) + the
+            # per-item top-k rank; supports broadcast back
+            ("orders_item_neighbors_topk", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
