@@ -2779,3 +2779,85 @@ def pipeline_embedding_curation(spark, sf_dir):
         .cast("bigint")
         .alias("n_keep"),
     )
+
+
+# --------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings (BM25 × bigram LM)
+# --------------------------------------------------------------------
+RRF_K = 60       # the standard RRF dampening constant
+RRF_TOPK = 20    # depth of each fused list
+
+_RRF_ORACLE = f"""
+WITH bm_raw AS ({_BM25_ORACLE}),
+bm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+              AS BIGINT) AS rank_bm
+  FROM bm_raw
+),
+lm_raw AS ({_BIGRAM_LM_ORACLE}),
+lm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY im DESC, doc_id) AS BIGINT)
+           AS rank_lm
+  FROM (
+    SELECT doc_id, sum_logprob_micro // n_bigrams AS im
+    FROM lm_raw
+    ORDER BY im DESC, doc_id LIMIT {RRF_TOPK}
+  )
+)
+SELECT coalesce(bm.doc_id, lm.doc_id) AS doc_id,
+       rank_bm, rank_lm,
+       coalesce(1000000 // ({RRF_K} + rank_bm), 0)
+         + coalesce(1000000 // ({RRF_K} + rank_lm), 0) AS rrf_micro
+FROM bm FULL OUTER JOIN lm USING (doc_id)
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_RRF_ORACLE,
+    tags=("curation", "ranking", "retrieval", "text"),
+    doc="Reciprocal-rank fusion (Cormack et al.) of two retrieval "
+    "rankings over the corpus: the BM25 top-20 for the fixed probe "
+    "query and the bigram-LM fluency top-20 (integer mean micro-"
+    "nats), fused as Σ 1/(60+rank) in exact micro units over the "
+    "union (a doc missing from one list contributes only the "
+    "other's term) — the standard way hybrid lexical+quality (or "
+    "lexical+vector) retrieval combines lists without score "
+    "calibration. Scale shape: each leg is its own bounded query "
+    "ending in TakeOrderedAndProject(20); the rank windows and the "
+    "full-outer fuse touch ≤20-row model-state frames only.",
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    bm = text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_bm"),
+    )
+    lm = (
+        text_bigram_logprob(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("sum_logprob_micro div n_bigrams").alias("im"),
+        )
+        .orderBy(F.col("im").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("im").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rank_lm"),
+        )
+    )
+    rrf = F.coalesce(
+        F.expr(f"1000000 div ({RRF_K} + rank_bm)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000 div ({RRF_K} + rank_lm)"), F.lit(0))
+    return bm.join(lm, "doc_id", "full_outer").select(
+        "doc_id", "rank_bm", "rank_lm", rrf.alias("rrf_micro")
+    )

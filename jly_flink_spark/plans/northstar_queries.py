@@ -2426,3 +2426,165 @@ def text_winnowing_fingerprints(spark, sf_dir):
             f"n_fingerprints * 1000000 div (m - {k + w - 2})"
         ).alias("density_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap pairs (MOSS's cross-document half)
+# ---------------------------------------------------------------------------
+WINNOW_MAX_DF = 50     # skew guard: drop fingerprints in > N docs
+WINNOW_MIN_SHARED = 2  # pair must share >= N fingerprints
+
+
+def _winnow_pairs_oracle() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    hex10 = " + ".join(
+        f"(instr('0123456789abcdef', substring(d, {1 + j}, 1)) - 1)"
+        f" * {16 ** (9 - j)}"
+        for j in range(10)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), kg AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS d
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {k - 1})) AS g(i)
+  WHERE len(ts) >= {k}
+), enc AS (
+  SELECT doc_id, i,
+         ({hex10}) * 1048576 + (1048575 - i) AS c
+  FROM kg
+), sel AS (
+  SELECT DISTINCT doc_id,
+         min(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           // 1048576 AS h
+  FROM enc QUALIFY i >= {w}
+), capped AS (
+  SELECT s.doc_id, s.h FROM sel s
+  JOIN (SELECT h FROM sel GROUP BY h
+        HAVING count(*) <= {WINNOW_MAX_DF}) ok USING (h)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM sel
+  GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       p.n_shared * 1000000 // least(sa.n_fp, sb.n_fp)
+         AS containment_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_winnow_pairs_oracle(),
+    tags=("northstar", "dedup", "text", "fingerprint"),
+    doc="The cross-document half of MOSS: candidate near-dup pairs "
+    "from SHARED winnowing fingerprints (k-gram hash identity; the "
+    "winnowing guarantee means any shared token run of length "
+    "k+w−1 surfaces here), scored by fingerprint containment "
+    "against the smaller doc's selected set — exact ppm. The "
+    "df-capped fingerprint join IS the dedup-candidate generator "
+    "MOSS runs: like the LSH band join and the shared-token join, "
+    "candidates come from an equi-join on a bounded-fan-out key, "
+    "never all-pairs — fingerprints present in more than "
+    f"{WINNOW_MAX_DF} docs are dropped on BOTH sides (boilerplate "
+    "k-grams convey no pair information and would quadratically "
+    "blow the join; same cap discipline as the LSH skew guard). "
+    "Scale shape: the per-doc winnowing pass (one doc-partitioned "
+    "exchange), the df combine, the capped self-join on h (fan-out "
+    f"≤ {WINNOW_MAX_DF}²-bounded per fingerprint), pair combine, "
+    "size broadcasts.",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    kgram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wd) for j in range(1, k)],
+    )
+    kg = t.select(
+        "doc_id",
+        "i",
+        F.lead("tok", k - 1).over(wd).isNotNull().alias("full"),
+        kgram.alias("kgram"),
+    ).filter(F.col("full"))
+    enc = kg.select(
+        "doc_id",
+        "i",
+        (
+            F.conv(F.substring(F.md5("kgram"), 1, 10), 16, 10).cast(
+                "bigint"
+            )
+            * 1048576
+            + (F.lit(1048575) - F.col("i"))
+        ).alias("c"),
+    )
+    sel = (
+        enc.select(
+            "doc_id",
+            "i",
+            F.min("c")
+            .over(wd.rowsBetween(-(w - 1), Window.currentRow))
+            .alias("fp"),
+        )
+        .filter(F.col("i") >= w)
+        .select("doc_id", F.expr("fp div 1048576").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ok = (
+        sel.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    capped = sel.join(ok, "h")
+    sizes = sel.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    a = capped.select("h", F.col("doc_id").alias("doc_a"))
+    b = capped.select("h", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 div least(n_a, n_b)"
+            ).alias("containment_ppm"),
+        )
+    )

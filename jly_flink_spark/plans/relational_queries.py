@@ -1823,3 +1823,71 @@ def orders_item_neighbors_topk(spark, sf_dir):
         .filter(F.col("rnk") <= NEIGHBORS_TOPK)
         .select("item", "neighbor", "n_ab", "cos2_ppm", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the ingest-side data-quality sweep)
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+_PROFILE_ORACLE = f"""
+WITH melted AS (
+  {" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM lineitem"
+    for c in _PROFILE_COLS
+  )}
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_str,
+       max(v) AS max_str
+FROM melted GROUP BY col_name
+"""
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle=_PROFILE_ORACLE,
+    tags=("relational", "profiling", "groupby", "distinct"),
+    doc="Column profiling sweep — the per-column null count, exact "
+    "distinct count and lexicographic min/max every ingest pipeline "
+    "computes before accepting a 100-TB drop (values stringified so "
+    "one uniform profile row covers every type; numeric min/max "
+    "therefore follow STRING order — the profile is a fingerprint, "
+    "not arithmetic). Scale shape: the unpivot (stack) is a "
+    "generate-shape projection fanning each row to |cols| slim "
+    "(name, value) rows with the scan read ONCE; the distinct-count "
+    "aggregation is the standard two-phase (partial per (col, v), "
+    "then per col); min/max combine map-side. No per-column "
+    "re-scans — the naive loop over columns reads the table "
+    "|cols| times.",
+)
+def profile_lineitem_columns(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    melted = l.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, v)"
+        )
+    )
+    return melted.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )

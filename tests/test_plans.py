@@ -435,6 +435,20 @@ class TestShuffleBudget:
             # combine (both behind the staging checkpoint) + the
             # per-item top-k rank; supports broadcast back
             ("orders_item_neighbors_topk", 3),
+            # RRF: the two legs' own bounded pipelines (BM25 corpus
+            # combine + model-state broadcasts; bigram-LM vocab
+            # combines) each end in TakeOrderedAndProject(20); the
+            # rank windows and the fuse join exchange <=20-row
+            # model-state frames only
+            ("retrieval_rrf_fusion", 12),
+            # winnow pairs: the per-doc winnowing exchange + df
+            # combine + the capped fingerprint self-join + pair
+            # combine; sizes broadcast back (sel staged once behind
+            # the checkpoint)
+            ("dedup_winnow_pairs", 5),
+            # profiling: stack fans the ONE scan into (col, v) rows;
+            # two-phase distinct-count partial + per-col final
+            ("profile_lineitem_columns", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
