@@ -2861,3 +2861,135 @@ def retrieval_rrf_fusion(spark, sf_dir):
     return bm.join(lm, "doc_id", "full_outer").select(
         "doc_id", "rank_bm", "rank_lm", rrf.alias("rrf_micro")
     )
+
+
+# --------------------------------------------------------------------
+# Product quantization: joint subspace codebook training + ADC audit
+# --------------------------------------------------------------------
+def _pq_oracle() -> str:
+    from ..operators import pq as PQ
+
+    m, k, iters = PQ.PQ_M, PQ.PQ_K, PQ.PQ_ITERS
+    its = []
+    prev = "pcent0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+pd{t} AS MATERIALIZED (
+  SELECT f.vec_id, f.sub, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  GROUP BY f.vec_id, f.sub, c.cid
+),
+pasg{t} AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM pd{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1
+),
+pcent{t} AS MATERIALIZED (
+  SELECT c.sub, c.cid, c.sdim, coalesce(u.nval, c.cval) AS cval
+  FROM {prev} c LEFT JOIN (
+    SELECT a.sub, a.cid, f.sdim,
+           CAST(sum(f.val) AS BIGINT) // count(*) AS nval
+    FROM pasg{t} a
+    JOIN sflat f ON f.vec_id = a.vec_id AND f.sub = a.sub
+    GROUP BY a.sub, a.cid, f.sdim
+  ) u ON u.sub = c.sub AND u.cid = c.cid AND u.sdim = c.sdim
+)""")
+        prev = f"pcent{t}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS BIGINT))
+           AS code
+  FROM q
+),
+sflat AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(range(len(code))) AS BIGINT) // {64 // m} AS sub,
+         CAST(unnest(range(len(code))) AS BIGINT) % {64 // m} AS sdim,
+         unnest(code) AS val
+  FROM codes
+),
+seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {k})
+),
+pcent0 AS (
+  SELECT s.cid, f.sub, f.sdim, f.val AS cval
+  FROM seeds s JOIN sflat f USING (vec_id)
+),
+{",".join(its)},
+pdf_ AS MATERIALIZED (
+  SELECT f.vec_id, f.sub, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  GROUP BY f.vec_id, f.sub, c.cid
+),
+pasg_f AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM pdf_
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1
+),
+qv AS (
+  SELECT sub, sdim, val AS qval FROM sflat
+  WHERE vec_id = (SELECT min(vec_id) FROM codes)
+),
+lut AS (
+  SELECT c.sub, c.cid,
+         CAST(sum((c.cval - q2.qval) * (c.cval - q2.qval)) AS BIGINT)
+           AS d
+  FROM {prev} c JOIN qv q2 ON q2.sub = c.sub AND q2.sdim = c.sdim
+  GROUP BY c.sub, c.cid
+),
+adc AS (
+  SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM pasg_f a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+  GROUP BY a.vec_id
+),
+ex AS (
+  SELECT f.vec_id,
+         CAST(sum((f.val - q3.qval) * (f.val - q3.qval)) AS BIGINT)
+           AS exact_dist
+  FROM sflat f JOIN qv q3 ON q3.sub = f.sub AND q3.sdim = f.sdim
+  GROUP BY f.vec_id
+)
+SELECT a.vec_id, a.adc_dist, e.exact_dist
+FROM adc a JOIN ex e USING (vec_id)
+ORDER BY adc_dist, vec_id LIMIT 20
+"""
+
+
+@register(
+    "embedding_pq_adc",
+    oracle=_pq_oracle(),
+    tags=("curation", "embedding", "quantization", "iterative", "ann"),
+    doc="Product quantization end to end, bit-exact: the corpus's "
+    "int8 codes split into 4 subspaces, each training its own 8-"
+    "centroid codebook — ALL subspaces in ONE joint Lloyd loop "
+    "(assignment is a per-row fold over the broadcast codebook "
+    "list, zero corpus shuffle; updates combine map-side to "
+    "M·K·subdim rows; 2 rounds, integer distances, truncating "
+    "means, smallest-cid ties) — then every vector is stored as 4 "
+    "sub-centroid ids and served by ADC: the query's distance to a "
+    "candidate is 4 lookups in a per-query (sub, cid) distance "
+    "table. Output: top-20 by ADC for the min-vec_id query with the "
+    "EXACT int8 distance alongside — the PQ approximation audited "
+    "on the rows it would serve. The M-byte compression tier below "
+    "IVF-SQ8 (64× smaller than SQ8; production pairs it with IVF "
+    "lists and K=256 codebooks — same plan, bigger model state).",
+)
+def embedding_pq_adc(spark, sf_dir):
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, coded, subdim = PQ.pq_train_encode(emb)
+    return PQ.adc_topk(cent, coded, PQ.PQ_M, subdim)

@@ -1157,3 +1157,49 @@ def test_resample_ffill_semantics(spark, monkeypatch, tmp_path):
     assert out[(2, t0 + 2 * 3600)] is None  # obs is AFTER the slot ts
     assert out[(2, t0 + 3 * 3600)] == 2.5
     assert len(out) == 2 * 720
+
+
+class TestProductQuantization:
+    def test_codes_in_range_and_dims_guard(self, spark):
+        from jly_flink_spark.operators import pq as PQ
+        from jly_flink_spark.io import load_table
+
+        emb = load_table(
+            spark, "/root/testdata/sf0.001", "embeddings"
+        ).limit(40)
+        cent, coded, subdim = PQ.pq_train_encode(emb)
+        assert subdim == 64 // PQ.PQ_M
+        rows = coded.collect()
+        assert len(rows) == 40
+        for r in rows:
+            assert len(r["pq"]) == PQ.PQ_M
+            assert all(0 <= c < PQ.PQ_K for c in r["pq"])
+        cents = cent.collect()
+        # every subspace has its full codebook, each of subdim coords
+        assert len(cents) == PQ.PQ_M * PQ.PQ_K
+        assert all(len(r["carr"]) == subdim for r in cents)
+        # indivisible dims must refuse, not mis-slice
+        import pytest as _pt
+
+        bad = emb.select(
+            "vec_id",
+            F.slice("embedding", 1, 63).alias("embedding"),
+        )
+        with _pt.raises(ValueError, match="divisible"):
+            PQ.pq_train_encode(bad)
+
+    def test_adc_self_query_is_rank_one(self, spark):
+        """The query vector itself must come back first with exact
+        distance 0, and every ADC distance is the sum of its M
+        subspace LUT entries (non-negative, monotone with rank)."""
+        from jly_flink_spark.operators import pq as PQ
+        from jly_flink_spark.io import load_table
+
+        emb = load_table(
+            spark, "/root/testdata/sf0.001", "embeddings"
+        ).limit(60)
+        cent, coded, subdim = PQ.pq_train_encode(emb)
+        out = PQ.adc_topk(cent, coded, PQ.PQ_M, subdim, topk=10).collect()
+        assert out[0]["exact_dist"] == 0
+        adcs = [r["adc_dist"] for r in out]
+        assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)

@@ -449,6 +449,11 @@ class TestShuffleBudget:
             # profiling: stack fans the ONE scan into (col, v) rows;
             # two-phase distinct-count partial + per-col final
             ("profile_lineitem_columns", 2),
+            # PQ-ADC: assignments are broadcast-fold expressions
+            # (zero corpus shuffle); the visible exchanges are the
+            # M·K·subdim codebook-update combines behind the
+            # per-iteration checkpoints + the top-k
+            ("embedding_pq_adc", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
