@@ -41,7 +41,9 @@ HEADER_SCHEMA = (
     "width int, height int, channels int, sample_rate int"
 )
 
-ENCODED_MEDIA_SCHEMA = "doc_id bigint, media_type string, payload binary"
+ENCODED_MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, n_bytes bigint"
+)
 
 # Planted-corpus arithmetic (ONE definition, mirrored by the SQL
 # oracles in plans/northstar_queries.py): every doc becomes one
@@ -113,6 +115,7 @@ def documents_as_encoded_media(
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": [m for m, _ in planted],
                     "payload": [p for _, p in planted],
+                    "n_bytes": [len(p) for _, p in planted],
                 }
             )
 
@@ -121,20 +124,25 @@ def documents_as_encoded_media(
     )
 
 
-def documents_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adapter making an opaque-binary media table from the documents
-    corpus: payload = utf-8 bytes of the text (a deterministic stand-in
-    for image/audio bytes), media_type from doc_id, n_bytes metadata."""
-    t = F.col(text_col)
-    return docs.select(
-        "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(t, "UTF-8").alias("payload"),
-        F.length(F.encode(t, "UTF-8")).alias("n_bytes"),
-    )
+def wav_data_range(payload) -> Optional[tuple[int, int]]:
+    """(offset, length) of the WAV `data` chunk's PCM bytes, found by
+    the same RIFF chunk walk as `parse_wav` — the container
+    navigation a frame/window sampler needs before it can slice
+    samples. None for malformed/non-WAV payloads or when the declared
+    data size overruns the payload (truncated file)."""
+    p = bytes(payload) if payload is not None else b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = struct.unpack("<I", p[i + 4 : i + 8])[0]
+        if cid == b"data":
+            if i + 8 + size > len(p):
+                return None
+            return i + 8, size
+        i += 8 + size + (size & 1)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -340,8 +348,9 @@ def extract_media_headers(media: DataFrame) -> DataFrame:
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """Byte-size stats per media type — metadata-only plan: Catalyst
-    prunes the binary column out of the scan entirely."""
+    """Byte-size stats per media type — metadata-only plan: the
+    aggregation touches only the (media_type, n_bytes) columns, so
+    Catalyst prunes the binary payload out of the scan entirely."""
     return media.groupBy("media_type").agg(
         F.count("*").alias("n_files"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
@@ -355,21 +364,25 @@ FRAME_SCHEMA = (
     "frame_payload binary, frame_bytes bigint"
 )
 
-
-def n_frames_for(media_type: str, n_bytes: int) -> int:
-    """Deterministic stub frame count: videos sample n_bytes%5+1
-    frames, other media contribute none. (A real implementation asks
-    the container format for duration/fps.)"""
-    return (n_bytes % 5 + 1) if media_type == "video" else 0
+FRAME_BYTES = 16   # bytes per sampled window
+FRAME_STRIDE = 32  # sampling stride through the data chunk
 
 
-def frame_sample(media: DataFrame) -> DataFrame:
-    """Frame sampling: one input video row fans out to N frame rows
-    (1→N generator through mapInPandas). Frame extraction is STUBBED
-    as byte-range slices of the payload; a real build swaps in ffmpeg
-    keyframe extraction with the identical schema/fan-out contract.
-    Frames carry slim metadata; the full payload is NOT replicated
-    per frame — each frame holds only its slice."""
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Sample-window extraction over WAV payloads: one audio row fans
+    out to N frame rows (1→N generator through mapInPandas), each a
+    ``frame_bytes`` slice of the PCM data chunk taken every
+    ``stride`` bytes — the container navigation (RIFF walk to the
+    data chunk, `wav_data_range`) is real; what a production build
+    adds is decoding the slices to samples (PCM is raw ints — even
+    that needs no media lib). Non-audio and malformed payloads
+    contribute no frames — a sampler must route around garbage, not
+    die on it. Frames carry slim metadata; the full payload is NOT
+    replicated per frame — each frame holds only its slice."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -381,13 +394,20 @@ def frame_sample(media: DataFrame) -> DataFrame:
                 "frame_bytes": [],
             }
             for _, r in pdf.iterrows():
-                k = n_frames_for(r["media_type"], r["n_bytes"])
-                payload = r["payload"]
-                for i in range(k):
-                    chunk = payload[i * 16 : (i + 1) * 16]
+                payload = bytes(r["payload"])
+                rng = wav_data_range(payload)
+                if rng is None or rng[1] == 0:
+                    continue
+                start, length = rng
+                for idx, off in enumerate(
+                    range(start, start + length, stride)
+                ):
+                    chunk = payload[
+                        off : min(off + frame_bytes, start + length)
+                    ]
                     rows["doc_id"].append(r["doc_id"])
                     rows["media_type"].append(r["media_type"])
-                    rows["frame_idx"].append(i)
+                    rows["frame_idx"].append(idx)
                     rows["frame_payload"].append(chunk)
                     rows["frame_bytes"].append(len(chunk))
             if rows["doc_id"]:

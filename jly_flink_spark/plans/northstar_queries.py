@@ -928,31 +928,6 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_media_stats",
-    oracle="""
-SELECT media_type, CAST(count(*) AS BIGINT) AS n_files,
-       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
-       CAST(max(n_bytes) AS BIGINT) AS max_bytes
-FROM (
-  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         octet_length(encode(text)) AS n_bytes
-  FROM documents
-)
-GROUP BY media_type
-""",
-    tags=("northstar", "multimodal"),
-    doc="Binary media column stats — metadata-only aggregation; the "
-    "payload column is pruned out of the scan.",
-)
-def multimodal_media_stats(spark, sf_dir):
-    media = multimodal.documents_as_media(
-        load_table(spark, sf_dir, "documents")
-    )
-    return multimodal.media_stats(media)
-
-
 # Planted-corpus arithmetic shared by the two header-decode oracles:
 # mirrors operators/multimodal._planted_fields + plant_payload (one
 # definition per engine; a drift in either breaks the value hash).
@@ -992,6 +967,28 @@ expected AS (
   FROM planted
 )
 """
+
+
+@register(
+    "multimodal_media_stats",
+    oracle=_MEDIA_PLANTED
+    + """
+SELECT media_type, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM expected GROUP BY media_type
+""",
+    tags=("northstar", "multimodal"),
+    doc="Binary media column stats over the encoded corpus — "
+    "metadata-only aggregation on (media_type, n_bytes); the binary "
+    "payload column is pruned out of the pipeline entirely.",
+)
+def multimodal_media_stats(spark, sf_dir):
+    media = multimodal.documents_as_encoded_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.media_stats(media)
 
 
 @register(
@@ -1072,26 +1069,33 @@ def multimodal_decode_stats(spark, sf_dir):
 
 @register(
     "multimodal_frame_counts",
-    oracle="""
-SELECT media_type,
+    oracle=_MEDIA_PLANTED
+    + """
+SELECT e.media_type,
        CAST(count(*) AS BIGINT) AS n_media,
-       CAST(sum(CASE WHEN media_type = 'video' THEN n_bytes % 5 + 1
-                     ELSE 0 END) AS BIGINT) AS n_frames
-FROM (
-  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         octet_length(encode(text)) AS n_bytes
-  FROM documents
-)
-GROUP BY media_type
+       CAST(sum(CASE WHEN e.media_type = 'wav' AND e.width IS NULL
+                          AND e.sample_rate IS NOT NULL
+                          AND p.n > 0
+                     THEN (p.n - 1) // 32 + 1 ELSE 0 END) AS BIGINT)
+         AS n_frames
+FROM expected e JOIN planted p USING (doc_id)
+GROUP BY e.media_type
 """,
     tags=("northstar", "multimodal", "pandas_udf"),
-    doc="Frame sampling (1→N fan-out via mapInPandas, ffmpeg-shaped "
-    "stub): per media type, media count and total sampled frames. The "
-    "frame-count formula is mirrored in SQL, so the whole generator "
-    "path is value-checked, not just rows-only.",
+    doc="Sample-window extraction (1→N fan-out via mapInPandas) over "
+    "the REAL WAV payloads: the sampler walks the RIFF chunk chain "
+    "to the data section (`wav_data_range` — genuine container "
+    "navigation, same parser family as the header decode) and emits "
+    "one 16-byte window per 32-byte stride of actual PCM bytes; "
+    "malformed/truncated payloads and non-audio formats contribute "
+    "zero frames instead of failing. Per format: media count and "
+    "total sampled windows, value-checked against the planted "
+    "arithmetic (data length = the utf-8 body the encoder wrapped), "
+    "so the whole navigate→slice→fan-out path is hash-verified "
+    "including the garbage-routing branch.",
 )
 def multimodal_frame_counts(spark, sf_dir):
-    media = multimodal.documents_as_media(
+    media = multimodal.documents_as_encoded_media(
         load_table(spark, sf_dir, "documents")
     )
     frames = multimodal.frame_sample(media)

@@ -339,27 +339,45 @@ class TestSaltedJoin:
 
 class TestMultimodalTransforms:
     def test_frame_sample_fanout(self, spark):
+        """WAV sample-window extraction: only well-formed audio rows
+        fan out; every frame is a REAL slice of the payload's data
+        chunk (byte-compared against the RIFF-walked range); frame
+        counts match the stride arithmetic; malformed and non-audio
+        rows contribute nothing."""
+        from collections import Counter
+
         from jly_flink_spark.io import load_table
         from jly_flink_spark.operators import multimodal
 
-        media = multimodal.documents_as_media(
+        media = multimodal.documents_as_encoded_media(
             load_table(spark, "/root/testdata/sf0.001", "documents")
         )
+        payloads = {
+            r["doc_id"]: bytes(r["payload"]) for r in media.collect()
+        }
         frames = multimodal.frame_sample(media).collect()
-        assert all(r["media_type"] == "video" for r in frames)
-        # empty payloads (empty docs) legitimately yield 0-byte frames
-        assert all(0 <= r["frame_bytes"] <= 16 for r in frames)
-        # fan-out matches the stub formula per video
-        videos = {
-            r["doc_id"]: r["n_bytes"]
-            for r in media.filter("media_type = 'video'").collect()
-        }
-        from collections import Counter
-
+        assert frames and all(
+            r["media_type"] == "wav" for r in frames
+        )
+        assert all(1 <= r["frame_bytes"] <= 16 for r in frames)
+        for r in frames[:50]:
+            start, length = multimodal.wav_data_range(
+                payloads[r["doc_id"]]
+            )
+            off = start + r["frame_idx"] * 32
+            want = payloads[r["doc_id"]][
+                off : min(off + 16, start + length)
+            ]
+            assert bytes(r["frame_payload"]) == want
         per_doc = Counter(r["doc_id"] for r in frames)
-        assert dict(per_doc) == {
-            d: multimodal.n_frames_for("video", n) for d, n in videos.items()
-        }
+        for doc_id, payload in payloads.items():
+            rng = multimodal.wav_data_range(payload)
+            expect = (
+                0
+                if rng is None or rng[1] == 0
+                else (rng[1] - 1) // 32 + 1
+            )
+            assert per_doc.get(doc_id, 0) == expect
 
     def test_resize_only_shrinks_images(self, spark):
         from jly_flink_spark.io import load_table

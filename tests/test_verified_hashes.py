@@ -97,3 +97,49 @@ def test_hash_green_row_certifies_regardless_of_oracle():
         {}, {"q1": "h1"}, [{"q1": GREEN}], with_oracle={"q1"}
     )
     assert pins == {"q1": "h1"}
+
+
+def test_persistent_exclusions_survive_reruns():
+    """The round-7 footgun: an --exclude for a rewritten query must
+    stay active on a LATER run without the flag — otherwise the old
+    green row silently re-pins the new implementation."""
+    from tools.update_verified_hashes import apply_persistent_excludes
+
+    rounds = [{"q1": GREEN}]
+    # run 1: exclude q1 (rewritten after its green)
+    active, ledger = apply_persistent_excludes({}, {"q1"}, rounds)
+    assert active == {"q1"} and ledger == {"q1": 1}
+    # run 2 (no flag): still excluded
+    active2, ledger2 = apply_persistent_excludes(ledger, set(), rounds)
+    assert active2 == {"q1"} and ledger2 == {"q1": 1}
+
+
+def test_persistent_exclusion_lifts_on_fresh_green():
+    """Once a CORRECTNESS file NEWER than the exclusion shows the
+    name green (the driver verified the rewrite), the exclusion
+    drops and normal pinning resumes."""
+    from tools.update_verified_hashes import apply_persistent_excludes
+
+    ledger = {"q1": 1}
+    rounds_old_only = [{"q1": GREEN}]
+    active, new = apply_persistent_excludes(
+        ledger, set(), rounds_old_only
+    )
+    assert active == {"q1"} and new == ledger  # old green doesn't lift
+    rounds_fresh = [{"q1": GREEN}, {"q1": GREEN}]
+    active2, new2 = apply_persistent_excludes(
+        ledger, set(), rounds_fresh
+    )
+    assert active2 == set() and new2 == {}
+
+
+def test_re_exclusion_resets_the_bar():
+    """Excluding again (a SECOND rewrite) after a fresh green must
+    require a green newer than the re-exclusion."""
+    from tools.update_verified_hashes import apply_persistent_excludes
+
+    rounds = [{"q1": GREEN}, {"q1": GREEN}]
+    active, ledger = apply_persistent_excludes({}, {"q1"}, rounds)
+    assert active == {"q1"} and ledger == {"q1": 2}
+    active2, _ = apply_persistent_excludes(ledger, set(), rounds)
+    assert active2 == {"q1"}

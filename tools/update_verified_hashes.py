@@ -41,6 +41,12 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIDECAR = os.path.join(HERE, "VERIFIED_HASHES.json")
+# Exclusion ledger: {name: round-file count at exclusion} — names
+# rewritten after their last green row, kept out of the pin set until
+# a NEWER CORRECTNESS file shows them green (see
+# apply_persistent_excludes). Separate file so the pin sidecar's
+# flat {name: hash} contract stays untouched for its consumers.
+EXCLUDE_LEDGER = os.path.join(HERE, "VERIFIED_HASHES_EXCLUDE.json")
 
 sys.path.insert(0, HERE)
 
@@ -124,11 +130,48 @@ def compute_pins(
     return pins, added, refreshed, stale
 
 
+def apply_persistent_excludes(
+    persisted: dict[str, int],
+    cli_exclude: set[str],
+    rounds: list[dict],
+    with_oracle: set[str] = frozenset(),
+) -> tuple[set[str], dict[str, int]]:
+    """Merge CLI excludes with the persisted exclusion ledger →
+    (active_excludes, new_persisted).
+
+    An `--exclude NAME` records {NAME: current round-file count}: the
+    exclusion stays ACTIVE on every later run — so forgetting to
+    repeat the flag can never re-pin a rewritten query against its
+    pre-rewrite green row (the silent false-certification this ledger
+    exists to prevent) — until a CORRECTNESS file newer than the
+    exclusion shows the name green, i.e. the driver verified the
+    post-rewrite implementation; then the entry drops and normal
+    pinning resumes."""
+    n_rounds = len(rounds)
+    ledger = dict(persisted)
+    for n in cli_exclude:
+        # re-excluding resets the bar to the current round count
+        ledger[n] = n_rounds
+    active: set[str] = set()
+    for name, at in list(ledger.items()):
+        regreened = any(
+            _is_green_row(
+                data.get(name), has_oracle=name in with_oracle
+            )
+            for data in rounds[at:]
+        )
+        if regreened:
+            del ledger[name]
+        else:
+            active.add(name)
+    return active, ledger
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--exclude", default="", help="comma-separated names")
     args = ap.parse_args()
-    exclude = {n for n in args.exclude.split(",") if n}
+    cli_exclude = {n for n in args.exclude.split(",") if n}
 
     from jly_flink_spark.plans import REGISTRY
 
@@ -137,18 +180,35 @@ def main() -> None:
             old_pins: dict[str, str] = json.load(f)
     except (OSError, ValueError):
         old_pins = {}
+    try:
+        with open(EXCLUDE_LEDGER, encoding="utf-8") as f:
+            persisted: dict[str, int] = json.load(f)
+    except (OSError, ValueError):
+        persisted = {}
 
     current = {n: spec.impl_hash for n, spec in REGISTRY.items()}
     with_oracle = {
         n for n, spec in REGISTRY.items() if spec.oracle is not None
     }
+    rounds = _rounds()
+    exclude, new_ledger = apply_persistent_excludes(
+        persisted, cli_exclude, rounds, with_oracle
+    )
     pinned, added, refreshed, stale = compute_pins(
-        old_pins, current, _rounds(), exclude, with_oracle
+        old_pins, current, rounds, exclude, with_oracle
     )
 
     with open(SIDECAR, "w", encoding="utf-8") as f:
         json.dump(pinned, f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(EXCLUDE_LEDGER, "w", encoding="utf-8") as f:
+        json.dump(new_ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    if exclude:
+        print(
+            "active exclusions (rewritten since their green row; "
+            f"awaiting a fresh driver green): {sorted(exclude)}"
+        )
 
     print(
         f"pinned: {len(pinned)}  (+{len(added)} new, "
