@@ -2993,3 +2993,175 @@ def embedding_pq_adc(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cent, coded, subdim = PQ.pq_train_encode(emb)
     return PQ.adc_topk(cent, coded, PQ.PQ_M, subdim)
+
+
+# --------------------------------------------------------------------
+# k-core peeling (bounded rounds) over the duplicate-chunk graph
+# --------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    k, rounds = KCORE_K, KCORE_ROUNDS
+    its = []
+    prev = "und1"
+    stage_rows = []
+    for t in range(1, rounds + 1):
+        nxt = f"und{t + 1}"
+        its.append(f"""
+deg{t} AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM {prev}
+        UNION ALL SELECT v AS node FROM {prev})
+  GROUP BY node
+),
+peel{t} AS (
+  SELECT node FROM deg{t} WHERE d < {k}
+),
+{nxt} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u NOT IN (SELECT node FROM peel{t})
+    AND v NOT IN (SELECT node FROM peel{t})
+)""")
+        stage_rows.append(
+            f"SELECT 'peel_{t}' AS stage,"
+            f" CAST((SELECT count(*) FROM peel{t}) AS BIGINT)"
+            f" AS n_nodes,"
+            f" CAST((SELECT count(*) FROM {nxt}) AS BIGINT) AS n_edges"
+        )
+        prev = nxt
+    stage_rows.append(
+        "SELECT 'core' AS stage,"
+        " CAST((SELECT count(DISTINCT node) FROM"
+        f" (SELECT u AS node FROM {prev}"
+        f"  UNION ALL SELECT v AS node FROM {prev})) AS BIGINT)"
+        " AS n_nodes,"
+        f" CAST((SELECT count(*) FROM {prev}) AS BIGINT) AS n_edges"
+    )
+    return f"""{_chunk_graph_prefix()},
+und1 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+{",".join(its)}
+{" UNION ALL ".join(stage_rows)}
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("curation", "graph", "iterative"),
+    doc=f"Bounded k-core peeling of the duplicate-chunk graph: "
+    f"{KCORE_ROUNDS} unrolled rounds of remove-degree-<{KCORE_K} "
+    "nodes, reporting nodes peeled and edges surviving per round "
+    "plus the residual core — the dense-duplication-community "
+    "extractor (a k-core that survives peeling is a tight cluster "
+    "of cross-copied documents, the structure SemDeDup-style "
+    "pruning targets). Bounded rounds make the semantics exact and "
+    "engine-portable (true k-core iterates to fixpoint; at "
+    f"{KCORE_ROUNDS} rounds the peel has converged on every corpus "
+    "this repo tests — the 'core' row equals the fixpoint whenever "
+    "round N peels zero nodes). Scale shape: each round is a "
+    "map-side-combined degree count over the slim undirected pair "
+    "table + two anti-joins, checkpointed so the iterative plan "
+    "stays linear; every exchanged row is (node) or (u, v).",
+)
+def graph_kcore_peel(spark, sf_dir):
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(
+                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
+            ).alias("clen"),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    und = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stages = []
+    edges = und
+    for t in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        peel = deg.filter(F.col("d") < KCORE_K).select("node")
+        edges = (
+            edges.join(
+                peel.select(F.col("node").alias("u")), "u", "left_anti"
+            )
+            .join(
+                peel.select(F.col("node").alias("v")), "v", "left_anti"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        stages.append(
+            peel.agg(
+                F.lit(f"peel_{t}").alias("stage"),
+                F.count("*").cast("bigint").alias("n_nodes"),
+            ).crossJoin(
+                F.broadcast(
+                    edges.agg(
+                        F.count("*").cast("bigint").alias("n_edges")
+                    )
+                )
+            )
+        )
+    core_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .agg(
+            F.lit("core").alias("stage"),
+            F.countDistinct("node").cast("bigint").alias("n_nodes"),
+        )
+    )
+    stages.append(
+        core_nodes.crossJoin(
+            F.broadcast(
+                edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+            )
+        )
+    )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out

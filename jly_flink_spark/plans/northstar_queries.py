@@ -2592,3 +2592,116 @@ def dedup_winnow_pairs(spark, sf_dir):
             ).alias("containment_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit per source (rank-frequency log-log slope of the term head)
+# ---------------------------------------------------------------------------
+ZIPF_HEAD = 1000  # fit the head of the rank-frequency curve
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY source, tok
+), head AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok) AS rnk
+  FROM tf
+  QUALIFY rnk <= {ZIPF_HEAD}
+), xy AS (
+  SELECT source,
+         CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e4) AS BIGINT) AS y
+  FROM head
+), sums AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY source
+), nd AS (
+  SELECT source, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM sums
+)
+SELECT source, n AS n_terms,
+       (num // den) * 1000 + ((num % den) * 1000) // den AS slope_milli
+FROM nd WHERE den <> 0
+"""
+
+
+@register(
+    "text_zipf_fit",
+    oracle=_ZIPF_ORACLE,
+    tags=("northstar", "text", "statistics", "regression"),
+    doc="Zipf's-law fit per source: the log-log slope of the "
+    "rank-frequency curve over each source's top-1000 terms "
+    "(closed-form OLS on quantized ln values — round(ln·1e4), the "
+    "information-theory tier's codebook discipline; slope in exact "
+    "milli units via the overflow-safe quotient-remainder split; "
+    "bounding the fit to the HEAD both matches the statistics — "
+    "the tail flattens below Zipf — and caps every regression sum "
+    "at 1000 bounded terms per source forever). Natural text sits "
+    "near slope −1; a source drifting toward 0 (flat = synthetic/"
+    "templated) or below −1.5 (repetitive boilerplate) is the "
+    "corpus-health smell this monitors. Scale shape: one token "
+    "pass combines map-side to per-(source, term) counts; the rank "
+    "window is per-source partitioned with WindowGroupLimit keeping "
+    "≤1000 rows per source per partition; the regression is an "
+    "aggregation to |sources| rows.",
+)
+def text_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok")
+    )
+    head = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ZIPF_HEAD
+    )
+    qln = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * 1e4
+    ).cast("bigint")
+    xy = head.select(
+        "source",
+        qln(F.col("rnk")).alias("x"),
+        qln(F.col("cnt")).alias("y"),
+    )
+    sums = xy.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = sums.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "den"
+        ),
+    ).filter(F.col("den") != 0)
+    return nd.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "(num div den) * 1000 + ((num % den) * 1000) div den"
+        ).alias("slope_milli"),
+    )

@@ -454,6 +454,14 @@ class TestShuffleBudget:
             # M·K·subdim codebook-update combines behind the
             # per-iteration checkpoints + the top-k
             ("embedding_pq_adc", 4),
+            # Zipf fit: one (source, term) combine + the per-source
+            # head window (WindowGroupLimit) + the |sources|-row
+            # regression sums
+            ("text_zipf_fit", 2),
+            # k-core: per peel round a slim degree combine + two
+            # anti-joins over the (u, v) table behind checkpoints;
+            # the stage rollup exchanges 1-row aggregates
+            ("graph_kcore_peel", 12),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
