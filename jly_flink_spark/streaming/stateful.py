@@ -27,6 +27,10 @@ Operators:
   forms of `events_entropy_by_type` / `text_kl_source_drift`),
   bit-exact with the batch queries after any prefix; at-least-once
   inputs absorbed by a bounded dedup-within-watermark stage.
+- `pattern_quantified_stream`: bounded-tail CEP — the run-algebra
+  `view+ click? purchase` matcher (streaming form of
+  `events_pattern_quantified`) over the last-N event tail per key,
+  delivery-order invariant by the ewma merge argument.
 
 State is kept per key, partitioned by the groupBy hash shuffle — at
 cluster scale state shards across executors and lives in the state
@@ -820,6 +824,146 @@ def codebook_drift_stream(
         fn,
         outputStructType=out_schema,
         stateStructType=_CODEBOOK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantified row-pattern matching (bounded-history CEP)
+# ---------------------------------------------------------------------------
+
+_PATTERN_STATE = "ks array<long>, ids array<long>, tps array<string>"
+
+
+def pattern_count_runs(types: list) -> tuple[int, int, int]:
+    """(n_matches, n_views_consumed, n_with_click) of
+    `view+ click? purchase` (greedy, skip past last row) over an
+    ordered type sequence, via the SAME run-algebra reduction the
+    batch `events_pattern_quantified` query uses: compress maximal
+    runs, then a match is a view-run followed by purchase, or by a
+    length-1 click-run then purchase. ONE definition drives the
+    stream operator and its tests."""
+    runs: list[tuple[str, int]] = []
+    for t in types:
+        if runs and runs[-1][0] == t:
+            runs[-1] = (t, runs[-1][1] + 1)
+        else:
+            runs.append((t, 1))
+    n_m = n_v = n_c = 0
+    for i, (t, ln) in enumerate(runs):
+        if t != "view":
+            continue
+        nxt = runs[i + 1] if i + 1 < len(runs) else None
+        nxt2 = runs[i + 2] if i + 2 < len(runs) else None
+        if nxt and nxt[0] == "purchase":
+            n_m += 1
+            n_v += ln
+        elif (
+            nxt
+            and nxt[0] == "click"
+            and nxt[1] == 1
+            and nxt2
+            and nxt2[0] == "purchase"
+        ):
+            n_m += 1
+            n_v += ln
+            n_c += 1
+    return n_m, n_v, n_c
+
+
+def pattern_step(state, rows, tail: int = 256):
+    """Pure per-batch state transition of `pattern_quantified_stream`
+    for one key: `state` is the (ks, ids, tps) tuple (or None),
+    `rows` an iterable of (ts, id, type). Returns (new_state, emit)
+    where emit is (n_matches, n_views, n_with_click, n_tail) when
+    the tail changed. Same bounded-(ts, id)-sorted-tail merge as
+    `ewma_step`, so replays/out-of-order deliveries converge to the
+    batch answer over the retained window."""
+    if state is not None:
+        ks, ids, tps = state
+        seen = {
+            (int(k), int(i)): str(t) for k, i, t in zip(ks, ids, tps)
+        }
+    else:
+        seen = {}
+    before = sorted(seen)
+    before_vals = {t: seen[t] for t in before}
+    for k, i, t in rows:
+        seen[(int(k), int(i))] = str(t)
+    order = sorted(seen)[-tail:]
+    if order == before and all(
+        seen[t] == before_vals[t] for t in order
+    ):
+        return state, None
+    new_state = (
+        [k for k, _ in order],
+        [i for _, i in order],
+        [seen[t] for t in order],
+    )
+    n_m, n_v, n_c = pattern_count_runs([seen[t] for t in order])
+    return new_state, (n_m, n_v, n_c, len(order))
+
+
+def pattern_quantified_stream(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    tail: int = 256,
+) -> DataFrame:
+    """Streaming form of the batch `events_pattern_quantified` run-
+    algebra matcher: per key, state is the (ts, id)-sorted tail of
+    the last ``tail`` events' types, and every batch that changes the
+    tail re-emits the quantified-pattern counts over it —
+    `view+ click? purchase`, greedy, skip past last row, the exact
+    reduction the batch query runs.
+
+    Bounded-history semantics (the contract every production CEP
+    engine has in some form): matches are found within the retained
+    tail, so a key with MORE than ``tail`` events can lose matches
+    that straddle the eviction boundary — size ``tail`` to the
+    pattern horizon. For keys within the bound, the emitted counts
+    equal the batch query on the same rows after any prefix, under
+    replayed, duplicated and out-of-order delivery (the ewma_stream
+    merge argument: tail membership is a deterministic function of
+    the (ts, id) order; pinned in tests). State is bounded at
+    3·``tail`` entries per key."""
+    out_schema = (
+        f"{key_col} long, n_matches long, n_views long, "
+        "n_with_click long, n_tail long"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = [
+            (k, i, t)
+            for pdf in pdfs
+            for k, i, t in zip(
+                pdf[ts_col], pdf[id_col], pdf[type_col]
+            )
+        ]
+        new_state, emit = pattern_step(
+            state.get if state.exists else None, rows, tail
+        )
+        if emit is not None:
+            state.update(new_state)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_matches": [emit[0]],
+                    "n_views": [emit[1]],
+                    "n_with_click": [emit[2]],
+                    "n_tail": [emit[3]],
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_PATTERN_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1245,3 +1245,151 @@ class TestCodebookDriftStream:
         # uniform reference, uniform counts: KL == 0 exactly
         n, used, e, kl = codebook_measures([3, 3], [10, 10])
         assert kl == 0
+
+
+class TestPatternQuantifiedStream:
+    """Streaming bounded-tail run-algebra matcher == the batch
+    events_pattern_quantified reduction on the same rows (every
+    sf0.001 user fits the 256-tail, so the bounded-history caveat is
+    inactive), under adversarial delivery."""
+
+    def test_hand_fixture_run_counts(self):
+        from jly_flink_spark.streaming.stateful import (
+            pattern_count_runs,
+        )
+
+        m = {"v": "view", "c": "click", "p": "purchase"}
+        cases = {
+            "v v p p": (1, 2, 0),     # greedy v+ eats both views
+            "v c c p": (0, 0, 0),     # click? admits at most one
+            "v p v p": (2, 2, 0),
+            "c p": (0, 0, 0),
+            "v c p": (1, 1, 1),
+            "v": (0, 0, 0),
+            "v v v c p p": (1, 3, 1),
+            "p v": (0, 0, 0),
+            "v c v p": (1, 1, 0),     # 2nd view matches; 1st fails
+        }
+        for seq, want in cases.items():
+            got = pattern_count_runs([m[c] for c in seq.split()])
+            assert got == want, (seq, got, want)
+
+    def test_stream_totals_match_batch_query(self, spark, tmp_path):
+        """Cross-implementation check: the summed final per-user
+        emits must equal the REGISTRY query's global rollup (Spark
+        run-algebra plan vs the pure-Python tail fold), with a
+        replayed batch and hash-shuffled delivery."""
+        import duckdb
+
+        from jly_flink_spark.streaming.stateful import (
+            pattern_quantified_stream,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   event_id, event_type
+            FROM read_parquet('{sf_dir}/events.parquet')
+            """
+        ).fetchall()
+        con.close()
+        recs = [
+            {
+                "user_id": r[0],
+                "ts_ms": r[1],
+                "event_id": r[2],
+                "event_type": r[3],
+            }
+            for r in rows
+        ]
+        recs.sort(key=lambda r: (r["event_id"] * 2654435761) % 2**32)
+        third = len(recs) // 3
+        batches = [
+            recs[:third],
+            recs[third : 2 * third],
+            recs[third : 2 * third],  # replayed wholesale
+            recs[2 * third :],
+        ]
+        src = str(tmp_path / "src_pat")
+        _write_json_files(src, batches)
+        stream = spark.readStream.schema(
+            "user_id long, ts_ms long, event_id long, event_type string"
+        ).option("maxFilesPerTrigger", 1).json(src)
+        out = []
+        q = (
+            pattern_quantified_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_pat"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = {}
+        for r in out:  # update mode: last emit per key wins
+            last[r["user_id"]] = (r["n_matches"], r["n_views"])
+
+        from jly_flink_spark.plans import REGISTRY
+
+        [batch] = (
+            REGISTRY["events_pattern_quantified"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        )
+        assert sum(v[0] for v in last.values()) == batch["n_matches"]
+        assert (
+            sum(v[1] for v in last.values())
+            == batch["n_views_consumed"]
+        )
+
+    def test_schedules_converge_to_sorted_fold(self):
+        """Delivery invariance: arbitrary duplicated/reordered batch
+        schedules must land pattern_step's state on the sorted-tail
+        fold of the full event set."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from jly_flink_spark.streaming.stateful import (
+            pattern_count_runs,
+            pattern_step,
+        )
+
+        types = ("view", "click", "purchase")
+        events = st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 2)),
+            min_size=1,
+            max_size=30,
+        )
+        schedule = st.lists(
+            st.lists(st.integers(0, 29), max_size=12), max_size=6
+        )
+
+        @given(events=events, sched=schedule, tail=st.integers(2, 8))
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(events, sched, tail):
+            evs = [
+                (ts, i, types[t]) for i, (ts, t) in enumerate(events)
+            ]
+            state = None
+            for batch in sched:
+                rows = [evs[j % len(evs)] for j in batch]
+                state, _ = pattern_step(state, rows, tail)
+            state, emit = pattern_step(state, evs, tail)
+            ordered = [t for _, _, t in sorted(evs)][-tail:]
+            want = pattern_count_runs(ordered)
+            got = (
+                emit[:3]
+                if emit is not None
+                else pattern_count_runs(list(state[2]))
+            )
+            assert got == want
+
+        run()

@@ -389,6 +389,7 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
         ewma_stream,
         kmv_distinct_stream,
         latest_state_stream,
+        pattern_quantified_stream,
         quantile_sketch_stream,
     )
 
@@ -461,6 +462,16 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
                 "event_id",
                 "ets",
                 n_buckets=10,
+            ),
+            "update",
+        ),
+        # bounded-tail CEP: state capped at 3*tail entries per user;
+        # per-epoch cost is the tail fold, volume-independent
+        "pattern_quantified_stream": writer(
+            pattern_quantified_stream(
+                ev_stream().select(
+                    "user_id", "ts_ms", "event_id", "event_type"
+                )
             ),
             "update",
         ),
