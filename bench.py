@@ -121,6 +121,17 @@ HEADLINE = [
     "text_pmi_collocations",
     "events_point_in_time_join",
     "quality_classifier_calibration",
+    # Round-7 wave: MOSS winnowing (per-doc fingerprints + the
+    # df-capped cross-doc pair join), product quantization with ADC
+    # serving, run-algebra quantified pattern matching, item-item
+    # co-occurrence neighbors, and RRF retrieval fusion — pinned so
+    # the regression gate covers each new family from day one.
+    "text_winnowing_fingerprints",
+    "dedup_winnow_pairs",
+    "embedding_pq_adc",
+    "events_pattern_quantified",
+    "orders_item_neighbors_topk",
+    "retrieval_rrf_fusion",
 ]
 
 
