@@ -47,31 +47,25 @@ def _sub_slice(code, m: int, subdim: int):
 
 def _sub_argmin(code, cents, m: int, subdim: int):
     """cid of the nearest sub-centroid of subspace ``m`` for this
-    row's subvector — a fold over the broadcast codebook list with
-    (dist, cid) lexicographic minimization, ties to the smaller cid."""
+    row's subvector: transform the broadcast codebook list to
+    (dist, cid) structs — each distance computed ONCE (Spark does
+    not reliably CSE a repeated subexpression inside a fold; the
+    Bloom-probe lesson) — then `array_min`'s lexicographic struct
+    ordering is exactly min-dist-then-smallest-cid."""
     sub = _sub_slice(code, m, subdim)
     mine = F.filter(cents, lambda c: c["sub"] == F.lit(m))
-    dist_of = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(sub, c["carr"], lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    best = F.aggregate(
+    scored = F.transform(
         mine,
-        F.struct(
-            F.lit(None).cast("bigint").alias("d"),
-            F.lit(None).cast("bigint").alias("cid"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(sub, c["carr"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cid"].alias("cid"),
         ),
-        lambda acc, c: F.when(
-            acc["d"].isNull()
-            | (dist_of(c) < acc["d"])
-            | ((dist_of(c) == acc["d"]) & (c["cid"] < acc["cid"])),
-            F.struct(
-                dist_of(c).alias("d"), c["cid"].alias("cid")
-            ),
-        ).otherwise(acc),
     )
-    return best["cid"]
+    return F.array_min(scored)["cid"]
 
 
 def pq_train_encode(
