@@ -3165,3 +3165,91 @@ def graph_kcore_peel(spark, sf_dir):
     for s in stages[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --------------------------------------------------------------------
+# Weighted k-sample without replacement (Efraimidis–Spirakis A-Res)
+# --------------------------------------------------------------------
+RESERVOIR_K = 20
+
+_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS w,
+         ({" + ".join(
+            f"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {1 + j}, 1)) - 1)"
+            f" * {16 ** (13 - j)}"
+            for j in range(14)
+         )}) + 1 AS u_int
+  FROM documents
+), q AS (
+  SELECT doc_id, w,
+         CAST(round(ln(CAST(u_int AS DOUBLE) / 72057594037927936.0)
+                    * 1e6) AS BIGINT) AS qlnu
+  FROM keyed
+), scored AS (
+  SELECT doc_id, w, (qlnu * 1000000) // w AS skey
+  FROM q
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, skey,
+       CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM scored
+ORDER BY skey DESC, doc_id LIMIT {RESERVOIR_K}
+"""
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_RESERVOIR_ORACLE,
+    tags=("curation", "sample", "topk"),
+    doc="Weighted k-sample WITHOUT replacement (Efraimidis–Spirakis "
+    "A-Res): each doc draws u from its doc_id's md5 (deterministic "
+    "uniform — the repeatable-pipeline requirement) and the sample "
+    "is the top-k by u^(1/w), implemented in the exact-integer "
+    "order key (round(ln u · 1e6) · 1e6) div w — the one "
+    "transcendental is the quantized ln the information-theory tier "
+    "already uses; everything compared is BIGINT, so the selected "
+    "set is engine-exact. Complements mixture_weighted_sample "
+    "(Bernoulli per-domain rates, approximate size): this is "
+    "exact-k with per-ROW weights (n_chars — longer docs "
+    "proportionally likelier), the form a budgeted curation step "
+    "uses. Scale shape: keys are per-row expressions over one scan; "
+    "top-k is TakeOrderedAndProject, never a global sort; the rank "
+    "window orders the ≤k survivors.",
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u_int = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    qlnu = F.round(
+        F.log(u_int.cast("double") / F.lit(72057594037927936.0)) * 1e6
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        w.cast("bigint").alias("w"),
+        qlnu.alias("qlnu"),
+    ).select(
+        "doc_id", "w", F.expr("(qlnu * 1000000) div w").alias("skey")
+    )
+    top = scored.orderBy(F.col("skey").desc(), "doc_id").limit(
+        RESERVOIR_K
+    )
+    return top.select(
+        "doc_id",
+        "w",
+        "skey",
+        F.row_number()
+        .over(Window.orderBy(F.col("skey").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -93,6 +93,13 @@ QUERIES = [
     # bench/baseline/probe lock convention
     "pipeline_training_corpus_v2",
     "agg_kmv_source_overlap",
+    # round-7 heavies: the df-capped winnowing pair join (candidate
+    # volume grows with duplication density), joint-subspace PQ
+    # training + ADC (iterative corpus passes), and the basket-local
+    # co-occurrence pair space
+    "dedup_winnow_pairs",
+    "embedding_pq_adc",
+    "orders_item_neighbors_topk",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
