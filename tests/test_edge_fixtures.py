@@ -124,6 +124,29 @@ def edge_sf_dir(tmp_path_factory):
         # have no signatures and drop from the candidate space
         "dedup_minhash_estimate_accuracy",
         "dedup_containment_pairs",
+        # round-7: winnowing needs k+w-1 = 6 tokens for a full
+        # window — the 0/1/3-token cases and the shared "t0 t1 ..."
+        # prefixes sit exactly on the selection boundaries, and the
+        # pair query's df cap must drop boilerplate fingerprints
+        # identically on both engines
+        "text_winnowing_fingerprints",
+        "dedup_winnow_pairs",
+        # Zipf head smaller than its own window (n <= 2 terms per
+        # source → den=0 rows filtered identically); empty docs
+        # contribute no terms
+        "text_zipf_fit",
+        # empty text → w floors at greatest(n_chars, 1); doc 0 is
+        # also the malformed-media doc — both engines must draw the
+        # same deterministic sample
+        "sample_weighted_reservoir",
+        # the BM25 leg is likely EMPTY on this corpus (probe terms
+        # absent) — RRF must degrade to the LM-only list through the
+        # full-outer fuse on both engines
+        "retrieval_rrf_fusion",
+        # empty/whitespace docs become zero-body containers (still
+        # structurally valid); doc 0 is the planted-truncation case
+        "multimodal_extract_features",
+        "multimodal_frame_counts",
     ],
 )
 def test_boundary_shapes_match_oracle(spark, edge_sf_dir, name):
