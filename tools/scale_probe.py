@@ -649,9 +649,20 @@ def _write_streaming_section(results: dict, factor: int) -> None:
                     f" {m['batch_ms_max']} |"
                     f" {m['state_rows_final']} | {m['state_mb_max']} |\n"
                 )
-    with open(report, "a", encoding="utf-8") as f:
+    # replace-or-append (the _write_dims_section discipline): a
+    # re-run refreshes its own section instead of stacking duplicates
+    old = ""
+    if os.path.exists(report):
+        old = open(report, encoding="utf-8").read()
+        i = old.find("\n## Streaming probe")
+        while i >= 0:
+            j = old.find("\n## ", i + 1)
+            old = old[:i] + (old[j:] if j >= 0 else "")
+            i = old.find("\n## Streaming probe")
+    with open(report, "w", encoding="utf-8") as f:
+        f.write(old)
         f.writelines(lines)
-    print(f"appended streaming section to {report}")
+    print(f"wrote streaming section to {report}")
 
 
 def _write_dims_section(
