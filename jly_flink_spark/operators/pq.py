@@ -22,11 +22,14 @@ jointly over all M subspaces in ONE loop):
   tiebreaks — so a SQL oracle replays training bit for bit.
 
 Deliberate deviations from production PQ, documented: codebooks are
-K=8 per subspace with 2 Lloyd rounds (the determinism-first audit
-scale; production uses K=256 and trains to convergence), and the
-subvector quantization reuses the per-VECTOR absmax scale instead of
-per-subspace scales (keeps the one certified int8 derivation; a
-per-subspace scale changes accuracy, not the plan).
+K=16 per subspace with 2 Lloyd rounds (the determinism-first audit
+scale; production uses K=256 and trains to convergence — and on the
+near-uniform SYNTHETIC embeddings of this harness, PQ's worst case,
+ADC ordering is weak however sized: the serving tier therefore ships
+with the exact-refine stage and its recall is pinned at the measured
+floor), and the subvector quantization reuses the per-VECTOR absmax
+scale instead of per-subspace scales (keeps the one certified int8
+derivation; a per-subspace scale changes accuracy, not the plan).
 """
 
 from __future__ import annotations
@@ -36,8 +39,8 @@ from pyspark.sql import functions as F
 
 from .clustering import int8_codes
 
-PQ_M = 4        # subspaces
-PQ_K = 8        # centroids per subspace
+PQ_M = 8        # subspaces
+PQ_K = 16       # centroids per subspace (audit scale; prod uses 256)
 PQ_ITERS = 2    # Lloyd rounds
 
 
@@ -70,18 +73,23 @@ def _sub_argmin(code, cents, m: int, subdim: int):
 
 def pq_train_encode(
     emb: DataFrame,
-    m: int = PQ_M,
-    k: int = PQ_K,
-    iterations: int = PQ_ITERS,
+    m: "int | None" = None,
+    k: "int | None" = None,
+    iterations: "int | None" = None,
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train the M sub-codebooks and encode the corpus; returns
     (codebooks, coded, subdim) where codebooks is (sub, cid, carr)
     after the final update and coded is (vec_id, code, pq) with `pq`
     the M-array of assigned sub-centroid ids under the FINAL
-    codebooks. Init: subvectors of the k smallest vec_ids."""
+    codebooks. Init: subvectors of the k smallest vec_ids. Size
+    parameters default to the module constants AT CALL TIME (so
+    audits can sweep them)."""
     from ..io import ensure_min_parallelism
 
+    m = PQ_M if m is None else m
+    k = PQ_K if k is None else k
+    iterations = PQ_ITERS if iterations is None else iterations
     dim = len(
         emb.select(vec_col).first()[0]
     )  # one row — model-state probe, not a collect of data
@@ -252,3 +260,272 @@ def adc_topk(
         )
     )
     return scored.orderBy("adc_dist", "vec_id").limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN composition — PQ codes stored inside the
+# partition-pruned IVF lists (FAISS IVFx,PQy without residual
+# encoding; the documented deviation keeps the one certified int8
+# derivation and lets the SQL oracle replay the whole build)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook_state(cent: DataFrame) -> list:
+    """Collect the trained sub-codebooks as driver model state —
+    (sub, cid, carr) tuples, M·K·subdim ints — the train-offline/
+    serve-online boundary (the PQ analog of `extract_centroids`)."""
+    return [
+        (int(r["sub"]), int(r["cid"]), [int(v) for v in r["carr"]])
+        for r in cent.collect()
+    ]
+
+
+def persist_ivf_pq(
+    emb: DataFrame,
+    path: str,
+    coarse_cents: list,
+    vec_col: str = "embedding",
+) -> tuple[list, int]:
+    """Build the IVF-PQ serving layout: train the global sub-codebooks
+    (`pq_train_encode` — one joint Lloyd loop), coarse-assign every
+    vector to its IVF list on the FLOAT vector (the same quantizer as
+    every other layout builder), and persist (vec_id, pq, list_id)
+    hive-partitioned by list_id. Returns (pq_codebook_state, subdim)
+    — the model state a server needs. The stored row is M small ints:
+    the compression floor below IVF-SQ8 (M bytes vs d bytes), which
+    at 100 TB is the difference between an index that fits hot
+    storage and one that doesn't."""
+    from ..io import write_partitioned
+    from .similarity import _assign_udf
+
+    cent, coded, subdim = pq_train_encode(emb, vec_col=vec_col)
+    assign = _assign_udf(emb.sparkSession, coarse_cents)
+    rows = coded.join(
+        emb.select("vec_id", vec_col), "vec_id"
+    ).select(
+        "vec_id",
+        "pq",
+        # the full int8 codes ride in their own parquet COLUMN: the
+        # pure-ADC tier never reads it (column pruning keeps its
+        # scan M bytes/vector), the refine tier reads it only for
+        # its pruned lists — one layout, two serving costs
+        "code",
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    write_partitioned(rows, path, ["list_id"])
+    return pq_codebook_state(cent), subdim
+
+
+def _query_lut(
+    v, pq_state: list, m: int, k: int, subdim: int
+) -> list:
+    """Per-query flattened ADC lookup table: entry [sub·K + cid] =
+    exact integer squared L2 between the query's int8 SUBvector and
+    that sub-centroid — the same `int8_codes` absmax/floor formula
+    as the corpus side (symmetric code-vs-code distance)."""
+    import numpy as np
+
+    x = np.asarray(v, dtype="float64")
+    scale = max(float(np.abs(x).max()), 1e-12)
+    codes = np.floor(x * 127.0 / scale).astype("int64")
+    lut = [0] * (m * k)
+    for sub, cid, carr in pq_state:
+        qsub = codes[sub * subdim : (sub + 1) * subdim]
+        diff = qsub - np.asarray(carr, dtype="int64")
+        lut[sub * k + cid] = int((diff * diff).sum())
+    return lut
+
+
+def serve_ann_topk_ivf_pq(
+    spark,
+    queries_df: DataFrame,
+    layout_path: str,
+    coarse_cents: list,
+    pq_state: list,
+    subdim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ADC neighbors for a request batch against the persisted
+    IVF-PQ layout: the scan is PARTITION-PRUNED to the batch's probe
+    lists (same `_select_probe_lists` arithmetic as every other IVF
+    tier), the broadcast probe frame carries each query's M·K-entry
+    LUT, and a candidate's distance is M lookups into it — never a
+    d-dimensional product. What shuffles is the per-query top-k
+    partials below the one exchange. Probe-list selection, coarse
+    assignment and the LUT arithmetic each mirror one SQL expression
+    in the `ann_ivf_pq_adc` oracle, so the PRUNED result value-hashes
+    cross-engine."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .similarity import (
+        QUANT,
+        _centroid_state,
+        _pruned_layout,
+        _select_probe_lists,
+    )
+
+    m = PQ_M
+    kk = PQ_K
+    cents_state = _centroid_state(coarse_cents)
+    rows = []
+    for r in queries_df.select("vec_id", vec_col).collect():
+        v = np.array(list(r[vec_col]), dtype="float64")
+        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
+        lut = _query_lut(v, pq_state, m, kk, subdim)
+        for cid in _select_probe_lists(v, vq, cents_state, n_probe):
+            rows.append((int(r["vec_id"]), int(cid), lut))
+    probes = spark.createDataFrame(
+        rows, "query_id long, list_id int, lut array<long>"
+    )
+    corpus = _pruned_layout(
+        spark,
+        layout_path,
+        probes,
+        {"vec_id": "cand_id", "pq": "cand_pq"},
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("lut"),
+            (
+                i * kk
+                + F.element_at(F.col("cand_pq"), (i + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rnk")
+    )
+
+
+PQ_REFINE_R = 200  # ADC shortlist depth ahead of the exact rescore
+
+
+def serve_ann_topk_ivf_pq_refine(
+    spark,
+    queries_df: DataFrame,
+    layout_path: str,
+    coarse_cents: list,
+    pq_state: list,
+    subdim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = PQ_REFINE_R,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with EXACT REFINE (the FAISS `refine` stage — how
+    production serves PQ): ADC ranks the pruned lists' candidates
+    cheaply (M lookups each), the top-``shortlist`` per query are
+    re-scored with the exact int8 squared L2 on the full codes, and
+    the final top-k follows the exact order. ADC's quantization
+    error (severe at the audit-scale M=4, K=8 codebooks — measured
+    recall@5 ≈ 0.1 for pure ADC) only costs recall when a true
+    neighbor falls OUTSIDE the shortlist, so the refine recovers
+    nearly all of it at shortlist/corpus of the compute. The exact
+    codes are read ONLY for pruned lists (columnar layout — the
+    pure-ADC tier's scan never touches that column)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .similarity import (
+        QUANT,
+        _centroid_state,
+        _pruned_layout,
+        _select_probe_lists,
+    )
+
+    m, kk = PQ_M, PQ_K
+    cents_state = _centroid_state(coarse_cents)
+    rows = []
+    for r in queries_df.select("vec_id", vec_col).collect():
+        v = np.array(list(r[vec_col]), dtype="float64")
+        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
+        scale = max(float(np.abs(v).max()), 1e-12)
+        qcodes = [
+            int(x) for x in np.floor(v * 127.0 / scale).astype("int64")
+        ]
+        lut = _query_lut(v, pq_state, m, kk, subdim)
+        for cid in _select_probe_lists(v, vq, cents_state, n_probe):
+            rows.append((int(r["vec_id"]), int(cid), lut, qcodes))
+    probes = spark.createDataFrame(
+        rows,
+        "query_id long, list_id int, lut array<long>, "
+        "qcode array<long>",
+    )
+    corpus = _pruned_layout(
+        spark,
+        layout_path,
+        probes,
+        {"vec_id": "cand_id", "pq": "cand_pq", "code": "cand_code"},
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("lut"),
+            (
+                i * kk
+                + F.element_at(F.col("cand_pq"), (i + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cand_code",
+            "qcode",
+            adc.alias("adc_dist"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        "adc_dist", "cand_id"
+    )
+    short = scored.withColumn(
+        "srnk", F.row_number().over(w_short)
+    ).filter(F.col("srnk") <= shortlist)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qcode"),
+            F.col("cand_code"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    refined = short.select(
+        "query_id",
+        "cand_id",
+        "adc_dist",
+        exact.alias("exact_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_dist", "cand_id")
+    return (
+        refined.withColumn(
+            "rnk", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_dist", "exact_dist", "rnk")
+    )

@@ -2866,7 +2866,13 @@ def retrieval_rrf_fusion(spark, sf_dir):
 # --------------------------------------------------------------------
 # Product quantization: joint subspace codebook training + ADC audit
 # --------------------------------------------------------------------
-def _pq_oracle() -> str:
+def pq_train_ctes() -> str:
+    """The PQ training chain as a reusable WITH-clause FRAGMENT
+    (codes → sflat → seeds → pcent0 → unrolled Lloyd rounds →
+    pasg_f): everything the `embedding_pq_adc` oracle and the
+    IVF-PQ serving oracle share — one definition, so the two can
+    never train different codebooks. Starts after `WITH` (callers
+    prepend their own opening) and ends WITHOUT a trailing comma."""
     from ..operators import pq as PQ
 
     m, k, iters = PQ.PQ_M, PQ.PQ_K, PQ.PQ_ITERS
@@ -2896,8 +2902,7 @@ pcent{t} AS MATERIALIZED (
   ) u ON u.sub = c.sub AND u.cid = c.cid AND u.sdim = c.sdim
 )""")
         prev = f"pcent{t}"
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id,
          greatest(list_max(list_transform(embedding,
                   v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
@@ -2938,7 +2943,23 @@ pasg_f AS MATERIALIZED (
   SELECT vec_id, sub, cid FROM pdf_
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                              ORDER BY dist, cid) = 1
-),
+)
+"""
+
+
+def pq_final_cent() -> str:
+    """Name of the training fragment's final codebook CTE."""
+    from ..operators import pq as PQ
+
+    return f"pcent{PQ.PQ_ITERS}"
+
+
+def _pq_oracle() -> str:
+    prev = pq_final_cent()
+    return (
+        "WITH "
+        + pq_train_ctes()
+        + f""",
 qv AS (
   SELECT sub, sdim, val AS qval FROM sflat
   WHERE vec_id = (SELECT min(vec_id) FROM codes)
@@ -2966,6 +2987,7 @@ SELECT a.vec_id, a.adc_dist, e.exact_dist
 FROM adc a JOIN ex e USING (vec_id)
 ORDER BY adc_dist, vec_id LIMIT 20
 """
+    )
 
 
 @register(
@@ -3252,4 +3274,306 @@ def sample_weighted_reservoir(spark, sf_dir):
         .over(Window.orderBy(F.col("skey").desc(), "doc_id"))
         .cast("bigint")
         .alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ serving (partition-pruned ADC) — fully value-hash-checked
+# --------------------------------------------------------------------
+def _ivf_coarse_sql(n_list: int, n_probe: int, ids: str) -> str:
+    """Coarse quantizer CTEs (seed centroids → quantized-cosine
+    assignment → probe selection), structurally identical to the
+    `ann_cosine_ivf_int8` oracle's prefix (kept as generated text
+    there to preserve that query's verified-hash pin; one behavioral
+    definition lives in operators/similarity.py, which both mirror
+    expression-for-expression)."""
+    from .northstar_queries import _QUANT
+
+    return f"""ccents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ccid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_list})
+),
+ccnorm AS (
+  SELECT ccid,
+         greatest(CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT), 1) AS cqn
+  FROM (SELECT ccid, unnest(cvec) AS c FROM ccents) GROUP BY ccid
+),
+cvnorm AS (
+  SELECT vec_id,
+         greatest(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT), 1) AS vq
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+ccprod AS (
+  SELECT e.vec_id, c.ccid, unnest(e.embedding) AS x, unnest(c.cvec) AS cc
+  FROM embeddings e CROSS JOIN ccents c
+),
+ccdots AS (
+  SELECT vec_id, ccid,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(cc AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT) AS qd
+  FROM ccprod GROUP BY vec_id, ccid
+),
+ccos AS (
+  SELECT d.vec_id, d.ccid,
+         CAST(d.qd AS DOUBLE)
+           / (sqrt(CAST(v.vq AS DOUBLE)) * sqrt(CAST(n.cqn AS DOUBLE)))
+           AS ccos
+  FROM ccdots d JOIN cvnorm v USING (vec_id)
+  JOIN ccnorm n ON n.ccid = d.ccid
+),
+cassign AS (
+  SELECT vec_id, ccid AS list_id FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, ccid) AS rn
+    FROM ccos
+  ) WHERE rn = 1
+),
+cprobes AS (
+  SELECT vec_id AS query_id, ccid AS list_id FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, ccid) AS rn
+    FROM ccos WHERE vec_id IN ({ids})
+  ) WHERE rn <= {n_probe}
+)"""
+
+
+def _ivf_pq_oracle() -> str:
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+    )
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    prev = pq_final_cent()
+    return (
+        "WITH "
+        + _ivf_coarse_sql(_IVF_INT8_N_LIST, _IVF_INT8_N_PROBE, ids)
+        + ",\n"
+        + pq_train_ctes()
+        + f""",
+qlut AS (
+  -- per-query ADC table: exact integer squared L2 between the
+  -- query's int8 subvectors and every sub-centroid
+  SELECT f.vec_id AS query_id, c.sub, c.cid,
+         CAST(sum((f.val - c.cval) * (f.val - c.cval)) AS BIGINT) AS d
+  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  WHERE f.vec_id IN ({ids})
+  GROUP BY f.vec_id, c.sub, c.cid
+),
+cpairs AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM cprobes p
+  JOIN cassign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+cadc AS (
+  SELECT pr.query_id, pr.cand_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM cpairs pr
+  JOIN pasg_f a2 ON a2.vec_id = pr.cand_id
+  JOIN qlut l ON l.query_id = pr.query_id
+             AND l.sub = a2.sub AND l.cid = a2.cid
+  GROUP BY pr.query_id, pr.cand_id
+)
+SELECT query_id, cand_id, adc_dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rnk
+  FROM cadc
+) WHERE rnk <= {_ANN_K}
+"""
+    )
+
+
+@register(
+    "ann_ivf_pq_adc",
+    oracle=_ivf_pq_oracle(),
+    tags=("curation", "similarity", "quantization", "approx", "ann"),
+    doc="IVF-PQ serving, fully value-hash-checked — the production "
+    "ANN composition (FAISS IVFx,PQy, residual-free variant): the "
+    "jointly-trained PQ codebooks compress every vector to 4 "
+    "sub-centroid ids stored INSIDE the partition-pruned IVF lists, "
+    "so a request batch reads ~n_probe/n_list of a corpus that is "
+    "itself d/M× smaller than SQ8 — pruning cuts which bytes are "
+    "read, PQ cuts how many bytes a vector IS, ADC cuts the per-"
+    "candidate work to M table lookups. Seed coarse centroids + the "
+    "exact-integer PQ chain keep every stage reproducible, so "
+    "unlike typical IVF-PQ entries this one's PRUNED result "
+    "value-hashes cross-engine: the oracle replays coarse "
+    "assignment, probe selection, codebook training AND the ADC "
+    "lookups. Serving cost notes: the layout is built once per "
+    "corpus (the build/serve split); recall vs the exact int8 tier "
+    "is pinned numerically in tests/test_ivf_pq.py.",
+)
+def ann_ivf_pq_adc(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import pq as PQ
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+        _IVF_PQ_LAYOUT_CACHE,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ent = _IVF_PQ_LAYOUT_CACHE.get(sf_dir)
+    if ent is None:
+        from ..operators import similarity
+
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=_IVF_INT8_N_LIST, refine=False
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"jly_ivf_pq_{tag}", "corpus"
+        )
+        pq_state, subdim = PQ.persist_ivf_pq(emb, path, cents)
+        ent = (path, cents, pq_state, subdim)
+        _IVF_PQ_LAYOUT_CACHE[sf_dir] = ent
+    path, cents, pq_state, subdim = ent
+    queries = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS))
+    return PQ.serve_ann_topk_ivf_pq(
+        spark,
+        queries,
+        path,
+        cents,
+        pq_state,
+        subdim,
+        k=_ANN_K,
+        n_probe=_IVF_INT8_N_PROBE,
+    )
+
+
+def _ivf_pq_refine_oracle() -> str:
+    from ..operators import pq as PQ
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+    )
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    prev = pq_final_cent()
+    return (
+        "WITH "
+        + _ivf_coarse_sql(_IVF_INT8_N_LIST, _IVF_INT8_N_PROBE, ids)
+        + ",\n"
+        + pq_train_ctes()
+        + f""",
+qlut AS (
+  SELECT f.vec_id AS query_id, c.sub, c.cid,
+         CAST(sum((f.val - c.cval) * (f.val - c.cval)) AS BIGINT) AS d
+  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  WHERE f.vec_id IN ({ids})
+  GROUP BY f.vec_id, c.sub, c.cid
+),
+cpairs AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM cprobes p
+  JOIN cassign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+cadc AS MATERIALIZED (
+  SELECT pr.query_id, pr.cand_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM cpairs pr
+  JOIN pasg_f a2 ON a2.vec_id = pr.cand_id
+  JOIN qlut l ON l.query_id = pr.query_id
+             AND l.sub = a2.sub AND l.cid = a2.cid
+  GROUP BY pr.query_id, pr.cand_id
+),
+cshort AS MATERIALIZED (
+  SELECT query_id, cand_id, adc_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, cand_id) AS srnk
+    FROM cadc
+  ) WHERE srnk <= {PQ.PQ_REFINE_R}
+),
+cexact AS (
+  SELECT s.query_id, s.cand_id, s.adc_dist,
+         CAST(sum((fq.val - fc.val) * (fq.val - fc.val)) AS BIGINT)
+           AS exact_dist
+  FROM cshort s
+  JOIN sflat fq ON fq.vec_id = s.query_id
+  JOIN sflat fc ON fc.vec_id = s.cand_id
+              AND fc.sub = fq.sub AND fc.sdim = fq.sdim
+  GROUP BY s.query_id, s.cand_id, s.adc_dist
+)
+SELECT query_id, cand_id, adc_dist, exact_dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY exact_dist, cand_id) AS rnk
+  FROM cexact
+) WHERE rnk <= {_ANN_K}
+"""
+    )
+
+
+@register(
+    "ann_ivf_pq_refine",
+    oracle=_ivf_pq_refine_oracle(),
+    tags=("curation", "similarity", "quantization", "approx", "ann"),
+    doc="IVF-PQ with EXACT REFINE — how production actually serves "
+    "PQ (the FAISS refine stage): ADC ranks the pruned lists' "
+    "candidates at M lookups each, the per-query top-200 shortlist "
+    "is re-scored with the exact int8 squared L2 on the full codes "
+    "(stored in their own parquet COLUMN of the same layout — the "
+    "pure-ADC tier's scan never reads it, columnar pruning gives "
+    "one layout two serving costs), and the final top-k follows "
+    "the exact order. ADC's quantization error then only costs "
+    "recall when a true neighbor misses the shortlist — measured "
+    "and pinned in tests/test_ivf_pq.py (the synthetic near-uniform "
+    "embeddings are PQ's worst case; production codebooks are "
+    "K=256 over clustered real embeddings). Fully value-hash-"
+    "checked: coarse assignment, probe selection, codebook "
+    "training, ADC shortlist AND the refine rescore all replay in "
+    "the oracle.",
+)
+def ann_ivf_pq_refine(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import pq as PQ
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+        _IVF_PQ_LAYOUT_CACHE,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ent = _IVF_PQ_LAYOUT_CACHE.get(sf_dir)
+    if ent is None:
+        from ..operators import similarity
+
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=_IVF_INT8_N_LIST, refine=False
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"jly_ivf_pq_{tag}", "corpus"
+        )
+        pq_state, subdim = PQ.persist_ivf_pq(emb, path, cents)
+        ent = (path, cents, pq_state, subdim)
+        _IVF_PQ_LAYOUT_CACHE[sf_dir] = ent
+    path, cents, pq_state, subdim = ent
+    queries = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS))
+    return PQ.serve_ann_topk_ivf_pq_refine(
+        spark,
+        queries,
+        path,
+        cents,
+        pq_state,
+        subdim,
+        k=_ANN_K,
+        n_probe=_IVF_INT8_N_PROBE,
     )

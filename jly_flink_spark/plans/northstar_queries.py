@@ -617,6 +617,7 @@ def ann_cosine_ivf_exact(spark, sf_dir):
 _IVF_INT8_N_LIST = 16
 _IVF_INT8_N_PROBE = 4
 _IVF_INT8_LAYOUT_CACHE: dict[str, tuple[str, list]] = {}
+_IVF_PQ_LAYOUT_CACHE: dict[str, tuple] = {}
 
 
 def _ivf_int8_oracle(

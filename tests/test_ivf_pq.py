@@ -1,0 +1,150 @@
+"""IVF-PQ serving: recall pins for the refine tier and the columnar
+one-layout/two-tiers contract.
+
+The synthetic embeddings are near-uniform — PQ's worst case (pure
+ADC ordering measured ≈0.1 recall@5 during development, which is WHY
+the serving tier ships with the exact-refine stage). The pinned
+bounds sit under the measured values (M=8, K=16, R=200, 20 queries ×
+k=5, n_list=16 seed centroids):
+
+    corpus            n_probe=4   n_probe=8
+    sf0.01 (n=500)      0.73        0.90
+    sf0.1  (n=2000)     0.73        0.70
+
+Everything is deterministic (seed coarse centroids, fixed-point PQ
+training, fixed corpus), so the measurements reproduce exactly; a
+codebook/shortlist/refine regression breaks the bounds long before
+it would break the value-hash oracle (which certifies arithmetic,
+not retrieval quality)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jly_flink_spark.io import load_table
+from jly_flink_spark.operators import pq as PQ
+from jly_flink_spark.operators import similarity
+
+QIDS = list(range(20))
+K = 5
+
+_CACHE: dict = {}
+
+
+def _layout(spark, sf_dir):
+    ent = _CACHE.get(sf_dir)
+    if ent is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=16, refine=False
+        )
+        tag = hashlib.md5(f"test{sf_dir}".encode()).hexdigest()[:10]
+        path = os.path.join(
+            tempfile.gettempdir(), f"jly_test_ivfpq_{tag}", "corpus"
+        )
+        pq_state, subdim = PQ.persist_ivf_pq(emb, path, cents)
+        ent = (emb, path, cents, pq_state, subdim)
+        _CACHE[sf_dir] = ent
+    return ent
+
+
+def _exact_top5(emb) -> dict[int, set]:
+    codes = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.array(list(r["embedding"]), dtype="float64")
+        scale = max(np.abs(v).max(), 1e-12)
+        codes[r["vec_id"]] = np.floor(v * 127.0 / scale).astype(
+            "int64"
+        )
+    out = {}
+    for q in QIDS:
+        qa = codes[q]
+        scored = sorted(
+            (int(((qa - qb) ** 2).sum()), cid)
+            for cid, qb in codes.items()
+            if cid != q
+        )
+        out[q] = {cid for _, cid in scored[:K]}
+    return out
+
+
+class TestIvfPqRecallBound:
+    @pytest.mark.parametrize(
+        "sf_dir,n_probe,bound",
+        [
+            ("/root/testdata/sf0.01", 4, 0.65),
+            ("/root/testdata/sf0.01", 8, 0.80),
+            ("/root/testdata/sf0.1", 4, 0.65),
+            ("/root/testdata/sf0.1", 8, 0.62),
+        ],
+    )
+    def test_refined_recall(self, spark, sf_dir, n_probe, bound):
+        emb, path, cents, pq_state, subdim = _layout(spark, sf_dir)
+        truth = _exact_top5(emb)
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        got = PQ.serve_ann_topk_ivf_pq_refine(
+            spark, queries, path, cents, pq_state, subdim,
+            k=K, n_probe=n_probe,
+        ).collect()
+        by_q: dict[int, set] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        recall = sum(
+            len(by_q.get(q, set()) & truth[q]) / K for q in QIDS
+        ) / len(QIDS)
+        assert recall >= bound, (sf_dir, n_probe, recall)
+
+    def test_refine_orders_by_exact_distance(self, spark):
+        emb, path, cents, pq_state, subdim = _layout(
+            spark, "/root/testdata/sf0.01"
+        )
+        queries = emb.filter(F.col("vec_id").isin(QIDS[:3]))
+        rows = PQ.serve_ann_topk_ivf_pq_refine(
+            spark, queries, path, cents, pq_state, subdim, k=K
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rnk"])):
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rs in by_q.values():
+            dists = [r["exact_dist"] for r in rs]
+            assert dists == sorted(dists)
+            assert all(r["adc_dist"] >= 0 for r in rs)
+
+
+class TestOneLayoutTwoTiers:
+    def test_pure_adc_scan_prunes_code_column(self, spark):
+        """The columnar contract: the pure-ADC tier's pruned scan
+        must NOT read the full-codes column (its ReadSchema carries
+        pq only), while the refine tier's scan does — one layout,
+        two serving costs."""
+        emb, path, cents, pq_state, subdim = _layout(
+            spark, "/root/testdata/sf0.01"
+        )
+        queries = emb.filter(F.col("vec_id").isin(QIDS[:2]))
+        adc_plan = PQ.serve_ann_topk_ivf_pq(
+            spark, queries, path, cents, pq_state, subdim, k=K
+        )._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in adc_plan.splitlines() if "ReadSchema" in ln
+        ]
+        assert scan_lines, adc_plan
+        assert all("code" not in ln.split("ReadSchema")[1]
+                   or "cand_pq" in ln
+                   for ln in scan_lines)
+        assert not any(
+            "code:array" in ln.split("ReadSchema")[1]
+            for ln in scan_lines
+        ), scan_lines
+        ref_plan = PQ.serve_ann_topk_ivf_pq_refine(
+            spark, queries, path, cents, pq_state, subdim, k=K
+        )._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "ReadSchema" in ln and "code:array" in ln
+            for ln in ref_plan.splitlines()
+        ), ref_plan

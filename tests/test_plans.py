@@ -462,6 +462,11 @@ class TestShuffleBudget:
             # anti-joins over the (u, v) table behind checkpoints;
             # the stage rollup exchanges 1-row aggregates
             ("graph_kcore_peel", 12),
+            # IVF-PQ serving: the pruned scan joins the broadcast
+            # probe frame; the only exchange is the per-query top-k
+            # rank (the build is a one-time persisted layout)
+            ("ann_ivf_pq_adc", 1),
+            ("ann_ivf_pq_refine", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
