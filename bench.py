@@ -132,6 +132,10 @@ HEADLINE = [
     "events_pattern_quantified",
     "orders_item_neighbors_topk",
     "retrieval_rrf_fusion",
+    # IVF-PQ refine serving (layout built+memoized on iteration 1,
+    # min-of-3 times the recurring serving path — the ivf_int8
+    # convention)
+    "ann_ivf_pq_refine",
 ]
 
 
