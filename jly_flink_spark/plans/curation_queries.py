@@ -3577,3 +3577,137 @@ def ann_ivf_pq_refine(spark, sf_dir):
         k=_ANN_K,
         n_probe=_IVF_INT8_N_PROBE,
     )
+
+
+# --------------------------------------------------------------------
+# Link prediction: common-neighbor top-k over the dup-chunk graph
+# --------------------------------------------------------------------
+LINKPRED_TOPK = 20
+
+
+def _linkpred_oracle() -> str:
+    return f"""{_chunk_graph_prefix()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+),
+wedges AS (
+  -- candidate pairs = two distinct neighbors of a shared node
+  SELECT a.nbr AS x, b.nbr AS y,
+         CAST(count(*) AS BIGINT) AS common
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY a.nbr, b.nbr
+),
+nonedges AS (
+  SELECT w.x, w.y, w.common FROM wedges w
+  LEFT JOIN und e ON e.u = w.x AND e.v = w.y
+  WHERE e.u IS NULL
+)
+SELECT x AS doc_a, y AS doc_b, common AS n_common,
+       CAST(row_number() OVER (ORDER BY common DESC, x, y) AS BIGINT)
+         AS rnk
+FROM nonedges
+ORDER BY common DESC, x, y LIMIT {LINKPRED_TOPK}
+"""
+
+
+@register(
+    "graph_link_prediction_topk",
+    oracle=_linkpred_oracle(),
+    tags=("curation", "graph", "topk"),
+    doc="Common-neighbors link prediction over the duplicate-chunk "
+    "graph: the top-20 NON-adjacent doc pairs by shared-neighbor "
+    "count — the pairs the dedup graph is most likely missing an "
+    "edge for (two docs each near-duplicating the same third "
+    "documents but not each other — exactly where a banding scheme "
+    "drops a true pair). Candidate generation is the wedge join the "
+    "triangle counter already bounds (Σ degree² under the chunk df "
+    "caps), the existing-edge anti-join removes known pairs, and "
+    "the global top-20 is TakeOrderedAndProject over the slim "
+    "(pair, count) combine. The quality-audit companion to "
+    "dedup_lsh_eval_metrics: prediction strength on non-edges "
+    "estimates the candidate-miss rate.",
+)
+def graph_link_prediction_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(
+                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
+            ).alias("clen"),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    und = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    wa, wb = adj.alias("wa"), adj.alias("wb")
+    wedges = (
+        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
+        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
+        .groupBy(
+            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
+        )
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    nonedges = wedges.join(
+        und,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    top = nonedges.orderBy(
+        F.col("common").desc(), "x", "y"
+    ).limit(LINKPRED_TOPK)
+    return top.select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        F.col("common").alias("n_common"),
+        F.row_number()
+        .over(Window.orderBy(F.col("common").desc(), "x", "y"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

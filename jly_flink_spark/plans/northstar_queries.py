@@ -2706,3 +2706,97 @@ def text_zipf_fit(spark, sf_dir):
             "(num div den) * 1000 + ((num % den) * 1000) div den"
         ).alias("slope_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty per document (memorization / staleness signal)
+# ---------------------------------------------------------------------------
+NOVELTY_N = 3  # token n-gram order
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), grams AS (
+  SELECT doc_id,
+         md5(array_to_string(ts[i:i+{NOVELTY_N - 1}], ' ')) AS g
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {NOVELTY_N - 1})) AS s(i)
+  WHERE len(ts) >= {NOVELTY_N}
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM grams gr JOIN firsts f USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       (n_novel * 1000000) // n_grams AS novelty_ppm
+FROM per_doc
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    tags=("northstar", "text", "dedup", "curation"),
+    doc=f"Per-document n-gram novelty: the fraction of a doc's token "
+    f"{NOVELTY_N}-grams whose FIRST corpus occurrence (min doc_id — "
+    "the deterministic canonical-order stand-in for ingest time) is "
+    "this document, in exact ppm. The memorization/staleness signal "
+    "a curation pipeline ranks by: a late document whose n-grams all "
+    "first appeared elsewhere is template/boilerplate recombination, "
+    "while high novelty marks genuinely new content — the n-gram-"
+    "granular complement to chunk-level dup fraction. Occurrences "
+    "are COUNTED per doc (a doc repeating its own novel n-gram "
+    "counts each occurrence — the mass that matters for training). "
+    "Scale shape: one explode pass combines map-side to the n-gram "
+    "first-occurrence table; the per-doc rollup joins occurrences "
+    "against it on the gram hash — two bounded shuffles, no "
+    "self-join, no window.",
+)
+def text_ngram_novelty(spark, sf_dir):
+    from pyspark.sql import Window
+
+    n = NOVELTY_N
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("tok"),
+            *[F.lead("tok", j).over(wd) for j in range(1, n)],
+        )
+    )
+    grams = t.select(
+        "doc_id",
+        F.lead("tok", n - 1).over(wd).isNotNull().alias("full"),
+        gram.alias("g"),
+    ).filter(F.col("full")).select("doc_id", "g")
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias(
+                "novelty_ppm"
+            ),
+        )
+    )

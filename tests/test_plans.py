@@ -467,6 +467,14 @@ class TestShuffleBudget:
             # rank (the build is a one-time persisted layout)
             ("ann_ivf_pq_adc", 1),
             ("ann_ivf_pq_refine", 1),
+            # novelty: the per-doc n-gram window shares the doc
+            # exchange; first-occurrence combine + the occurrence
+            # join + per-doc rollup
+            ("text_ngram_novelty", 3),
+            # link prediction: the chunk pair join + the wedge join
+            # on the shared node + pair combine; the anti-join and
+            # top-20 ride the same slim tables
+            ("graph_link_prediction_topk", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
