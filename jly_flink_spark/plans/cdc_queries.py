@@ -413,3 +413,97 @@ def cdc_ivm_view_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("view_rows"),
         F.sum("delta_cents").over(w).cast("bigint").alias("view_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC stream-health audit: event-time regressions per instance
+# ---------------------------------------------------------------------------
+
+_OOO_ORACLE = """
+WITH env AS (
+  SELECT 'src-' || CAST(event_id % 3 AS VARCHAR) AS instance_name,
+         event_id,
+         CASE WHEN event_id % 97 = 0 THEN 0
+              ELSE epoch_ms(ts) + (event_id % 7 - 3) * 3600000
+              END AS ts_ms
+  FROM events
+), seq AS (
+  SELECT instance_name, ts_ms,
+         max(CASE WHEN ts_ms > 0 THEN ts_ms END) OVER (
+           PARTITION BY instance_name ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS hwm
+  FROM env
+)
+SELECT instance_name,
+       CAST(count(*) AS BIGINT) AS n_envelopes,
+       CAST(sum(CASE WHEN ts_ms = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_ts,
+       CAST(sum(CASE WHEN ts_ms > 0 AND hwm IS NOT NULL
+                      AND ts_ms < hwm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_regressions,
+       CAST((sum(CASE WHEN ts_ms > 0 AND hwm IS NOT NULL
+                  AND ts_ms < hwm THEN 1 ELSE 0 END) * 1000000)
+         // count(*) AS BIGINT) AS regression_ppm
+FROM seq GROUP BY instance_name
+"""
+
+
+@register(
+    "cdc_out_of_order_rate",
+    oracle=_OOO_ORACLE,
+    tags=("cdc", "window", "statistics", "monitoring"),
+    doc="CDC stream-health audit: per source instance, how often an "
+    "envelope's event time REGRESSES below the instance's running "
+    "high-water mark in arrival order (binlog position = event_id "
+    "here; the fixture plants ts_ms=0 rows every 97th envelope as "
+    "the broken-clock case, counted separately) — the disorder "
+    "metric that sizes every downstream watermark delay and dedup "
+    "horizon: a regression rate drifting up means the configured "
+    "horizons are about to start dropping live rows. One per-"
+    "instance window over arrival order (the running max ignores "
+    "zero timestamps so a broken clock doesn't poison the HWM), "
+    "then a |instances|-row rollup in exact ppm.",
+)
+def cdc_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.concat(F.lit("src-"), (F.col("event_id") % 3).cast("string"))
+        .alias("instance_name"),
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(0))
+        .otherwise(
+            F.unix_millis("ts")
+            + (F.col("event_id") % 7 - 3) * 3_600_000
+        )
+        .alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("instance_name")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = env.select(
+        "instance_name",
+        "ts_ms",
+        F.max(
+            F.when(F.col("ts_ms") > 0, F.col("ts_ms"))
+        ).over(w).alias("hwm"),
+    )
+    reg = (F.col("ts_ms") > 0) & F.col("hwm").isNotNull() & (
+        F.col("ts_ms") < F.col("hwm")
+    )
+    return seq.groupBy("instance_name").agg(
+        F.count("*").cast("bigint").alias("n_envelopes"),
+        F.sum((F.col("ts_ms") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_zero_ts"),
+        F.sum(reg.cast("int")).cast("bigint").alias("n_regressions"),
+        F.expr(
+            "(sum(CASE WHEN ts_ms > 0 AND hwm IS NOT NULL "
+            "AND ts_ms < hwm THEN 1 ELSE 0 END) * 1000000) "
+            "div count(*)"
+        ).alias("regression_ppm"),
+    )

@@ -475,6 +475,9 @@ class TestShuffleBudget:
             # on the shared node + pair combine; the anti-join and
             # top-20 ride the same slim tables
             ("graph_link_prediction_topk", 4),
+            # CDC disorder audit: ONE per-instance window shuffle
+            # (the rollup is colocated on the same partitioning)
+            ("cdc_out_of_order_rate", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
