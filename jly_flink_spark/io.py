@@ -74,6 +74,76 @@ def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> Data
     return df.repartition(target)
 
 
+# Fan-out staging policy. 'local' keeps lineage truncation on
+# executor-resident blocks (localCheckpoint) — correct and cheapest on
+# the single-JVM harness, where "the executor" cannot be preempted.
+# 'reliable' routes the same cut through a durable checkpoint
+# directory (DataFrame.checkpoint → spark.checkpoint.dir / HDFS): on a
+# real cluster with dynamic allocation or preemption, localCheckpoint
+# blocks die with their executor and kill every job that read through
+# the truncated lineage, so cluster deployments MUST set
+#   spark.jly.staging.mode=reliable
+#   spark.jly.staging.dir=<durable path>   (or sc.setCheckpointDir)
+STAGING_MODE_CONF = "spark.jly.staging.mode"
+STAGING_DIR_CONF = "spark.jly.staging.dir"
+
+
+def stage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Cut lineage at a fan-out or iteration point — THE staging
+    helper every operator uses (always via ``df.transform(stage)`` /
+    ``stage_eager`` so chained plans stay readable).
+
+    Two situations need the cut:
+    - a frame read by several downstream branches whose alignment
+      depends on compute-once semantics (`spark_partition_id()`
+      shards, sampled boundaries, RNG) — without the cut each branch
+      recomputes the nondeterminism independently and they disagree;
+    - iterative loops (BPE merges, Lloyd iterations, label
+      propagation) whose plan would otherwise grow by one full copy
+      of the loop body per round until the optimizer stalls.
+
+    ``eager=False`` defers materialization to first use (an
+    unexecuted iterative frame never pays a job); ``eager=True``
+    materializes now — for frames that are ALWAYS read several times
+    immediately.
+
+    Mode is read from the session conf (`spark.jly.staging.mode`):
+    'local' (default) → `localCheckpoint`; 'reliable' →
+    `DataFrame.checkpoint` into a durable directory, auto-pointing
+    the SparkContext at `spark.jly.staging.dir` if no checkpoint dir
+    is set yet. The cut is semantically identical either way — only
+    the physical home of the truncated blocks changes — so tests and
+    the local bench run 'local' while a preemptible cluster runs
+    'reliable' without touching any operator code.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(STAGING_MODE_CONF, "local")
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = spark.conf.get(STAGING_DIR_CONF, None)
+            if not ckdir:
+                raise ValueError(
+                    f"{STAGING_MODE_CONF}=reliable needs a durable "
+                    f"checkpoint dir: set {STAGING_DIR_CONF} or call "
+                    "sc.setCheckpointDir"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"{STAGING_MODE_CONF} must be 'local' or 'reliable', "
+            f"got {mode!r}"
+        )
+    return df.localCheckpoint(eager=eager)
+
+
+def stage_eager(df: DataFrame) -> DataFrame:
+    """`stage` with immediate materialization — for frames that are
+    always read multiple times right away (see `stage`)."""
+    return stage(df, eager=True)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each parquet table as a temp view for `spark.sql` use."""
     for name in tables:

@@ -30,6 +30,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import stage
+
 BLOOM_WORDS = 256  # int64 words in the bit array (~31% fill on the
 # sf0.01 benchmark shingle set → ~1% FP/shingle; size m ∝ benchmark
 # n at production scale)
@@ -156,7 +158,7 @@ def bloom_contamination(
         # referenced twice (filter build collects it NOW; the
         # verification join runs later) — checkpoint so the bench
         # scan + shingle explode + distinct run once
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     words = build_bloom_words(bench)
     corpus = sh.filter(F.col("doc_id") >= bench_max_doc)

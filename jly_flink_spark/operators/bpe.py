@@ -19,7 +19,7 @@ feasible at corpus scale at all):
   partition) and a 1-row sort-limit for the winning pair. The merge
   rewrite is a per-row greedy fold over the symbol array — zero
   shuffle, broadcast of the single winner row.
-- The symbol-state frame is localCheckpointed per round, keeping the
+- The symbol-state frame is staged (io.stage) per round, keeping the
   lazy plan linear in rounds (the K-means/classifier lesson: a
   twice-referenced round frame doubles the subtree per round).
 
@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 BPE_ROUNDS = 8
 
@@ -85,7 +87,7 @@ def bpe_train_merges(
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("syms"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
 
     merge_rows = []
     for r in range(1, rounds + 1):
@@ -98,7 +100,7 @@ def bpe_train_merges(
         top1 = (
             pc.orderBy(F.col("pair_count").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
         merge_rows.append(
             top1.select(
@@ -122,7 +124,7 @@ def bpe_train_merges(
                     F.col("syms"), F.col("ta"), F.col("tb")
                 ).alias("syms"),
             )
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:

@@ -32,7 +32,7 @@ the driver can value-hash the whole iterative computation.
 Scale shape (the 100-TB argument):
 - ONE corpus scan computes the slim feature table (6 BIGINTs/doc,
   ~48 bytes — 1e11 docs ≈ 5 TB spread across executors), which is
-  localCheckpointed so the regex-heavy text pass never re-executes
+  staged (io.stage) so the regex-heavy text pass never re-executes
   per epoch.
 - Each epoch is a single map-side-combined aggregation of the
   feature table down to ONE row of gradient sums (no shuffle of the
@@ -48,6 +48,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 S = 1000  # feature / probability scale (milli-units)
 Q = 1_000_000  # weight scale (micro-units)
@@ -159,7 +161,7 @@ def fit_quality_classifier(
     spark = docs.sparkSession
     # Slim integer feature table, checkpointed once: the regex-heavy
     # text scan runs ONE time, not epochs+1 times.
-    feats = quality_features(docs).localCheckpoint(eager=False)
+    feats = quality_features(docs).transform(stage)
 
     w = spark.range(1).select(
         *[F.lit(0).cast("bigint").alias(c) for _, c in WEIGHT_COLS]

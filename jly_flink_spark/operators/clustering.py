@@ -23,7 +23,7 @@ Scale shape (the 100-TB argument):
   map-side combined to ≤ K·d rows per partition before the exchange,
   so per-iteration shuffle volume is O(partitions × K × d),
   independent of corpus size.
-- The quantized code table is localCheckpointed once; each of the
+- The quantized code table is staged (io.stage) once; each of the
   `iterations`+1 assignment passes reads the checkpoint, not the
   parquet + quantize lineage. Centroids (K·d ints) are checkpointed
   per iteration, which also keeps the lazy plan linear in
@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 from .similarity import int8_codes
 
@@ -109,7 +111,7 @@ def kmeans_fixed(
     # a real many-split scan).
     codes = ensure_min_parallelism(
         emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
 
     seeds = codes.orderBy("vec_id").limit(k)
     w = Window.orderBy("vec_id")
@@ -119,7 +121,7 @@ def kmeans_fixed(
             F.col("cid").cast("bigint").alias("cid"),
             F.col("code").alias("carr"),
         )
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     for _ in range(iterations):
         asg = _assign(codes, cent)
@@ -148,7 +150,7 @@ def kmeans_fixed(
                     lambda s: s["cval"],
                 ).alias("carr")
             )
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
     final_asg = _assign(codes, cent).select("vec_id", "cid")
     return cent, final_asg

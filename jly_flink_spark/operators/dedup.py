@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import ensure_min_parallelism
+from ..io import ensure_min_parallelism, stage_eager
 from .text import fingerprint, normalized_text, tokens
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
@@ -677,7 +677,7 @@ def connected_components(
     graphs are near-cliques, so typically 2-4). Per round: one hash
     shuffle for the neighbor-min aggregation, one for the label join —
     both on (node, label) pairs only, never on document payloads.
-    `localCheckpoint` truncates the lineage so the plan doesn't grow
+    `io.stage_eager` truncates the lineage so the plan doesn't grow
     exponentially with iterations (the classic iterative-algorithm
     trap on Spark); each round is checkpointed FIRST and the
     convergence count reads from the checkpoint, so the round's plan
@@ -693,13 +693,13 @@ def connected_components(
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(stage_eager)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(stage_eager)
     )
     converged = False
     for _ in range(max_iter):
@@ -718,7 +718,7 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint()
+            .transform(stage_eager)
         )
         changed = new_labels.filter(
             F.col("label") != F.col("old_label")

@@ -11,7 +11,7 @@ unrolled into one declarative plan — each step is a (dst, contrib)
 shuffle with map-side combine plus a slim rank join, so Catalyst sees
 the whole pipeline and AQE sizes every exchange. For variable
 iteration counts, loop in the driver over the same step function and
-`localCheckpoint` every few steps to cut lineage (the
+a staging cut (io.stage) every few steps to bound lineage (the
 connected-components operator in `dedup.py` does exactly that); the
 fixed form here is what makes the result SQL-oracle-checkable.
 
@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 PR_QUANT = 10**12  # integer rank mass: 1.0 == 10^12 micro-units
 DAMP_NUM = 17  # damping d = 17/20 = 0.85, kept as an exact ratio
@@ -53,7 +55,7 @@ def pagerank_fixed(
     Scale shape per iteration: one shuffle of slim (dst, contrib)
     longs with map-side partial sums, plus a slim rank join against
     the cached degree-annotated edge list; the edge list AND the slim
-    node projection are computed ONCE and localCheckpointed, so a
+    node projection are computed ONCE and staged, so a
     (potentially expensive) edge or node derivation upstream never
     re-executes per iteration — the init and every one of the
     iterations+1 rank rebuilds read the node list from its
@@ -64,14 +66,12 @@ def pagerank_fixed(
     # slim (node) projection checkpointed once: the init and every
     # iteration rebuild ranks from it, so a non-trivial node
     # derivation executes one time, not iterations+1 times
-    nodes = nodes.select("node").localCheckpoint(eager=False)
+    nodes = nodes.select("node").transform(stage)
     # one row; checkpointed so the scalar-N count subtree runs once,
     # not once per crossJoin (init + 2 per unrolled iteration)
-    n_df = nodes.agg(F.count("*").alias("_n")).localCheckpoint(
-        eager=False
-    )
+    n_df = nodes.agg(F.count("*").alias("_n")).transform(stage)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    edges_deg = edges.join(outdeg, "src").transform(stage)
 
     base = F.expr(
         f"CAST({(DAMP_DEN - DAMP_NUM) * quant} AS BIGINT)"
@@ -120,19 +120,19 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     quadratic — and a wedge closes into a triangle iff its ordered
     (b, c) pair is itself an oriented edge (each triangle found
     exactly once). All shuffles carry slim (node, node) longs; the
-    oriented edge list is localCheckpointed once and read three
+    oriented edge list is staged once and read three
     times (two wedge sides + the closing probe).
     """
     # und is read three times (both degree legs + the orientation
     # join) and deg twice — checkpoint both so an expensive upstream
     # edge derivation runs once (the pagerank_fixed discipline)
-    und = und.localCheckpoint(eager=False)
+    und = und.transform(stage)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     e = (
         und.join(
@@ -155,7 +155,7 @@ def triangle_counts(und: DataFrame) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
 
     o1 = ori.select(
         F.col("a"), F.col("b").alias("y"), F.col("bd").alias("yd")

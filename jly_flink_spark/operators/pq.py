@@ -14,7 +14,7 @@ jointly over all M subspaces in ONE loop):
   (sub, cid, carr) structs — the corpus never shuffles for it;
 - the codebook update shuffles only map-side-combined
   (sub, cid, dim) partial sums — O(partitions · M · K · d/M) rows;
-- one lazy localCheckpoint per iteration (an unexecuted iterative
+- one lazy staging cut (io.stage) per iteration (an unexecuted iterative
   plan otherwise doubles per round — SKILL.md note);
 - everything is exact integer arithmetic on the hash-certified
   absmax/floor int8 codes (squared-L2 ≤ 64·254² per pair, no
@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 from .clustering import int8_codes
 
@@ -99,7 +101,7 @@ def pq_train_encode(
 
     codes = ensure_min_parallelism(
         emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
 
     seeds = codes.orderBy("vec_id").limit(k)
     w = Window.orderBy("vec_id")
@@ -121,7 +123,7 @@ def pq_train_encode(
                 ]
             )
         ).alias("c")
-    ).select("c.sub", "c.cid", "c.carr").localCheckpoint(eager=False)
+    ).select("c.sub", "c.cid", "c.carr").transform(stage)
 
     for _ in range(iterations):
         asg = _encode(codes, cent, m, subdim)
@@ -166,7 +168,7 @@ def pq_train_encode(
                     lambda s: s["cval"],
                 ).alias("carr")
             )
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
 
     coded = _encode(codes, cent, m, subdim)

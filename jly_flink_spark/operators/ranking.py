@@ -36,7 +36,7 @@ Two shard-id flavors:
 - **`repartitionByRange` + `spark_partition_id()`** (fallback for
   non-numeric keys, where approx_percentile can't draw
   boundaries): partition-id shards are only stable if computed
-  once, so this path localCheckpoints before branching.
+  once, so this path stages (io.stage) before branching.
 
 Every stage is bounded-parallel; nothing funnels through a single
 task.
@@ -46,6 +46,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..io import stage
 
 
 _NUMERIC_PREFIXES = (
@@ -64,8 +66,21 @@ def _is_numeric(df: DataFrame, key: str) -> bool:
     return dt.startswith(_NUMERIC_PREFIXES)
 
 
+def resolve_shards(df: DataFrame, n_shards: int | None) -> int:
+    """Shard fan-out for the global-order decompositions: the
+    caller's explicit value, else the cluster's
+    ``defaultParallelism`` (min 2) — the same sizing rule the
+    blocked-GEMM kernel uses for its block count. A fixed constant
+    here would cap a 1000-core cluster at 32-way prefix sums; deriving
+    from the context makes the fan-out follow the deployment, and on
+    the local[32] harness resolves to the same 32 as before."""
+    if n_shards is not None:
+        return n_shards
+    return max(df.sparkSession.sparkContext.defaultParallelism, 2)
+
+
 def boundary_sharded(
-    df: DataFrame, key: str, desc: bool = False, n_shards: int = 32
+    df: DataFrame, key: str, desc: bool = False, n_shards: int | None = None
 ) -> DataFrame:
     """Stamp `_shard`: an order-preserving shard id that is a pure
     deterministic FUNCTION of the key (numeric keys only).
@@ -80,6 +95,7 @@ def boundary_sharded(
     Boundary skew only unbalances shard sizes (same failure mode as
     the range partitioner), never correctness.
     """
+    n_shards = resolve_shards(df, n_shards)
     if n_shards < 2:
         return df.withColumn("_shard", F.lit(0))
     probs = ", ".join(str(i / n_shards) for i in range(1, n_shards))
@@ -102,12 +118,13 @@ def sharded_local_ranks(
     key: str,
     desc: bool = False,
     tiebreak: tuple[str, ...] = (),
-    n_shards: int = 32,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Stage 1 of the decomposition (exposed so plan tests can pin
     its shape — the checkpoint in `global_rank_analytics` hides the
     lineage behind an RDD scan): range partition on the key, stamp
     `_shard`, compute per-shard `_lrn`/`_lrk`/`_ldr`."""
+    n_shards = resolve_shards(df, n_shards)
     sort_key = F.col(key).desc() if desc else F.col(key).asc()
     tb = [F.col(c) for c in tiebreak]
     ranged = df.repartitionByRange(n_shards, sort_key).withColumn(
@@ -127,7 +144,7 @@ def global_rank_analytics(
     key: str,
     desc: bool = False,
     tiebreak: tuple[str, ...] = (),
-    n_shards: int = 32,
+    n_shards: int | None = None,
     ntile: int | None = None,
     with_total: bool = False,
     row_number_only: bool = False,
@@ -189,11 +206,11 @@ def global_rank_analytics(
         # branch and the final join would otherwise recompute the
         # range partitioning independently (AQE may coalesce
         # differently, sampling may draw different boundaries) and
-        # the offsets would misalign. Truncate lineage so both
-        # branches read the same materialization. At cluster scale
-        # this is persist-to-storage; the operator is a full-table
-        # analytic either way.
-        local = local.localCheckpoint(eager=False)
+        # the offsets would misalign. Stage so both branches read
+        # the same materialization — io.stage makes the cut durable
+        # on a preemptible cluster (spark.jly.staging.mode=reliable);
+        # the operator is a full-table analytic either way.
+        local = local.transform(stage)
         stats = local.groupBy("_shard").agg(
             F.count("*").alias("_n"),
             F.count_distinct(key).alias("_nd"),
@@ -244,7 +261,7 @@ def sharded_prefix_sum(
     key: str,
     desc: bool = False,
     tiebreak: tuple[str, ...] = (),
-    n_shards: int = 32,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Append `g_cum`: the exact INCLUSIVE running sum of ``value``
     in total (key asc/desc, *tiebreak) order — i.e.
@@ -277,15 +294,15 @@ def sharded_prefix_sum(
             "_lcum", F.sum(value).over(w)
         )
     else:
-        ranged = df.repartitionByRange(n_shards, sort_key).withColumn(
-            "_shard", F.spark_partition_id()
-        )
+        ranged = df.repartitionByRange(
+            resolve_shards(df, n_shards), sort_key
+        ).withColumn("_shard", F.spark_partition_id())
         local = ranged.withColumn("_lcum", F.sum(value).over(w))
         # _shard is spark_partition_id(): stable only if the sharded
         # frame is computed once — truncate lineage so the offsets
         # branch and the final join read the same materialization
         # (see global_rank_analytics for the full rationale).
-        local = local.localCheckpoint(eager=False)
+        local = local.transform(stage)
     off_w = Window.orderBy("_shard").rowsBetween(
         Window.unboundedPreceding, -1
     )

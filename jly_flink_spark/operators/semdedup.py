@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import stage
+
 from .clustering import KM_ITERS, KM_K, kmeans_fixed
 
 SEMDEDUP_T = 0.3  # same cosine threshold as the global near-dup pass
@@ -103,7 +105,7 @@ def semantic_dup_flags(
     # The slim (vec_id, cid) assignment is referenced twice (kernel
     # input + the output join); checkpointing it runs the per-row
     # argmin ONCE.
-    asg = asg.localCheckpoint(eager=False)
+    asg = asg.transform(stage)
     members = asg.join(emb.select("vec_id", vec_col), "vec_id")
 
     _empty = lambda: pd.DataFrame({"vec_b": pd.Series(dtype="int64")})  # noqa: E731

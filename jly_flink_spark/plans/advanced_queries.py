@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, stage
 from ..operators import joins, similarity
 from ..functions import dsum
 from .registry import register, register_sql
@@ -1775,9 +1775,7 @@ def er_blocked_fuzzy_matches(spark, sf_dir):
         .filter(F.col("bn") <= ER_MAX_BLOCK)
         .select("block")
     )
-    sized = blocked.join(F.broadcast(ok_blocks), "block").localCheckpoint(
-        eager=False
-    )
+    sized = blocked.join(F.broadcast(ok_blocks), "block").transform(stage)
     a = sized.alias("a")
     b = sized.alias("b")
     pairs = (
@@ -2211,9 +2209,10 @@ def customer_rfm_segments(spark, sf_dir):
     # The metric table fans out into nine branches (3 passes × each
     # pass's boundary aggregate + offsets + output): materialize the
     # dim-sized frame ONCE instead of re-aggregating the fact table
-    # per branch. At cluster scale this is persist-to-storage of a
+    # per branch. At cluster scale io.stage routes this cut to a
+    # durable checkpoint (spark.jly.staging.mode=reliable) of a
     # |customers|-slim projection — the standard fan-out staging.
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(stage)
     # Three INDEPENDENT sharded-ntile passes over the SAME base (not
     # chained — chaining nests each pass's boundary aggregate and
     # offsets branch inside the next pass's plan, recomputing the
@@ -2823,7 +2822,7 @@ def events_dau_wau_stickiness(spark, sf_dir):
             .alias("day"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     days = ud.select("day").distinct()
     cover = (

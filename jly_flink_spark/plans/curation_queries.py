@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql, hash_frac, hash_frac_sql
-from ..io import load_table
+from ..io import load_table, stage
 from ..operators.text import STOPWORDS_EN, tokens
 from .registry import register
 
@@ -1089,7 +1089,7 @@ SELECT node AS doc_id, rank_q, rnk FROM (
     "cluster-level dedup. Iterative dataflow unrolled declaratively: "
     f"{PR_ITERS} rounds, each one slim (dst, contrib) shuffle with "
     "map-side combine plus a rank join against the ONCE-computed, "
-    "localCheckpointed degree-annotated edge list; ranks are exact "
+    "staged degree-annotated edge list; ranks are exact "
     "integer micro-units (`div`/`//`) so both engines agree "
     "bit-for-bit. Top-20 via sort-limit, never a global window.",
 )
@@ -2408,7 +2408,7 @@ def graph_clustering_coeff_buckets(spark, sf_dir):
             F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
         )
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -2686,7 +2686,7 @@ def graph_degree_distribution(spark, sf_dir):
             F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
         )
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -3134,7 +3134,7 @@ def graph_kcore_peel(spark, sf_dir):
             F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     stages = []
     edges = und
@@ -3154,7 +3154,7 @@ def graph_kcore_peel(spark, sf_dir):
                 peel.select(F.col("node").alias("v")), "v", "left_anti"
             )
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
         stages.append(
             peel.agg(
@@ -3678,7 +3678,7 @@ def graph_link_prediction_topk(spark, sf_dir):
             F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     adj = und.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, stage
 from ..operators import dedup, multimodal, similarity, text
 from .registry import register
 
@@ -1300,7 +1300,7 @@ def embedding_covariance_matrix(spark, sf_dir):
             )
 
     parts = emb.mapInPandas(gemm_parts, schema="i int, j int, v long")
-    parts = parts.localCheckpoint(eager=False)
+    parts = parts.transform(stage)
     sxy = (
         parts.filter(F.col("j") >= 0)
         .groupBy("i", "j")
@@ -1413,7 +1413,7 @@ def embedding_pca_power(spark, sf_dir):
     c = (
         covfull.crossJoin(F.broadcast(mc))
         .select("i", "j", F.expr("cov_q div dv").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     w = c.select("i").distinct().select(
         "i", F.lit(PCA_W).cast("bigint").alias("w")
@@ -1431,7 +1431,7 @@ def embedding_pca_power(spark, sf_dir):
             # u feeds BOTH the norm aggregate and the next iterate —
             # checkpoint so each iteration's plan is O(1), not a
             # doubling chain (the pagerank_fixed discipline)
-            .localCheckpoint(eager=False)
+            .transform(stage)
         )
         m = u.agg(
             F.greatest(
@@ -1640,18 +1640,18 @@ def text_pmi_collocations(spark, sf_dir):
     cb = (
         pairs.groupBy("tok_a", "tok_b")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     cu = (
         docs.select(F.explode(ts).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     tot = (
         cb.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
         .crossJoin(cu.agg(F.sum("c").cast("bigint").alias("n_uni")))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     qln = F.round(F.log(F.col("x").cast("double")) * 1e6).cast("bigint")
     q = (
@@ -1661,7 +1661,7 @@ def text_pmi_collocations(spark, sf_dir):
         .union(tot.select(F.col("n_uni").alias("x")))
         .distinct()
         .select("x", qln.alias("q"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     ca = cu.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
     cbk = cu.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
@@ -1761,7 +1761,7 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
             F.col("embedding"),
             lambda v: F.floor(v.cast("double") * COV_Q).cast("bigint"),
         ).alias("ql"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
     flat = qs.select(
         "vec_id", F.posexplode(F.col("ql")).alias("i0", "q")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
@@ -1863,7 +1863,7 @@ FROM j GROUP BY 1
 def dedup_minhash_estimate_accuracy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     k = dedup.MINHASH_K
-    sigs = dedup.minhash_signatures(docs).localCheckpoint(eager=False)
+    sigs = dedup.minhash_signatures(docs).transform(stage)
     cand = dedup.minhash_candidate_pairs(docs)
     # Exact side per candidate pair via array_intersect on the token
     # SETS — the r6 verify-rewrite discipline: per-pair O(|a|+|b|)
@@ -1872,7 +1872,7 @@ def dedup_minhash_estimate_accuracy(spark, sf_dir):
     tsets = docs.select(
         "doc_id",
         F.array_distinct(text.tokens(F.col("text"))).alias("ts"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("tsa"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tsb"))
     shared = (
@@ -2001,7 +2001,7 @@ def text_vocab_growth(spark, sf_dir):
     # The distinct-id frame fans out into the sharded pass's three
     # branches (boundary aggregate, offsets, output): materialize it
     # ONCE instead of re-running the distinct per branch.
-    ids = docs.select("doc_id").distinct().localCheckpoint(eager=False)
+    ids = docs.select("doc_id").distinct().transform(stage)
     ids = global_rank_analytics(
         ids,
         "doc_id",
@@ -2129,7 +2129,7 @@ def text_kl_source_drift(spark, sf_dir):
     sc = (
         occ.groupBy("source", "bucket")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     ns = sc.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_s")
@@ -2150,7 +2150,7 @@ def text_kl_source_drift(spark, sf_dir):
             .cast("bigint")
             .alias("q"),
         )
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     qc = q.select(F.col("x").alias("c"), F.col("q").alias("q_c"))
     qns = q.select(F.col("x").alias("n_s"), F.col("q").alias("q_ns"))
@@ -2252,7 +2252,7 @@ def dedup_containment_pairs(spark, sf_dir):
     tsets = docs.select(
         "doc_id",
         F.array_distinct(text.tokens(F.col("text"))).alias("ts"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage)
     ta = tsets.select(
         F.col("doc_id").alias("doc_a"), F.col("ts").alias("tsa")
     )
@@ -2554,7 +2554,7 @@ def dedup_winnow_pairs(spark, sf_dir):
         .filter(F.col("i") >= w)
         .select("doc_id", F.expr("fp div 1048576").alias("h"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     ok = (
         sel.groupBy("h")

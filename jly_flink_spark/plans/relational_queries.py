@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, stage
 from .registry import register, register_sql
 
 
@@ -1126,7 +1126,7 @@ def orders_basket_pairs(spark, sf_dir):
         .filter(F.col("bn") <= BASKET_MAX_ITEMS)
         .select("l_orderkey")
     )
-    sized = baskets.join(ok, "l_orderkey").localCheckpoint(eager=False)
+    sized = baskets.join(ok, "l_orderkey").transform(stage)
     n = sized.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -1246,8 +1246,9 @@ def lineitem_abc_classes(spark, sf_dir):
     # total + the sharded pass's boundary aggregate, offsets and
     # output): materialize the dim-sized frame ONCE instead of
     # re-aggregating lineitem per branch. At cluster scale this is
-    # persist-to-storage of a |parts|-slim projection.
-    rev = rev.localCheckpoint(eager=False)
+    # a durable checkpoint of a |parts|-slim projection
+    # (io.stage: spark.jly.staging.mode=reliable).
+    rev = rev.transform(stage)
     tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
     ranked = sharded_prefix_sum(
         rev, "cents", "cents", desc=True, tiebreak=("l_partkey",)
@@ -1460,7 +1461,7 @@ def part_brand_type_chi2(spark, sf_dir):
         _t(spark, sf_dir, "part")
         .groupBy("p_brand", "p_type")
         .agg(F.count("*").cast("bigint").alias("o"))
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     r = o.groupBy("p_brand").agg(F.sum("o").cast("bigint").alias("r"))
     c = o.groupBy("p_type").agg(F.sum("o").cast("bigint").alias("c"))
@@ -1774,7 +1775,7 @@ def orders_item_neighbors_topk(spark, sf_dir):
         .filter(F.col("bn") <= BASKET_MAX_ITEMS)
         .select("l_orderkey")
     )
-    sized = baskets.join(ok, "l_orderkey").localCheckpoint(eager=False)
+    sized = baskets.join(ok, "l_orderkey").transform(stage)
     supp = sized.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("s")
     )
@@ -1786,7 +1787,7 @@ def orders_item_neighbors_topk(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
-        .localCheckpoint(eager=False)
+        .transform(stage)
     )
     sym = pairs.select(
         F.col("part_a").alias("item"),

@@ -197,7 +197,7 @@ def batch_by_token_budget(spark, sf_dir):
     # over the same slim projection — Catalyst prunes them to
     # identical exchanges and ReuseExchange shuffles the token
     # projection ONCE inside a single job: tokenization (the
-    # expensive regex scan) runs once, with no localCheckpoint
+    # expensive regex scan) runs once, with no staging cut
     # materialization job (the r5 bench-flap overhead).
     local_w = (
         Window.partitionBy("shard")

@@ -1,0 +1,143 @@
+"""The fan-out staging helper (`io.stage`) and the cluster-derived
+shard fan-out (`ranking.resolve_shards`).
+
+`stage` is the ONE lineage-cut used by every operator with a
+compute-once fan-out or an iterative loop. The test matrix proves the
+config switch changes the PHYSICAL staging (executor-local blocks vs
+a durable checkpoint directory) while leaving values untouched — the
+property that lets the local harness run 'local' and a preemptible
+100-TB cluster run 'reliable' without touching operator code.
+"""
+
+import os
+
+import pytest
+
+from jly_flink_spark.io import (
+    STAGING_DIR_CONF,
+    STAGING_MODE_CONF,
+    stage,
+    stage_eager,
+)
+
+
+def _clear_staging_conf(spark):
+    spark.conf.unset(STAGING_MODE_CONF)
+    spark.conf.unset(STAGING_DIR_CONF)
+
+
+@pytest.fixture()
+def staging_conf(spark):
+    yield spark
+    _clear_staging_conf(spark)
+
+
+class TestStage:
+    def test_local_mode_truncates_lineage(self, staging_conf):
+        spark = staging_conf
+        df = spark.range(100).transform(stage)
+        # localCheckpoint replaces the logical plan with a scan over
+        # executor-resident blocks — no parquet/checkpoint files.
+        assert df.count() == 100
+        assert "LogicalRDD" in df._jdf.queryExecution().analyzed().toString()
+
+    def test_reliable_mode_writes_to_staging_dir(self, staging_conf, tmp_path):
+        spark = staging_conf
+        ckdir = str(tmp_path / "stage")
+        spark.conf.set(STAGING_MODE_CONF, "reliable")
+        spark.conf.set(STAGING_DIR_CONF, ckdir)
+        df = stage_eager(spark.range(50))
+        assert df.count() == 50
+        # The cut is now durable: checkpoint files exist under the
+        # configured directory (this is what survives executor loss).
+        found = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckdir)
+            for f in files
+        ]
+        assert found, "reliable staging wrote nothing to the staging dir"
+
+    def test_mode_switch_changes_physical_staging_only(
+        self, staging_conf, tmp_path
+    ):
+        spark = staging_conf
+        df = spark.range(1000).selectExpr(
+            "id", "id % 7 as k", "id * 1.5 as v"
+        )
+        local_rows = sorted(stage(df).collect())
+        spark.conf.set(STAGING_MODE_CONF, "reliable")
+        spark.conf.set(STAGING_DIR_CONF, str(tmp_path / "stage2"))
+        reliable_rows = sorted(stage(df).collect())
+        assert local_rows == reliable_rows
+
+    def test_reliable_mode_without_dir_raises(self, staging_conf):
+        spark = staging_conf
+        # only when no checkpoint dir was ever set on the context
+        if spark.sparkContext.getCheckpointDir() is not None:
+            pytest.skip("context already has a checkpoint dir")
+        spark.conf.set(STAGING_MODE_CONF, "reliable")
+        with pytest.raises(ValueError, match=STAGING_DIR_CONF):
+            stage(spark.range(1))
+
+    def test_unknown_mode_raises(self, staging_conf):
+        spark = staging_conf
+        spark.conf.set(STAGING_MODE_CONF, "bogus")
+        with pytest.raises(ValueError, match="bogus"):
+            stage(spark.range(1))
+
+    def test_lazy_stage_defers_job(self, staging_conf):
+        # eager=False must not launch a job at call time: an
+        # iterative loop stages every round but only the last frame
+        # is ever executed.
+        spark = staging_conf
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        stage(spark.range(10**6))
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
+
+
+class TestResolveShards:
+    def test_default_follows_cluster_parallelism(self, spark):
+        from jly_flink_spark.operators.ranking import resolve_shards
+
+        df = spark.range(10)
+        assert (
+            resolve_shards(df, None)
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_explicit_value_wins(self, spark):
+        from jly_flink_spark.operators.ranking import resolve_shards
+
+        assert resolve_shards(spark.range(1), 7) == 7
+
+    def test_derived_shards_produce_exact_ranks(self, spark):
+        # end-to-end with the DERIVED fan-out (no explicit n_shards):
+        # global ranks must equal the single-window reference.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from jly_flink_spark.operators.ranking import (
+            global_rank_analytics,
+        )
+
+        df = spark.range(500).selectExpr("id", "id % 37 as val")
+        got = {
+            r["id"]: (r["g_row_number"], r["g_rank"], r["g_dense_rank"])
+            for r in global_rank_analytics(
+                df, "val", tiebreak=("id",)
+            ).collect()
+        }
+        w = Window.orderBy("val", "id")
+        wp = Window.orderBy("val")
+        want = {
+            r["id"]: (r["rn"], r["rk"], r["dr"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.rank().over(wp).alias("rk"),
+                F.dense_rank().over(wp).alias("dr"),
+            ).collect()
+        }
+        assert got == want
