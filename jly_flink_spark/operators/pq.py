@@ -89,19 +89,34 @@ def pq_train_encode(
     audits can sweep them)."""
     from ..io import ensure_min_parallelism
 
+    codes = ensure_min_parallelism(
+        emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
+    )
+    return pq_train_encode_codes(codes, m, k, iterations)
+
+
+def pq_train_encode_codes(
+    codes: DataFrame,
+    m: "int | None" = None,
+    k: "int | None" = None,
+    iterations: "int | None" = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """`pq_train_encode` on an ALREADY-BUILT integer code frame
+    (vec_id, code array<bigint>) — the shared core, so the raw tier
+    (codes straight from `int8_codes`) and the residual tier (codes
+    minus the coarse centroid's code) train through the byte-same
+    Lloyd loop."""
     m = PQ_M if m is None else m
     k = PQ_K if k is None else k
     iterations = PQ_ITERS if iterations is None else iterations
     dim = len(
-        emb.select(vec_col).first()[0]
+        codes.select("code").first()[0]
     )  # one row — model-state probe, not a collect of data
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by {m} subspaces")
     subdim = dim // m
 
-    codes = ensure_min_parallelism(
-        emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
-    ).transform(stage)
+    codes = codes.transform(stage)
 
     seeds = codes.orderBy("vec_id").limit(k)
     w = Window.orderBy("vec_id")
@@ -318,6 +333,32 @@ def persist_ivf_pq(
     return pq_codebook_state(cent), subdim
 
 
+def _int8_codes_np(v) -> "object":
+    """numpy replica of `clustering.int8_codes` (absmax/floor) — the
+    driver-side query encoding every serving tier shares."""
+    import numpy as np
+
+    x = np.asarray(v, dtype="float64")
+    scale = max(float(np.abs(x).max()), 1e-12)
+    return np.floor(x * 127.0 / scale).astype("int64")
+
+
+def _lut_from_codes(
+    codes, pq_state: list, m: int, k: int, subdim: int
+) -> list:
+    """Flattened ADC lookup table for an integer code vector: entry
+    [sub·K + cid] = exact integer squared L2 between the code's
+    subvector and that sub-centroid."""
+    import numpy as np
+
+    lut = [0] * (m * k)
+    for sub, cid, carr in pq_state:
+        qsub = codes[sub * subdim : (sub + 1) * subdim]
+        diff = qsub - np.asarray(carr, dtype="int64")
+        lut[sub * k + cid] = int((diff * diff).sum())
+    return lut
+
+
 def _query_lut(
     v, pq_state: list, m: int, k: int, subdim: int
 ) -> list:
@@ -325,17 +366,7 @@ def _query_lut(
     exact integer squared L2 between the query's int8 SUBvector and
     that sub-centroid — the same `int8_codes` absmax/floor formula
     as the corpus side (symmetric code-vs-code distance)."""
-    import numpy as np
-
-    x = np.asarray(v, dtype="float64")
-    scale = max(float(np.abs(x).max()), 1e-12)
-    codes = np.floor(x * 127.0 / scale).astype("int64")
-    lut = [0] * (m * k)
-    for sub, cid, carr in pq_state:
-        qsub = codes[sub * subdim : (sub + 1) * subdim]
-        diff = qsub - np.asarray(carr, dtype="int64")
-        lut[sub * k + cid] = int((diff * diff).sum())
-    return lut
+    return _lut_from_codes(_int8_codes_np(v), pq_state, m, k, subdim)
 
 
 def serve_ann_topk_ivf_pq(
@@ -530,4 +561,154 @@ def serve_ann_topk_ivf_pq_refine(
         )
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "adc_dist", "exact_dist", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual-encoded IVF-PQ (FAISS IVFx,PQy proper): PQ trains on the
+# residual code − coarse-centroid code, so the sub-codebooks spend
+# their K centroids on the WITHIN-list spread instead of re-encoding
+# the coarse offset each list already captured. Same exact-integer
+# arithmetic (residuals are bigint subtractions of two int8-coded
+# vectors, range ±254), so the SQL oracle replays the whole build.
+# ---------------------------------------------------------------------------
+
+
+def centroid_codes(coarse_cents: list) -> list:
+    """int8 codes of the coarse centroids under each centroid's OWN
+    absmax scale — the `int8_codes` formula applied to model state
+    (n_list tiny vectors, driver-side). Returns [(list_id, [code])]."""
+    return [
+        (int(cid), [int(x) for x in _int8_codes_np(v)])
+        for cid, v in coarse_cents
+    ]
+
+
+def persist_ivf_pq_residual(
+    emb: DataFrame,
+    path: str,
+    coarse_cents: list,
+    vec_col: str = "embedding",
+) -> tuple[list, int]:
+    """Build the residual IVF-PQ serving layout: coarse-assign every
+    vector (same float quantizer as every other layout builder),
+    subtract the assigned centroid's int8 code from the vector's int8
+    code — a pure `zip_with` against one broadcast n_list-row frame,
+    no corpus shuffle — train the M sub-codebooks on those residual
+    codes (`pq_train_encode_codes`, the byte-same Lloyd loop as the
+    raw tier), and persist (vec_id, pq, code, list_id)
+    hive-partitioned by list_id. `pq` indexes RESIDUAL sub-centroids;
+    `code` keeps the full int8 codes in their own column for the
+    refine tier (the ADC scan column-prunes it away). Returns
+    (pq_codebook_state, subdim)."""
+    from ..io import ensure_min_parallelism, write_partitioned
+    from .similarity import _assign_udf
+
+    spark = emb.sparkSession
+    assign = _assign_udf(spark, coarse_cents)
+    base = ensure_min_parallelism(
+        emb.select(
+            "vec_id",
+            int8_codes(F.col(vec_col)).alias("code"),
+            assign(F.col(vec_col)).alias("list_id"),
+        )
+    ).transform(stage)
+    ccodes = spark.createDataFrame(
+        centroid_codes(coarse_cents),
+        "list_id int, ccode array<bigint>",
+    )
+    resid = base.join(F.broadcast(ccodes), "list_id").select(
+        "vec_id",
+        "list_id",
+        "code",
+        F.zip_with("code", "ccode", lambda a, b: a - b).alias("rcode"),
+    )
+    cent, coded, subdim = pq_train_encode_codes(
+        resid.select("vec_id", F.col("rcode").alias("code"))
+    )
+    rows = resid.select("vec_id", "list_id", "code").join(
+        coded.select("vec_id", "pq"), "vec_id"
+    )
+    write_partitioned(rows, path, ["list_id"])
+    return pq_codebook_state(cent), subdim
+
+
+def serve_ann_topk_ivf_pq_residual(
+    spark,
+    queries_df: DataFrame,
+    layout_path: str,
+    coarse_cents: list,
+    pq_state: list,
+    subdim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ADC neighbors against the RESIDUAL IVF-PQ layout. The
+    one structural difference from `serve_ann_topk_ivf_pq`: the ADC
+    lookup table is per-(query, probe-list) — the query's residual
+    against THAT list's centroid code feeds the table — so the
+    broadcast probe frame carries n_probe tables per query
+    (n_probe·M·K ints of model state) and a candidate's distance is
+    still M lookups, resolved within its own list. Approximates
+    ||q_code − x_code||² = ||(q−c) − (x−c)||² with the quantizer
+    applied to the small within-list residual instead of the whole
+    vector — the standard FAISS composition, and the reason the same
+    K=16 codebooks rank materially better than the raw-ADC tier
+    (recall floors pinned side by side in tests/test_ivf_pq.py)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .similarity import (
+        QUANT,
+        _centroid_state,
+        _pruned_layout,
+        _select_probe_lists,
+    )
+
+    m, kk = PQ_M, PQ_K
+    cents_state = _centroid_state(coarse_cents)
+    ccodes = {cid: np.asarray(c, dtype="int64") for cid, c in centroid_codes(coarse_cents)}
+    rows = []
+    for r in queries_df.select("vec_id", vec_col).collect():
+        v = np.array(list(r[vec_col]), dtype="float64")
+        vq = max(int(np.floor(v * v * QUANT).astype("int64").sum()), 1)
+        qcodes = _int8_codes_np(v)
+        for cid in _select_probe_lists(v, vq, cents_state, n_probe):
+            rq = qcodes - ccodes[int(cid)]
+            lut = _lut_from_codes(rq, pq_state, m, kk, subdim)
+            rows.append((int(r["vec_id"]), int(cid), lut))
+    probes = spark.createDataFrame(
+        rows, "query_id long, list_id int, lut array<long>"
+    )
+    corpus = _pruned_layout(
+        spark,
+        layout_path,
+        probes,
+        {"vec_id": "cand_id", "pq": "cand_pq"},
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("lut"),
+            (
+                i * kk
+                + F.element_at(F.col("cand_pq"), (i + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rnk")
     )

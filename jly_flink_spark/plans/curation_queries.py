@@ -3711,3 +3711,233 @@ def graph_link_prediction_topk(spark, sf_dir):
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------
+# Residual-encoded IVF-PQ (FAISS IVFx,PQy proper) — round 8
+# --------------------------------------------------------------------
+_IVF_PQ_RES_LAYOUT_CACHE: dict[str, tuple] = {}
+
+
+def pq_residual_train_ctes() -> str:
+    """The RESIDUAL PQ training chain as a WITH-clause fragment:
+    codes → sflat (same text as `pq_train_ctes`'s prefix) → the
+    coarse centroids' own int8 codes (ccflat) → residual values
+    (rflat = code − assigned centroid's code) → seeds → unrolled
+    Lloyd rounds on the residuals → final assignment rasg_f. Assumes
+    the caller already emitted `_ivf_coarse_sql`'s CTEs (ccents,
+    cassign). Starts after a comma and ends WITHOUT one."""
+    from ..operators import pq as PQ
+
+    m, k, iters = PQ.PQ_M, PQ.PQ_K, PQ.PQ_ITERS
+    sub = 64 // m
+    its = []
+    prev = "rcent0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+rd{t} AS MATERIALIZED (
+  SELECT f.vec_id, f.sub, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM rflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  GROUP BY f.vec_id, f.sub, c.cid
+),
+rasg{t} AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM rd{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1
+),
+rcent{t} AS MATERIALIZED (
+  SELECT c.sub, c.cid, c.sdim, coalesce(u.nval, c.cval) AS cval
+  FROM {prev} c LEFT JOIN (
+    SELECT a.sub, a.cid, f.sdim,
+           CAST(sum(f.val) AS BIGINT) // count(*) AS nval
+    FROM rasg{t} a
+    JOIN rflat f ON f.vec_id = a.vec_id AND f.sub = a.sub
+    GROUP BY a.sub, a.cid, f.sdim
+  ) u ON u.sub = c.sub AND u.cid = c.cid AND u.sdim = c.sdim
+)""")
+        prev = f"rcent{t}"
+    return f"""q AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS BIGINT))
+           AS code
+  FROM q
+),
+sflat AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(range(len(code))) AS BIGINT) // {sub} AS sub,
+         CAST(unnest(range(len(code))) AS BIGINT) % {sub} AS sdim,
+         unnest(code) AS val
+  FROM codes
+),
+ccq AS (
+  SELECT ccid,
+         greatest(list_max(list_transform(cvec,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS cscale,
+         cvec
+  FROM ccents
+),
+ccodef AS (
+  SELECT ccid,
+         list_transform(cvec, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 127.0 / cscale) AS BIGINT))
+           AS ccode
+  FROM ccq
+),
+ccflat AS MATERIALIZED (
+  SELECT ccid,
+         CAST(unnest(range(len(ccode))) AS BIGINT) // {sub} AS sub,
+         CAST(unnest(range(len(ccode))) AS BIGINT) % {sub} AS sdim,
+         unnest(ccode) AS cval
+  FROM ccodef
+),
+rflat AS MATERIALIZED (
+  SELECT f.vec_id, f.sub, f.sdim, f.val - cc.cval AS val
+  FROM sflat f
+  JOIN cassign a ON a.vec_id = f.vec_id
+  JOIN ccflat cc ON cc.ccid = a.list_id
+                AND cc.sub = f.sub AND cc.sdim = f.sdim
+),
+rseeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {k})
+),
+rcent0 AS (
+  SELECT s.cid, f.sub, f.sdim, f.val AS cval
+  FROM rseeds s JOIN rflat f USING (vec_id)
+),
+{",".join(its)},
+rdf_ AS MATERIALIZED (
+  SELECT f.vec_id, f.sub, c.cid,
+         sum((f.val - c.cval) * (f.val - c.cval)) AS dist
+  FROM rflat f JOIN {prev} c ON c.sub = f.sub AND c.sdim = f.sdim
+  GROUP BY f.vec_id, f.sub, c.cid
+),
+rasg_f AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM rdf_
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1
+)"""
+
+
+def _ivf_pq_residual_oracle() -> str:
+    from ..operators import pq as PQ
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+    )
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    final = f"rcent{PQ.PQ_ITERS}"
+    return (
+        "WITH "
+        + _ivf_coarse_sql(_IVF_INT8_N_LIST, _IVF_INT8_N_PROBE, ids)
+        + ",\n"
+        + pq_residual_train_ctes()
+        + f""",
+qlut AS MATERIALIZED (
+  -- per-(query, probe-list) residual ADC table: the query's code
+  -- minus THAT list's centroid code, against the residual codebooks
+  SELECT p.query_id, p.list_id, c.sub, c.cid,
+         CAST(sum(((f.val - cc.cval) - c.cval)
+                * ((f.val - cc.cval) - c.cval)) AS BIGINT) AS d
+  FROM cprobes p
+  JOIN sflat f ON f.vec_id = p.query_id
+  JOIN ccflat cc ON cc.ccid = p.list_id
+                AND cc.sub = f.sub AND cc.sdim = f.sdim
+  JOIN {final} c ON c.sub = f.sub AND c.sdim = f.sdim
+  GROUP BY p.query_id, p.list_id, c.sub, c.cid
+),
+cpairs AS (
+  SELECT p.query_id, p.list_id, a.vec_id AS cand_id
+  FROM cprobes p
+  JOIN cassign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+cadc AS (
+  SELECT pr.query_id, pr.cand_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM cpairs pr
+  JOIN rasg_f a2 ON a2.vec_id = pr.cand_id
+  JOIN qlut l ON l.query_id = pr.query_id AND l.list_id = pr.list_id
+             AND l.sub = a2.sub AND l.cid = a2.cid
+  GROUP BY pr.query_id, pr.cand_id
+)
+SELECT query_id, cand_id, adc_dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rnk
+  FROM cadc
+) WHERE rnk <= {_ANN_K}
+"""
+    )
+
+
+@register(
+    "ann_ivf_pq_residual",
+    oracle=_ivf_pq_residual_oracle(),
+    tags=("curation", "similarity", "quantization", "approx", "ann"),
+    doc="RESIDUAL-encoded IVF-PQ serving — the FAISS IVFx,PQy "
+    "composition proper, closing the r7 verdict's documented "
+    "deviation: PQ trains on code − coarse-centroid-code, so the "
+    "K=16 sub-codebooks spend their capacity on the WITHIN-list "
+    "spread instead of re-encoding the coarse offset the list id "
+    "already captures; the ADC lookup table becomes per-(query, "
+    "probe-list) — the query's residual against that list's "
+    "centroid — still M lookups per candidate. Residuals are exact "
+    "bigint subtractions of two int8-coded vectors, so the whole "
+    "build (coarse assignment, centroid codes, residuals, Lloyd "
+    "rounds, ADC) replays in the oracle and the PRUNED result "
+    "value-hashes cross-engine. Measured effect on the SAME fixture "
+    "as the raw tier: recall@5 pinned strictly above raw ADC in "
+    "tests/test_ivf_pq.py (residual coding is the standard fix for "
+    "PQ-on-raw recall collapse).",
+)
+def ann_ivf_pq_residual(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import pq as PQ
+    from .northstar_queries import (
+        _ANN_K,
+        _ANN_QUERY_IDS,
+        _IVF_INT8_N_LIST,
+        _IVF_INT8_N_PROBE,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ent = _IVF_PQ_RES_LAYOUT_CACHE.get(sf_dir)
+    if ent is None:
+        from ..operators import similarity
+
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=_IVF_INT8_N_LIST, refine=False
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"jly_ivf_pq_res_{tag}", "corpus"
+        )
+        pq_state, subdim = PQ.persist_ivf_pq_residual(emb, path, cents)
+        ent = (path, cents, pq_state, subdim)
+        _IVF_PQ_RES_LAYOUT_CACHE[sf_dir] = ent
+    path, cents, pq_state, subdim = ent
+    queries = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS))
+    return PQ.serve_ann_topk_ivf_pq_residual(
+        spark,
+        queries,
+        path,
+        cents,
+        pq_state,
+        subdim,
+        k=_ANN_K,
+        n_probe=_IVF_INT8_N_PROBE,
+    )

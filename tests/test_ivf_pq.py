@@ -148,3 +148,127 @@ class TestOneLayoutTwoTiers:
             "ReadSchema" in ln and "code:array" in ln
             for ln in ref_plan.splitlines()
         ), ref_plan
+
+
+# ---------------------------------------------------------------------------
+# Residual tier (round 8) + the clustered-regime recall evidence
+# ---------------------------------------------------------------------------
+
+_RES_CACHE: dict = {}
+
+
+def _residual_layouts(spark, key):
+    """(emb, raw_layout, res_layout, cents, pq_raw, pq_res, subdim)
+    with REFINED (one Lloyd step) coarse centroids — residual coding
+    is defined against list MEANS; seed-point 'centroids' on uniform
+    data give residuals ~2x the raw variance and bury the effect
+    (measured r8). The hash-checked query keeps seed centroids for
+    oracle replay; this fixture measures the tiers' retrieval quality
+    under the quantizer both would use in production."""
+    ent = _RES_CACHE.get(key)
+    if ent is None:
+        if key == "clustered":
+            from tests.fixtures.clustered import clustered_embeddings
+
+            emb = clustered_embeddings(spark)
+        else:
+            emb = load_table(spark, key, "embeddings")
+        cents = similarity.build_ivf_centroids(
+            emb, n_list=16, refine=True
+        )
+        tag = hashlib.md5(f"res8{key}".encode()).hexdigest()[:10]
+        raw_path = os.path.join(
+            tempfile.gettempdir(), f"jly_res8_raw_{tag}", "corpus"
+        )
+        res_path = os.path.join(
+            tempfile.gettempdir(), f"jly_res8_res_{tag}", "corpus"
+        )
+        pq_raw, subdim = PQ.persist_ivf_pq(emb, raw_path, cents)
+        pq_res, _ = PQ.persist_ivf_pq_residual(emb, res_path, cents)
+        ent = (emb, raw_path, res_path, cents, pq_raw, pq_res, subdim)
+        _RES_CACHE[key] = ent
+    return ent
+
+
+def _recall(rows, truth) -> float:
+    by_q: dict[int, set] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    return sum(
+        len(by_q.get(q, set()) & truth[q]) / K for q in QIDS
+    ) / len(QIDS)
+
+
+class TestResidualPqRecall:
+    """Residual coding must BEAT raw ADC under the same codebooks,
+    fixture, and probe budget — the reason FAISS IVFx,PQy encodes
+    residuals. Measured (deterministic, reproduces exactly):
+
+        fixture               tier        n_probe=4   n_probe=8
+        sf0.01 (near-uniform) raw ADC       0.13        0.16
+        sf0.01 (near-uniform) residual      0.23        0.24
+        clustered (s=0.8)     raw ADC       0.12        0.12
+        clustered (s=0.8)     residual      0.34        0.34
+        clustered (s=0.8)     exact refine  1.00        1.00
+
+    Floors sit under the measured values; the raw-vs-residual GAP is
+    asserted directly so a regression that degrades residual coding
+    to raw quality fails even if absolute recall drifts."""
+
+    @pytest.mark.parametrize(
+        "key,n_probe,floor,gap",
+        [
+            ("/root/testdata/sf0.01", 4, 0.18, 0.04),
+            ("/root/testdata/sf0.01", 8, 0.18, 0.04),
+            ("clustered", 4, 0.25, 0.10),
+            ("clustered", 8, 0.25, 0.10),
+        ],
+    )
+    def test_residual_beats_raw_adc(self, spark, key, n_probe, floor, gap):
+        emb, raw_path, res_path, cents, pq_raw, pq_res, subdim = (
+            _residual_layouts(spark, key)
+        )
+        truth = _exact_top5(emb)
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        raw = _recall(
+            PQ.serve_ann_topk_ivf_pq(
+                spark, queries, raw_path, cents, pq_raw, subdim,
+                k=K, n_probe=n_probe,
+            ).collect(),
+            truth,
+        )
+        res = _recall(
+            PQ.serve_ann_topk_ivf_pq_residual(
+                spark, queries, res_path, cents, pq_res, subdim,
+                k=K, n_probe=n_probe,
+            ).collect(),
+            truth,
+        )
+        assert res >= floor, (key, n_probe, res)
+        assert res >= raw + gap, (key, n_probe, raw, res)
+
+    def test_clustered_refine_recall(self, spark):
+        """On the clustered fixture the full production composition
+        (residual-adjacent layout + exact refine) is essentially
+        lossless — measured 1.00, pinned >= 0.95."""
+        emb, raw_path, _, cents, pq_raw, _, subdim = _residual_layouts(
+            spark, "clustered"
+        )
+        truth = _exact_top5(emb)
+        queries = emb.filter(F.col("vec_id").isin(QIDS))
+        rec = _recall(
+            PQ.serve_ann_topk_ivf_pq_refine(
+                spark, queries, raw_path, cents, pq_raw, subdim,
+                k=K, n_probe=4,
+            ).collect(),
+            truth,
+        )
+        assert rec >= 0.95, rec
+
+    def test_residual_layout_same_columns(self, spark):
+        """The residual layout keeps the one-layout/two-tiers
+        columnar contract: pq + full code + list_id partitioning,
+        so the refine tier can be pointed at it unchanged."""
+        _, _, res_path, *_ = _residual_layouts(spark, "clustered")
+        df = spark.read.parquet(res_path)
+        assert {"vec_id", "pq", "code", "list_id"} <= set(df.columns)

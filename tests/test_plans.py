@@ -467,6 +467,10 @@ class TestShuffleBudget:
             # rank (the build is a one-time persisted layout)
             ("ann_ivf_pq_adc", 1),
             ("ann_ivf_pq_refine", 1),
+            # residual IVF-PQ: same pruned-scan + broadcast-probe
+            # shape — the per-(query, list) LUT rides the probe
+            # frame, so the only exchange is still the top-k rank
+            ("ann_ivf_pq_residual", 1),
             # novelty: the per-doc n-gram window shares the doc
             # exchange; first-occurrence combine + the occurrence
             # join + per-doc rollup
