@@ -94,3 +94,99 @@ def run_hourly_rollup_once(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Changelog delta tiles: the streaming half of the IVM story.
+# `plans/cdc_queries.py::cdc_ivm_view_evolution` is the batch audit —
+# one changelog pass folding i/u/d ops into per-(event_type, day)
+# delta tiles, then a replay window. This maintains the SAME tiles
+# continuously; tests/test_streaming.py::TestIvmBatchStreamParity
+# drives both halves from one changelog (split/late/replayed
+# delivery) and asserts the streaming store converges to the batch
+# tiles and view values exactly.
+# ---------------------------------------------------------------------------
+
+
+def ivm_tile_plan(sdf: DataFrame, watermark: str = "90 days") -> DataFrame:
+    """Per-(day window, event_type) changelog delta tile: op counts
+    and the net value delta (inserts +after, deletes −before,
+    updates after−before) — byte-identical arithmetic to the batch
+    query's tile stage (exact bigint cents, so order of arrival
+    cannot change any value). Update-mode emits each touched tile's
+    FULL recomputed value from state, which is what makes the
+    partition upsert converge under split and late delivery: a
+    tile's partition always holds the state-store truth, never a
+    partial increment."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.sum((F.col("op") == "i").cast("int"))
+            .cast("bigint")
+            .alias("n_i"),
+            F.sum((F.col("op") == "u").cast("int"))
+            .cast("bigint")
+            .alias("n_u"),
+            F.sum((F.col("op") == "d").cast("int"))
+            .cast("bigint")
+            .alias("n_d"),
+            F.sum(
+                F.coalesce(F.col("after_cents"), F.lit(0))
+                - F.coalesce(F.col("before_cents"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("delta_cents"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("window.start")) / 86400)
+            .cast("bigint")
+            .alias("day"),
+            "event_type",
+            "n_i",
+            "n_u",
+            "n_d",
+            "delta_cents",
+        )
+    )
+
+
+def ivm_upsert_writer(store_path: str):
+    """foreachBatch upsert for the tile store, partitioned by
+    (day, event_type) — same dynamic-partition-overwrite contract as
+    `upsert_writer`: an epoch replaces exactly the tiles it touched
+    with state-store truth, so sink-level replays (at-least-once)
+    are idempotent."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "event_type")
+            .parquet(store_path)
+        )
+
+    return write
+
+
+def run_ivm_tiles_once(
+    spark: SparkSession,
+    src_path: str,
+    src_schema,
+    store_path: str,
+    checkpoint: str,
+    watermark: str = "90 days",
+) -> None:
+    """Drain the changelog backlog into the tile store and stop."""
+    sdf = spark.readStream.schema(src_schema).parquet(src_path)
+    q = (
+        ivm_tile_plan(sdf, watermark)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ivm_upsert_writer(store_path))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
