@@ -496,3 +496,159 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real-world container VARIANTS (round 8): the same three formats as
+# the wild actually ships them — JPEG with an EXIF APP1 segment
+# BEFORE any SOF (every camera photo), PNG with ancillary chunks
+# (tEXt/pHYs) between IHDR and IDAT, WAV with a WAVE_FORMAT_EXTENSIBLE
+# 40-byte fmt chunk (multichannel/pro audio). The parsers above
+# already navigate these shapes (marker-segment walk, chunk walk,
+# fmt-offset reads are variant-agnostic); these encoders plant them
+# deterministically so the `multimodal_variant_decode_stats` oracle
+# value-checks the decode against real-world layouts, truncation →
+# NULL parity included.
+# ---------------------------------------------------------------------------
+
+# Minimal EXIF APP1: "Exif\0\0" + little-endian TIFF header + one IFD
+# holding Orientation=1. 36 bytes total, fixed size (the oracle
+# arithmetic depends on it).
+_JPEG_APP1_EXIF = (
+    b"\xff\xe1"
+    + struct.pack(">H", 34)
+    + b"Exif\x00\x00"
+    + b"II*\x00" + struct.pack("<I", 8)          # TIFF header, IFD @8
+    + struct.pack("<H", 1)                        # 1 IFD entry
+    + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 1, 0)
+    + struct.pack("<I", 0)                        # next IFD: none
+)
+
+
+def encode_jpeg_exif(
+    width: int, height: int, channels: int, body: bytes
+) -> bytes:
+    """JPEG as cameras write it: SOI, EXIF APP1 FIRST, then JFIF
+    APP0, then SOF0 — a sniffer that assumes JFIF-first (or SOF at a
+    fixed offset) breaks on this, the marker-segment walk does not.
+    Total size = 68 + 3*channels + len(body)."""
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(
+            ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+        )
+        + b"".join(
+            struct.pack(">BBB", i + 1, 0x11, 0) for i in range(channels)
+        )
+    )
+    return (
+        b"\xff\xd8" + _JPEG_APP1_EXIF + _JPEG_APP0 + sof0 + body
+        + b"\xff\xd9"
+    )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data)) + ctype + data + b"\0\0\0\0"
+
+
+def encode_png_ancillary(
+    width: int, height: int, channels: int, body: bytes
+) -> bytes:
+    """PNG with the ancillary chunks real exporters emit between IHDR
+    and IDAT: a tEXt comment and a pHYs pixel-density chunk. Chunk
+    walkers must skip unknown/ancillary chunks by their declared
+    length. Total size = 101 + len(body)."""
+    ihdr = struct.pack(
+        ">II5B", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00jly")
+        + _png_chunk(b"pHYs", struct.pack(">IIB", 2835, 2835, 1))
+        + _png_chunk(b"IDAT", body)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# WAVE_FORMAT_EXTENSIBLE PCM subformat GUID (KSDATAFORMAT_SUBTYPE_PCM)
+_WAV_PCM_GUID = bytes(
+    [0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+     0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
+
+def encode_wav_extensible(
+    channels: int, sample_rate: int, body: bytes
+) -> bytes:
+    """WAV with the 40-byte WAVE_FORMAT_EXTENSIBLE fmt chunk
+    (wFormatTag=0xFFFE, cbSize=22, channel mask, PCM subformat GUID)
+    — how multichannel and pro-audio files declare their format. The
+    channels/sample-rate offsets are unchanged from canonical PCM,
+    which is exactly why `parse_wav` reads both layouts. Total size
+    = 68 + len(body)."""
+    block_align = channels * 2
+    fmt = (
+        struct.pack(
+            "<HHIIHH", 0xFFFE, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + struct.pack("<HHI", 22, 16, (1 << channels) - 1)
+        + _WAV_PCM_GUID
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 60 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 40) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def plant_payload_variant(doc_id: int, text: str) -> tuple[str, bytes]:
+    """`plant_payload` with the real-world container variants: same
+    doc_id-derived fields, same every-MALFORMED_MOD-th truncation, but
+    EXIF-first JPEG, ancillary-chunk PNG, extensible WAV."""
+    media_type, f = _planted_fields(doc_id)
+    body = text.encode("utf-8")
+    if media_type == "png":
+        payload = encode_png_ancillary(
+            f["width"], f["height"], f["channels"], body
+        )
+    elif media_type == "jpeg":
+        payload = encode_jpeg_exif(
+            f["width"], f["height"], f["channels"], body
+        )
+    else:
+        payload = encode_wav_extensible(
+            f["channels"], f["sample_rate"], body
+        )
+    if doc_id % MALFORMED_MOD == 0:
+        payload = payload[:MALFORMED_LEN]
+    return media_type, payload
+
+
+def documents_as_encoded_media_variants(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """`documents_as_encoded_media` planting the real-world container
+    variants instead of the minimal layouts."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            planted = [
+                plant_payload_variant(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": [m for m, _ in planted],
+                    "payload": [p for _, p in planted],
+                    "n_bytes": [len(p) for _, p in planted],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )

@@ -2800,3 +2800,122 @@ def text_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Real-world container variants (round 8): EXIF-first JPEG, ancillary-
+# chunk PNG, WAVE_FORMAT_EXTENSIBLE WAV. Same planted arithmetic as
+# _MEDIA_PLANTED except the container overheads: PNG 101+n (tEXt +
+# pHYs chunks), JPEG 68+3c+n (36-byte APP1 before APP0/SOF0), WAV
+# 68+n (40-byte extensible fmt chunk).
+# --------------------------------------------------------------------
+_MEDIA_PLANTED_VARIANT = """
+WITH planted AS (
+  SELECT doc_id,
+         doc_id % 3 AS fmt,
+         doc_id // 3 AS k,
+         (doc_id % 37 = 0) AS malformed,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+expected AS (
+  SELECT doc_id,
+         CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'wav' END AS media_type,
+         CAST(CASE WHEN malformed THEN 6
+              WHEN fmt = 0 THEN 101 + n
+              WHEN fmt = 1 THEN 68 + 3 * (CASE WHEN k % 2 = 0
+                                          THEN 1 ELSE 3 END) + n
+              ELSE 68 + n END AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN 1 + (doc_id * 7) % 4096
+              WHEN fmt = 1 THEN 1 + (doc_id * 11) % 60000
+              ELSE NULL END AS INT) AS width,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN 1 + (doc_id * 13) % 4096
+              WHEN fmt = 1 THEN 1 + (doc_id * 17) % 60000
+              ELSE NULL END AS INT) AS height,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 0 THEN ([1, 3, 4])[CAST(k % 3 AS INT) + 1]
+              WHEN fmt = 1 THEN CASE WHEN k % 2 = 0 THEN 1 ELSE 3 END
+              ELSE 1 + k % 2 END AS INT) AS channels,
+         CAST(CASE WHEN malformed THEN NULL
+              WHEN fmt = 2 THEN 8000 * (1 + k % 5)
+              ELSE NULL END AS INT) AS sample_rate
+  FROM planted
+)
+"""
+
+
+@register(
+    "multimodal_variant_features",
+    oracle=_MEDIA_PLANTED_VARIANT
+    + """
+SELECT doc_id, media_type, n_bytes, width, height, channels,
+       sample_rate
+FROM expected
+""",
+    tags=("northstar", "multimodal", "pandas_udf"),
+    doc="Per-row decode of the REAL-WORLD container variants — the "
+    "layouts the wild actually ships: JPEG with a 36-byte EXIF APP1 "
+    "segment BEFORE JFIF/SOF (every camera photo; breaks fixed-"
+    "offset sniffers, not the marker-segment walk), PNG with tEXt + "
+    "pHYs ancillary chunks between IHDR and IDAT, and WAV with the "
+    "40-byte WAVE_FORMAT_EXTENSIBLE fmt chunk (wFormatTag 0xFFFE, "
+    "PCM subformat GUID). Same parsers as the minimal-layout corpus "
+    "— the chunk/segment walks are variant-agnostic, which is the "
+    "point — with truncation → typed-NULL parity preserved. The "
+    "oracle recomputes every planted field plus the variant "
+    "container overheads arithmetically, so one byte of EXIF/chunk "
+    "mis-walk breaks the hash "
+    "(operators/multimodal.py: encode_jpeg_exif, "
+    "encode_png_ancillary, encode_wav_extensible).",
+)
+def multimodal_variant_features(spark, sf_dir):
+    media = multimodal.documents_as_encoded_media_variants(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.extract_media_headers(media)
+
+
+@register(
+    "multimodal_variant_decode_stats",
+    oracle=_MEDIA_PLANTED_VARIANT
+    + """
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN width IS NULL AND sample_rate IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(sum(channels) AS BIGINT) AS sum_channels,
+       CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate
+FROM expected GROUP BY media_type
+""",
+    tags=("northstar", "multimodal", "pandas_udf"),
+    doc="Decode-health rollup over the real-world container variants "
+    "(multimodal_variant_features' pipeline): per format, media "
+    "count, malformed count, byte totals and parsed-field sums — "
+    "the EXIF-first / ancillary-chunk / extensible-fmt analog of "
+    "multimodal_decode_stats, hash-checked against the variant "
+    "overhead arithmetic.",
+)
+def multimodal_variant_decode_stats(spark, sf_dir):
+    media = multimodal.documents_as_encoded_media_variants(
+        load_table(spark, sf_dir, "documents")
+    )
+    feats = multimodal.extract_media_headers(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.sum(
+            (
+                F.col("width").isNull() & F.col("sample_rate").isNull()
+            ).cast("int")
+        ).cast("bigint").alias("n_malformed"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("channels").cast("bigint").alias("sum_channels"),
+        F.sum("sample_rate").cast("bigint").alias("sum_sample_rate"),
+    )

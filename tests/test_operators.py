@@ -1221,3 +1221,86 @@ class TestProductQuantization:
         assert out[0]["exact_dist"] == 0
         adcs = [r["adc_dist"] for r in out]
         assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+
+
+class TestMultimodalVariantCodecs:
+    """Real-world container variants (round 8): EXIF-first JPEG,
+    ancillary-chunk PNG, WAVE_FORMAT_EXTENSIBLE WAV — the existing
+    parsers must navigate all three (their walks are layout-agnostic)
+    with truncation → NULL parity preserved."""
+
+    def test_jpeg_exif_app1_before_sof(self):
+        import struct
+
+        from jly_flink_spark.operators import multimodal as mm
+
+        p = mm.encode_jpeg_exif(640, 480, 3, b"entropy")
+        # APP1 (EXIF) is the FIRST segment after SOI — before JFIF
+        assert p[2:4] == b"\xff\xe1"
+        assert p[6:12] == b"Exif\x00\x00"
+        assert mm.parse_jpeg(p) == (640, 480, 3)
+        assert len(p) == 68 + 3 * 3 + 7
+        # grayscale variant
+        g = mm.encode_jpeg_exif(9, 7, 1, b"")
+        assert mm.parse_jpeg(g) == (9, 7, 1)
+        assert struct.unpack(">H", p[4:6])[0] == 34  # fixed APP1 size
+
+    def test_png_ancillary_chunks_skipped(self):
+        from jly_flink_spark.operators import multimodal as mm
+
+        p = mm.encode_png_ancillary(100, 50, 4, b"body!")
+        assert b"tEXt" in p and b"pHYs" in p
+        assert mm.parse_png(p) == (100, 50, 4)
+        assert len(p) == 101 + 5
+
+    def test_wav_extensible_fmt(self):
+        import struct
+
+        from jly_flink_spark.operators import multimodal as mm
+
+        w = mm.encode_wav_extensible(6, 48000, b"pcmpcm")
+        assert struct.unpack("<H", w[20:22])[0] == 0xFFFE
+        assert struct.unpack("<I", w[16:20])[0] == 40  # fmt size
+        assert mm.parse_wav(w) == (6, 48000)
+        # the RIFF walk still finds the data chunk behind the long fmt
+        assert mm.wav_data_range(w) == (68, 6)
+        assert len(w) == 68 + 6
+
+    def test_variant_truncation_null_parity(self):
+        from jly_flink_spark.operators import multimodal as mm
+
+        full = [
+            mm.encode_jpeg_exif(10, 10, 3, b"x"),
+            mm.encode_png_ancillary(10, 10, 1, b"x"),
+            mm.encode_wav_extensible(2, 8000, b"x"),
+        ]
+        for payload in full:
+            assert mm.decode_media_header(payload[:6]) == (
+                None, None, None, None,
+            )
+            # and the un-truncated variant parses to non-NULL fields
+            parsed = mm.decode_media_header(payload)
+            assert parsed != (None, None, None, None)
+
+    def test_variant_plant_matches_planted_fields(self):
+        from jly_flink_spark.operators import multimodal as mm
+
+        for doc_id in (3, 4, 5, 37, 74, 111, 200):
+            media_type, payload = mm.plant_payload_variant(
+                doc_id, "text body"
+            )
+            w, h, ch, sr = mm.decode_media_header(payload)
+            if doc_id % mm.MALFORMED_MOD == 0:
+                assert (w, h, ch, sr) == (None, None, None, None)
+                continue
+            _, fields = mm._planted_fields(doc_id)
+            if media_type in ("png", "jpeg"):
+                assert (w, h, ch) == (
+                    fields["width"], fields["height"], fields["channels"],
+                )
+                assert sr is None
+            else:
+                assert (ch, sr) == (
+                    fields["channels"], fields["sample_rate"],
+                )
+                assert w is None and h is None
