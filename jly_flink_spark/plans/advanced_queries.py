@@ -3012,3 +3012,263 @@ def events_pattern_quantified(spark, sf_dir):
         .cast("bigint")
         .alias("max_span_s"),
     )
+
+
+# --------------------------------------------------------------------
+# Stream-health analytics (round 8): CUSUM changepoint, Fano-factor
+# burstiness, linear multi-touch attribution
+# --------------------------------------------------------------------
+CUSUM_SLACK_MICRO = 250_000   # k = 0.25 events of allowed drift/day
+CUSUM_ALARM_MICRO = 3_000_000  # h = 3 events of cumulative excess
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+mu AS (
+  SELECT event_type,
+         CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS mu_micro
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         d.n * 1000000 - m.mu_micro - {CUSUM_SLACK_MICRO} AS dev_micro
+  FROM daily d JOIN mu m USING (event_type)
+),
+cum AS (
+  SELECT event_type, day,
+         CAST(sum(dev_micro) OVER w AS BIGINT) AS c
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, day,
+         c - least(CAST(0 AS BIGINT), min(c) OVER w) AS cusum_micro
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(max(cusum_micro) AS BIGINT) AS peak_micro,
+       CAST(min(CASE WHEN cusum_micro >= {CUSUM_ALARM_MICRO}
+                THEN day END) AS BIGINT) AS first_alarm_day,
+       CAST(sum(CASE WHEN cusum_micro >= {CUSUM_ALARM_MICRO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM s GROUP BY event_type
+"""
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("advanced", "events", "window", "temporal"),
+    doc="One-sided CUSUM changepoint detection on daily event "
+    "volume: per type, the cumulative excess over (mean + slack) "
+    "with the reset-at-zero recurrence S_d = max(0, S_{d-1} + "
+    "dev_d) — the classic drift detector a stream-health monitor "
+    "runs per source. The recurrence is NOT expressed as a "
+    "sequential loop: max(0, ·) resets are algebraically S_d = "
+    "cum_d − min(0, min_{j≤d} cum_j), i.e. the running sum minus "
+    "its running minimum — two stock window functions over the "
+    "per-(type, day) tile table, so the 100-TB shape is one "
+    "map-side-combined aggregation plus windows over |types|·|days| "
+    "slim rows. Exact micro-unit integer arithmetic (mean via "
+    "trunc-div) keeps both engines bit-identical. Emits per type: "
+    "peak CUSUM, first alarm day (NULL if never), alarm-day count.",
+)
+def events_changepoint_cusum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    mu = daily.groupBy("event_type").agg(
+        F.expr("sum(n) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("mu_micro")
+    )
+    dev = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        (
+            F.col("n") * 1000000
+            - F.col("mu_micro")
+            - F.lit(CUSUM_SLACK_MICRO)
+        ).alias("dev_micro"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.withColumn(
+        "c", F.sum("dev_micro").over(w).cast("bigint")
+    )
+    s = cum.withColumn(
+        "cusum_micro",
+        F.col("c")
+        - F.least(F.lit(0).cast("bigint"), F.min("c").over(w)),
+    )
+    alarm = F.col("cusum_micro") >= CUSUM_ALARM_MICRO
+    return s.groupBy("event_type").agg(
+        F.max("cusum_micro").cast("bigint").alias("peak_micro"),
+        F.min(F.when(alarm, F.col("day")))
+        .cast("bigint")
+        .alias("first_alarm_day"),
+        F.sum(alarm.cast("int")).cast("bigint").alias("n_alarm_days"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+_FANO_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours, sx AS n_events,
+       CAST((n_hours * sxx - sx * sx) * 1000000 // (n_hours * sx)
+            AS BIGINT) AS fano_micro
+FROM sums
+"""
+
+
+@register(
+    "events_burstiness_fano",
+    oracle=_FANO_ORACLE,
+    tags=("advanced", "events", "agg"),
+    doc="Burstiness audit: the Fano factor (index of dispersion, "
+    "population variance / mean of hourly arrival counts) per event "
+    "type — 1.0 for a Poisson process, >1 bursty, <1 regular; the "
+    "standard arrival-process health check a feed monitor runs per "
+    "source. Exact integer fixed-point: fano_micro = (n·Σx² − "
+    "(Σx)²)·1e6 div (n·Σx), all BIGINT (overflow bound: needs "
+    "n·Σx² < 2^63 — fine to ~3e9 events/type at hourly grain; "
+    "beyond that the q/r split the ratio tier uses applies). Scale "
+    "shape: two map-side-combined aggregations, |types|·|hours| "
+    "then |types| rows; nothing wider than the events scan itself.",
+)
+def events_burstiness_fano(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600))
+        .cast("bigint")
+        .alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    sums = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "(n_hours * sxx - sx * sx) * 1000000 div (n_hours * sx)"
+        )
+        .cast("bigint")
+        .alias("fano_micro"),
+    )
+
+
+ATTR_WINDOW_DAYS = 7
+
+_ATTR_ORACLE = f"""
+WITH buys AS (
+  SELECT user_id, event_id AS buy_id, ts AS buy_ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+touch AS (
+  SELECT b.buy_id, b.cents,
+         CAST(floor(epoch(v.view_ts) / 86400) AS BIGINT) AS view_day,
+         count(*) OVER (PARTITION BY b.buy_id) AS n_touch
+  FROM buys b JOIN views v
+    ON v.user_id = b.user_id
+   AND v.view_ts < b.buy_ts
+   AND v.view_ts >= b.buy_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+)
+SELECT view_day,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(cents * 1000000 // n_touch) AS BIGINT)
+         AS attributed_micro_cents
+FROM touch GROUP BY view_day
+"""
+
+
+@register(
+    "events_attribution_linear",
+    oracle=_ATTR_ORACLE,
+    tags=("advanced", "events", "join", "temporal"),
+    doc="Linear multi-touch attribution: every purchase splits its "
+    "value equally (exact integer micro-cents, trunc-div) across "
+    "the SAME user's view events in the prior 7 days, rolled up to "
+    "attributed value per touch day — the standard marketing-"
+    "attribution model, and the multi-touch generalization of the "
+    "as-of join family (last-touch = join_asof_events). Scale "
+    "shape: the touch join is an equi-join on user_id with a "
+    "banded time predicate — shuffles partition on the user key, "
+    "never a theta-only join; the per-buy touch count is a window "
+    "over each buy's bounded touch set; the rollup map-side "
+    "combines to |days| rows.",
+)
+def events_attribution_linear(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("buy_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    touch = buys.join(
+        views,
+        (F.col("buy_user") == F.col("view_user"))
+        & (F.col("view_ts") < F.col("buy_ts"))
+        & (
+            F.col("view_ts")
+            >= F.expr(f"buy_ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    ).select(
+        "buy_id",
+        "cents",
+        (F.floor(F.unix_timestamp("view_ts") / 86400))
+        .cast("bigint")
+        .alias("view_day"),
+    )
+    counted = touch.withColumn(
+        "n_touch", F.count("*").over(Window.partitionBy("buy_id"))
+    )
+    return counted.groupBy("view_day").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum(F.expr("cents * 1000000 div n_touch"))
+        .cast("bigint")
+        .alias("attributed_micro_cents"),
+    )

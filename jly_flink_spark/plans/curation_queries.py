@@ -3941,3 +3941,169 @@ def ann_ivf_pq_residual(spark, sf_dir):
         k=_ANN_K,
         n_probe=_IVF_INT8_N_PROBE,
     )
+
+
+# --------------------------------------------------------------------
+# Adamic–Adar link prediction (round 8): the degree-weighted upgrade
+# of common-neighbors — a shared RARE neighbor is stronger evidence
+# than a shared hub
+# --------------------------------------------------------------------
+AA_SCALE = 1_000_000_000_000  # 1e12: micro-units over qln's 1e6
+
+
+def _adamic_adar_oracle() -> str:
+    return f"""{_chunk_graph_prefix()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+),
+wedges AS (
+  SELECT a.nbr AS x, b.nbr AS y,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({AA_SCALE} // CAST(round(ln(CAST(g.d AS DOUBLE))
+              * 1000000) AS BIGINT)) AS BIGINT) AS aa_micro
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+  JOIN deg g ON g.node = a.node
+  GROUP BY a.nbr, b.nbr
+),
+nonedges AS (
+  SELECT w.x, w.y, w.n_common, w.aa_micro FROM wedges w
+  LEFT JOIN und e ON e.u = w.x AND e.v = w.y
+  WHERE e.u IS NULL
+)
+SELECT x AS doc_a, y AS doc_b, n_common, aa_micro,
+       CAST(row_number() OVER (ORDER BY aa_micro DESC, x, y) AS BIGINT)
+         AS rnk
+FROM nonedges
+ORDER BY aa_micro DESC, x, y LIMIT {LINKPRED_TOPK}
+"""
+
+
+def _dup_chunk_und(spark, sf_dir):
+    """The duplicate-chunk graph's undirected edge list (u < v),
+    df-capped and staged — the same build as
+    `graph_link_prediction_topk` (kept as its own helper so that
+    query's pinned source stays untouched)."""
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(
+                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
+            ).alias("clen"),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+        .transform(stage)
+    )
+
+
+@register(
+    "graph_adamic_adar_topk",
+    oracle=_adamic_adar_oracle(),
+    tags=("curation", "graph", "topk"),
+    doc="Adamic–Adar link prediction over the duplicate-chunk graph: "
+    "the top-20 NON-adjacent doc pairs by Σ 1/ln(deg(z)) over shared "
+    "neighbors z — the degree-weighted refinement of "
+    "graph_link_prediction_topk (a shared RARE neighbor is stronger "
+    "duplicate evidence than a shared hub; hubs in this graph are "
+    "boilerplate chunks shared by many docs, exactly the neighbors "
+    "that should count least). Exact integer scoring: per wedge "
+    "center, 1e12 div round(ln(deg)·1e6) — the quantized-ln trick "
+    "the information-theory tier uses, deg ≥ 2 on any wedge so the "
+    "divisor is never 0 — summed as BIGINT, so both engines rank "
+    "identically. Scale shape: same bounded wedge join as "
+    "common-neighbors (compact orientation, df-capped chunk "
+    "buckets), one extra broadcast-sized degree join on the wedge "
+    "center, TakeOrdered top-20 — never a global sort.",
+)
+def graph_adamic_adar_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    und = _dup_chunk_und(spark, sf_dir)
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    # per-center AA term, computed once per adjacency row
+    adjd = adj.join(deg, "node").withColumn(
+        "aaterm",
+        F.expr(
+            f"{AA_SCALE} div cast(round(ln(cast(d as double)) * 1000000)"
+            " as bigint)"
+        ),
+    )
+    wa, wb = adjd.alias("wa"), adj.alias("wb")
+    wedges = (
+        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
+        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
+        .groupBy(
+            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("aaterm").cast("bigint").alias("aa_micro"),
+        )
+    )
+    nonedges = wedges.join(
+        und,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    top = nonedges.orderBy(
+        F.col("aa_micro").desc(), "x", "y"
+    ).limit(LINKPRED_TOPK)
+    return top.select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        "n_common",
+        "aa_micro",
+        F.row_number()
+        .over(Window.orderBy(F.col("aa_micro").desc(), "x", "y"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

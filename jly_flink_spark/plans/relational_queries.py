@@ -1892,3 +1892,110 @@ def profile_lineitem_columns(spark, sf_dir):
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
     )
+
+
+# --------------------------------------------------------------------
+# Frequent triples via Apriori candidate pruning (round 8)
+# --------------------------------------------------------------------
+APRIORI_MINSUP = 2
+
+_TRIPLES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+fpairs AS MATERIALIZED (
+  SELECT a.item AS i1, b.item AS i2
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item HAVING count(*) >= {APRIORI_MINSUP}
+),
+cand AS MATERIALIZED (
+  SELECT p.i1, p.i2, q.i2 AS i3
+  FROM fpairs p JOIN fpairs q ON q.i1 = p.i2
+  JOIN fpairs r ON r.i1 = p.i1 AND r.i2 = q.i2
+),
+tri AS (
+  SELECT c.i1, c.i2, c.i3, CAST(count(*) AS BIGINT) AS support
+  FROM cand c
+  JOIN items a ON a.item = c.i1
+  JOIN items b ON b.item = c.i2 AND b.ok = a.ok
+  JOIN items d ON d.item = c.i3 AND d.ok = a.ok
+  GROUP BY c.i1, c.i2, c.i3 HAVING count(*) >= {APRIORI_MINSUP}
+)
+SELECT i1, i2, i3, support FROM tri
+"""
+
+
+@register(
+    "itemsets_apriori_triples",
+    oracle=_TRIPLES_ORACLE,
+    tags=("relational", "join", "agg", "itemsets"),
+    doc="Frequent 3-itemsets with Apriori candidate pruning — the "
+    "level-3 step above orders_basket_pairs: candidates are built "
+    "by self-joining the FREQUENT pairs ((i1,i2)⋈(i2,i3), pruned "
+    "again on (i1,i3) — every subset of a frequent set must be "
+    "frequent), and only then counted against the baskets. The "
+    "pruning is the entire scale story: enumerating raw per-basket "
+    "triples first is O(Σ basket³) and measured >3000x slower in "
+    "the oracle engine than candidate-first on the SAME data "
+    "(>300 s vs 0.1 s at sf0.01); the candidate join touches only "
+    "the |frequent pairs|-sized model table. The support count is "
+    "three equi-joins on the basket key — co-partitioned shuffles, "
+    "no theta join anywhere.",
+)
+def itemsets_apriori_triples(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .transform(stage)
+    )
+    a, b = items.alias("a"), items.alias("b")
+    fpairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i1"), F.col("b.item").alias("i2")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= APRIORI_MINSUP)
+        .select("i1", "i2")
+        .transform(stage)
+    )
+    p, q, r = fpairs.alias("p"), fpairs.alias("q"), fpairs.alias("r")
+    cand = (
+        p.join(q, F.col("q.i1") == F.col("p.i2"))
+        .join(
+            r,
+            (F.col("r.i1") == F.col("p.i1"))
+            & (F.col("r.i2") == F.col("q.i2")),
+        )
+        .select(
+            F.col("p.i1").alias("i1"),
+            F.col("p.i2").alias("i2"),
+            F.col("q.i2").alias("i3"),
+        )
+    )
+    ia, ib, ic = items.alias("ia"), items.alias("ib"), items.alias("ic")
+    tri = (
+        cand.join(ia, F.col("ia.item") == F.col("i1"))
+        .join(
+            ib,
+            (F.col("ib.item") == F.col("i2"))
+            & (F.col("ib.ok") == F.col("ia.ok")),
+        )
+        .join(
+            ic,
+            (F.col("ic.item") == F.col("i3"))
+            & (F.col("ic.ok") == F.col("ia.ok")),
+        )
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= APRIORI_MINSUP)
+    )
+    return tri

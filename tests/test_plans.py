@@ -482,6 +482,24 @@ class TestShuffleBudget:
             # CDC disorder audit: ONE per-instance window shuffle
             # (the rollup is colocated on the same partitioning)
             ("cdc_out_of_order_rate", 1),
+            # Adamic-Adar: linkpred's 4 exchanges + the broadcast-
+            # sized degree combine joined onto the wedge center
+            ("graph_adamic_adar_topk", 5),
+            # CUSUM: daily combine + 1-row-per-type mean + the
+            # per-type window + final rollup (all slim tile frames)
+            ("events_changepoint_cusum", 4),
+            # Fano: hourly combine + per-type sums
+            ("events_burstiness_fano", 2),
+            # attribution: the user-keyed banded join + the day
+            # rollup (per-buy counts ride the join's partitioning)
+            ("events_attribution_linear", 2),
+            # Apriori: basket distinct + pair combine behind the
+            # stage cuts + candidate joins + support count (the
+            # candidate table is model-sized, joins broadcast)
+            ("itemsets_apriori_triples", 4),
+            # variant multimodal: mapInPandas scan only / + rollup
+            ("multimodal_variant_features", 0),
+            ("multimodal_variant_decode_stats", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
