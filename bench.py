@@ -136,6 +136,16 @@ HEADLINE = [
     # min-of-3 times the recurring serving path — the ivf_int8
     # convention)
     "ann_ivf_pq_refine",
+    # Round-8 wave: residual IVF-PQ serving (per-(query,list) LUT over
+    # the pruned layout), degree-weighted link prediction, Apriori
+    # triple mining, the user-keyed banded attribution join, and the
+    # variant-container multimodal decode — pinned so the regression
+    # gate covers each new family from day one.
+    "ann_ivf_pq_residual",
+    "graph_adamic_adar_topk",
+    "itemsets_apriori_triples",
+    "events_attribution_linear",
+    "multimodal_variant_decode_stats",
 ]
 
 
