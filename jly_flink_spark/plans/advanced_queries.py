@@ -3272,3 +3272,57 @@ def events_attribution_linear(spark, sf_dir):
         .cast("bigint")
         .alias("attributed_micro_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Pattern compiler instance (round 8): view+ click? view{2,} purchase
+# --------------------------------------------------------------------
+PATTERN_COMPILED_SPEC = [
+    ("view", 1, None),
+    ("click", 0, 1),
+    ("view", 2, None),
+    ("purchase", 1, None),
+]
+
+
+def _pattern_compiled_oracle() -> str:
+    from ..operators.patterns import pattern_oracle_sql
+
+    return pattern_oracle_sql(PATTERN_COMPILED_SPEC)
+
+
+@register(
+    "events_pattern_compiled",
+    oracle=_pattern_compiled_oracle(),
+    tags=("advanced", "sequence", "window", "pattern"),
+    doc="COMPILED quantified row-pattern matching — the general "
+    "MATCH_RECOGNIZE subset (any concatenation of quantified "
+    "literals) the hand-written events_pattern_quantified is one "
+    "instance of. operators/patterns.py compiles the spec "
+    "`view+ click? view{2,} purchase` into run-algebra branches AND "
+    "generates the DuckDB oracle from the identical branch "
+    "structure, so the two engines agree by construction. This spec "
+    "exercises the compiler's hard case: skipping the optional "
+    "click makes the two view steps ADJACENT, so the absent branch "
+    "normalizes to `view{3,} purchase` (quantifier bounds add — the "
+    "RLE counterpart of regex concatenation collapsing); branch "
+    "type-exclusivity is checked at compile time so anchors can "
+    "never double-count. Scale shape: identical to the hand-"
+    "compiled query — one user_id exchange carries the run-id "
+    "windows, run combine, and run-sequence window; lead() width is "
+    "the compile-time max branch length.",
+)
+def events_pattern_compiled(spark, sf_dir):
+    from ..operators.patterns import (
+        compile_branches,
+        event_runs,
+        match_runs,
+        pattern_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    runs = event_runs(ev)
+    matches = match_runs(runs, compile_branches(PATTERN_COMPILED_SPEC))
+    return pattern_rollup(matches)

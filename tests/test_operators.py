@@ -1304,3 +1304,100 @@ class TestMultimodalVariantCodecs:
                     fields["channels"], fields["sample_rate"],
                 )
                 assert w is None and h is None
+
+
+class TestPatternCompiler:
+    """The quantified-pattern compiler (operators/patterns.py):
+    branch expansion, same-type merge on optional-skip, exclusivity
+    and validation errors, and run-algebra matching on a hand-built
+    stream with known matches."""
+
+    def test_optional_fork_and_merge(self):
+        from jly_flink_spark.operators.patterns import compile_branches
+
+        spec = [
+            ("view", 1, None),
+            ("click", 0, 1),
+            ("view", 2, None),
+            ("purchase", 1, None),
+        ]
+        branches = compile_branches(spec)
+        assert branches == [
+            [("view", 1, None), ("click", 1, 1),
+             ("view", 2, None), ("purchase", 1, None)],
+            # click skipped -> the two view steps MERGE (bounds add)
+            [("view", 3, None), ("purchase", 1, None)],
+        ]
+
+    def test_bounded_merge_adds_his(self):
+        from jly_flink_spark.operators.patterns import normalize
+
+        assert normalize([("a", 1, 2), ("a", 2, 3)]) == [("a", 3, 5)]
+        assert normalize([("a", 1, 2), ("a", 1, None)]) == [
+            ("a", 2, None)
+        ]
+
+    def test_validation_errors(self):
+        import pytest as _pytest
+
+        from jly_flink_spark.operators.patterns import compile_branches
+
+        with _pytest.raises(ValueError, match="hi"):
+            compile_branches([("a", 3, 2)])
+        with _pytest.raises(ValueError, match="empty match"):
+            compile_branches([("a", 0, 1)])
+        # ambiguous: branches not type-exclusive (b? at the end -> the
+        # absent branch is a PREFIX of the present one)
+        with _pytest.raises(ValueError, match="ambiguous"):
+            compile_branches([("a", 1, None), ("b", 0, 1)])
+
+    def test_match_runs_on_known_stream(self, spark):
+        from datetime import datetime, timezone
+
+        from jly_flink_spark.operators.patterns import (
+            compile_branches,
+            event_runs,
+            match_runs,
+        )
+
+        def ts(s):
+            return datetime.fromtimestamp(s, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        # user 1: v v v p        -> merged branch (view{3,} purchase)
+        # user 2: v c v v p      -> full branch (anchor len 1)
+        # user 3: v v p          -> NO match (2 views, no click)
+        # user 4: v c c v v p    -> NO match (click run len 2 > hi 1)
+        rows = []
+        streams = {
+            1: ["view", "view", "view", "purchase"],
+            2: ["view", "click", "view", "view", "purchase"],
+            3: ["view", "view", "purchase"],
+            4: ["view", "click", "click", "view", "view", "purchase"],
+        }
+        eid = 0
+        for uid, types in streams.items():
+            for i, t in enumerate(types):
+                rows.append((uid, ts(1000 * uid + 10 * i), eid, t))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, "
+            "event_type string"
+        )
+        spec = [
+            ("view", 1, None),
+            ("click", 0, 1),
+            ("view", 2, None),
+            ("purchase", 1, None),
+        ]
+        got = {
+            (r["user_id"], r["branch_id"], r["anchor_len"], r["span_s"])
+            for r in match_runs(
+                event_runs(ev), compile_branches(spec)
+            ).collect()
+        }
+        assert got == {
+            (1, 1, 3, 30),   # merged branch, span v0 -> p
+            (2, 0, 1, 40),   # full branch, anchor is the lone view
+        }

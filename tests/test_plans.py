@@ -500,6 +500,10 @@ class TestShuffleBudget:
             # variant multimodal: mapInPandas scan only / + rollup
             ("multimodal_variant_features", 0),
             ("multimodal_variant_decode_stats", 1),
+            # compiled pattern: the ONE user_id exchange carries the
+            # run windows + run combine + sequence window; then the
+            # 1-row rollup (same budget as the hand-compiled twin)
+            ("events_pattern_compiled", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

@@ -100,6 +100,16 @@ QUERIES = [
     "dedup_winnow_pairs",
     "embedding_pq_adc",
     "orders_item_neighbors_topk",
+    # round-8 heavies: residual IVF-PQ (trains residual codebooks +
+    # builds the pruned layout per corpus), the degree-weighted wedge
+    # join (candidate volume grows with duplication density), the
+    # Apriori candidate space (frequent-pair joins), and the
+    # user-keyed banded attribution join (touch volume grows with
+    # per-user activity density)
+    "ann_ivf_pq_residual",
+    "graph_adamic_adar_topk",
+    "itemsets_apriori_triples",
+    "events_attribution_linear",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
