@@ -804,3 +804,150 @@ def verify_candidates_jaccard(
         .filter((F.col("jaccard") >= min_jaccard) & (F.col("_ns") > 0))
         .drop("_ns")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnowing index (round 8): the MOSS fingerprint analog
+# of the LSH band index above — persist the corpus's winnowing
+# fingerprints once, then each ingest micro-batch PROBES the index
+# for near-dup candidates and APPENDS its own fingerprints, so new
+# arrivals dedup against the whole history without re-fingerprinting
+# the corpus.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3          # tokens per k-gram (= plans' WINNOW_K)
+WINNOW_W = 4          # k-grams per window (= plans' WINNOW_W)
+WINNOW_POS = 1048576  # 2^20 position tiebreak factor
+
+
+def winnow_fingerprints_rowwise(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h) winnowing fingerprints as PURE per-row array
+    expressions — no window, no aggregation state — so the same
+    values as the batch window pipeline (`text_winnowing_fingerprints`
+    / `dedup_winnow_pairs`: min over the w-window of position-
+    tiebroken k-gram hashes, rightmost-min rule via the descending
+    position term) compute in a streaming append-mode frame. The
+    per-doc work is O(m·w) array ops inside whole-stage codegen;
+    parity with the window form is pinned in
+    tests/test_incremental_dedup.py."""
+    k, w, pos = WINNOW_K, WINNOW_W, WINNOW_POS
+    ts = tokens(F.col(text_col))
+    staged = docs.select("doc_id", ts.alias("_ts")).filter(
+        F.size("_ts") >= k + w - 1
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("_ts"), i, k), " ")),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        * pos
+        + (F.lit(pos - 1) - i),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(w), F.size("_ts") - (k - 1)),
+        lambda j: F.array_min(F.slice(F.col("_codes"), j - w + 1, w)),
+    )
+    return (
+        staged.withColumn("_codes", codes)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(fps)).alias("_fp"),
+        )
+        .select(
+            "doc_id", F.expr(f"_fp div {pos}").alias("h")
+        )
+        .distinct()
+    )
+
+
+def persist_winnow_index(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist the corpus's fingerprint table (h, doc_id, n_fp) —
+    n_fp (the doc's selected-set size) is denormalized onto every
+    row so probe-time containment needs no second index read. Sorted
+    by h at write time for per-file min/max pruning of the probe
+    join's scan."""
+    fp = winnow_fingerprints_rowwise(docs, text_col)
+    sizes = fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    fp.join(sizes, "doc_id").sortWithinPartitions("h").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_to_winnow_index(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Index maintenance: append an admitted micro-batch's
+    fingerprints so FUTURE arrivals dedup against them (the
+    write-back half; runs inside foreachBatch beside the probe, like
+    `append_to_lsh_index`). Compact the accumulated small files on a
+    cadence with `sources.layout.compact_sorted` + `swap_layout` —
+    the LSH index's maintenance contract applies verbatim."""
+    fp = winnow_fingerprints_rowwise(new_docs, text_col)
+    sizes = fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    fp.join(sizes, "doc_id").sortWithinPartitions("h").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def probe_winnow_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidates of a new batch against the INDEXED corpus:
+    (new_doc_id, index_doc_id, n_shared, containment_ppm) — the
+    incremental form of `dedup_winnow_pairs`' candidate generator.
+    The df cap is enforced on the INDEX side (fingerprints indexed in
+    more than ``max_df`` docs are boilerplate and convey no pair
+    information); the batch side is a micro-batch, bounded by
+    construction. Containment is against the smaller selected set,
+    exact ppm."""
+    fp = winnow_fingerprints_rowwise(new_docs, text_col)
+    nsz = fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    probe = fp.join(nsz, "doc_id").select(
+        F.col("doc_id").alias("new_doc_id"), "h", "n_new"
+    )
+    idx = spark.read.parquet(path)
+    ok = (
+        idx.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    capped = idx.join(ok, "h").select(
+        "h", F.col("doc_id").alias("index_doc_id"), "n_fp"
+    )
+    return (
+        probe.join(capped, "h")
+        .filter(F.col("new_doc_id") != F.col("index_doc_id"))
+        .groupBy("new_doc_id", "index_doc_id", "n_new", "n_fp")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            "n_shared",
+            F.expr("n_shared * 1000000 div least(n_new, n_fp)").alias(
+                "containment_ppm"
+            ),
+        )
+    )

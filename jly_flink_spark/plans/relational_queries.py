@@ -1897,7 +1897,18 @@ def profile_lineitem_columns(spark, sf_dir):
 # --------------------------------------------------------------------
 # Frequent triples via Apriori candidate pruning (round 8)
 # --------------------------------------------------------------------
-APRIORI_MINSUP = 2
+# Relative support: a frequent itemset must appear in >= 1/REL_DEN of
+# baskets (floor 2). A FIXED absolute threshold is the classic Apriori
+# scale bug — at x10 baskets every co-occurring pair clears it, the
+# "frequent" pair table stops being a model-sized prune set, and the
+# candidate join explodes (measured 25x wall at the x10 decade probe
+# before this was made relative).
+APRIORI_REL_DEN = 10_000
+
+_MINSUP_SQL = (
+    "greatest(2, (SELECT (count(DISTINCT l_orderkey) + "
+    f"{APRIORI_REL_DEN - 1}) // {APRIORI_REL_DEN} FROM lineitem))"
+)
 
 _TRIPLES_ORACLE = f"""
 WITH items AS (
@@ -1906,7 +1917,7 @@ WITH items AS (
 fpairs AS MATERIALIZED (
   SELECT a.item AS i1, b.item AS i2
   FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
-  GROUP BY a.item, b.item HAVING count(*) >= {APRIORI_MINSUP}
+  GROUP BY a.item, b.item HAVING count(*) >= {_MINSUP_SQL}
 ),
 cand AS MATERIALIZED (
   SELECT p.i1, p.i2, q.i2 AS i3
@@ -1919,7 +1930,7 @@ tri AS (
   JOIN items a ON a.item = c.i1
   JOIN items b ON b.item = c.i2 AND b.ok = a.ok
   JOIN items d ON d.item = c.i3 AND d.ok = a.ok
-  GROUP BY c.i1, c.i2, c.i3 HAVING count(*) >= {APRIORI_MINSUP}
+  GROUP BY c.i1, c.i2, c.i3 HAVING count(*) >= {_MINSUP_SQL}
 )
 SELECT i1, i2, i3, support FROM tri
 """
@@ -1940,7 +1951,11 @@ SELECT i1, i2, i3, support FROM tri
     "(>300 s vs 0.1 s at sf0.01); the candidate join touches only "
     "the |frequent pairs|-sized model table. The support count is "
     "three equi-joins on the basket key — co-partitioned shuffles, "
-    "no theta join anywhere.",
+    "no theta join anywhere. The threshold is RELATIVE (>= 1/10000 "
+    "of baskets, floor 2): a fixed absolute minsup is the classic "
+    "Apriori scale bug — at x10 baskets every co-occurring pair "
+    "cleared it and the candidate join blew up 25x (decade probe) "
+    "until support scaled with the corpus.",
 )
 def itemsets_apriori_triples(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -1951,6 +1966,12 @@ def itemsets_apriori_triples(spark, sf_dir):
         )
         .distinct()
         .transform(stage)
+    )
+    # relative support threshold — model state (one count of the
+    # staged basket table), mirroring the oracle's scalar subquery
+    n_baskets = items.select("ok").distinct().count()
+    minsup = max(
+        2, (n_baskets + APRIORI_REL_DEN - 1) // APRIORI_REL_DEN
     )
     a, b = items.alias("a"), items.alias("b")
     fpairs = (
@@ -1963,7 +1984,7 @@ def itemsets_apriori_triples(spark, sf_dir):
             F.col("a.item").alias("i1"), F.col("b.item").alias("i2")
         )
         .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= APRIORI_MINSUP)
+        .filter(F.col("sup") >= minsup)
         .select("i1", "i2")
         .transform(stage)
     )
@@ -1996,6 +2017,6 @@ def itemsets_apriori_triples(spark, sf_dir):
         )
         .groupBy("i1", "i2", "i3")
         .agg(F.count("*").cast("bigint").alias("support"))
-        .filter(F.col("support") >= APRIORI_MINSUP)
+        .filter(F.col("support") >= minsup)
     )
     return tri

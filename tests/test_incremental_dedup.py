@@ -278,3 +278,181 @@ def test_verify_candidates_zero_threshold_requires_overlap(spark):
         ).collect()
     }
     assert got == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental WINNOWING index (round 8): the MOSS-fingerprint twin of
+# the LSH index above
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_rowwise_equals_windowed(spark):
+    """The stateless per-row winnowing expression must select exactly
+    the fingerprint set of the batch window pipeline (rightmost-min
+    tie rule included) — same parity contract as
+    test_rowwise_signature_equals_aggregated."""
+    from pyspark.sql import Window
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import text as T
+    from jly_flink_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_POS,
+        WINNOW_W,
+        winnow_fingerprints_rowwise,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    k, w = WINNOW_K, WINNOW_W
+    t = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    kgram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", j).over(wd) for j in range(1, k)],
+    )
+    kg = t.select(
+        "doc_id",
+        "i",
+        F.lead("tok", k - 1).over(wd).isNotNull().alias("full"),
+        kgram.alias("kgram"),
+    ).filter(F.col("full"))
+    enc = kg.select(
+        "doc_id",
+        "i",
+        (
+            F.conv(F.substring(F.md5("kgram"), 1, 10), 16, 10).cast(
+                "bigint"
+            )
+            * WINNOW_POS
+            + (F.lit(WINNOW_POS - 1) - F.col("i"))
+        ).alias("c"),
+    )
+    windowed = {
+        (r["doc_id"], r["h"])
+        for r in enc.select(
+            "doc_id",
+            "i",
+            F.min("c")
+            .over(wd.rowsBetween(-(w - 1), Window.currentRow))
+            .alias("fp"),
+        )
+        .filter(F.col("i") >= w)
+        .select("doc_id", F.expr(f"fp div {WINNOW_POS}").alias("h"))
+        .distinct()
+        .collect()
+    }
+    rowwise = {
+        (r["doc_id"], r["h"])
+        for r in winnow_fingerprints_rowwise(docs).collect()
+    }
+    assert rowwise == windowed and rowwise
+
+
+@pytest.fixture(scope="module")
+def winnow_index(spark, tmp_path_factory):
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators.dedup import persist_winnow_index
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path_factory.mktemp("widx") / "winnow_index")
+    persist_winnow_index(docs, path)
+    return docs, path
+
+
+def test_winnow_probe_finds_exact_copies(spark, winnow_index):
+    from jly_flink_spark.operators.dedup import probe_winnow_index
+
+    docs, path = winnow_index
+    copy_ids = [3, 17, 40]
+    new = _new_docs(spark, docs, copy_ids)
+    got = {
+        (r["new_doc_id"], r["index_doc_id"]): r["containment_ppm"]
+        for r in probe_winnow_index(spark, new, path).collect()
+    }
+    for cid in copy_ids:
+        # the copy shares its source's ENTIRE selected set
+        assert got.get((cid + 100_000, cid)) == 1_000_000, got
+
+def test_winnow_append_makes_prior_arrivals_visible(
+    spark, winnow_index
+):
+    from jly_flink_spark.operators.dedup import (
+        append_to_winnow_index,
+        probe_winnow_index,
+    )
+
+    docs, path = winnow_index
+    first = _new_docs(spark, docs, [7], offset=200_000)
+    # not yet appended: a copy of doc 7 under ANOTHER id sees only
+    # the original corpus doc
+    second = _new_docs(spark, docs, [7], offset=300_000)
+    before = {
+        r["index_doc_id"]
+        for r in probe_winnow_index(spark, second, path).collect()
+    }
+    assert 7 in before and 200_007 not in before
+    append_to_winnow_index(first, path)
+    after = {
+        r["index_doc_id"]
+        for r in probe_winnow_index(spark, second, path).collect()
+    }
+    assert {7, 200_007} <= after
+
+
+def test_winnow_stream_probe_matches_batch(spark, winnow_index, tmp_path):
+    """foreachBatch probe-then-append over two epochs: every epoch's
+    candidates equal the batch probe against the index state at that
+    point, and epoch-2 docs match epoch-1 docs through the append."""
+    from jly_flink_spark.operators.dedup import (
+        append_to_winnow_index,
+        probe_winnow_index,
+    )
+
+    docs, path = winnow_index
+    e1 = _new_docs(spark, docs, [11], offset=400_000)
+    e2 = _new_docs(spark, docs, [11], offset=500_000)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, df in enumerate([e1, e2]):
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(str(tmp_path / f"stage_{i}" / "part-*.parquet"))[0]
+        _shutil.copy(part, str(src / f"b{i}.parquet"))
+
+    results = []
+
+    def handle(batch_df, epoch_id):
+        batch_df.persist()
+        rows = probe_winnow_index(spark, batch_df, path).collect()
+        results.extend(
+            (r["new_doc_id"], r["index_doc_id"]) for r in rows
+        )
+        append_to_winnow_index(batch_df, path)
+        batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(e1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = set(results)
+    # both epochs match the corpus original...
+    assert (400_011, 11) in got and (500_011, 11) in got
+    # ...and epoch 2 matches epoch 1's doc THROUGH the append
+    assert (500_011, 400_011) in got
+    # epoch 1 cannot see epoch 2 (arrived later)
+    assert (400_011, 500_011) not in got
