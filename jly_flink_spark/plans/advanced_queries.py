@@ -3326,3 +3326,216 @@ def events_pattern_compiled(spark, sf_dir):
     runs = event_runs(ev)
     matches = match_runs(runs, compile_branches(PATTERN_COMPILED_SPEC))
     return pattern_rollup(matches)
+
+
+# --------------------------------------------------------------------
+# Round-8 second wave: linear-interpolation resampling + Benford audit
+# --------------------------------------------------------------------
+_LERP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+         0 AS is_grid, event_id
+  FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+  SELECT user_id,
+         unnest(range({_FF_T0}, {_FF_T0 + _FF_SLOTS * _FF_STEP}, {_FF_STEP}))
+           AS ts_s
+  FROM users
+),
+unioned AS (
+  SELECT user_id, ts_s, v_micro, is_grid, event_id FROM ev
+  UNION ALL
+  SELECT user_id, ts_s, NULL, 1, {_FF_GRID_ID} FROM spine
+),
+swept AS (
+  SELECT user_id, ts_s, is_grid,
+         last_value(v_micro IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v_micro IS NOT NULL THEN ts_s END
+                    IGNORE NULLS) OVER wb AS pt,
+         first_value(v_micro IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v_micro IS NOT NULL THEN ts_s END
+                     IGNORE NULLS) OVER wf AS nt
+  FROM unioned
+  WINDOW wb AS (PARTITION BY user_id
+                ORDER BY ts_s, is_grid, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id
+                ORDER BY ts_s, is_grid, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts_s AS slot_s,
+       CAST(CASE
+         WHEN pv IS NULL OR nv IS NULL THEN NULL
+         WHEN nt = pt THEN pv
+         ELSE pv + (nv - pv) * (ts_s - pt) // (nt - pt)
+       END AS BIGINT) AS lerp_micro
+FROM swept WHERE is_grid = 1
+"""
+
+
+@register(
+    "events_resample_lerp",
+    oracle=_LERP_ORACLE,
+    tags=("advanced", "temporal", "window"),
+    doc="Hourly-grid resampling with LINEAR interpolation — the "
+    "companion of events_resample_ffill for continuous signals: "
+    "each grid slot takes prev + (next−prev)·(t−t0) div (t1−t0) "
+    "between its bracketing observations, exact integer micro "
+    "units (trunc-div matches across engines for the negative "
+    "deltas too), NULL outside the observed span. Same union-spine "
+    "shape as ffill — observations and grid rows share ONE "
+    "user-partitioned sort; the backward and forward IGNORE NULLS "
+    "sweeps ride the same exchange (no self-join, no as-of probe "
+    "per slot), so the cost is one window pass regardless of grid "
+    "density.",
+)
+def events_resample_lerp(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        F.floor(F.col("value") * 1000000)
+        .cast("bigint")
+        .alias("v_micro"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_FF_T0),
+                    F.lit(_FF_T0 + (_FF_SLOTS - 1) * _FF_STEP),
+                    F.lit(_FF_STEP),
+                )
+            ).alias("ts_s"),
+            F.lit(None).cast("bigint").alias("v_micro"),
+            F.lit(1).alias("is_grid"),
+            F.lit(_FF_GRID_ID).alias("event_id"),
+        )
+    )
+    unioned = ev.unionByName(spine)
+    order = [F.col("ts_s"), F.col("is_grid"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(
+        F.col("v_micro").isNotNull(), F.col("ts_s")
+    )
+    swept = unioned.select(
+        "user_id",
+        "ts_s",
+        "is_grid",
+        F.last("v_micro", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v_micro", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(wf).alias("nt"),
+    )
+    lerp = (
+        F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + F.expr("(nv - pv) * (ts_s - pt) div (nt - pt)")
+        )
+    )
+    return swept.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("ts_s").alias("slot_s"),
+        lerp.cast("bigint").alias("lerp_micro"),
+    )
+
+
+# Benford first-digit expectation, micro units of log10(1 + 1/d)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_CASES = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0
+),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM cents
+),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts)
+SELECT d AS digit, cnt,
+       CAST(cnt * 1000000 // n AS BIGINT) AS obs_ppm,
+       CAST(CASE d {_BENFORD_CASES} END AS BIGINT) AS benford_ppm,
+       CAST(cnt * 1000000 // n
+            - CASE d {_BENFORD_CASES} END AS BIGINT) AS dev_ppm
+FROM counts, tot
+"""
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=_BENFORD_ORACLE,
+    tags=("relational", "agg", "quality"),
+    doc="Benford's-law first-digit audit over extended prices — the "
+    "standard forensic data-quality screen (natural multiplicative "
+    "quantities follow P(d) = log10(1+1/d); synthetic or tampered "
+    "columns don't, and TPC-H's uniform price generator is exactly "
+    "such a deviation — the audit EXPOSES it, which is the point): "
+    "per leading digit of the exact integer cents, observed count, "
+    "observed ppm, the Benford expectation (compile-time constants "
+    "shared verbatim by both engines) and the signed deviation. "
+    "First digit comes from the decimal string of the exact cents, "
+    "never floating log10 (whose power-of-ten edges differ in the "
+    "last ulp across engines). Scale shape: one scan, 9-row "
+    "combine.",
+)
+def lineitem_benford_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") > 0).select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    bppm = F.expr(f"CASE d {_BENFORD_CASES} END").cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "cnt",
+            F.expr("cnt * 1000000 div n").cast("bigint").alias(
+                "obs_ppm"
+            ),
+            bppm.alias("benford_ppm"),
+            (F.expr("cnt * 1000000 div n") - bppm)
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+    )

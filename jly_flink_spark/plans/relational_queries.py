@@ -2020,3 +2020,118 @@ def itemsets_apriori_triples(spark, sf_dir):
         .filter(F.col("support") >= minsup)
     )
     return tri
+
+
+# --------------------------------------------------------------------
+# Association rules from frequent pairs (round 8): confidence + lift
+# --------------------------------------------------------------------
+_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+isup AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY item
+),
+minsup AS (SELECT {_MINSUP_SQL} AS m),
+psup AS (
+  SELECT a.item AS i1, b.item AS i2,
+         CAST(count(*) AS BIGINT) AS s12
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= (SELECT m FROM minsup)
+),
+rules AS (
+  -- each frequent pair yields both directed rules
+  SELECT i1 AS antecedent, i2 AS consequent, s12 FROM psup
+  UNION ALL
+  SELECT i2, i1, s12 FROM psup
+)
+SELECT r.antecedent, r.consequent, r.s12 AS pair_support,
+       CAST(r.s12 * 1000000 // sa.s AS BIGINT) AS confidence_ppm,
+       CAST(r.s12 * n * 1000000 // (sa.s * sc.s) AS BIGINT)
+         AS lift_micro
+FROM rules r
+JOIN isup sa ON sa.item = r.antecedent
+JOIN isup sc ON sc.item = r.consequent
+CROSS JOIN nb
+"""
+
+
+@register(
+    "orders_association_rules",
+    oracle=_RULES_ORACLE,
+    tags=("relational", "join", "agg", "itemsets"),
+    doc="Association rules from the frequent pairs: for every "
+    "(relative-support-thresholded) co-occurring item pair, both "
+    "directed rules a→b with exact-integer confidence "
+    "(s12/s_a, ppm) and lift (s12·N/(s_a·s_b), micro) — the "
+    "recommendation signals the basket family feeds. Lift's "
+    "three-factor product stays int64-safe while s12·N < 9e12 "
+    "(documented bound; q/r split beyond). Scale shape: the SAME "
+    "basket-key pair combine as itemsets_apriori_triples, then "
+    "broadcast-sized joins against the |items| support table and "
+    "the 1-row basket count.",
+)
+def orders_association_rules(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .transform(stage)
+    )
+    n_baskets = items.select("ok").distinct().count()
+    minsup = max(
+        2, (n_baskets + APRIORI_REL_DEN - 1) // APRIORI_REL_DEN
+    )
+    isup = items.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    psup = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i1"), F.col("b.item").alias("i2")
+        )
+        .agg(F.count("*").cast("bigint").alias("s12"))
+        .filter(F.col("s12") >= minsup)
+    )
+    rules = psup.select(
+        F.col("i1").alias("antecedent"),
+        F.col("i2").alias("consequent"),
+        "s12",
+    ).unionAll(
+        psup.select(
+            F.col("i2").alias("antecedent"),
+            F.col("i1").alias("consequent"),
+            "s12",
+        )
+    )
+    sa = isup.select(
+        F.col("item").alias("antecedent"), F.col("s").alias("s_a")
+    )
+    sc = isup.select(
+        F.col("item").alias("consequent"), F.col("s").alias("s_c")
+    )
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s12").alias("pair_support"),
+            F.expr("s12 * 1000000 div s_a")
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.expr(f"s12 * {n_baskets} * 1000000 div (s_a * s_c)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )

@@ -504,6 +504,16 @@ class TestShuffleBudget:
             # run windows + run combine + sequence window; then the
             # 1-row rollup (same budget as the hand-compiled twin)
             ("events_pattern_compiled", 2),
+            # lerp: the union-spine user window + the user spine
+            # build (same budget family as resample_ffill)
+            ("events_resample_lerp", 2),
+            # benford: digit combine + 1-row total + its broadcast
+            ("lineitem_benford_audit", 3),
+            # yule: (source, term) combine + per-source reduction
+            ("text_yule_k", 2),
+            # rules: basket distinct + pair combine behind the stage
+            # cut + the two broadcast support joins
+            ("orders_association_rules", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
