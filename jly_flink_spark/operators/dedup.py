@@ -926,7 +926,7 @@ def probe_winnow_index(
     probe = fp.join(nsz, "doc_id").select(
         F.col("doc_id").alias("new_doc_id"), "h", "n_new"
     )
-    idx = spark.read.parquet(path)
+    idx = read_winnow_index(spark, path)
     ok = (
         idx.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -951,3 +951,61 @@ def probe_winnow_index(
             ),
         )
     )
+
+
+def delete_from_winnow_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion from the winnowing index — same tombstone
+    files and LSM delete→compact contract as `delete_from_lsh_index`
+    (removed docs stop surfacing as probe candidates immediately;
+    compaction applies the tombstones physically). Serialize with
+    appends/compaction on the one maintenance timeline."""
+    from pyspark.sql import DataFrame as _DF
+
+    from .similarity import _tombstone_dir
+
+    df = (
+        doc_ids
+        if isinstance(doc_ids, _DF)
+        else spark.createDataFrame(
+            [(int(v),) for v in doc_ids], "doc_id long"
+        )
+    )
+    df.select("doc_id").write.mode("append").parquet(
+        _tombstone_dir(path)
+    )
+
+
+def read_winnow_index(spark, path: str) -> DataFrame:
+    """Compaction-safe, tombstone-aware index read (the winnowing
+    twin of `read_lsh_index`)."""
+    from .similarity import _without_tombstones
+
+    return _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    )
+
+
+def compact_winnow_index(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> int:
+    """Maintenance pass for the incremental winnowing index —
+    verbatim the `compact_lsh_index` contract (rewrite h-sorted,
+    atomic write-then-swap, tombstones applied and drained; serialize
+    with appends; consumers re-resolve per epoch)."""
+    import shutil
+
+    from ..sources.layout import compact_sorted, swap_layout
+    from .similarity import _tombstone_dir, _without_tombstones
+
+    tmp = path.rstrip("/") + ".compacting"
+    n_files = compact_sorted(
+        _without_tombstones(
+            spark, path, spark.read.parquet(path), "doc_id"
+        ),
+        tmp,
+        ["h"],
+        target_rows_per_file,
+    )
+    swap_layout(path, tmp)
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    return n_files

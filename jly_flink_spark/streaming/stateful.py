@@ -967,3 +967,141 @@ def pattern_quantified_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift alarm (the incremental form of the batch
+# events_changepoint_cusum query)
+# ---------------------------------------------------------------------------
+
+_CUSUM_STATE = "days array<long>, counts array<long>"
+
+
+def cusum_fold(
+    day_counts: dict, mu_micro: int, slack_micro: int, alarm_micro: int
+) -> tuple:
+    """(peak_micro, first_alarm_day, n_alarm_days, n_days) of the
+    one-sided CUSUM S_d = max(0, S_{d-1} + (n_d·1e6 − μ − slack))
+    over the day→count map in day order — ONE definition shared by
+    the stream operator, its tests, and (algebraically: the
+    running-sum-minus-running-min identity) the batch query."""
+    s = 0
+    peak = 0
+    first_alarm = None
+    n_alarms = 0
+    for day in sorted(day_counts):
+        dev = day_counts[day] * 1_000_000 - mu_micro - slack_micro
+        s = max(0, s + dev)
+        peak = max(peak, s)
+        if s >= alarm_micro:
+            n_alarms += 1
+            if first_alarm is None:
+                first_alarm = day
+    return peak, first_alarm, n_alarms, len(day_counts)
+
+
+def cusum_step(
+    state,
+    rows,
+    mu_micro: int,
+    slack_micro: int = 250_000,
+    alarm_micro: int = 3_000_000,
+):
+    """Pure per-batch transition for one key: `state` is the
+    (days, counts) pair (or None), `rows` an iterable of (day, count)
+    TILES with last-write-wins per day. Returns (new_state, emit)
+    where emit is the `cusum_fold` tuple when any day's count
+    changed, else None. A pure function of the final day→count map,
+    so ANY delivery schedule — split, late, duplicated, re-ordered —
+    converges to the batch answer once the tiles converge."""
+    seen = (
+        {int(d): int(c) for d, c in zip(state[0], state[1])}
+        if state is not None
+        else {}
+    )
+    changed = False
+    for d, c in rows:
+        d, c = int(d), int(c)
+        if seen.get(d) != c:
+            seen[d] = c
+            changed = True
+    if not changed:
+        return state, None
+    days = sorted(seen)
+    new_state = (days, [seen[d] for d in days])
+    return new_state, cusum_fold(
+        seen, mu_micro, slack_micro, alarm_micro
+    )
+
+
+def cusum_stream(
+    sdf: DataFrame,
+    mu_micro_by_key: dict,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    count_col: str = "n",
+    slack_micro: int = 250_000,
+    alarm_micro: int = 3_000_000,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift alarm over per-(key, day)
+    count TILES — the monitor half of the train/serve split: the
+    in-control reference mean per key (``mu_micro_by_key``, model
+    state — the batch query derives it from history) is frozen, the
+    stream delivers evolving daily-count tiles (e.g. the IVM rollup's
+    output, last-write-wins per day), and every change re-emits
+
+        (key, peak_micro, first_alarm_day, n_alarm_days, n_days)
+
+    computed by the exact integer fold of the batch
+    `events_changepoint_cusum` query. State per key is the day→count
+    map — bounded by the CALENDAR (one entry per day the key was
+    ever active), not by stream volume, and the emit is a pure
+    function of it, so replays/late/out-of-order tiles converge to
+    the batch answer (pinned under schedule fuzz in
+    tests/test_stateful_streaming.py). Keys missing from the
+    reference dict are ignored (an unmonitored source)."""
+    out_schema = (
+        f"{key_col} string, peak_micro long, first_alarm_day long, "
+        "n_alarm_days long, n_days long"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mu = mu_micro_by_key.get(key[0])
+        if mu is None:
+            return
+        rows = [
+            (d, c)
+            for pdf in pdfs
+            for d, c in zip(pdf[day_col], pdf[count_col])
+        ]
+        new_state, emit = cusum_step(
+            state.get if state.exists else None,
+            rows,
+            int(mu),
+            slack_micro,
+            alarm_micro,
+        )
+        if emit is not None:
+            state.update(new_state)
+            peak, first_alarm, n_alarms, n_days = emit
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "peak_micro": [peak],
+                    "first_alarm_day": pd.array(
+                        [first_alarm], dtype="Int64"
+                    ),
+                    "n_alarm_days": [n_alarms],
+                    "n_days": [n_days],
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -456,3 +456,42 @@ def test_winnow_stream_probe_matches_batch(spark, winnow_index, tmp_path):
     assert (500_011, 400_011) in got
     # epoch 1 cannot see epoch 2 (arrived later)
     assert (400_011, 500_011) not in got
+
+
+def test_winnow_delete_and_compaction(spark, tmp_path):
+    """The LSM maintenance contract on the winnowing index: deleted
+    docs stop surfacing immediately (tombstone anti-join), compaction
+    applies them physically, drains the tombstones, and leaves probe
+    results invariant."""
+    import os
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators.dedup import (
+        compact_winnow_index,
+        delete_from_winnow_index,
+        persist_winnow_index,
+        probe_winnow_index,
+    )
+    from jly_flink_spark.operators.similarity import _tombstone_dir
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "widx")
+    persist_winnow_index(docs, path)
+    new = _new_docs(spark, docs, [5, 9])
+
+    def hits():
+        return {
+            (r["new_doc_id"], r["index_doc_id"])
+            for r in probe_winnow_index(spark, new, path).collect()
+        }
+
+    before = hits()
+    assert (100_005, 5) in before and (100_009, 9) in before
+    delete_from_winnow_index(spark, path, [5])
+    after_del = hits()
+    assert (100_005, 5) not in after_del
+    assert (100_009, 9) in after_del
+    n_files = compact_winnow_index(spark, path)
+    assert n_files >= 1
+    assert not os.path.exists(_tombstone_dir(path))
+    assert hits() == after_del

@@ -1393,3 +1393,147 @@ class TestPatternQuantifiedStream:
             assert got == want
 
         run()
+
+
+class TestCusumStream:
+    """Streaming CUSUM drift alarm == the batch
+    events_changepoint_cusum query on the same data: the frozen
+    reference mean comes from the batch derivation (the train/serve
+    split), day-count tiles arrive split/late/replayed, and the final
+    per-type emits must equal the batch query's rows exactly."""
+
+    @staticmethod
+    def _daily_tiles(sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY event_type, day
+            """
+        ).fetchall()
+        mus = con.execute(
+            f"""
+            SELECT event_type,
+                   CAST(sum(n) * 1000000 // count(*) AS BIGINT)
+            FROM (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     count(*) AS n
+              FROM read_parquet('{sf_dir}/events.parquet')
+              GROUP BY event_type, day
+            ) GROUP BY event_type
+            """
+        ).fetchall()
+        con.close()
+        tiles = [
+            {"event_type": r[0], "day": r[1], "n": r[2]} for r in rows
+        ]
+        return tiles, {r[0]: int(r[1]) for r in mus}
+
+    def test_stream_matches_batch_query(self, spark, tmp_path):
+        from jly_flink_spark.plans import REGISTRY
+        from jly_flink_spark.streaming.stateful import cusum_stream
+
+        sf_dir = "/root/testdata/sf0.001"
+        tiles, mus = self._daily_tiles(sf_dir)
+        # adversarial delivery: interleave types/days, deliver a
+        # PARTIAL tile first (count 1) that the true tile later
+        # overwrites (last-write-wins), and replay a whole batch
+        tiles.sort(key=lambda r: (r["day"] * 2654435761) % 97)
+        partials = [
+            {**tiles[0], "n": 1},
+            {**tiles[7], "n": 1},
+        ]
+        third = len(tiles) // 3
+        batches = [
+            partials,
+            tiles[:third],
+            tiles[third : 2 * third],
+            tiles[third : 2 * third],  # replayed wholesale
+            tiles[2 * third :],
+        ]
+        src = str(tmp_path / "cusum_src")
+        _write_json_files(src, batches)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, day long, n long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = []
+        q = (
+            cusum_stream(stream, mus)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = {}
+        for r in out:
+            last[r.event_type] = (
+                r.peak_micro,
+                r.first_alarm_day,
+                r.n_alarm_days,
+                r.n_days,
+            )
+        batch = {
+            r.event_type: (
+                r.peak_micro,
+                r.first_alarm_day,
+                r.n_alarm_days,
+                r.n_days,
+            )
+            for r in REGISTRY["events_changepoint_cusum"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert last == batch and last
+
+    def test_step_is_schedule_invariant(self):
+        """Any partition/order/duplication of the same final tiles
+        converges to the same fold — the pure-step property."""
+        import random
+
+        from jly_flink_spark.streaming.stateful import (
+            cusum_fold,
+            cusum_step,
+        )
+
+        rng = random.Random(8)
+        tiles = {d: rng.randrange(0, 6) for d in range(100, 130)}
+        want = cusum_fold(tiles, 2_000_000, 250_000, 3_000_000)
+        for trial in range(25):
+            items = list(tiles.items())
+            # stale partial writes first, then the true values in a
+            # shuffled, duplicated, arbitrarily-chunked schedule
+            sched = [(d, max(0, c - 1)) for d, c in items[:5]] + items
+            rng.shuffle(sched)
+            sched += sched[: rng.randrange(0, 8)]
+            # true values must land last per day for LWW convergence:
+            # re-append the final tiles in one closing batch
+            state = None
+            emit = None
+            i = 0
+            while i < len(sched):
+                j = i + rng.randrange(1, 7)
+                state, e = cusum_step(
+                    state, sched[i:j], 2_000_000
+                )
+                if e is not None:
+                    emit = e
+                i = j
+            state, e = cusum_step(state, items, 2_000_000)
+            if e is not None:
+                emit = e
+            assert emit == want, trial
