@@ -3539,3 +3539,110 @@ def lineitem_benford_audit(spark, sf_dir):
             .alias("dev_ppm"),
         )
     )
+
+
+_COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(o_orderdate) AS f
+  FROM orders GROUP BY o_custkey
+),
+facts AS (
+  SELECT strftime(f.f, '%Y-%m') AS cohort_month,
+         CAST((date_part('year', o.o_orderdate)
+               - date_part('year', f.f)) * 12
+              + (date_part('month', o.o_orderdate)
+                 - date_part('month', f.f)) AS BIGINT)
+           AS months_since,
+         o.o_custkey,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+cells AS (
+  SELECT cohort_month, months_since,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM facts GROUP BY cohort_month, months_since
+),
+sized AS (
+  SELECT cohort_month,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+  FROM facts GROUP BY cohort_month
+)
+SELECT c.cohort_month, c.months_since, s.cohort_size, c.n_active,
+       c.revenue_cents,
+       CAST(sum(c.revenue_cents) OVER (
+              PARTITION BY c.cohort_month ORDER BY c.months_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_cents,
+       CAST(sum(c.revenue_cents) OVER (
+              PARTITION BY c.cohort_month ORDER BY c.months_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 100 // s.cohort_size AS BIGINT) AS ltv_cents_per_cust
+FROM cells c JOIN sized s USING (cohort_month)
+"""
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=_COHORT_LTV_ORACLE,
+    tags=("advanced", "temporal", "growth", "window"),
+    doc="Cohort lifetime-value matrix: customers cohorted by "
+    "first-order month, revenue per (cohort, months-since-first) "
+    "cell, cumulative cohort revenue, and running LTV per customer "
+    "(exact integer cents; the *100 keeps the trunc-div in "
+    "hundredths) — the growth-accounting companion of "
+    "events_cohort_retention with MONEY instead of activity. Scale "
+    "shape: the first-order frame is one map-side-combined min per "
+    "customer, the fact join shuffles on the customer key, and the "
+    "replay windows run over the |cohorts|x|months| CELL table — "
+    "model-sized, never fact-sized.",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        F.date_format("f", "yyyy-MM").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("f")) * 12
+            + (F.month("o_orderdate") - F.month("f"))
+        )
+        .cast("bigint")
+        .alias("months_since"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cells = facts.groupBy("cohort_month", "months_since").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    sized = facts.groupBy("cohort_month").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort_month")
+        .withColumn(
+            "cum_revenue_cents",
+            F.sum("revenue_cents").over(w).cast("bigint"),
+        )
+        .select(
+            "cohort_month",
+            "months_since",
+            "cohort_size",
+            "n_active",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents * 100 div cohort_size")
+            .cast("bigint")
+            .alias("ltv_cents_per_cust"),
+        )
+    )

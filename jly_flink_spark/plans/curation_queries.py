@@ -4107,3 +4107,266 @@ def graph_adamic_adar_topk(spark, sf_dir):
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+def _jaccard_linkpred_oracle() -> str:
+    return f"""{_chunk_graph_prefix()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+),
+deg AS (
+  SELECT nbr AS node, CAST(count(*) AS BIGINT) AS d
+  FROM adj GROUP BY nbr
+),
+wedges AS (
+  SELECT a.nbr AS x, b.nbr AS y,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY a.nbr, b.nbr
+),
+nonedges AS (
+  SELECT w.x, w.y, w.n_common,
+         CAST(w.n_common * 1000000
+              // (dx.d + dy.d - w.n_common) AS BIGINT) AS jaccard_ppm
+  FROM wedges w
+  JOIN deg dx ON dx.node = w.x
+  JOIN deg dy ON dy.node = w.y
+  LEFT JOIN und e ON e.u = w.x AND e.v = w.y
+  WHERE e.u IS NULL
+)
+SELECT x AS doc_a, y AS doc_b, n_common, jaccard_ppm,
+       CAST(row_number() OVER (ORDER BY jaccard_ppm DESC, x, y)
+            AS BIGINT) AS rnk
+FROM nonedges
+ORDER BY jaccard_ppm DESC, x, y LIMIT {LINKPRED_TOPK}
+"""
+
+
+@register(
+    "graph_jaccard_linkpred_topk",
+    oracle=_jaccard_linkpred_oracle(),
+    tags=("curation", "graph", "topk"),
+    doc="Neighborhood-Jaccard link prediction over the duplicate-"
+    "chunk graph: top-20 NON-adjacent pairs by |Γ(x)∩Γ(y)| / "
+    "|Γ(x)∪Γ(y)| in exact ppm — the normalized third member of the "
+    "link-prediction family (common-neighbors counts raw overlap, "
+    "Adamic–Adar discounts hubs among the SHARED neighbors, Jaccard "
+    "discounts pairs whose OWN neighborhoods are large, i.e. "
+    "boilerplate-heavy docs that overlap with everything). Exact "
+    "integers throughout: union size = deg(x)+deg(y)−common, no "
+    "transcendental needed. Scale shape: the same bounded wedge "
+    "join; the degree join here attaches to the wedge ENDPOINTS "
+    "(two broadcast-sized joins on the pair table, which is already "
+    "df-cap-bounded), TakeOrdered top-20.",
+)
+def graph_jaccard_linkpred_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    und = _dup_chunk_und(spark, sf_dir)
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("nbr").agg(
+        F.count("*").cast("bigint").alias("d")
+    ).select(F.col("nbr").alias("node"), "d")
+    wa, wb = adj.alias("wa"), adj.alias("wb")
+    wedges = (
+        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
+        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
+        .groupBy(
+            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        wedges.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("n_common * 1000000 div (dx + dy - n_common)")
+            .cast("bigint"),
+        )
+    )
+    nonedges = scored.join(
+        und,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    top = nonedges.orderBy(
+        F.col("jaccard_ppm").desc(), "x", "y"
+    ).limit(LINKPRED_TOPK)
+    return top.select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        "n_common",
+        "jaccard_ppm",
+        F.row_number()
+        .over(Window.orderBy(F.col("jaccard_ppm").desc(), "x", "y"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------
+# Silhouette clustering-quality audit (round 8) — zero pair join
+# --------------------------------------------------------------------
+def _silhouette_oracle() -> str:
+    prefix, prev = _kmeans_cte_prefix()
+    return f"""{prefix},
+vq2 AS (
+  SELECT vec_id, CAST(sum(val * val) AS BIGINT) AS m2 FROM flat
+  GROUP BY vec_id
+),
+cn AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg_f GROUP BY cid
+),
+cs2 AS (
+  SELECT a.cid, CAST(sum(v.m2) AS BIGINT) AS s2
+  FROM asg_f a JOIN vq2 v USING (vec_id) GROUP BY a.cid
+),
+cs1 AS (
+  SELECT a.cid, f.dim, CAST(sum(f.val) AS BIGINT) AS s1
+  FROM asg_f a JOIN flat f USING (vec_id) GROUP BY a.cid, f.dim
+),
+dots AS (
+  -- dot(x_i, S1_c) for EVERY (vector, cluster): O(n*K*d) slim rows
+  SELECT f.vec_id, s.cid, CAST(sum(f.val * s.s1) AS BIGINT) AS dt
+  FROM flat f JOIN cs1 s USING (dim) GROUP BY f.vec_id, s.cid
+),
+sums AS (
+  -- sum of squared L2 from x_i to every member of cluster c
+  SELECT d.vec_id, d.cid,
+         n.n * v.m2 + s2.s2 - 2 * d.dt AS tot,
+         n.n AS n
+  FROM dots d
+  JOIN cn n USING (cid) JOIN cs2 s2 USING (cid)
+  JOIN vq2 v ON v.vec_id = d.vec_id
+),
+ab AS (
+  SELECT s.vec_id, a.cid,
+         CASE WHEN own.n >= 2
+              THEN CAST(own.tot // (own.n - 1) AS BIGINT) END AS a_i,
+         CAST(min(CASE WHEN s.cid <> a.cid
+                  THEN s.tot // s.n END) AS BIGINT) AS b_i
+  FROM sums s
+  JOIN asg_f a ON a.vec_id = s.vec_id
+  JOIN sums own ON own.vec_id = s.vec_id AND own.cid = a.cid
+  GROUP BY s.vec_id, a.cid, own.tot, own.n
+),
+sil AS (
+  SELECT cid,
+         CASE WHEN a_i IS NULL THEN 0
+              ELSE (b_i - a_i) * 1000000
+                   // greatest(a_i, b_i, 1) END AS s_micro
+  FROM ab
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(s_micro) // count(*) AS BIGINT)
+         AS mean_silhouette_micro,
+       CAST(min(s_micro) AS BIGINT) AS min_silhouette_micro
+FROM sil GROUP BY cid
+"""
+
+
+@register(
+    "embedding_silhouette_by_cluster",
+    oracle=_silhouette_oracle(),
+    tags=("curation", "embedding", "clustering", "ml"),
+    doc="Silhouette clustering-quality audit over the K-means "
+    "assignment — squared-L2 variant in exact integer micro units: "
+    "per vector, a = mean within-cluster squared distance, b = best "
+    "other-cluster mean, s = (b−a)/max(a,b); per cluster, mean and "
+    "min s (singleton clusters contribute s=0, the standard "
+    "convention). THE scale trick: Σ_j d²(i,j) over a cluster "
+    "equals n·|x_i|² + Σ|x_j|² − 2·x_i·Σx_j, so the audit needs "
+    "only per-cluster sufficient statistics (size, Σ|x|², the "
+    "Σx vector — K·d model state) and ONE slim (vector × cluster) "
+    "dot pass — NO pairwise join, O(n·K·d) instead of O(n²·d). "
+    "Everything is exact int64 on the certified int8 codes, so the "
+    "oracle replays training AND the audit bit for bit.",
+)
+def embedding_silhouette_by_cluster(spark, sf_dir):
+    from ..operators.clustering import int8_codes, kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, asg = kmeans_fixed(emb)
+    codes = emb.select(
+        "vec_id", int8_codes(F.col("embedding")).alias("code")
+    ).transform(stage)
+    flat = codes.select(
+        "vec_id", F.posexplode("code").alias("dim", "val")
+    )
+    vq2 = codes.select(
+        "vec_id",
+        F.aggregate(
+            "code",
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v * v,
+        ).alias("m2"),
+    )
+    a = asg.select("vec_id", "cid")
+    cn = a.groupBy("cid").agg(F.count("*").cast("bigint").alias("n"))
+    cs2 = a.join(vq2, "vec_id").groupBy("cid").agg(
+        F.sum("m2").cast("bigint").alias("s2")
+    )
+    cs1 = a.join(flat, "vec_id").groupBy("cid", "dim").agg(
+        F.sum("val").cast("bigint").alias("s1")
+    )
+    dots = (
+        flat.join(cs1, "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("val") * F.col("s1")).cast("bigint").alias("dt"))
+    )
+    sums = (
+        dots.join(F.broadcast(cn), "cid")
+        .join(F.broadcast(cs2), "cid")
+        .join(vq2, "vec_id")
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("n") * F.col("m2") + F.col("s2") - 2 * F.col("dt"))
+            .alias("tot"),
+            "n",
+        )
+        .transform(stage)
+    )
+    mine = a.join(sums, ["vec_id", "cid"]).select(
+        "vec_id",
+        F.col("cid").alias("own_cid"),
+        F.when(F.col("n") >= 2, F.expr("tot div (n - 1)"))
+        .cast("bigint")
+        .alias("a_i"),
+    )
+    others = (
+        sums.join(a.withColumnRenamed("cid", "own_cid"), "vec_id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min(F.expr("tot div n")).cast("bigint").alias("b_i"))
+    )
+    sil = mine.join(others, "vec_id").select(
+        F.col("own_cid").alias("cid"),
+        F.when(F.col("a_i").isNull(), F.lit(0))
+        .otherwise(
+            F.expr(
+                "(b_i - a_i) * 1000000 div greatest(a_i, b_i, 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return sil.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.expr("sum(s_micro) div count(*)")
+        .cast("bigint")
+        .alias("mean_silhouette_micro"),
+        F.min("s_micro").cast("bigint").alias("min_silhouette_micro"),
+    )

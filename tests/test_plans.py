@@ -514,6 +514,17 @@ class TestShuffleBudget:
             # rules: basket distinct + pair combine behind the stage
             # cut + the two broadcast support joins
             ("orders_association_rules", 4),
+            # jaccard linkpred: the adamic-adar wedge shape + the two
+            # broadcast endpoint-degree joins
+            ("graph_jaccard_linkpred_topk", 6),
+            # cohort LTV: first-order combine + customer-key fact
+            # join + the two distinct-count cells/sizes combines +
+            # broadcast + the cohort-month replay window (cell-sized)
+            ("orders_cohort_ltv", 6),
+            # silhouette: codes stage + the three sufficient-stat
+            # combines + the dot pass + the per-cluster rollup — all
+            # slim (n*K) frames, NO pairwise join
+            ("embedding_silhouette_by_cluster", 5),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
