@@ -115,6 +115,13 @@ def stage(df: DataFrame, eager: bool = False) -> DataFrame:
     the physical home of the truncated blocks changes — so tests and
     the local bench run 'local' while a preemptible cluster runs
     'reliable' without touching any operator code.
+
+    Housekeeping in 'reliable' mode: checkpoint files outlive the
+    frames that created them, so long iterative jobs (BPE rounds,
+    k-core peels) should set
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let
+    the ContextCleaner delete a round's files once its frame is
+    garbage-collected.
     """
     spark = df.sparkSession
     mode = spark.conf.get(STAGING_MODE_CONF, "local")
