@@ -2993,3 +2993,128 @@ def text_yule_k(spark, sf_dir):
         .cast("bigint")
         .alias("yule_k_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# RAKE keyword extraction (round 8)
+# --------------------------------------------------------------------
+RAKE_TOPK = 20
+
+_RAKE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, i, ts[i] AS tok
+  FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+),
+content AS (
+  SELECT doc_id, i, tok,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM pos WHERE tok NOT IN ({_SW})
+),
+sized AS (
+  SELECT doc_id, grp, i, tok,
+         CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+           AS plen
+  FROM content
+),
+wstats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM sized GROUP BY tok
+),
+occ AS (
+  SELECT s.doc_id, s.grp,
+         array_to_string(list(s.tok ORDER BY s.i), ' ') AS phrase,
+         CAST(sum(w.degree * 1000000 // w.freq) AS BIGINT)
+           AS score_micro
+  FROM sized s JOIN wstats w USING (tok)
+  GROUP BY s.doc_id, s.grp
+),
+pscore AS (
+  SELECT phrase, score_micro,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM occ GROUP BY phrase, score_micro
+)
+SELECT phrase, n_occurrences, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+            AS BIGINT) AS rnk
+FROM pscore ORDER BY score_micro DESC, phrase LIMIT {RAKE_TOPK}
+"""
+
+
+@register(
+    "text_rake_keywords",
+    oracle=_RAKE_ORACLE,
+    tags=("northstar", "text", "topk"),
+    doc="RAKE keyword extraction (Rose et al.): candidate phrases "
+    "are maximal runs of non-stopword tokens (the gaps-and-islands "
+    "grp = i − row_number trick — the same run algebra as the CEP "
+    "tier, here splitting on the stopword delimiters), each word "
+    "scores degree/freq where degree sums the lengths of every "
+    "phrase containing it (within-phrase co-occurrence incl. self) "
+    "and a phrase scores the sum of its member words — exact "
+    "integer micro units, so the corpus top-20 value-hashes "
+    "cross-engine. Scale shape: one doc-partitioned window pass "
+    "builds runs and phrase lengths, the word-stats combine is "
+    "vocabulary-sized, the join back is broadcast-against-vocab, "
+    "and the final top-k is TakeOrdered — no all-pairs, no driver "
+    "loops.",
+)
+def text_rake_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    content = pos.filter(
+        ~F.col("tok").isin(*text.STOPWORDS_EN)
+    ).withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ),
+    )
+    sized = content.withColumn(
+        "plen",
+        F.count("*")
+        .over(Window.partitionBy("doc_id", "grp"))
+        .cast("bigint"),
+    )
+    wstats = sized.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    occ = (
+        sized.join(F.broadcast(wstats), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.expr("degree * 1000000 div freq"))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    pscore = occ.groupBy("phrase", "score_micro").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    top = pscore.orderBy(
+        F.col("score_micro").desc(), "phrase"
+    ).limit(RAKE_TOPK)
+    return top.select(
+        "phrase",
+        "n_occurrences",
+        "score_micro",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), "phrase"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -1162,3 +1162,70 @@ def mixture_dsir_weights(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("w_micro").cast("bigint").alias("total_w_micro"),
     )
+
+
+@register(
+    "train_test_split_by_group",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CASE WHEN {_hash_frac_sql("user_id")} < 0.8 THEN 'train'
+              WHEN {_hash_frac_sql("user_id")} < 0.9 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM events
+),
+per_user AS (
+  SELECT user_id, split, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY user_id, split
+)
+SELECT split,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_users,
+       -- leakage audit: users appearing in >1 split of the
+       -- whole table (must be 0 by construction — asserting it in
+       -- the hashed output keeps the property driver-verified)
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT user_id FROM per_user
+          GROUP BY user_id HAVING count(DISTINCT split) > 1
+       )) AS n_leaking_users
+FROM per_user GROUP BY split
+""",
+    tags=("training", "split"),
+    doc="GROUP-aware 80/10/10 split: the fold is a pure function of "
+    "md5(user_id), so EVERY row of a user lands in the same fold — "
+    "the leakage-correct form of train_test_split_hash for entity-"
+    "correlated data (row-hash splitting puts one user's near-"
+    "duplicate events on both sides of the membership boundary and "
+    "inflates eval). The n_leaking_users column is the audit, "
+    "recomputed and value-hash-checked at 0 on both engines rather "
+    "than asserted only in a test. Scale shape: one scan, a "
+    "(user, split) combine, a |users|-row rollup — and because the "
+    "split key is the GROUP key, downstream per-user feature joins "
+    "within a fold stay co-partitioned.",
+)
+def train_test_split_by_group(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    frac = _hash_frac(F.col("user_id"))
+    split = (
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "valid")
+        .otherwise("test")
+    )
+    per_user = ev.select(
+        "user_id", split.alias("split")
+    ).groupBy("user_id", "split").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    leak = per_user.groupBy("user_id").agg(
+        F.countDistinct("split").alias("ns")
+    ).filter(F.col("ns") > 1).agg(
+        F.count("*").cast("bigint").alias("n_leaking_users")
+    )
+    return (
+        per_user.groupBy("split")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

@@ -525,6 +525,12 @@ class TestShuffleBudget:
             # combines + the dot pass + the per-cluster rollup — all
             # slim (n*K) frames, NO pairwise join
             ("embedding_silhouette_by_cluster", 5),
+            # group split: (user, split) combine + per-split rollup +
+            # the 1-row leakage audit + its broadcast
+            ("train_test_split_by_group", 5),
+            # RAKE: the doc window pass + vocab combine + broadcast +
+            # phrase combine; top-20 is TakeOrdered
+            ("text_rake_keywords", 4),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
