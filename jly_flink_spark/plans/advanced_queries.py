@@ -3646,3 +3646,111 @@ def orders_cohort_ltv(spark, sf_dir):
             .alias("ltv_cents_per_cust"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Markov stationary distribution (round 8): integer power iteration
+# --------------------------------------------------------------------
+MARKOV_ITERS = 8
+
+def _markov_oracle() -> str:
+    its = []
+    prev = "pi0"
+    for t in range(1, MARKOV_ITERS + 1):
+        its.append(f"""
+pi{t} AS MATERIALIZED (
+  SELECT p.to_type AS event_type,
+         CAST(sum((x.pi * p.n) // t.tot) AS BIGINT) AS pi
+  FROM {prev} x
+  JOIN pairs p ON p.from_type = x.event_type
+  JOIN totals t ON t.from_type = x.event_type
+  GROUP BY p.to_type
+)""")
+        prev = f"pi{t}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS MATERIALIZED (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS MATERIALIZED (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+  FROM pairs GROUP BY from_type
+),
+pi0 AS (
+  SELECT from_type AS event_type,
+         CAST(1000000 // (SELECT count(*) FROM totals) AS BIGINT)
+           AS pi
+  FROM totals
+),
+{",".join(its)}
+SELECT event_type, pi AS pi_micro FROM {prev}
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("advanced", "sequence", "iterative"),
+    doc="Stationary distribution of the per-user event-type Markov "
+    "chain (the long-run occupancy the transition matrix implies) "
+    "via 8 rounds of integer power iteration: π'_j = "
+    "Σ_i (π_i·n_ij) div tot_i — multiply-then-truncate per term, so "
+    "both engines iterate bit-identically (the PageRank discipline "
+    "applied to a DATA-DERIVED chain instead of the damped web "
+    "graph; truncation leaks ≤1 micro per term per round, which is "
+    "the documented fixed-point behavior, not drift). Scale shape: "
+    "ONE fact pass builds the |types|² transition counts; every "
+    "iteration thereafter joins model-sized frames (≤|types| rows) "
+    "— the iteration cost is corpus-independent.",
+)
+def events_markov_stationary(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .transform(stage)
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    ).transform(stage)
+    n_states = totals.count()  # model state: |event types| with out-edges
+    pi = totals.select(
+        F.col("from_type").alias("event_type"),
+        F.lit(1_000_000 // n_states).cast("bigint").alias("pi"),
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(
+                pairs, pi["event_type"] == pairs["from_type"]
+            )
+            .join(totals, "from_type")
+            .groupBy(F.col("to_type").alias("next_event_type"))
+            .agg(
+                F.sum(F.expr("(pi * n) div tot"))
+                .cast("bigint")
+                .alias("pi")
+            )
+            .select(
+                F.col("next_event_type").alias("event_type"), "pi"
+            )
+            .transform(stage)
+        )
+    return pi.select("event_type", F.col("pi").alias("pi_micro"))

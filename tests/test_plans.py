@@ -531,6 +531,10 @@ class TestShuffleBudget:
             # RAKE: the doc window pass + vocab combine + broadcast +
             # phrase combine; top-20 is TakeOrdered
             ("text_rake_keywords", 4),
+            # markov: the fact pass + model-sized iterates live
+            # behind the staging cuts; the visible tail joins
+            # broadcast |types|-row frames (headroom of 2)
+            ("events_markov_stationary", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
