@@ -817,6 +817,18 @@ def verify_candidates_jaccard(
 
 WINNOW_K = 3          # tokens per k-gram (= plans' WINNOW_K)
 WINNOW_W = 4          # k-grams per window (= plans' WINNOW_W)
+# Position tiebreak factor. The descending tiebreak term
+# (WINNOW_POS-1 - i) REQUIRES < 2^20 tokens per document: past that
+# it goes negative, `fp div WINNOW_POS` recovers the wrong hash and
+# the rightmost-min tie rule inverts. 2^20 tokens is ~5 MB of text —
+# far beyond any sane training document, but a framework can't rely
+# on "sane": `winnow_fingerprints_rowwise` fails LOUDLY (raise_error)
+# on an over-cap doc instead of silently emitting corrupt
+# fingerprints. The batch window form (plans/northstar_queries.py:
+# `text_winnowing_fingerprints` / `dedup_winnow_pairs`) hard-codes
+# the same 1048576 factor and shares the cap; widen both together or
+# not at all (fingerprint values are hash-pinned across the two
+# forms).
 WINNOW_POS = 1048576  # 2^20 position tiebreak factor
 
 
@@ -836,6 +848,27 @@ def winnow_fingerprints_rowwise(
     ts = tokens(F.col(text_col))
     staged = docs.select("doc_id", ts.alias("_ts")).filter(
         F.size("_ts") >= k + w - 1
+    )
+    # Cap guard (see WINNOW_POS): over-cap docs would corrupt the
+    # position tiebreak; error loudly instead. The when/otherwise
+    # keeps raise_error out of the evaluated path for every valid row.
+    staged = staged.withColumn(
+        "_ts",
+        F.when(F.size("_ts") < F.lit(pos), F.col("_ts")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints_rowwise: document "
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        f" exceeds the {pos - 1}-token winnowing cap"
+                        " (position tiebreak would overflow;"
+                        " see WINNOW_POS)"
+                    ),
+                )
+            ).cast("array<string>")
+        ),
     )
     codes = F.transform(
         F.sequence(F.lit(1), F.size("_ts") - (k - 1)),
@@ -893,7 +926,15 @@ def append_to_winnow_index(
     write-back half; runs inside foreachBatch beside the probe, like
     `append_to_lsh_index`). Compact the accumulated small files on a
     cadence with `sources.layout.compact_sorted` + `swap_layout` —
-    the LSH index's maintenance contract applies verbatim."""
+    the LSH index's maintenance contract applies verbatim.
+
+    At-least-once safety: a foreachBatch replay after a mid-append
+    failure re-appends the SAME (doc_id, h, n_fp) rows. The probe is
+    duplicate-insensitive by construction (`probe_winnow_index`
+    counts distinct hashes and docs, never raw rows), and
+    `compact_winnow_index` drops the physical duplicates — so a
+    checkpoint-recovered stream cannot corrupt containment scores,
+    it only carries redundant bytes until the next compaction."""
     fp = winnow_fingerprints_rowwise(new_docs, text_col)
     sizes = fp.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_fp")
@@ -927,9 +968,14 @@ def probe_winnow_index(
         F.col("doc_id").alias("new_doc_id"), "h", "n_new"
     )
     idx = read_winnow_index(spark, path)
+    # Both aggregates count DISTINCT, not raw rows, so physically
+    # duplicated index rows (an at-least-once foreachBatch replay of
+    # `append_to_winnow_index` before compaction) cannot inflate df
+    # or n_shared — same values either way, since (doc_id, h) is
+    # unique in a clean index.
     ok = (
         idx.groupBy("h")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("h")
     )
@@ -940,7 +986,7 @@ def probe_winnow_index(
         probe.join(capped, "h")
         .filter(F.col("new_doc_id") != F.col("index_doc_id"))
         .groupBy("new_doc_id", "index_doc_id", "n_new", "n_fp")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .agg(F.count_distinct("h").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(
             "new_doc_id",
@@ -991,7 +1037,10 @@ def compact_winnow_index(
     """Maintenance pass for the incremental winnowing index —
     verbatim the `compact_lsh_index` contract (rewrite h-sorted,
     atomic write-then-swap, tombstones applied and drained; serialize
-    with appends; consumers re-resolve per epoch)."""
+    with appends; consumers re-resolve per epoch) — plus physical
+    (doc_id, h) dedup, which drains any rows duplicated by an
+    at-least-once replay of `append_to_winnow_index` (replayed rows
+    are bit-identical, so keeping either copy's n_fp is exact)."""
     import shutil
 
     from ..sources.layout import compact_sorted, swap_layout
@@ -1001,7 +1050,7 @@ def compact_winnow_index(
     n_files = compact_sorted(
         _without_tombstones(
             spark, path, spark.read.parquet(path), "doc_id"
-        ),
+        ).dropDuplicates(["doc_id", "h"]),
         tmp,
         ["h"],
         target_rows_per_file,

@@ -495,3 +495,73 @@ def test_winnow_delete_and_compaction(spark, tmp_path):
     assert n_files >= 1
     assert not os.path.exists(_tombstone_dir(path))
     assert hits() == after_del
+
+
+def test_winnow_append_replay_is_probe_invariant(spark, tmp_path):
+    """At-least-once safety (ADVICE r8): a foreachBatch replay that
+    re-appends the same micro-batch must not change probe scores —
+    the probe counts distinct (doc, h), never raw rows — and the next
+    compaction drains the physical duplicates."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators.dedup import (
+        append_to_winnow_index,
+        compact_winnow_index,
+        persist_winnow_index,
+        probe_winnow_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "widx")
+    persist_winnow_index(docs, path)
+    batch = _new_docs(spark, docs, [5, 9], offset=200_000)
+    append_to_winnow_index(batch, path)
+    probe = _new_docs(spark, docs, [5], offset=300_000)
+
+    def scores():
+        return {
+            (r["new_doc_id"], r["index_doc_id"]): (
+                r["n_shared"],
+                r["containment_ppm"],
+            )
+            for r in probe_winnow_index(spark, probe, path).collect()
+        }
+
+    clean = scores()
+    assert (300_005, 200_005) in clean
+    # simulate the checkpoint-recovery replay: same batch, appended
+    # again — raw index rows duplicate, probe values must not move,
+    # and containment must stay <= 1e6
+    append_to_winnow_index(batch, path)
+    assert scores() == clean
+    assert all(ppm <= 1_000_000 for _, ppm in clean.values())
+    # compaction physically drains the duplicates
+    n_dup = spark.read.parquet(path).count()
+    compact_winnow_index(spark, path)
+    n_clean = spark.read.parquet(path).count()
+    assert n_clean < n_dup
+    assert scores() == clean
+
+
+def test_winnow_rowwise_rejects_over_cap_docs(spark, monkeypatch):
+    """The WINNOW_POS position tiebreak requires < 2^20 tokens per
+    doc; an over-cap doc must fail LOUDLY, not silently corrupt the
+    fingerprint set. Exercised with a shrunken cap so the test
+    doesn't need a 5 MB document."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException,
+    )
+
+    from jly_flink_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "WINNOW_POS", 64)
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    assert dedup.winnow_fingerprints_rowwise(ok).count() > 0
+    bad = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="winnowing cap"):
+        dedup.winnow_fingerprints_rowwise(bad).count()
