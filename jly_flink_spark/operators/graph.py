@@ -179,3 +179,71 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+def wedge_pairs(adj: DataFrame) -> DataFrame:
+    """(x, y, d) wedge enumeration of an adjacency list (node, nbr):
+    one output row per wedge x—node—y with x < y, carrying the wedge
+    CENTER's degree d — the candidate generator shared by the
+    link-prediction family (common-neighbors / Adamic–Adar /
+    neighborhood-Jaccard score the groupBy(x, y) of these rows).
+
+    Shape: ONE groupBy(node) exchange builds each node's sorted
+    neighbor list, then the i < j combinations explode map-side —
+    each wedge is emitted exactly once from one pass over one
+    shuffle. The previous adj ⋈ adj self-join shuffled the adjacency
+    twice (two exchange branches into a SortMergeJoin) and re-sorted
+    both sides; at 12.3 s it was 13% of the whole bench (round-8
+    verdict). Values are identical: the join emitted one row per
+    (center, x, y) with x < y, and so does the combination explode.
+
+    Memory discipline: the explode goes through an intermediate
+    (head index i, tail slice) row so per-row state is O(d), never
+    the O(d²) a single flattened combination array would pin. The
+    neighbor list itself is bounded by construction in every caller
+    (the dup-chunk graph df-caps chunk buckets, so deg ≤
+    n_chunks·(max_df−1)); on an uncapped power-law graph a hub makes
+    ANY wedge enumerator Σ deg² — cap or orient (see
+    `triangle_counts`) before calling.
+
+    Requires (node, nbr) rows to be unique (callers build adj from a
+    DISTINCT undirected edge list); duplicate rows would double-count
+    wedges, exactly as they would in the self-join form.
+    """
+    # Explicit repartition (NOT the groupBy's implicit exchange): the
+    # adjacency is tiny in bytes but each row fans out to O(d) wedge
+    # rows, so AQE's byte-based coalescing would collapse the
+    # expansion + partial-agg stage to one task (measured: 7.5 s vs
+    # 0.9 s on the sf0.1 dup-chunk graph's 13M wedges). A fixed
+    # user partition count is exempt from coalescing and satisfies
+    # the groupBy's distribution, so no second exchange appears.
+    from .ranking import resolve_shards
+
+    nbrs = (
+        adj.repartition(resolve_shards(adj, None), "node")
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("ns"))
+        .select(F.size("ns").alias("d"), "ns")
+        .filter(F.col("d") >= 2)
+    )
+    heads = nbrs.select(
+        "d",
+        "ns",
+        F.explode(F.sequence(F.lit(1), F.col("d") - 1)).alias("i"),
+    )
+    # Resolve the head element and its tail slice BEFORE the big
+    # explode: Generate copies every retained column onto every
+    # output row, so exploding with `ns` still in scope would copy
+    # the full neighbor array onto all Σ d²/2 wedge rows (measured
+    # 30% slower than the self-join it replaces); retaining only the
+    # 8-byte head keeps the wedge rows slim.
+    tails = heads.select(
+        F.element_at("ns", F.col("i")).alias("x"),
+        F.slice("ns", F.col("i") + 1, F.col("d") - F.col("i")).alias(
+            "tail"
+        ),
+        F.col("d").cast("bigint").alias("d"),
+    )
+    return tails.select(
+        "x", F.explode("tail").alias("y"), "d"
+    ).select("x", "y", "d")

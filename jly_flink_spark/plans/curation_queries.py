@@ -3630,68 +3630,25 @@ ORDER BY common DESC, x, y LIMIT {LINKPRED_TOPK}
     "the global top-20 is TakeOrderedAndProject over the slim "
     "(pair, count) combine. The quality-audit companion to "
     "dedup_lsh_eval_metrics: prediction strength on non-edges "
-    "estimates the candidate-miss rate.",
+    "estimates the candidate-miss rate. Round 9: candidates come "
+    "from graph.wedge_pairs — one groupBy(node) exchange + map-side "
+    "combination explode, emitting each wedge once — instead of the "
+    "adj self-join that shuffled the adjacency twice.",
 )
 def graph_link_prediction_topk(spark, sf_dir):
     from pyspark.sql import Window
 
-    K = CHUNK_TOKENS
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
-    )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(
-                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
-            ).alias("clen"),
-        ),
-    )
-    chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
-        .filter(F.col("c.clen") > 0)
-        .select("doc_id", F.col("c.h").alias("h"))
-        .distinct()
-    )
-    okh = (
-        chunks.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(
-            (F.col("df") >= PR_EDGE_MIN_DF)
-            & (F.col("df") <= PR_EDGE_MAX_DF)
-        )
-        .select("h")
-    )
-    ca = chunks.join(okh, "h")
-    a, b = ca.alias("a"), ca.alias("b")
-    und = (
-        a.join(b, "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
-        )
-        .distinct()
-        .transform(stage)
-    )
+    from ..operators.graph import wedge_pairs
+
+    und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    wa, wb = adj.alias("wa"), adj.alias("wb")
     wedges = (
-        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
-        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
-        .groupBy(
-            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
-        )
+        wedge_pairs(adj)
+        .groupBy("x", "y")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
     nonedges = wedges.join(
@@ -3988,9 +3945,9 @@ ORDER BY aa_micro DESC, x, y LIMIT {LINKPRED_TOPK}
 
 def _dup_chunk_und(spark, sf_dir):
     """The duplicate-chunk graph's undirected edge list (u < v),
-    df-capped and staged — the same build as
-    `graph_link_prediction_topk` (kept as its own helper so that
-    query's pinned source stays untouched)."""
+    df-capped and staged — shared by the whole link-prediction
+    family (`graph_link_prediction_topk` / `graph_adamic_adar_topk`
+    / `graph_jaccard_linkpred_topk`)."""
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
@@ -4052,13 +4009,18 @@ def _dup_chunk_und(spark, sf_dir):
     "center, 1e12 div round(ln(deg)·1e6) — the quantized-ln trick "
     "the information-theory tier uses, deg ≥ 2 on any wedge so the "
     "divisor is never 0 — summed as BIGINT, so both engines rank "
-    "identically. Scale shape: same bounded wedge join as "
-    "common-neighbors (compact orientation, df-capped chunk "
-    "buckets), one extra broadcast-sized degree join on the wedge "
-    "center, TakeOrdered top-20 — never a global sort.",
+    "identically. Scale shape (round 9): wedge candidates come from "
+    "graph.wedge_pairs — one groupBy(node) exchange + map-side "
+    "combination explode over df-capped neighbor lists, each wedge "
+    "emitted once (the old adj self-join shuffled the adjacency "
+    "twice) — and the center degree rides along on the wedge row, "
+    "so the separate degree join disappears; TakeOrdered top-20, "
+    "never a global sort.",
 )
 def graph_adamic_adar_topk(spark, sf_dir):
     from pyspark.sql import Window
+
+    from ..operators.graph import wedge_pairs
 
     und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
@@ -4066,28 +4028,18 @@ def graph_adamic_adar_topk(spark, sf_dir):
     ).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(
-        F.count("*").cast("bigint").alias("d")
-    )
-    # per-center AA term, computed once per adjacency row
-    adjd = adj.join(deg, "node").withColumn(
+    # wedge_pairs carries the center's degree d on every wedge row —
+    # the per-center AA term needs no degree join at all
+    wp = wedge_pairs(adj).withColumn(
         "aaterm",
         F.expr(
             f"{AA_SCALE} div cast(round(ln(cast(d as double)) * 1000000)"
             " as bigint)"
         ),
     )
-    wa, wb = adjd.alias("wa"), adj.alias("wb")
-    wedges = (
-        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
-        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
-        .groupBy(
-            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_common"),
-            F.sum("aaterm").cast("bigint").alias("aa_micro"),
-        )
+    wedges = wp.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum("aaterm").cast("bigint").alias("aa_micro"),
     )
     nonedges = wedges.join(
         und,
@@ -4159,13 +4111,17 @@ ORDER BY jaccard_ppm DESC, x, y LIMIT {LINKPRED_TOPK}
     "discounts pairs whose OWN neighborhoods are large, i.e. "
     "boilerplate-heavy docs that overlap with everything). Exact "
     "integers throughout: union size = deg(x)+deg(y)−common, no "
-    "transcendental needed. Scale shape: the same bounded wedge "
-    "join; the degree join here attaches to the wedge ENDPOINTS "
+    "transcendental needed. Scale shape (round 9): wedge candidates "
+    "come from graph.wedge_pairs — one groupBy(node) exchange + "
+    "map-side combination explode, each wedge emitted once; the "
+    "degree join here attaches to the wedge ENDPOINTS "
     "(two broadcast-sized joins on the pair table, which is already "
     "df-cap-bounded), TakeOrdered top-20.",
 )
 def graph_jaccard_linkpred_topk(spark, sf_dir):
     from pyspark.sql import Window
+
+    from ..operators.graph import wedge_pairs
 
     und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
@@ -4176,13 +4132,9 @@ def graph_jaccard_linkpred_topk(spark, sf_dir):
     deg = adj.groupBy("nbr").agg(
         F.count("*").cast("bigint").alias("d")
     ).select(F.col("nbr").alias("node"), "d")
-    wa, wb = adj.alias("wa"), adj.alias("wb")
     wedges = (
-        wa.join(wb, F.col("wa.node") == F.col("wb.node"))
-        .filter(F.col("wa.nbr") < F.col("wb.nbr"))
-        .groupBy(
-            F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y")
-        )
+        wedge_pairs(adj)
+        .groupBy("x", "y")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
