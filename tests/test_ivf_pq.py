@@ -5,11 +5,12 @@ The synthetic embeddings are near-uniform — PQ's worst case (pure
 ADC ordering measured ≈0.1 recall@5 during development, which is WHY
 the serving tier ships with the exact-refine stage). The pinned
 bounds sit under the measured values (M=8, K=16, R=200, 20 queries ×
-k=5, n_list=16 seed centroids):
+k=5, n_list=16 REFINED fixed-point Lloyd centroids — the registered
+serving configuration since round 9):
 
     corpus            n_probe=4   n_probe=8
-    sf0.01 (n=500)      0.73        0.90
-    sf0.1  (n=2000)     0.73        0.70
+    sf0.01 (n=500)      0.73        0.91
+    sf0.1  (n=2000)     0.75        0.71
 
 Everything is deterministic (seed coarse centroids, fixed-point PQ
 training, fixed corpus), so the measurements reproduce exactly; a
@@ -41,8 +42,11 @@ def _layout(spark, sf_dir):
     ent = _CACHE.get(sf_dir)
     if ent is None:
         emb = load_table(spark, sf_dir, "embeddings")
+        # refine=True = the REGISTERED serving configuration (round 9
+        # promoted fixed-point Lloyd centroids into the hash-checked
+        # queries); recall pins must measure the path that ships
         cents = similarity.build_ivf_centroids(
-            emb, n_list=16, refine=False
+            emb, n_list=16, refine=True
         )
         tag = hashlib.md5(f"test{sf_dir}".encode()).hexdigest()[:10]
         path = os.path.join(
@@ -159,12 +163,13 @@ _RES_CACHE: dict = {}
 
 def _residual_layouts(spark, key):
     """(emb, raw_layout, res_layout, cents, pq_raw, pq_res, subdim)
-    with REFINED (one Lloyd step) coarse centroids — residual coding
-    is defined against list MEANS; seed-point 'centroids' on uniform
-    data give residuals ~2x the raw variance and bury the effect
-    (measured r8). The hash-checked query keeps seed centroids for
-    oracle replay; this fixture measures the tiers' retrieval quality
-    under the quantizer both would use in production."""
+    with REFINED (one fixed-point Lloyd step) coarse centroids —
+    residual coding is defined against list MEANS; seed-point
+    'centroids' on uniform data give residuals ~2x the raw variance
+    and bury the effect (measured r8). Since round 9 this IS the
+    registered serving configuration (the fixed-point refinement is
+    oracle-replayable, so the hash-checked queries no longer need
+    the seed floor); the fixture measures the shipped quantizer."""
     ent = _RES_CACHE.get(key)
     if ent is None:
         if key == "clustered":
@@ -208,8 +213,12 @@ class TestResidualPqRecall:
         sf0.01 (near-uniform) raw ADC       0.13        0.16
         sf0.01 (near-uniform) residual      0.23        0.24
         clustered (s=0.8)     raw ADC       0.12        0.12
-        clustered (s=0.8)     residual      0.34        0.34
+        clustered (s=0.8)     residual      0.33        0.33
         clustered (s=0.8)     exact refine  1.00        1.00
+
+    (Re-measured round 9 under the fixed-point Lloyd refinement that
+    the registered queries now serve; identical to the r8 float-mean
+    numbers except clustered residual 0.34 → 0.33.)
 
     Floors sit under the measured values; the raw-vs-residual GAP is
     asserted directly so a regression that degrades residual coding
