@@ -652,3 +652,155 @@ def documents_as_encoded_media_variants(
     return docs.select("doc_id", text_col).mapInPandas(
         batches, ENCODED_MEDIA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Pixel tier (round 9): planted pixel grids + integer dHash — the
+# first PIXEL-level op (the decoders above stop at headers). The
+# planted PNG body is a REAL 8x8 grayscale pixel grid whose cell
+# values derive from the document's tokens, so the image near-dup
+# structure tracks the text near-dup structure and a SQL oracle can
+# replay the whole pipeline: plant -> parse pixels -> dHash ->
+# Hamming-LSH banding -> verified near-dup pairs.
+# ---------------------------------------------------------------------------
+DHASH_GRID = 8  # 8x8 grayscale grid
+# horizontal-gradient dHash: 8 rows x 7 adjacent-pair comparisons =
+# 56 bits. Deliberately NOT the canonical 9x8/64: bit 63 would need
+# a 1<<63 shift, which DuckDB raises on (Java wraps) — 56 bits keeps
+# the bit arithmetic one shared exact formula on both engines.
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)
+
+
+def planted_pixels(toks: list[str]) -> Optional[bytes]:
+    """The 64-byte grayscale grid for a document: cell idx holds the
+    first md5 byte of `token:idx`, tokens cycled positionally. Same
+    token definition as operators/text.tokens (lowercase, single-
+    space split, empties dropped); the oracle rebuilds every cell
+    with the same md5 arithmetic. None for token-less docs (their
+    planted payload then fails pixel parsing -> NULL, like
+    truncation)."""
+    import hashlib
+
+    if not toks:
+        return None
+    g = DHASH_GRID
+    return bytes(
+        int(
+            hashlib.md5(
+                f"{toks[idx % len(toks)]}:{idx}".encode()
+            ).hexdigest()[:2],
+            16,
+        )
+        for idx in range(g * g)
+    )
+
+
+def plant_payload_pixels(doc_id: int, text: str) -> bytes:
+    """A structurally-valid grayscale PNG whose IDAT body is the
+    planted pixel grid; every MALFORMED_MOD-th doc truncated
+    mid-signature (the shared malformed-payload contract)."""
+    toks = [t for t in text.lower().split(" ") if t != ""]
+    px = planted_pixels(toks)
+    payload = encode_png(DHASH_GRID, DHASH_GRID, 1, px or b"")
+    if doc_id % MALFORMED_MOD == 0:
+        payload = payload[:MALFORMED_LEN]
+    return payload
+
+
+def documents_as_pixel_media(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The documents corpus as an 8x8-grayscale-PNG media table
+    (doc_id, media_type, payload, n_bytes) — one Arrow-batched
+    mapInPandas pass, payloads built worker-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            planted = [
+                plant_payload_pixels(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["png"] * len(planted),
+                    "payload": planted,
+                    "n_bytes": [len(p) for p in planted],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )
+
+
+def png_pixels(payload) -> Optional[bytes]:
+    """Raw pixel bytes of a planted grayscale PNG: IHDR-validate,
+    walk the chunk chain to IDAT, and require the body to be exactly
+    width*height*channels bytes (our planted grids are uncompressed;
+    a zlib IDAT from a real encoder would swap in `zlib.decompress`
+    here without touching the Spark plan). None on any truncation or
+    size mismatch — the malformed-payload -> NULL contract."""
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    hdr = parse_png(payload)
+    if hdr is None:
+        return None
+    w, h, ch = hdr
+    i = 8
+    while i + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[i : i + 4])[0]
+        ctype = payload[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            data = payload[i + 8 : i + 8 + ln]
+            if len(data) != ln or len(data) != w * h * ch:
+                return None
+            return data
+        if ctype == b"IEND":
+            return None
+        i += 12 + ln
+    return None
+
+
+def dhash_int(px: bytes) -> int:
+    """56-bit integer horizontal-gradient dHash of an 8x8 grid: bit
+    r*7+c set iff px[r][c+1] > px[r][c] — pure integer comparisons,
+    the exact formula the SQL oracle sums with shifted CASE bits."""
+    g = DHASH_GRID
+    v = 0
+    for r in range(g):
+        base = r * g
+        for c in range(g - 1):
+            if px[base + c + 1] > px[base + c]:
+                v |= 1 << (r * (g - 1) + c)
+    return v
+
+
+def pixel_dhash_frame(media: DataFrame) -> DataFrame:
+    """(doc_id, dhash bigint) per media row — NULL dhash for payloads
+    whose pixels don't parse (truncated signature, token-less body),
+    preserving the truncation -> NULL parity the header tier pins.
+    One Arrow-batched pass; the hash is 8 bytes per image, the
+    binary column never leaves this stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hashes = []
+            for p in pdf["payload"]:
+                px = png_pixels(p)
+                hashes.append(dhash_int(px) if px is not None else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id bigint, dhash bigint"
+    )

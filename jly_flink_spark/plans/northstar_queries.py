@@ -3206,3 +3206,252 @@ def text_rake_keywords(spark, sf_dir):
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+# --------------------------------------------------------------------
+# Exact substring dedup (round 9) — the suffix-array-style companion
+# to MinHash: find every maximal duplicated token span >= k across
+# documents (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" — ExactSubstr). A suffix array is the
+# single-machine tool; the distributed equivalent is shingle-bucket
+# + islands: a span of length >= k duplicated across docs is exactly
+# a maximal run of consecutive k-shingles that each occur in >= 2
+# distinct docs, so the corpus-scale work is one content-hash
+# groupBy (shingle df) and a per-doc islands window — never a
+# suffix sort, never corpus².
+# --------------------------------------------------------------------
+SUBSTR_K = 12  # minimum duplicated span, in tokens
+
+
+def _substring_spans_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(ts) - {k - 1})) AS g(i)
+  WHERE len(ts) >= {k}
+),
+dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT s.doc_id, s.i FROM sh s JOIN dup USING (h)
+),
+runs AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) - min(i) + {k} AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_shingles
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_substring_spans_oracle(),
+    tags=("northstar", "dedup", "substring"),
+    doc="Exact substring dedup (ExactSubstr, Lee et al. 2022): every "
+    "MAXIMAL token span of length >= 12 that appears verbatim in at "
+    "least two distinct documents — per doc, (span_start, "
+    "span_tokens, n_dup_shingles). This is the standard companion "
+    "pass to MinHash document dedup: near-dup banding finds "
+    "mostly-similar DOCUMENTS, this finds verbatim PASSAGES "
+    "(boilerplate, licence blocks, quoted chains) inside otherwise "
+    "distinct documents — the spans a training pipeline cuts out "
+    "rather than dropping the doc. Distributed shape instead of the "
+    "paper's suffix array: a duplicated span >= k is exactly a "
+    "maximal run of consecutive k-shingles each shared with another "
+    "doc, so the plan is one shingle-hash groupBy (distinct-doc df, "
+    "content-hashed keys — uniformly distributed by construction), "
+    "a semi-join back to positions, and a per-doc gaps-and-islands "
+    "window (bounded by doc length). The shingle table is staged "
+    "once and read by both the df side and the position side.",
+)
+def dedup_substring_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k = SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("ts")
+    )
+    sh = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("ts"), i, k), " ")
+                    ),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "h")
+        .transform(stage)
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = hits.withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") - F.min("i") + k).cast("bigint").alias(
+            "span_tokens"
+        ),
+        F.count("*").cast("bigint").alias("n_dup_shingles"),
+    ).select("doc_id", "span_start", "span_tokens", "n_dup_shingles")
+
+
+# --------------------------------------------------------------------
+# Pixel-level multimodal near-dup (round 9): integer dHash over the
+# planted pixel grids + Hamming-LSH banding
+# --------------------------------------------------------------------
+DHASH_BAND_BITS = 14  # 4 bands x 14 bits over the 56-bit hash
+DHASH_HAM_MAX = 6     # verified near-dup threshold (of 56 bits)
+
+
+def _phash_oracle() -> str:
+    from ..operators.multimodal import DHASH_GRID, MALFORMED_MOD
+
+    g = DHASH_GRID
+    # 2-hex-char -> 0..255 byte value (the md5-prefix pixel)
+    hex2 = (
+        "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id % {MALFORMED_MOD} <> 0
+),
+cells AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % len(ts))] || ':' || CAST(i AS VARCHAR)) AS d
+  FROM toks, unnest(generate_series(0, {g * g - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+pix AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS px FROM cells
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b.px > a.px
+              THEN (CAST(1 AS BIGINT) << (a.r * {g - 1} + a.c))
+              ELSE 0 END) AS BIGINT) AS dhash
+  FROM (SELECT doc_id, idx // {g} AS r, idx % {g} AS c, px
+        FROM pix WHERE idx % {g} < {g - 1}) a
+  JOIN pix b ON b.doc_id = a.doc_id AND b.idx = a.r * {g} + a.c + 1
+  GROUP BY a.doc_id
+),
+bands AS (
+  SELECT doc_id, dhash, b,
+         (dhash >> ({DHASH_BAND_BITS} * b)) & {(1 << DHASH_BAND_BITS) - 1}
+           AS bkey
+  FROM bits, unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.dhash AS ha, y.dhash AS hb
+  FROM bands x JOIN bands y
+    ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {DHASH_HAM_MAX}
+"""
+
+
+@register(
+    "multimodal_phash_near_dups",
+    oracle=_phash_oracle(),
+    tags=("northstar", "multimodal", "dedup", "approx"),
+    doc="Pixel-level perceptual near-dup over the binary image "
+    "column — the first op below the container headers: plant an "
+    "8x8 grayscale PNG per document (pixels derived from its "
+    "tokens, so image duplication tracks text duplication), parse "
+    "the pixel grid back OUT of the payload bytes (IDAT chunk "
+    "walk), compute the 56-bit integer horizontal-gradient dHash in "
+    "the same Arrow batch, and find near-dup image pairs by "
+    "Hamming-LSH: 4 x 14-bit bands bucket the corpus (a pair "
+    "collides iff some band matches), candidates verify with "
+    "bit_count(xor) <= 6. Exactly the SimHash banding discipline, "
+    "one tier down the stack: the binary column never leaves the "
+    "hash stage (8 bytes per image ride the shuffle), bands are "
+    "content-hashed keys, and truncated payloads (every 37th doc) "
+    "parse to NULL and drop — the shared malformed-media contract. "
+    "Swapping the planted grid for real JPEG decode + bilinear "
+    "resize changes the pandas kernel body, never the plan. The "
+    "oracle replays pixels, dHash bit sums, banding, and Hamming "
+    "verification end to end.",
+)
+def multimodal_phash_near_dups(spark, sf_dir):
+    from ..operators.multimodal import (
+        documents_as_pixel_media,
+        pixel_dhash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_pixel_media(docs)
+    hashes = (
+        pixel_dhash_frame(media)
+        .filter(F.col("dhash").isNotNull())
+        .transform(stage)
+    )
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright(
+                                F.col("dhash"), DHASH_BAND_BITS * b
+                            ).bitwiseAND(F.lit(mask))
+                        ).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "dhash", F.col("bb.b").alias("b"), F.col("bb.bkey").alias("bkey"))
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
+        "b", "bkey",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
+        "b", "bkey",
+    )
+    cand = (
+        x.join(y, ["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("bigint")
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_HAM_MAX)

@@ -1401,3 +1401,63 @@ class TestPatternCompiler:
             (1, 1, 3, 30),   # merged branch, span v0 -> p
             (2, 0, 1, 40),   # full branch, anchor is the lone view
         }
+
+
+class TestPixelDhash:
+    """Round-9 pixel tier: plant -> parse -> dHash with the shared
+    truncation -> NULL contract, and the near-dup invariant that an
+    exact text copy hashes to Hamming distance 0."""
+
+    def test_truncated_payload_yields_null_dhash(self, spark):
+        from jly_flink_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta"),   # 0 % 37 == 0 -> truncated
+                (1, "alpha beta gamma delta"),
+                (2, ""),                          # token-less -> empty body
+                (37, "epsilon zeta"),             # truncated too
+            ],
+            "doc_id long, text string",
+        )
+        media = mm.documents_as_pixel_media(docs)
+        got = {
+            r["doc_id"]: r["dhash"]
+            for r in mm.pixel_dhash_frame(media).collect()
+        }
+        assert got[0] is None and got[37] is None and got[2] is None
+        assert got[1] is not None and 0 <= got[1] < (1 << mm.DHASH_BITS)
+
+    def test_exact_copy_is_distance_zero(self, spark):
+        from jly_flink_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "the quick brown fox jumps"),
+             (3, "a wholly different document body here")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["dhash"]
+            for r in mm.pixel_dhash_frame(
+                mm.documents_as_pixel_media(docs)
+            ).collect()
+        }
+        assert got[1] == got[2]
+        assert got[1] != got[3]
+
+    def test_dhash_matches_pure_python(self, spark):
+        """The mapInPandas kernel equals the module formula applied
+        to the planted grid directly (payload round trip included)."""
+        from jly_flink_spark.operators import multimodal as mm
+
+        text = "one two three four five six seven eight nine"
+        toks = text.split(" ")
+        want = mm.dhash_int(mm.planted_pixels(toks))
+        docs = spark.createDataFrame(
+            [(5, text)], "doc_id long, text string"
+        )
+        got = mm.pixel_dhash_frame(
+            mm.documents_as_pixel_media(docs)
+        ).collect()[0]["dhash"]
+        assert got == want

@@ -535,6 +535,14 @@ class TestShuffleBudget:
             # behind the staging cuts; the visible tail joins
             # broadcast |types|-row frames (headroom of 2)
             ("events_markov_stationary", 2),
+            # substring dedup: shingles staged once; shingle-df
+            # combine + the position semi-join + the per-doc islands
+            # window / final span rollup
+            ("dedup_substring_spans", 3),
+            # pixel dHash near-dup: hashes staged (8 bytes/image);
+            # ONE band-key exchange serves the self-join, the pair
+            # distinct rides the join's partitioning
+            ("multimodal_phash_near_dups", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

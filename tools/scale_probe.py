@@ -110,6 +110,10 @@ QUERIES = [
     "graph_adamic_adar_topk",
     "itemsets_apriori_triples",
     "events_attribution_linear",
+    # round-9: exact substring dedup — shingle volume is corpus
+    # tokens and duplicated-run volume grows with duplication
+    # density, the classic superlinear risk for an ExactSubstr pass
+    "dedup_substring_spans",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
@@ -133,6 +137,18 @@ DIM_QUERIES = [
     "tpch_q10_returned_items",      # |customers|-sized join output
     "supplier_nation_hhi",          # per-supplier revenue reduction
 ]
+
+
+# Parquet row-group cap for the probe corpus. pandas/pyarrow's
+# default writes one near-file-sized row group per single-file
+# table; Spark's byte-range file splits then degenerate (only the
+# task holding a row-group START reads anything), which the r8
+# probe surfaced as a fake 35x max/median "skew" on every scan
+# stage (26 tasks, one doing all the IO). A production corpus is
+# many ~128MB files; bounding the row group restores that
+# many-splits shape so the probe measures the PLAN, not a
+# single-file fixture artifact.
+PROBE_ROW_GROUP = 131_072
 
 
 def build_corpus(
@@ -190,7 +206,8 @@ def build_corpus(
                 rep[c] = rep[c] + k * spans[c]
             parts.append(rep)
         pd.concat(parts, ignore_index=True).to_parquet(
-            os.path.join(out_dir, f"{table}.parquet")
+            os.path.join(out_dir, f"{table}.parquet"),
+            row_group_size=PROBE_ROW_GROUP,
         )
         return spans
 
@@ -250,7 +267,8 @@ def build_corpus(
             rep["n_chars"] = rep["text"].str.len()
         doc_parts.append(rep)
     pd.concat(doc_parts, ignore_index=True).to_parquet(
-        os.path.join(out_dir, "documents.parquet")
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=PROBE_ROW_GROUP,
     )
 
     emb = pd.read_parquet(os.path.join(SRC_SF, "embeddings.parquet"))
@@ -266,7 +284,8 @@ def build_corpus(
             ]
         emb_parts.append(rep)
     pd.concat(emb_parts, ignore_index=True).to_parquet(
-        os.path.join(out_dir, "embeddings.parquet")
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=PROBE_ROW_GROUP,
     )
 
 
