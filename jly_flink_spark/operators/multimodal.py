@@ -804,3 +804,167 @@ def pixel_dhash_frame(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         batches, "doc_id bigint, dhash bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dHash band index (round 9): the image-dedup analog of
+# the LSH/winnowing indexes in operators/dedup.py — persist the
+# corpus's Hamming-LSH bands once; each ingest micro-batch PROBES for
+# near-dup images against the whole history and APPENDS its own
+# bands. Same LSM maintenance contract (tombstone delete → compact →
+# swap; serialize appends/compaction on one timeline).
+# ---------------------------------------------------------------------------
+DHASH_BAND_BITS = 14   # 4 x 14-bit bands over the 56-bit hash
+DHASH_N_BANDS = 4
+DHASH_HAM_MAX = 6      # verified near-dup threshold (of 56 bits)
+
+
+def dhash_bands(hashes: DataFrame) -> DataFrame:
+    """(doc_id, dhash, b, bkey) band rows for a (doc_id, dhash)
+    frame — a pair of images collides iff SOME band matches. One
+    row-local explode; the hash rides along so probes verify Hamming
+    distance without a second index read."""
+    mask = (1 << DHASH_BAND_BITS) - 1
+    return hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("dhash"), DHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(DHASH_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "dhash",
+        F.col("bb.b").alias("b"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+
+
+def persist_dhash_index(media: DataFrame, path: str) -> None:
+    """Persist the corpus's dHash band table, sorted by (b, bkey) for
+    per-file min/max pruning of the probe join's scan. Unparseable
+    payloads (NULL dhash) never enter the index."""
+    bands = dhash_bands(
+        pixel_dhash_frame(media).filter(F.col("dhash").isNotNull())
+    )
+    bands.sortWithinPartitions("b", "bkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_to_dhash_index(new_media: DataFrame, path: str) -> None:
+    """Write-back half of incremental image dedup (runs inside
+    foreachBatch beside the probe). At-least-once safe: a replayed
+    batch re-appends identical band rows, the probe is duplicate-
+    insensitive (distinct pairs), and compaction drains the physical
+    duplicates — the winnowing index's replay contract."""
+    bands = dhash_bands(
+        pixel_dhash_frame(new_media).filter(F.col("dhash").isNotNull())
+    )
+    bands.sortWithinPartitions("b", "bkey").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def probe_dhash_index(
+    spark,
+    new_media: DataFrame,
+    path: str,
+    ham_max: int = DHASH_HAM_MAX,
+) -> DataFrame:
+    """Near-dup image candidates of a new batch against the INDEXED
+    corpus: (new_doc_id, index_doc_id, hamming) for pairs sharing a
+    band with bit_count(xor) <= ham_max. Hashes ride inside the band
+    rows, so verification needs no extra index read; the distinct
+    collapses multi-band collisions AND any replay-duplicated index
+    rows (same values either way)."""
+    probe = dhash_bands(
+        pixel_dhash_frame(new_media).filter(F.col("dhash").isNotNull())
+    ).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("dhash").alias("hn"),
+        "b",
+        "bkey",
+    )
+    idx = read_dhash_index(spark, path).select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("dhash").alias("hi"),
+        "b",
+        "bkey",
+    )
+    cand = (
+        probe.join(idx, ["b", "bkey"])
+        .filter(F.col("new_doc_id") != F.col("index_doc_id"))
+        .select("new_doc_id", "index_doc_id", "hn", "hi")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hn").bitwiseXOR(F.col("hi"))).cast(
+        "bigint"
+    )
+    return cand.select(
+        "new_doc_id", "index_doc_id", ham.alias("hamming")
+    ).filter(F.col("hamming") <= ham_max)
+
+
+def delete_from_dhash_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion — the shared tombstone contract (removed
+    images stop surfacing immediately; compaction applies
+    physically)."""
+    from pyspark.sql import DataFrame as _DF
+
+    from .similarity import _tombstone_dir
+
+    df = (
+        doc_ids
+        if isinstance(doc_ids, _DF)
+        else spark.createDataFrame(
+            [(int(v),) for v in doc_ids], "doc_id long"
+        )
+    )
+    df.select("doc_id").write.mode("append").parquet(
+        _tombstone_dir(path)
+    )
+
+
+def read_dhash_index(spark, path: str) -> DataFrame:
+    """Compaction-safe, tombstone-aware index read."""
+    from .similarity import _without_tombstones
+
+    return _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    )
+
+
+def compact_dhash_index(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> int:
+    """Maintenance pass — the compact_lsh_index contract verbatim
+    ((b, bkey)-sorted rewrite, atomic write-then-swap, tombstones
+    applied and drained, replay-duplicated rows dropped; serialize
+    with appends; consumers re-resolve per epoch)."""
+    import shutil
+
+    from ..sources.layout import compact_sorted, swap_layout
+    from .similarity import _tombstone_dir, _without_tombstones
+
+    tmp = path.rstrip("/") + ".compacting"
+    n_files = compact_sorted(
+        _without_tombstones(
+            spark, path, spark.read.parquet(path), "doc_id"
+        ).dropDuplicates(["doc_id", "b", "bkey"]),
+        tmp,
+        ["b", "bkey"],
+        target_rows_per_file,
+    )
+    swap_layout(path, tmp)
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    return n_files

@@ -3754,3 +3754,149 @@ def events_markov_stationary(spark, sf_dir):
             .transform(stage)
         )
     return pi.select("event_type", F.col("pi").alias("pi_micro"))
+
+
+# --------------------------------------------------------------------
+# Seasonal decomposition (round 9): period-24 trend + hour-of-day
+# seasonal indices over the hourly event series
+# --------------------------------------------------------------------
+SEASON_BEFORE = 11  # centered 24-row trend window: 11 back, 12 fwd
+SEASON_AFTER = 12
+
+
+@register(
+    "events_seasonal_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, hb, c,
+         CAST(sum(c * 1000000) OVER w // 24 AS BIGINT) AS trend_micro,
+         count(*) OVER w AS n_w
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+),
+resid AS (
+  SELECT event_type, CAST(hour(hb) AS BIGINT) AS hod,
+         c * 1000000 - trend_micro AS r_micro
+  FROM tr WHERE n_w = 24
+)
+SELECT event_type, hod,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(r_micro) // count(*) AS BIGINT) AS seasonal_micro
+FROM resid GROUP BY event_type, hod
+""",
+    tags=("advanced", "timeseries", "window"),
+    doc="Classical seasonal decomposition over the hourly event "
+    "series, per event type: trend = centered 24-row moving mean "
+    "(rows 11 back / 12 forward, only FULL windows kept — the "
+    "period-even centering every STL implementation applies), "
+    "residual = count − trend, seasonal index = per hour-of-day "
+    "mean residual. The additive-decomposition building block under "
+    "anomaly detection and load forecasting; CUSUM/EWMA in this "
+    "tier detect level shifts, this separates the daily cycle from "
+    "them. Exact integer arithmetic end to end (micro-unit sums, "
+    "truncating division on both engines), so the 24×|types| index "
+    "table value-hashes cross-engine. Scale shape: ONE shuffle to "
+    "hourly tiles (map-side combined), then windows over per-type "
+    "series whose length is the time span — independent of event "
+    "volume.",
+)
+def events_seasonal_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-SEASON_BEFORE, SEASON_AFTER)
+    )
+    tr = (
+        hourly.withColumn(
+            "sw", F.sum(F.col("c") * F.lit(1000000)).over(w)
+        )
+        .withColumn("n_w", F.count("*").over(w))
+        .withColumn("trend_micro", F.expr("sw div 24"))
+        .filter(F.col("n_w") == 24)
+    )
+    resid = tr.select(
+        "event_type",
+        F.hour("hb").cast("bigint").alias("hod"),
+        (F.col("c") * 1000000 - F.col("trend_micro")).alias("r_micro"),
+    )
+    return resid.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.expr("sum(r_micro) div count(*)")
+        .cast("bigint")
+        .alias("seasonal_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Sequential 2-patterns within a horizon (round 9) — SPADE-style
+# sequence support (distinct users), not adjacent-only transitions
+# --------------------------------------------------------------------
+SEQ_HORIZON = 3  # b counts as following a if within the next 3 events
+
+
+@register(
+    "events_sequence_pairs",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS a, ts, event_id,
+         [lead(event_type, 1) OVER w,
+          lead(event_type, 2) OVER w,
+          lead(event_type, 3) OVER w] AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+occ AS (
+  SELECT user_id, a, b
+  FROM seq, unnest(nxt) AS t(b)
+  WHERE b IS NOT NULL
+)
+SELECT a AS first_type, b AS then_type,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM occ GROUP BY a, b
+""",
+    tags=("advanced", "sequence", "window"),
+    doc="Frequent 2-sequences with a bounded horizon — the "
+    "sequential-pattern counterpart of the Markov transition "
+    "matrix: (a, then b within the user's next 3 events), support "
+    "counted both as occurrences and as DISTINCT USERS (the "
+    "SPADE/PrefixSpan support definition — a pattern one power "
+    "user repeats 1000x is still one user of evidence). Adjacent-"
+    "only transitions miss a→x→b sequences; the horizon-3 leads "
+    "catch them without the unbounded self-join a full sequence "
+    "miner needs. ONE user-keyed window shuffle (three leads share "
+    "it), map-side explode, then the pair rollup — the same "
+    "exchange discipline as the compiled-pattern tier.",
+)
+def events_sequence_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.array(
+            *[
+                F.lead("event_type", i).over(w)
+                for i in range(1, SEQ_HORIZON + 1)
+            ]
+        ).alias("nxt"),
+    )
+    occ = seq.select(
+        "user_id", "a", F.explode("nxt").alias("b")
+    ).filter(F.col("b").isNotNull())
+    return occ.groupBy(
+        F.col("a").alias("first_type"), F.col("b").alias("then_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -4326,3 +4326,60 @@ def embedding_silhouette_by_cluster(spark, sf_dir):
         .alias("mean_silhouette_micro"),
         F.min("s_micro").cast("bigint").alias("min_silhouette_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# Per-source domain cap (round 9) — RefinedWeb-style curation
+# --------------------------------------------------------------------
+# Cap = greatest(floor, corpus // DEN): relative with a floor, the
+# Apriori lesson applied to sampling — a cap that scales with the
+# corpus keeps per-source retention meaningful at every SF, while an
+# absolute constant silently becomes all-of-source (tiny corpora) or
+# a rounding error (100 TB).
+SOURCE_CAP_MIN = 2
+SOURCE_CAP_DEN = 100
+
+
+@register(
+    "curation_source_cap_sample",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+FROM ranked, n
+WHERE rnk <= greatest({SOURCE_CAP_MIN}, total // {SOURCE_CAP_DEN})
+""",
+    tags=("curation", "sampling", "window"),
+    doc="Per-source domain cap (the RefinedWeb curation move the "
+    "mixture tier lacked): no source may contribute more than "
+    "cap = max(2, corpus//100) documents, the survivors chosen by a "
+    "DETERMINISTIC hash ranking (md5 of doc_id) so the sample is "
+    "reproducible across engines, runs, and partitionings — no RNG, "
+    "no sampleBy. One row_number window per source over the slim "
+    "(doc_id, source) projection; the text column is never read "
+    "(scan prunes to two columns). Skew note for a real crawl: a "
+    "single domain can be percent-scale of a 100 TB corpus, making "
+    "its window partition a straggler — the fix is the sharded "
+    "rank decomposition in operators/ranking.py (boundary_sharded "
+    "on the hash key within the hot source); the synthetic corpus's "
+    "uniform sources keep the direct window the honest benchmark "
+    "shape here.",
+)
+def curation_source_cap_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # model-state scalar, mirroring the oracle's scalar subquery
+    total = docs.count()
+    cap = max(SOURCE_CAP_MIN, total // SOURCE_CAP_DEN)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= cap)
+    )

@@ -3323,8 +3323,12 @@ def dedup_substring_spans(spark, sf_dir):
 # Pixel-level multimodal near-dup (round 9): integer dHash over the
 # planted pixel grids + Hamming-LSH banding
 # --------------------------------------------------------------------
-DHASH_BAND_BITS = 14  # 4 bands x 14 bits over the 56-bit hash
-DHASH_HAM_MAX = 6     # verified near-dup threshold (of 56 bits)
+# one definition in the operator module (the incremental index and
+# this batch query must bucket identically for batch↔stream parity)
+from ..operators.multimodal import (  # noqa: E402
+    DHASH_BAND_BITS,
+    DHASH_HAM_MAX,
+)
 
 
 def _phash_oracle() -> str:
@@ -3415,26 +3419,9 @@ def multimodal_phash_near_dups(spark, sf_dir):
         .filter(F.col("dhash").isNotNull())
         .transform(stage)
     )
-    mask = (1 << DHASH_BAND_BITS) - 1
-    bands = hashes.select(
-        "doc_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        (
-                            F.shiftright(
-                                F.col("dhash"), DHASH_BAND_BITS * b
-                            ).bitwiseAND(F.lit(mask))
-                        ).alias("bkey"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "dhash", F.col("bb.b").alias("b"), F.col("bb.bkey").alias("bkey"))
+    from ..operators.multimodal import dhash_bands
+
+    bands = dhash_bands(hashes)
     x = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
         "b", "bkey",
@@ -3455,3 +3442,212 @@ def multimodal_phash_near_dups(spark, sf_dir):
     return cand.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= DHASH_HAM_MAX)
+
+
+# --------------------------------------------------------------------
+# Johnson–Lindenstrauss projection distortion (round 9): deterministic
+# ±1 sign matrix from md5, exact-integer projection, per-vector
+# norm-preservation ratio
+# --------------------------------------------------------------------
+JL_M = 16          # target dimensionality
+JL_QUANT = 10_000  # fixed-point scale sized so ny*1e6 stays in int64
+
+
+def _jl_signs(d: int) -> list[list[int]]:
+    """The d×m Rademacher sign matrix: +1 iff the first md5 hex char
+    of 'dim:j' is 0–7 — data-independent model state the oracle
+    rebuilds with the same instr() arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{dim}:{j}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1
+            for j in range(JL_M)
+        ]
+        for dim in range(d)
+    ]
+
+
+def _jl_oracle() -> str:
+    q, m = JL_QUANT, JL_M
+    return f"""
+WITH dims AS (
+  SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings)))
+    AS dim
+),
+js AS (SELECT unnest(range({m})) AS j),
+sgn AS (
+  SELECT d.dim, js.j,
+         CASE WHEN (instr('0123456789abcdef',
+                substring(md5(CAST(d.dim AS VARCHAR) || ':'
+                              || CAST(js.j AS VARCHAR)), 1, 1)) - 1)
+              < 8 THEN 1 ELSE -1 END AS s
+  FROM dims d CROSS JOIN js
+),
+flat AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q}) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+proj AS (
+  SELECT f.vec_id, s.j, CAST(sum(f.qv * s.s) AS BIGINT) AS y
+  FROM flat f JOIN sgn s ON s.dim = f.dim
+  GROUP BY f.vec_id, s.j
+),
+norms AS (
+  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nq FROM flat
+  GROUP BY vec_id
+),
+pnorms AS (
+  SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS ny FROM proj
+  GROUP BY vec_id
+)
+SELECT n.vec_id, n.nq AS norm_q, p.ny AS norm_proj,
+       CAST(p.ny * 1000000 // ({m} * greatest(n.nq, 1)) AS BIGINT)
+         AS ratio_ppm
+FROM norms n JOIN pnorms p USING (vec_id)
+"""
+
+
+@register(
+    "embedding_jl_distortion",
+    oracle=_jl_oracle(),
+    tags=("northstar", "similarity", "quantization"),
+    doc="Johnson–Lindenstrauss sketching audit: project every "
+    "embedding 64→16 dims through a DETERMINISTIC Rademacher ±1 "
+    "matrix (signs = md5 of 'dim:j', so both engines build the "
+    "identical matrix — no RNG) and report each vector's norm-"
+    "preservation ratio ‖y‖²·10⁶/(m·‖q‖²) in exact integers "
+    "(E[‖y‖²] = m·‖q‖² for ±1 signs, so 1e6 ≈ perfect). The "
+    "cheap-sketch counterpart of PQ: JL preserves DISTANCES "
+    "obliviously (no training pass), and this per-vector audit is "
+    "how a pipeline validates a sketch before routing ANN traffic "
+    "through it. Plan shape: the sign matrix is 1024 literal ints "
+    "folded into a per-row expression — projection, both norms, and "
+    "the ratio all compute inside whole-stage codegen with ZERO "
+    "exchanges; fixed-point 1e4 quantization keeps the worst-case "
+    "‖y‖²·10⁶ inside int64.",
+)
+def embedding_jl_distortion(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").head()["embedding"])
+    signs = _jl_signs(d)
+    q, m = JL_QUANT, JL_M
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(q))).cast(
+            "bigint"
+        ),
+    )
+    base = emb.select("vec_id", qv.alias("qv"))
+
+    def dot_signs(j: int):
+        col = F.array(
+            *[F.lit(signs[dim][j]).cast("bigint") for dim in range(d)]
+        )
+        return F.aggregate(
+            F.zip_with(F.col("qv"), col, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    nq = F.aggregate(
+        F.col("qv"),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v * v,
+    )
+    y = F.array(*[dot_signs(j) for j in range(m)])
+    ny = F.aggregate(
+        y, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+    )
+    out = base.select(
+        "vec_id", nq.alias("norm_q"), ny.alias("norm_proj")
+    )
+    return out.withColumn(
+        "ratio_ppm",
+        F.expr(f"norm_proj * 1000000 div ({m} * greatest(norm_q, 1))")
+        .cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------
+# Moving-average type-token ratio (round 9): MATTR, the
+# length-invariant lexical-diversity score
+# --------------------------------------------------------------------
+MATTR_W = 50      # window width in tokens
+MATTR_STRIDE = 25  # half-overlapping windows
+
+
+def _mattr_oracle() -> str:
+    w, st = MATTR_W, MATTR_STRIDE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+wins AS (
+  SELECT doc_id, s, ts[s:s+{w - 1}] AS ws
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {w - 1}, {st})) AS g(s)
+  WHERE len(ts) >= {w}
+),
+ttr AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(ws)) * 1000000 // {w} AS BIGINT)
+           AS ppm
+  FROM wins
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(ppm) // count(*) AS BIGINT) AS mattr_ppm
+FROM ttr GROUP BY doc_id
+"""
+
+
+@register(
+    "text_mattr",
+    oracle=_mattr_oracle(),
+    tags=("northstar", "text", "quality"),
+    doc="Moving-average type-token ratio (MATTR, Covington & "
+    "McFall): lexical diversity as the mean of distinct-token "
+    "ratios over 50-token windows at stride 25 — the "
+    "length-INVARIANT form of TTR (raw TTR falls with document "
+    "length, so it can't threshold a mixed-length corpus; windowed "
+    "TTR can, and low MATTR is a strong repetition/boilerplate "
+    "signal the Gopher rules don't capture). Exact integers: ppm "
+    "per window, truncating mean per doc. Pure per-row array "
+    "expressions — windows, distinct counts, and the mean all run "
+    "inside whole-stage codegen, ZERO exchanges before the final "
+    "per-doc projection (which is row-local too).",
+)
+def text_mattr(spark, sf_dir):
+    w, st = MATTR_W, MATTR_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    ts = text.tokens(F.col("text"))
+    staged = docs.select("doc_id", ts.alias("ts")).filter(
+        F.size("ts") >= w
+    )
+    out = staged.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(ts) - {w - 1}, {st}), "
+            f"s -> cast(size(array_distinct(slice(ts, s, {w}))) "
+            f"* 1000000 div {w} as bigint))"
+        ).alias("ppms"),
+    )
+    return out.select(
+        "doc_id",
+        F.size("ppms").cast("bigint").alias("n_windows"),
+        F.expr(
+            "aggregate(ppms, cast(0 as bigint), (a, v) -> a + v)"
+            " div size(ppms)"
+        )
+        .cast("bigint")
+        .alias("mattr_ppm"),
+    )

@@ -543,6 +543,19 @@ class TestShuffleBudget:
             # ONE band-key exchange serves the self-join, the pair
             # distinct rides the join's partitioning
             ("multimodal_phash_near_dups", 1),
+            # source cap: ONE per-source window over the 2-column
+            # projection (the count is a separate model-state job)
+            ("curation_source_cap_sample", 1),
+            # seasonal: hourly-tile combine + per-type series window
+            # (the seasonal rollup rides the type partitioning)
+            ("events_seasonal_hourly", 2),
+            # sequence pairs: ONE user window (3 leads share it) +
+            # the pair rollup
+            ("events_sequence_pairs", 2),
+            # JL sketch audit + MATTR: pure per-row expressions —
+            # sign matrix / windows fold into codegen, NO exchange
+            ("embedding_jl_distortion", 0),
+            ("text_mattr", 0),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
