@@ -146,6 +146,15 @@ HEADLINE = [
     "itemsets_apriori_triples",
     "events_attribution_linear",
     "multimodal_variant_decode_stats",
+    # round-9 pins: the ExactSubstr dedup pass, the pixel-tier
+    # near-dup, the iterative HITS scorer, the expression-folded JL
+    # audit, and the per-source cap window — one floor per new
+    # family so the regression gate covers them from day one.
+    "dedup_substring_spans",
+    "multimodal_phash_near_dups",
+    "graph_hits_authorities",
+    "embedding_jl_distortion",
+    "curation_source_cap_sample",
 ]
 
 

@@ -2135,3 +2135,232 @@ def orders_association_rules(spark, sf_dir):
             .alias("lift_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# HITS over the order–part bipartite graph (round 9): hubs =
+# baskets, authorities = parts — integer fixed-iteration
+# --------------------------------------------------------------------
+HITS_ITERS = 2
+HITS_Q = 1_000_000  # max-normalized micro-units after every half-step
+HITS_TOPK = 50
+
+
+def _hits_oracle() -> str:
+    q, k = HITS_Q, HITS_TOPK
+    its = []
+    prev_a = "a0"
+    # a0 = 1e6 for every part (uniform start)
+    for i in range(1, HITS_ITERS + 1):
+        its.append(f"""
+h{i}_raw AS (
+  SELECT e.ok, CAST(sum(a.s) AS BIGINT) AS s
+  FROM items e JOIN {prev_a} a USING (item) GROUP BY e.ok
+),
+h{i} AS (
+  SELECT ok, CAST(s * {q} // (SELECT max(s) FROM h{i}_raw) AS BIGINT)
+    AS s
+  FROM h{i}_raw
+),
+a{i}_raw AS (
+  SELECT e.item, CAST(sum(h.s) AS BIGINT) AS s
+  FROM items e JOIN h{i} h USING (ok) GROUP BY e.item
+),
+a{i} AS (
+  SELECT item, CAST(s * {q} // (SELECT max(s) FROM a{i}_raw) AS BIGINT)
+    AS s
+  FROM a{i}_raw
+)""")
+        prev_a = f"a{i}"
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+a0 AS (SELECT DISTINCT item, CAST({q} AS BIGINT) AS s FROM items),
+{",".join(its)}
+SELECT item AS partkey, s AS authority_q,
+       CAST(row_number() OVER (ORDER BY s DESC, item) AS BIGINT)
+         AS rnk
+FROM {prev_a}
+ORDER BY s DESC, item LIMIT {k}
+"""
+
+
+@register(
+    "graph_hits_authorities",
+    oracle=_hits_oracle(),
+    tags=("relational", "graph", "itemsets"),
+    doc="HITS (Kleinberg) over the order–part bipartite graph: "
+    "baskets are hubs, parts are authorities — a part scores high "
+    "when it sits in baskets that also contain other high-authority "
+    "parts, the mutual-reinforcement signal raw popularity (degree) "
+    "misses. Fixed " f"{HITS_ITERS}" " unrolled iterations with "
+    "MAX-normalization after every half-step, all exact integers "
+    "(sum, then s·1e6 // max — truncating division on both "
+    "engines), so the scores are bit-identical cross-engine without "
+    "the float L2 normalization the textbook form uses. Scale "
+    "shape: the basket table is staged once; every half-step is one "
+    "co-partitioned equi-join + groupBy on ok/item (the PageRank "
+    "exchange discipline), the max is a 1-row broadcast aggregate, "
+    "top-50 is TakeOrdered.",
+)
+def graph_hits_authorities(spark, sf_dir):
+    from pyspark.sql import Window
+
+    q = HITS_Q
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+        .transform(stage)
+    )
+    a = items.select("item").distinct().select(
+        "item", F.lit(q).cast("bigint").alias("s")
+    )
+    for _ in range(HITS_ITERS):
+        h_raw = (
+            items.join(a, "item")
+            .groupBy("ok")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .transform(stage)
+        )
+        hmax = h_raw.agg(F.max("s").alias("m"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "ok", F.expr(f"s * {q} div m").cast("bigint").alias("s")
+        )
+        a_raw = (
+            items.join(h, "ok")
+            .groupBy("item")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .transform(stage)
+        )
+        amax = a_raw.agg(F.max("s").alias("m"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "item", F.expr(f"s * {q} div m").cast("bigint").alias("s")
+        )
+    top = a.orderBy(F.col("s").desc(), "item").limit(HITS_TOPK)
+    return top.select(
+        F.col("item").alias("partkey"),
+        F.col("s").alias("authority_q"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "item"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------
+# Kaplan–Meier survival over customer tenure (round 9)
+# --------------------------------------------------------------------
+KM_BUCKET_S = 2_592_000  # 30-day tenure buckets (seconds)
+
+
+def _km_oracle() -> str:
+    b = KM_BUCKET_S
+    return f"""
+WITH RECURSIVE per_cust AS (
+  SELECT o_custkey,
+         (CAST(floor(epoch(max(o_orderdate))) AS BIGINT)
+          - CAST(floor(epoch(min(o_orderdate))) AS BIGINT)) // {b}
+           AS t
+  FROM orders GROUP BY o_custkey
+),
+deaths AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS d FROM per_cust GROUP BY t
+),
+ord AS (
+  SELECT t, d, row_number() OVER (ORDER BY t) AS rn FROM deaths
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+km AS (
+  SELECT rn, t, d,
+         (SELECT n FROM tot) AS n_risk,
+         CAST((SELECT n FROM tot) - d AS BIGINT) AS rem,
+         CAST(1000000 * ((SELECT n FROM tot) - d)
+              // (SELECT n FROM tot) AS BIGINT) AS s
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.t, o.d, k.rem AS n_risk,
+         CAST(k.rem - o.d AS BIGINT) AS rem,
+         CAST(k.s * (k.rem - o.d) // k.rem AS BIGINT) AS s
+  FROM km k JOIN ord o ON o.rn = k.rn + 1
+)
+SELECT t AS tenure_bucket, n_risk, d AS n_churned,
+       s AS survival_micro
+FROM km
+"""
+
+
+@register(
+    "customer_survival_km",
+    oracle=_km_oracle(),
+    tags=("relational", "timeseries", "agg"),
+    doc="Kaplan–Meier survival curve over customer tenure (churn "
+    "proxy: a customer's last order ends their spell; tenure = "
+    "30-day buckets between first and last order — epoch-floor "
+    "bucketing, the engine-exact form). At each bucket with events: "
+    "risk set n_t (customers still alive entering t), churns d_t, "
+    "and the product-limit estimate S_t = Π (n_i − d_i)/n_i folded "
+    "in EXACT integer micro-units (S ← S·(n−d) div n, truncating "
+    "division on both engines) — no float product drift, so the "
+    "curve value-hashes cross-engine. Spark side folds the "
+    "bucket-level tile table (one sorted collect_list of a "
+    "|buckets|-sized model frame, never the customer table) inside "
+    "one aggregate() expression; the oracle mirrors with a "
+    "recursive CTE. Scale shape: customers reduce to per-key "
+    "min/max (one combine), buckets are time-span-sized — "
+    "independent of order volume.",
+)
+def customer_survival_km(spark, sf_dir):
+    b = KM_BUCKET_S
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (
+            (
+                F.unix_timestamp(F.max("o_orderdate"))
+                - F.unix_timestamp(F.min("o_orderdate"))
+            )
+            / F.lit(b)
+        )
+        .cast("bigint")
+        .alias("t")
+    )
+    deaths = per_cust.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    one = deaths.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d"))).alias("arr"),
+        F.sum("d").cast("bigint").alias("n"),
+    )
+    folded = one.select(
+        F.expr(
+            """
+aggregate(
+  arr,
+  named_struct(
+    's', cast(1000000 as bigint),
+    'rem', n,
+    'out', cast(array() as
+      array<struct<t:bigint,n_risk:bigint,d:bigint,s:bigint>>)
+  ),
+  (acc, x) -> named_struct(
+    's', acc.s * (acc.rem - x.d) div acc.rem,
+    'rem', acc.rem - x.d,
+    'out', concat(acc.out, array(named_struct(
+      't', x.t, 'n_risk', acc.rem, 'd', x.d,
+      's', acc.s * (acc.rem - x.d) div acc.rem)))
+  ),
+  acc -> acc.out
+)
+"""
+        ).alias("steps")
+    )
+    return folded.select(F.explode("steps").alias("st")).select(
+        F.col("st.t").alias("tenure_bucket"),
+        F.col("st.n_risk").alias("n_risk"),
+        F.col("st.d").alias("n_churned"),
+        F.col("st.s").alias("survival_micro"),
+    )

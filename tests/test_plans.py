@@ -556,6 +556,12 @@ class TestShuffleBudget:
             # sign matrix / windows fold into codegen, NO exchange
             ("embedding_jl_distortion", 0),
             ("text_mattr", 0),
+            # HITS: basket/iterate frames live behind staging cuts;
+            # the visible tail is one combine + broadcast max joins
+            ("graph_hits_authorities", 1),
+            # KM survival: per-customer combine + bucket combine +
+            # the 1-row fold collect (model-sized)
+            ("customer_survival_km", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

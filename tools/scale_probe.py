@@ -114,6 +114,10 @@ QUERIES = [
     # tokens and duplicated-run volume grows with duplication
     # density, the classic superlinear risk for an ExactSubstr pass
     "dedup_substring_spans",
+    # round-9: pixel-tier banding (pair volume grows with image
+    # duplication density) and the iterative bipartite HITS scorer
+    "multimodal_phash_near_dups",
+    "graph_hits_authorities",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
