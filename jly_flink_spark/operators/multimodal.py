@@ -968,3 +968,48 @@ def compact_dhash_index(
     swap_layout(path, tmp)
     shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
     return n_files
+
+
+def stream_image_near_dups(
+    new_media: DataFrame,
+    index_bands: DataFrame,
+    ham_max: int = DHASH_HAM_MAX,
+) -> DataFrame:
+    """Continuous-ingest image near-dup detection: each arriving
+    payload's dHash bands probe the persisted index; any shared band
+    whose full hashes verify within ``ham_max`` emits
+    (new_doc_id, index_doc_id, hamming, b). Works identically on a
+    streaming frame (stream-static join, append mode, ZERO streaming
+    state — the dedup.stream_near_dup_candidates contract) and a
+    batch frame. A pair may surface once per shared band; dedup of
+    candidates is the consumer's choice (watermarked dropDuplicates
+    in streaming, distinct in batch — `probe_dhash_index` is that
+    batch form)."""
+    probe = dhash_bands(
+        pixel_dhash_frame(new_media).filter(F.col("dhash").isNotNull())
+    ).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("dhash").alias("hn"),
+        "b",
+        "bkey",
+    )
+    idx = index_bands.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("dhash").alias("hi"),
+        "b",
+        "bkey",
+    )
+    ham = F.bit_count(F.col("hn").bitwiseXOR(F.col("hi"))).cast(
+        "bigint"
+    )
+    return (
+        probe.join(idx, ["b", "bkey"])
+        .filter(F.col("new_doc_id") != F.col("index_doc_id"))
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            ham.alias("hamming"),
+            "b",
+        )
+        .filter(F.col("hamming") <= ham_max)
+    )

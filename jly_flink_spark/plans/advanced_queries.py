@@ -3900,3 +3900,84 @@ def events_sequence_pairs(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------
+# Theil–Sen trend (round 9): the robust slope estimator
+# --------------------------------------------------------------------
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST((b.c - a.c) * 1000000 // (b.day - a.day) AS BIGINT)
+           AS slope_micro
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       slope_micro AS theil_sen_micro
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+    tags=("advanced", "timeseries", "robust"),
+    doc="Theil–Sen trend over the daily event series, per type: the "
+    "LOWER MEDIAN of all pairwise slopes (c_j−c_i)/(day_j−day_i) — "
+    "the robust alternative to OLS (one crawler outage day moves a "
+    "least-squares slope arbitrarily; it moves the median of "
+    "slopes not at all up to a 29% breakdown). Slopes quantized to "
+    "exact integer micro-units via truncating division; the median "
+    "is picked by POSITION over the value ordering, so ties in "
+    "slope value cannot make the result order-dependent. Scale "
+    "shape: the pairwise join is over the DAILY TILE table — "
+    "O(span²) per type, independent of event volume (the same "
+    "bounded-tile argument as the seasonal decomposition); one "
+    "combine + one bounded self-join + one per-type window.",
+)
+def events_theil_sen_trend(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)")
+            .alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(stage)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.expr("(b.c - a.c) * 1000000 div (b.day - a.day)")
+            .cast("bigint")
+            .alias("slope_micro"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.withColumn(
+        "rn", F.row_number().over(w.orderBy("slope_micro"))
+    ).withColumn("n", F.count("*").over(w))
+    return ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope_micro").alias("theil_sen_micro"),
+    )

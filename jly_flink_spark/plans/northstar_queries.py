@@ -3651,3 +3651,83 @@ def text_mattr(spark, sf_dir):
         .cast("bigint")
         .alias("mattr_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# Per-document token entropy (round 9) — quantized-ln, zero-exchange
+# --------------------------------------------------------------------
+@register(
+    "text_token_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+cnts AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks
+        WHERE len(ts) >= 1)
+  GROUP BY doc_id, tok
+),
+tot AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cnts
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       t.n AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c.cnt * CAST(round(ln(CAST(t.n AS DOUBLE)
+                / CAST(c.cnt AS DOUBLE)) * 1000000) AS BIGINT))
+            // t.n AS BIGINT) AS entropy_micro
+FROM cnts c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+""",
+    tags=("northstar", "text", "quality"),
+    doc="Shannon entropy of each document's unigram distribution — "
+    "H = Σ (cnt/n)·ln(n/cnt) in exact integer micro-nats via the "
+    "quantized-ln trick the Adamic–Adar tier uses (round(ln·1e6) is "
+    "IEEE-identical on both engines, the sum is exact integers). "
+    "Low entropy = repetitive/templated text (a stronger signal "
+    "than type-token ratio for skewed vocabularies: a doc can have "
+    "many types yet spend 95% of its mass on one of them); the "
+    "standard cheap quality feature next to MATTR and Yule's K. "
+    "Plan: one (doc, token) combine + the per-doc rollup, both "
+    "co-partitioned on doc_id.",
+)
+def text_token_entropy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 1)
+    cnts = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    withn = cnts.withColumn(
+        "n", F.sum("cnt").over(w).cast("bigint")
+    )
+    return (
+        withn.withColumn(
+            "term",
+            F.expr(
+                "cnt * cast(round(ln(cast(n as double)"
+                " / cast(cnt as double)) * 1000000) as bigint)"
+            ),
+        )
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.expr("sum(term) div n").cast("bigint").alias(
+                "entropy_micro"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_micro",
+        )
+    )

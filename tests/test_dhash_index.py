@@ -178,3 +178,47 @@ def test_index_bucketing_matches_registered_query(spark, corpus):
             ).collect()
         }
     assert batch_pairs <= probed
+
+
+def test_stream_probe_matches_batch(spark, corpus, dhash_index, tmp_path):
+    """stream_image_near_dups over a file stream emits exactly the
+    batch probe's verified pairs (after consumer-side dedup) — the
+    stream-static zero-state contract."""
+    copies = _copy_docs(spark, corpus, [3, 9, 17])
+    src = str(tmp_path / "newdocs")
+    copies.repartition(3).write.mode("overwrite").parquet(src)
+    index_bands = spark.read.parquet(dhash_index)
+
+    out: list = []
+
+    def sink(df, eid):
+        out.extend(df.collect())
+
+    q = (
+        mm.stream_image_near_dups(
+            mm.documents_as_pixel_media(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            ),
+            index_bands,
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["new_doc_id"], r["index_doc_id"], r["hamming"])
+        for r in out
+    }
+    batch = {
+        (r["new_doc_id"], r["index_doc_id"], r["hamming"])
+        for r in mm.probe_dhash_index(
+            spark, _media(spark, copies), dhash_index
+        ).collect()
+    }
+    assert streamed == batch
+    assert (100_003, 3, 0) in streamed

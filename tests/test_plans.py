@@ -559,6 +559,12 @@ class TestShuffleBudget:
             # HITS: basket/iterate frames live behind staging cuts;
             # the visible tail is one combine + broadcast max joins
             ("graph_hits_authorities", 1),
+            # Theil-Sen: daily tiles staged; the bounded self-join +
+            # per-type median window share one type exchange
+            ("events_theil_sen_trend", 1),
+            # entropy: (doc, token) combine + the doc-keyed window/
+            # rollup pair
+            ("text_token_entropy", 2),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),

@@ -569,6 +569,27 @@ def _stream_scenarios(spark, sf_dir: str, work: str, n_files: int):
     scenarios["stream_near_dup_candidates"] = writer(
         dedup.stream_near_dup_candidates(new_stream, index), "append"
     )
+
+    # stream-static dHash probe (round 9): the pixel-tier twin —
+    # zero streaming state, the scaled axis is the image index
+    from jly_flink_spark.operators import multimodal as mm
+
+    dh_path = os.path.join(work, "dhash_index")
+    mm.persist_dhash_index(
+        mm.documents_as_pixel_media(docs), dh_path
+    )
+    dh_index = spark.read.parquet(dh_path)
+    new_stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(new_src)
+    )
+    scenarios["stream_image_near_dups"] = writer(
+        mm.stream_image_near_dups(
+            mm.documents_as_pixel_media(new_stream2), dh_index
+        ),
+        "append",
+    )
     return scenarios
 
 
