@@ -3981,3 +3981,88 @@ def events_theil_sen_trend(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_pairs"),
         F.col("slope_micro").alias("theil_sen_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# Ordered funnel conversion (round 9): view → click → purchase
+# --------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       CAST((SELECT count(*) FROM c) * 1000000
+            // greatest((SELECT count(*) FROM v), 1) AS BIGINT)
+         AS click_rate_ppm,
+       CAST((SELECT count(*) FROM p) * 1000000
+            // greatest((SELECT count(*) FROM c), 1) AS BIGINT)
+         AS purchase_rate_ppm
+""",
+    tags=("advanced", "sequence", "agg"),
+    doc="Ordered funnel: users whose FIRST view precedes their first "
+    "subsequent click precedes their first subsequent purchase — "
+    "the strict-ordering funnel (a purchase before any view does "
+    "NOT count), which set-intersection 'funnels' get wrong. Three "
+    "stage passes, each a per-user min over the events filtered by "
+    "the previous stage's timestamp — co-partitioned user-keyed "
+    "combines + joins, no window, no pattern state; conversion "
+    "rates in exact ppm. The aggregate companion to the row-level "
+    "pattern tier (events_pattern_compiled finds the sequences, "
+    "this prices the drop-off).",
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_click"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr(
+                "n_click * 1000000 div greatest(n_view, 1)"
+            ).cast("bigint").alias("click_rate_ppm"),
+            F.expr(
+                "n_purchase * 1000000 div greatest(n_click, 1)"
+            ).cast("bigint").alias("purchase_rate_ppm"),
+        )
+    )

@@ -565,6 +565,10 @@ class TestShuffleBudget:
             # entropy: (doc, token) combine + the doc-keyed window/
             # rollup pair
             ("text_token_entropy", 2),
+            # funnel: three user-keyed stage combines + their joins,
+            # each over ONE event type's filtered rows (pushed to the
+            # scan), + the three 1-row stage counts
+            ("events_funnel_conversion", 8),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
