@@ -1013,3 +1013,132 @@ def stream_image_near_dups(
         )
         .filter(F.col("hamming") <= ham_max)
     )
+
+
+# ---------------------------------------------------------------------------
+# aHash + average-pool resize (round 9, second pixel op): plant a
+# 16x16 grid, POOL it 2x2 (integer-mean resize — the downsample
+# kernel every perceptual hash runs before hashing) to 8x8, then
+# average-hash. A second, independent perceptual-hash family next to
+# dHash (aHash thresholds against the global mean; dHash against the
+# horizontal neighbor), plus the first real resize arithmetic in the
+# pixel tier.
+# ---------------------------------------------------------------------------
+AHASH_SRC_GRID = 16  # planted grid for the pooled tier
+AHASH_GRID = 8       # after one 2x2 integer-mean pool
+# bits 0..62 of the pooled grid (cell 63 deliberately unused: bit 63
+# would need a 1<<63 shift, which DuckDB raises on — the dHash
+# 56-bit convention, one bit wider)
+AHASH_BITS = 63
+
+
+def planted_pixels_grid(toks: list[str], grid: int) -> Optional[bytes]:
+    """`planted_pixels` at an arbitrary grid size (same md5-per-cell
+    arithmetic; the 8x8 dHash tier keeps its own wrapper so its
+    planted bytes never change)."""
+    import hashlib
+
+    if not toks:
+        return None
+    return bytes(
+        int(
+            hashlib.md5(
+                f"{toks[idx % len(toks)]}:{idx}".encode()
+            ).hexdigest()[:2],
+            16,
+        )
+        for idx in range(grid * grid)
+    )
+
+
+def documents_as_pixel_media16(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The documents corpus as 16x16-grayscale-PNG media — the
+    pooled-tier source (same malformed-payload contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AHASH_SRC_GRID
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d, t in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [x for x in t.lower().split(" ") if x != ""]
+                px = planted_pixels_grid(toks, g)
+                payload = encode_png(g, g, 1, px or b"")
+                if int(d) % MALFORMED_MOD == 0:
+                    payload = payload[:MALFORMED_LEN]
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["png"] * len(payloads),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )
+
+
+def avg_pool_2x2(px: bytes, grid: int) -> bytes:
+    """2x2 average pooling with TRUNCATING integer means (sum of the
+    four cells div 4) — the engine-exact resize kernel; a bilinear
+    float kernel would swap in here without touching the plan."""
+    out = bytearray()
+    half = grid // 2
+    for r in range(half):
+        for c in range(half):
+            s = (
+                px[2 * r * grid + 2 * c]
+                + px[2 * r * grid + 2 * c + 1]
+                + px[(2 * r + 1) * grid + 2 * c]
+                + px[(2 * r + 1) * grid + 2 * c + 1]
+            )
+            out.append(s // 4)
+    return bytes(out)
+
+
+def ahash_int(px: bytes) -> int:
+    """63-bit average hash: bit i (i < 63) set iff px[i] > the
+    truncating mean of ALL cells. Exact integer arithmetic (sum div
+    n), mirrored term-for-term by the SQL oracle."""
+    m = sum(px) // len(px)
+    v = 0
+    for i in range(AHASH_BITS):
+        if px[i] > m:
+            v |= 1 << i
+    return v
+
+
+def pixel_ahash_pooled_frame(media: DataFrame) -> DataFrame:
+    """(doc_id, ahash bigint) for 16x16 payloads: parse -> 2x2
+    integer-mean pool -> 63-bit aHash, NULL on any parse failure
+    (the shared truncation contract). One Arrow-batched pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hashes = []
+            for p in pdf["payload"]:
+                px = png_pixels(p)
+                if px is None or len(px) != AHASH_SRC_GRID ** 2:
+                    hashes.append(None)
+                else:
+                    hashes.append(
+                        ahash_int(avg_pool_2x2(px, AHASH_SRC_GRID))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id bigint, ahash bigint"
+    )

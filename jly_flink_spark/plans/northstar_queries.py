@@ -3736,3 +3736,308 @@ def text_token_entropy(spark, sf_dir):
             "entropy_micro",
         )
     )
+
+
+# --------------------------------------------------------------------
+# ExactSubstr CUT (round 9): remove the duplicated spans and measure
+# retention — the action Lee et al. take on the spans
+# --------------------------------------------------------------------
+@register(
+    "dedup_substring_cut_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ts[i:i+{SUBSTR_K - 1}], ' ')) AS h
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {SUBSTR_K - 1})) AS g(i)
+  WHERE len(ts) >= {SUBSTR_K}
+),
+dup AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT s.doc_id, s.i FROM sh s JOIN dup USING (h)),
+runs AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, min(i) AS s,
+         max(i) + {SUBSTR_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+),
+cut AS (
+  -- tokens covered by ANY duplicated span, per doc
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_cut
+  FROM (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans)
+  GROUP BY doc_id
+),
+docs_n AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks
+)
+SELECT d.doc_id, d.n AS n_tokens,
+       coalesce(c.n_cut, 0) AS n_cut_tokens,
+       CAST((d.n - coalesce(c.n_cut, 0)) * 1000000 // d.n AS BIGINT)
+         AS retention_ppm
+FROM docs_n d LEFT JOIN cut c USING (doc_id)
+WHERE d.n >= 1
+""",
+    tags=("northstar", "dedup", "substring"),
+    doc="The CUT step of ExactSubstr dedup (Lee et al. 2022 remove "
+    "the duplicated substrings, not the documents): per document, "
+    "how many tokens fall inside ANY duplicated span >= 12 and the "
+    "retention ratio after cutting them — the number a corpus "
+    "curator actually budgets against (doc-level dedup can't see "
+    "that 40% of a 'unique' doc is a license block). Span overlap "
+    "is handled exactly (distinct covered positions, so two "
+    "overlapping spans don't double-count). Same bounded plan as "
+    "dedup_substring_spans plus one per-doc position rollup; the "
+    "left join keeps span-free docs at retention 1e6.",
+)
+def dedup_substring_cut_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k = SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("ts")
+    ).transform(stage)
+    sh = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("ts"), i, k), " ")
+                    ),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "h")
+        .transform(stage)
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + (k - 1)).alias("e"),
+        )
+    )
+    cut = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").cast("bigint").alias("n_cut"))
+    )
+    docs_n = toks.select(
+        "doc_id", F.size("ts").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    return (
+        docs_n.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_cut"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cut_tokens"),
+            F.expr(
+                "(n_tokens - coalesce(n_cut, 0)) * 1000000"
+                " div n_tokens"
+            )
+            .cast("bigint")
+            .alias("retention_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Perceptual cross-check (round 9): dHash candidates re-scored by the
+# pooled aHash — two independent hash families over one pair table
+# --------------------------------------------------------------------
+def _crosscheck_oracle() -> str:
+    from ..operators.multimodal import (
+        AHASH_BITS,
+        AHASH_SRC_GRID,
+        DHASH_GRID,
+        MALFORMED_MOD,
+    )
+
+    g = DHASH_GRID
+    g16 = AHASH_SRC_GRID
+    h16 = g16 // 2
+    hex2 = (
+        "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id % {MALFORMED_MOD} <> 0
+),
+cells AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % len(ts))] || ':' || CAST(i AS VARCHAR)) AS d
+  FROM toks, unnest(generate_series(0, {g * g - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+pix AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS px FROM cells
+),
+dbits AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN b.px > a.px
+              THEN (CAST(1 AS BIGINT) << (a.r * {g - 1} + a.c))
+              ELSE 0 END) AS BIGINT) AS dhash
+  FROM (SELECT doc_id, idx // {g} AS r, idx % {g} AS c, px
+        FROM pix WHERE idx % {g} < {g - 1}) a
+  JOIN pix b ON b.doc_id = a.doc_id AND b.idx = a.r * {g} + a.c + 1
+  GROUP BY a.doc_id
+),
+cells16 AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % len(ts))] || ':' || CAST(i AS VARCHAR)) AS d
+  FROM toks, unnest(generate_series(0, {g16 * g16 - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+pix16 AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS px FROM cells16
+),
+pooled AS (
+  SELECT doc_id,
+         (idx // {g16}) // 2 * {h16} + (idx % {g16}) // 2 AS pidx,
+         CAST(sum(px) // 4 AS BIGINT) AS px
+  FROM pix16
+  GROUP BY doc_id, (idx // {g16}) // 2 * {h16} + (idx % {g16}) // 2
+),
+means AS (
+  SELECT doc_id, CAST(sum(px) // count(*) AS BIGINT) AS m
+  FROM pooled GROUP BY doc_id
+),
+abits AS (
+  SELECT p.doc_id,
+         CAST(sum(CASE WHEN p.px > mn.m AND p.pidx < {AHASH_BITS}
+              THEN (CAST(1 AS BIGINT) << p.pidx) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM pooled p JOIN means mn USING (doc_id)
+  GROUP BY p.doc_id
+),
+bands AS (
+  SELECT doc_id, dhash, b,
+         (dhash >> (14 * b)) & 16383 AS bkey
+  FROM dbits, unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.dhash AS ha, y.dhash AS hb
+  FROM bands x JOIN bands y
+    ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(c.ha, c.hb)) AS BIGINT) AS dhash_hamming,
+       CAST(bit_count(xor(aa.ahash, ab.ahash)) AS BIGINT)
+         AS ahash_hamming
+FROM cand c
+JOIN abits aa ON aa.doc_id = c.doc_a
+JOIN abits ab ON ab.doc_id = c.doc_b
+WHERE bit_count(xor(c.ha, c.hb)) <= {DHASH_HAM_MAX}
+"""
+
+
+@register(
+    "multimodal_perceptual_crosscheck",
+    oracle=_crosscheck_oracle(),
+    tags=("northstar", "multimodal", "dedup", "approx"),
+    doc="Two-family perceptual verification — the standard precision "
+    "filter for image dedup: dHash banding proposes near-dup pairs "
+    "(gradient structure), then each pair is re-scored by an "
+    "INDEPENDENT hash family — the pooled average-hash: plant a "
+    "16x16 grayscale PNG, parse pixels from the payload, downsample "
+    "2x2 by TRUNCATING integer means (the resize kernel every "
+    "perceptual hash runs first; a bilinear/PIL kernel swaps into "
+    "the same pandas function without touching the plan), aHash = "
+    "bit i set iff pooled cell i exceeds the grid's truncating mean "
+    "(63 bits; bit 63 would need the 1<<63 shift DuckDB raises on). "
+    "The pair table carries BOTH distances so the consumer "
+    "thresholds precision/recall — on this corpus dHash-0 pairs "
+    "(shared 64-token prefixes) score 20-23 aHash bits apart, "
+    "correctly exposing that they differ beyond the prefix window: "
+    "exactly the disagreement the cross-check exists to surface. "
+    "Malformed payloads drop from BOTH families (shared truncation "
+    "contract). The oracle replays both pixel grids, the pooling, "
+    "both bit sums, banding, and both verifications.",
+)
+def multimodal_perceptual_crosscheck(spark, sf_dir):
+    from ..operators.multimodal import (
+        dhash_bands,
+        documents_as_pixel_media,
+        documents_as_pixel_media16,
+        pixel_ahash_pooled_frame,
+        pixel_dhash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dh = (
+        pixel_dhash_frame(documents_as_pixel_media(docs))
+        .filter(F.col("dhash").isNotNull())
+        .transform(stage)
+    )
+    ah = (
+        pixel_ahash_pooled_frame(documents_as_pixel_media16(docs))
+        .filter(F.col("ahash").isNotNull())
+        .transform(stage)
+    )
+    bands = dhash_bands(dh)
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"),
+        "b", "bkey",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"),
+        "b", "bkey",
+    )
+    cand = (
+        x.join(y, ["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            <= DHASH_HAM_MAX
+        )
+    )
+    aa = ah.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("aha")
+    )
+    ab = ah.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("ahb")
+    )
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint")
+            .alias("dhash_hamming"),
+            F.bit_count(F.col("aha").bitwiseXOR(F.col("ahb")))
+            .cast("bigint")
+            .alias("ahash_hamming"),
+        )
+    )

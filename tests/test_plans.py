@@ -569,6 +569,13 @@ class TestShuffleBudget:
             # each over ONE event type's filtered rows (pushed to the
             # scan), + the three 1-row stage counts
             ("events_funnel_conversion", 8),
+            # substring cut: spans pipeline's budget (3) — the cut
+            # rollup rides the doc-keyed partitioning
+            ("dedup_substring_cut_stats", 3),
+            # cross-check: both hash frames staged (8 bytes/image);
+            # the band exchange serves the pair join, the aHash
+            # rescores ride doc-keyed joins of staged frames
+            ("multimodal_perceptual_crosscheck", 1),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
