@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import ensure_min_parallelism, stage_eager
+from ..io import ensure_min_parallelism, stage, stage_eager
 from .text import fingerprint, normalized_text, tokens
 
 # MinHash parameters: K hashes in B bands of R rows (K = B*R).
@@ -1058,3 +1058,127 @@ def compact_winnow_index(
     swap_layout(path, tmp)
     shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr retention (round 9): the reusable form of the
+# substring-cut pass — shared by the standalone audit query and the
+# v3 corpus pipeline's retention gate.
+# ---------------------------------------------------------------------------
+SUBSTR_CUT_K = 12  # minimum duplicated span, in tokens
+
+
+def substring_cut_retention(
+    docs: DataFrame, text_col: str = "text", k: int = SUBSTR_CUT_K
+) -> DataFrame:
+    """(doc_id, n_tokens, n_cut_tokens, retention_ppm) for every doc
+    with >= 1 token: tokens covered by ANY maximal span >= k that
+    appears verbatim in >= 2 DISTINCT docs of THIS frame (Lee et al.
+    2022's ExactSubstr cut, measured). Shingle-df buckets + per-doc
+    gaps-and-islands + a distinct-position rollup — never corpus²;
+    the shingle table is staged once for its two readers."""
+    from pyspark.sql import Window
+
+    from .text import tokens as _tokens
+
+    toks = docs.select(
+        "doc_id", _tokens(F.col(text_col)).alias("ts")
+    ).transform(stage)
+    sh = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("ts"), i, k), " ")
+                    ),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "h")
+        .transform(stage)
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e")
+        )
+    )
+    cut = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").cast("bigint").alias("n_cut"))
+    )
+    docs_n = toks.select(
+        "doc_id", F.size("ts").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    return docs_n.join(cut, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_cut"), F.lit(0))
+        .cast("bigint")
+        .alias("n_cut_tokens"),
+        F.expr(
+            "(n_tokens - coalesce(n_cut, 0)) * 1000000 div n_tokens"
+        )
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )
+
+
+def substring_retention_sql(src: str, k: int = SUBSTR_CUT_K) -> str:
+    """DuckDB CTE block mirroring `substring_cut_retention` over the
+    CTE/table `src` (must expose doc_id and text). Ends with
+    `sretention(doc_id, n_tokens, n_cut_tokens, retention_ppm)`."""
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    return f"""stoks AS (
+  SELECT doc_id, {toks} AS ts FROM {src}
+),
+ssh AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS h
+  FROM stoks,
+       unnest(generate_series(1, len(ts) - {k - 1})) AS g(i)
+  WHERE len(ts) >= {k}
+),
+sdup AS (
+  SELECT h FROM ssh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+shits AS (SELECT s.doc_id, s.i FROM ssh s JOIN sdup USING (h)),
+sruns AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM shits
+),
+sspans AS (
+  SELECT doc_id, min(i) AS s, max(i) + {k - 1} AS e
+  FROM sruns GROUP BY doc_id, grp
+),
+scut AS (
+  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_cut
+  FROM (SELECT doc_id, unnest(generate_series(s, e)) AS p
+        FROM sspans)
+  GROUP BY doc_id
+),
+sretention AS (
+  SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         coalesce(c.n_cut, 0) AS n_cut_tokens,
+         CAST((len(t.ts) - coalesce(c.n_cut, 0)) * 1000000
+              // len(t.ts) AS BIGINT) AS retention_ppm
+  FROM stoks t LEFT JOIN scut c USING (doc_id)
+  WHERE len(t.ts) >= 1
+)"""

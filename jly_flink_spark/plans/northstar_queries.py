@@ -3798,72 +3798,8 @@ WHERE d.n >= 1
     "left join keeps span-free docs at retention 1e6.",
 )
 def dedup_substring_cut_stats(spark, sf_dir):
-    from pyspark.sql import Window
-
-    k = SUBSTR_K
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", text.tokens(F.col("text")).alias("ts")
-    ).transform(stage)
-    sh = (
-        toks.filter(F.size("ts") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
-                    lambda i: F.md5(
-                        F.array_join(F.slice(F.col("ts"), i, k), " ")
-                    ),
-                )
-            ).alias("p0", "h"),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("i"), "h")
-        .transform(stage)
-    )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
-    hits = sh.join(dup, "h").select("doc_id", "i")
-    w = Window.partitionBy("doc_id").orderBy("i")
-    spans = (
-        hits.withColumn("grp", F.col("i") - F.row_number().over(w))
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("i").alias("s"),
-            (F.max("i") + (k - 1)).alias("e"),
-        )
-    )
-    cut = (
-        spans.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
-        )
-        .groupBy("doc_id")
-        .agg(F.count_distinct("p").cast("bigint").alias("n_cut"))
-    )
-    docs_n = toks.select(
-        "doc_id", F.size("ts").cast("bigint").alias("n_tokens")
-    ).filter(F.col("n_tokens") >= 1)
-    return (
-        docs_n.join(cut, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_cut"), F.lit(0))
-            .cast("bigint")
-            .alias("n_cut_tokens"),
-            F.expr(
-                "(n_tokens - coalesce(n_cut, 0)) * 1000000"
-                " div n_tokens"
-            )
-            .cast("bigint")
-            .alias("retention_ppm"),
-        )
-    )
+    return dedup.substring_cut_retention(docs, k=SUBSTR_K)
 
 
 # --------------------------------------------------------------------

@@ -1039,6 +1039,125 @@ for _name, _fn, _osql in (
 
 
 # ---------------------------------------------------------------------------
+# Corpus pipeline v3 (round 9): v2 + the round's curation moves —
+# ExactSubstr retention gate + per-source domain cap
+# ---------------------------------------------------------------------------
+# Drop docs that are majority duplicated-span mass after all other
+# gates: retention measured AMONG SURVIVORS (a span shared only with
+# already-removed near-dups should not count against a doc).
+PIPELINE_RETENTION_MIN_PPM = 500_000
+
+
+@register(
+    "pipeline_training_corpus_v3",
+    oracle=None,  # attached below (shared fragments)
+    tags=("training", "pipeline", "dedup", "ml", "curation"),
+    doc="The corpus pipeline extended with round-9 curation: stages "
+    "1-4 are pipeline_training_corpus_v2 verbatim (exact dedup -> "
+    "MinHash-LSH near-dup removal -> decontamination -> learned "
+    "fixed-point quality gate), then stage 5 applies the ExactSubstr "
+    "RETENTION gate - substring_cut_retention over the SURVIVORS "
+    "(spans shared only with already-removed docs don't count), "
+    "dropping documents that are majority duplicated-span mass - "
+    "and stage 6 applies the RefinedWeb per-source cap "
+    "(deterministic md5 ranking, relative cap) before the hash "
+    "split + stats. Six corpus-curation moves composed in ONE "
+    "declarative value-hash-checked plan; each stage's frame is "
+    "staged so the learned gate and the span pass each run once.",
+)
+def pipeline_training_corpus_v3(spark, sf_dir):
+    from ..io import stage
+    from ..operators import dedup
+    from ..operators.classifier import _p_expr, fit_quality_classifier
+    from .curation_queries import SOURCE_CAP_DEN, SOURCE_CAP_MIN
+
+    docs, kept3 = _corpus_through_decontamination(spark, sf_dir)
+
+    # 4. learned quality gate (= v2)
+    feats, w = fit_quality_classifier(docs)
+    keep_ids = (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", F.expr(_p_expr()).alias("p"))
+        .filter(F.col("p") > 500)
+        .select("doc_id")
+    )
+    kept4 = kept3.join(keep_ids, "doc_id", "left_semi").transform(stage)
+
+    # 5. ExactSubstr retention gate among survivors
+    ret = dedup.substring_cut_retention(kept4)
+    keep_ret = ret.filter(
+        F.col("retention_ppm") >= PIPELINE_RETENTION_MIN_PPM
+    ).select("doc_id")
+    kept5 = kept4.join(keep_ret, "doc_id", "left_semi").transform(stage)
+
+    # 6. per-source cap (relative, deterministic md5 rank); the
+    #    count is model state over the staged survivor frame. kept5
+    #    still carries the original `source` column (the dedup
+    #    stages semi-join, never project it away)
+    n5 = kept5.count()
+    cap = max(SOURCE_CAP_MIN, n5 // SOURCE_CAP_DEN)
+    ranked = kept5.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    kept6 = ranked.filter(F.col("rnk") <= cap).select(
+        "doc_id", "lang", "text"
+    )
+    return _split_and_stats(kept6)
+
+
+def _pipeline_v3_oracle() -> str:
+    from ..operators.dedup import substring_retention_sql
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        qc_oracle_fragments,
+    )
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    final = _pipeline_final_sql().replace("FROM kept4", "FROM kept6")
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS (
+  SELECT k.doc_id, k.lang, k.text FROM kept3 k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+),
+{substring_retention_sql("kept4")},
+kept5 AS (
+  SELECT k.* FROM kept4 k
+  JOIN sretention r ON r.doc_id = k.doc_id
+  WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}
+),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept5),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.text,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+  FROM kept5 k JOIN documents d USING (doc_id)
+),
+kept6 AS (
+  SELECT doc_id, lang, text FROM ranked, n5
+  WHERE rnk <= greatest({SOURCE_CAP_MIN}, n // {SOURCE_CAP_DEN})
+)
+{final}"""
+
+
+_REG2["pipeline_training_corpus_v3"].oracle = _pipeline_v3_oracle()
+_REG2["pipeline_training_corpus_v3"].impl_hash = _impl_hash(
+    _source_of(pipeline_training_corpus_v3),
+    _REG2["pipeline_training_corpus_v3"].oracle,
+)
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, data selection via
 # importance resampling)
 # ---------------------------------------------------------------------------

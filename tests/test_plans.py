@@ -576,6 +576,10 @@ class TestShuffleBudget:
             # the band exchange serves the pair join, the aHash
             # rescores ride doc-keyed joins of staged frames
             ("multimodal_perceptual_crosscheck", 1),
+            # pipeline v3: stages 1-5 live behind the kept4/kept5
+            # staging cuts (v2's exchanges are its own pin); the
+            # visible tail is the source-cap window + split rollup
+            ("pipeline_training_corpus_v3", 2),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
