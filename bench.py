@@ -155,6 +155,9 @@ HEADLINE = [
     "graph_hits_authorities",
     "embedding_jl_distortion",
     "curation_source_cap_sample",
+    # the six-stage curation pipeline (v2 + retention gate + source
+    # cap) — the composed flagship of the round
+    "pipeline_training_corpus_v3",
 ]
 
 

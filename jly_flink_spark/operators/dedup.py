@@ -1145,10 +1145,10 @@ def substring_retention_sql(src: str, k: int = SUBSTR_CUT_K) -> str:
     CTE/table `src` (must expose doc_id and text). Ends with
     `sretention(doc_id, n_tokens, n_cut_tokens, retention_ppm)`."""
     toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
-    return f"""stoks AS (
+    return f"""stoks AS MATERIALIZED (
   SELECT doc_id, {toks} AS ts FROM {src}
 ),
-ssh AS (
+ssh AS MATERIALIZED (
   SELECT doc_id, i,
          md5(array_to_string(ts[i:i+{k - 1}], ' ')) AS h
   FROM stoks,

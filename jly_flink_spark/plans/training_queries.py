@@ -1125,13 +1125,18 @@ WITH {_pipeline_kept3_ctes()},
 {feats_ctes},
 {gd_ctes},
 pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
-kept4 AS (
+kept4 AS MATERIALIZED (
+  -- MATERIALIZED: referenced multiple times below (retention
+  -- shingles + the kept5 filter); DuckDB would otherwise
+  -- re-evaluate the whole dedup+GD chain per reference -- fine at
+  -- sf0.01, pathological at the x10 corpus (the covariance-oracle
+  -- lesson)
   SELECT k.doc_id, k.lang, k.text FROM kept3 k
   WHERE EXISTS (SELECT 1 FROM pred s
                 WHERE s.doc_id = k.doc_id AND s.p > 500)
 ),
 {substring_retention_sql("kept4")},
-kept5 AS (
+kept5 AS MATERIALIZED (
   SELECT k.* FROM kept4 k
   JOIN sretention r ON r.doc_id = k.doc_id
   WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}

@@ -115,9 +115,12 @@ QUERIES = [
     # density, the classic superlinear risk for an ExactSubstr pass
     "dedup_substring_spans",
     # round-9: pixel-tier banding (pair volume grows with image
-    # duplication density) and the iterative bipartite HITS scorer
+    # duplication density), the iterative bipartite HITS scorer, and
+    # the six-stage curation pipeline (v2 + retention gate + source
+    # cap — the per-source window is the new scaled axis)
     "multimodal_phash_near_dups",
     "graph_hits_authorities",
+    "pipeline_training_corpus_v3",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
@@ -150,6 +153,7 @@ def worst_ratio(stages: list[dict]) -> float:
 # (new keys; each fact replica re-points to its own dim replica) so
 # a dim-sized single-task stage now shows up as a superlinear row.
 DIM_QUERIES = [
+    "customer_survival_km",         # per-customer spells -> KM fold
     "customer_rfm_segments",        # ntile over |customers|
     "lineitem_abc_classes",         # running sum over |parts|
     "text_vocab_growth",            # row_number over |docs|
