@@ -4066,3 +4066,67 @@ def events_funnel_conversion(spark, sf_dir):
             ).cast("bigint").alias("purchase_rate_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Time-to-convert distribution (round 9): the funnel's latency side
+# --------------------------------------------------------------------
+@register(
+    "events_time_to_convert",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(min(e.ts))) AS BIGINT)
+           - CAST(floor(epoch(v.tv)) AS BIGINT) AS delay_s
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+  GROUP BY e.user_id, v.tv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       quantile_cont(delay_s, 0.25) AS p25_s,
+       quantile_cont(delay_s, 0.50) AS p50_s,
+       quantile_cont(delay_s, 0.90) AS p90_s
+FROM p
+""",
+    tags=("advanced", "sequence", "statistics"),
+    doc="Conversion latency: for every user whose first view is "
+    "followed by a purchase, the delay from first view to FIRST "
+    "subsequent purchase, summarized as interpolated p25/p50/p90 "
+    "seconds — the latency half of the funnel "
+    "(events_funnel_conversion prices the drop-off, this prices the "
+    "wait; together they are the product analytics pair). Delays "
+    "are exact integer seconds (floor-epoch differences); both "
+    "engines use the same WEIGHTED percentile interpolation, so "
+    "the floats value-hash. Two user-keyed combines + one 1-row "
+    "percentile rollup.",
+)
+def events_time_to_convert(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("ts").alias("tp"))
+        .select(
+            (
+                F.expr("cast(floor(unix_timestamp(tp)) as bigint)")
+                - F.expr("cast(floor(unix_timestamp(tv)) as bigint)")
+            ).alias("delay_s")
+        )
+    )
+    return p.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        F.percentile("delay_s", F.lit(0.25)).alias("p25_s"),
+        F.percentile("delay_s", F.lit(0.50)).alias("p50_s"),
+        F.percentile("delay_s", F.lit(0.90)).alias("p90_s"),
+    )

@@ -2364,3 +2364,236 @@ aggregate(
         F.col("st.d").alias("n_churned"),
         F.col("st.s").alias("survival_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# Wave D (round 9): inequality, robust means, cohort retention
+# --------------------------------------------------------------------
+@register(
+    "customer_gini_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nk, cents,
+         CAST(row_number() OVER (PARTITION BY nk
+                                 ORDER BY cents, ck) AS BIGINT) AS i
+  FROM rev
+),
+g AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         CAST(sum(i * cents) AS BIGINT) AS si
+  FROM ranked GROUP BY nk
+)
+SELECT n2.n_name, g.n AS n_customers,
+       CAST((2 * g.si - (g.n + 1) * g.sx) * 10000
+            // (g.n * g.sx) AS BIGINT) AS gini_bp
+FROM g JOIN nation n2 ON n2.n_nationkey = g.nk
+WHERE g.sx > 0
+""",
+    tags=("relational", "segmentation", "statistics"),
+    doc="Gini coefficient of customer revenue concentration per "
+    "nation — the inequality companion to the HHI query (HHI asks "
+    "'how dominated by the few', Gini asks 'how unequal across "
+    "all'): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over "
+    "ascending-sorted customer revenues, in exact basis points "
+    "(integer cents, truncating division; rank ties share a value, "
+    "so Σ i·x is tie-order-invariant and the result is "
+    "deterministic). One fact combine to per-customer cents, one "
+    "per-nation rank window over the customer-sized frame, a "
+    "|nations|-row rollup. int64 headroom note: Σ i·x·10⁴ needs "
+    "n·max_rev·n·10⁴ < 2⁶³ — true to ~millions of customers per "
+    "nation at these price scales; above that, lift to DECIMAL.",
+)
+def customer_gini_by_nation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nk").orderBy("cents", "ck")
+    ranked = rev.withColumn(
+        "i", F.row_number().over(w).cast("bigint")
+    )
+    g = ranked.groupBy("nk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("si"),
+    )
+    return (
+        g.filter(F.col("sx") > 0)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("nk"), "n_name"
+                )
+            ),
+            "nk",
+        )
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            F.expr(
+                "(2 * si - (n + 1) * sx) * 10000 div (n * sx)"
+            )
+            .cast("bigint")
+            .alias("gini_bp"),
+        )
+    )
+
+
+@register(
+    "orders_trimmed_mean",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS pri, o_orderkey AS ok,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT pri, cents,
+         CAST(row_number() OVER (PARTITION BY pri
+                                 ORDER BY cents, ok) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+  FROM c
+),
+kept AS (
+  SELECT pri, cents, n FROM ranked
+  WHERE i > n // 10 AND i <= n - n // 10
+)
+SELECT pri AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_used,
+       CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+FROM kept GROUP BY pri
+""",
+    tags=("relational", "agg", "statistics"),
+    doc="10% two-sided trimmed mean of order value per priority "
+    "class — the robust center the plain mean isn't (a handful of "
+    "mega-orders move AVG arbitrarily; they cannot move a trimmed "
+    "mean at all). Rank window per class over exact integer cents "
+    "(ties broken by key, but the kept VALUE multiset is "
+    "tie-order-invariant), drop the bottom/top n//10, truncating "
+    "integer mean of what remains. One window + one combine, both "
+    "on the class partitioning.",
+)
+def orders_trimmed_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("pri")
+    ranked = c.withColumn(
+        "i", F.row_number().over(w.orderBy("cents", "ok")).cast("bigint")
+    ).withColumn("n", F.count("*").over(w).cast("bigint"))
+    kept = ranked.filter(
+        (F.col("i") > F.expr("n div 10"))
+        & (F.col("i") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.expr("sum(cents) div count(*)")
+        .cast("bigint")
+        .alias("trimmed_mean_cents"),
+    )
+
+
+@register(
+    "orders_retention_triangle",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT o_custkey AS ck,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           // 2592000 AS p
+  FROM orders
+),
+cohorts AS (
+  SELECT ck, min(p) AS c0 FROM act GROUP BY ck
+),
+cells AS (
+  SELECT c.c0 AS cohort_p, a.p - c.c0 AS k,
+         CAST(count(DISTINCT a.ck) AS BIGINT) AS n_active
+  FROM act a JOIN cohorts c USING (ck)
+  GROUP BY c.c0, a.p - c.c0
+),
+base AS (
+  SELECT cohort_p, n_active AS n_cohort FROM cells WHERE k = 0
+)
+SELECT c.cohort_p, c.k, c.n_active,
+       CAST(c.n_active * 1000000 // b.n_cohort AS BIGINT)
+         AS retention_ppm
+FROM cells c JOIN base b USING (cohort_p)
+""",
+    tags=("relational", "timeseries", "agg"),
+    doc="Cohort retention triangle: customers grouped by their "
+    "first-order period (30-day epoch buckets — the engine-exact "
+    "calendar the survival curve uses), each cell = distinct "
+    "customers of cohort c still ordering k periods later, as a "
+    "retention ppm against the cohort's own size (k=0 row = the "
+    "cohort itself, retention 1e6 by construction). THE standard "
+    "growth-analytics artifact next to Kaplan–Meier (KM gives the "
+    "population curve, the triangle shows cohort-over-cohort "
+    "drift). Two customer-keyed combines + one (cohort, k) rollup "
+    "+ a broadcast-sized base join; never wider than the "
+    "distinct-activity table.",
+)
+def orders_retention_triangle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    act = orders.select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.expr(
+                "cast(floor(unix_timestamp(o_orderdate)) as bigint)"
+            )
+            / F.lit(2592000)
+        )
+        .cast("bigint")
+        .alias("p"),
+    ).distinct()
+    cohorts = act.groupBy("ck").agg(F.min("p").alias("c0"))
+    cells = (
+        act.join(cohorts, "ck")
+        .groupBy(
+            F.col("c0").alias("cohort_p"),
+            (F.col("p") - F.col("c0")).alias("k"),
+        )
+        .agg(F.count_distinct("ck").cast("bigint").alias("n_active"))
+    )
+    base = cells.filter(F.col("k") == 0).select(
+        "cohort_p", F.col("n_active").alias("n_cohort")
+    )
+    return cells.join(F.broadcast(base), "cohort_p").select(
+        "cohort_p",
+        "k",
+        "n_active",
+        F.expr("n_active * 1000000 div n_cohort")
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )

@@ -580,6 +580,20 @@ class TestShuffleBudget:
             # staging cuts (v2's exchanges are its own pin); the
             # visible tail is the source-cap window + split rollup
             ("pipeline_training_corpus_v3", 2),
+            # gini: per-customer combine + per-nation rank window
+            # (broadcast nation names ride along)
+            ("customer_gini_by_nation", 2),
+            # trimmed mean: ONE class exchange serves both windows
+            # and the rollup
+            ("orders_trimmed_mean", 1),
+            # retention triangle: activity distinct + cohort combine
+            # + the (cohort,k) rollup; the base branch re-plans the
+            # cells subtree in the static plan (AQE reuses the
+            # exchanges at runtime) + the broadcast base join
+            ("orders_retention_triangle", 8),
+            # time-to-convert: two user-keyed stage combines + the
+            # 1-row percentile rollup
+            ("events_time_to_convert", 3),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
