@@ -1353,3 +1353,96 @@ def train_test_split_by_group(spark, sf_dir):
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+# --------------------------------------------------------------------
+# Canonical representatives (round 9): the ACTION on the dedup
+# clusters — per component, keep one document
+# --------------------------------------------------------------------
+@register(
+    "dedup_canonical_representatives",
+    oracle=None,  # late-bound below from the CC oracle text
+    tags=("training", "dedup", "iterative"),
+    doc="Canonical-representative selection over the near-dup "
+    "components — the step that turns clustering into dedup policy: "
+    "for every connected component of verified (Jaccard >= 0.8) "
+    "near-dups, keep the LONGEST member (token count; ties -> "
+    "smallest doc_id), the CCNet-style pick (the longest copy is "
+    "usually the least-truncated crawl of the same content), and "
+    "report the component size the policy collapses. Built ON the "
+    "connected-components operator (same min-label propagation), "
+    "plus one token-count join and a per-component rank window — "
+    "components are near-dup cliques, so the window partitions are "
+    "df-bounded. The oracle extends the recursive-closure CC oracle "
+    "with the identical pick.",
+)
+def dedup_canonical_representatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_candidate_pairs(docs)
+    edges = dedup.verify_candidates_jaccard(
+        docs, candidates, min_jaccard=0.8
+    ).select("doc_a", "doc_b")
+    comp = dedup.connected_components(edges)
+    ntok = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("component_id")
+    picked = (
+        comp.join(ntok, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("n_tokens").desc(), "doc_id")
+            ),
+        )
+        .withColumn("n_members", F.count("*").over(w).cast("bigint"))
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "n_members",
+        F.col("n_tokens").alias("canonical_tokens"),
+    )
+
+
+def _canonical_oracle() -> str:
+    base = _cc_oracle()
+    tail = (
+        "SELECT a AS doc_id, min(b) AS component_id "
+        "FROM reach GROUP BY a"
+    )
+    assert base.count(tail) == 1, "CC oracle tail drifted"
+    return base.replace(
+        tail,
+        """, comp AS (
+  SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+),
+ntok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+picked AS (
+  SELECT c.component_id, c.doc_id, n.n_tokens,
+         row_number() OVER (PARTITION BY c.component_id
+             ORDER BY n.n_tokens DESC, c.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.component_id)
+              AS BIGINT) AS n_members
+  FROM comp c JOIN ntok n USING (doc_id)
+)
+SELECT component_id, doc_id AS canonical_doc_id, n_members,
+       n_tokens AS canonical_tokens
+FROM picked WHERE rn = 1""",
+    )
+
+
+_REG["dedup_canonical_representatives"].oracle = _canonical_oracle()
+_REG["dedup_canonical_representatives"].impl_hash = _impl_hash(
+    _source_of(dedup_canonical_representatives),
+    _REG["dedup_canonical_representatives"].oracle,
+)

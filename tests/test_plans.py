@@ -594,6 +594,10 @@ class TestShuffleBudget:
             # time-to-convert: two user-keyed stage combines + the
             # 1-row percentile rollup
             ("events_time_to_convert", 3),
+            # canonical reps: the CC iterate lives behind staging
+            # cuts (its own pin); visible tail = token join + the
+            # per-component pick window
+            ("dedup_canonical_representatives", 1),
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
