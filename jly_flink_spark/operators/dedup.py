@@ -934,7 +934,17 @@ def append_to_winnow_index(
     counts distinct hashes and docs, never raw rows), and
     `compact_winnow_index` drops the physical duplicates — so a
     checkpoint-recovered stream cannot corrupt containment scores,
-    it only carries redundant bytes until the next compaction."""
+    it only carries redundant bytes until the next compaction.
+
+    Tombstone-before-reappend contract: re-appending a doc_id whose
+    TEXT changed (not a bit-identical replay) requires
+    `delete_from_winnow_index` + `compact_winnow_index` first —
+    otherwise old and new fingerprints coexist under one doc_id and
+    compaction fails loudly on the conflicting n_fp (it cannot tell
+    which set is current). Note the guard sees only n_fp: a changed
+    text that happens to select the SAME number of fingerprints
+    slips past it, so the contract is on the caller, not merely on
+    the guard."""
     fp = winnow_fingerprints_rowwise(new_docs, text_col)
     sizes = fp.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_fp")
@@ -1038,19 +1048,51 @@ def compact_winnow_index(
     verbatim the `compact_lsh_index` contract (rewrite h-sorted,
     atomic write-then-swap, tombstones applied and drained; serialize
     with appends; consumers re-resolve per epoch) — plus physical
-    (doc_id, h) dedup, which drains any rows duplicated by an
+    (doc_id, h, n_fp) dedup, which drains any rows duplicated by an
     at-least-once replay of `append_to_winnow_index` (replayed rows
-    are bit-identical, so keeping either copy's n_fp is exact)."""
+    are bit-identical, so the triple collapses to one copy).
+
+    Loud conflict guard (round-9 ADVICE): dedup on ALL THREE columns
+    is exact only for bit-identical replays. A doc re-appended with
+    CHANGED text and no prior tombstone leaves rows with two
+    different n_fp values under one doc_id — compaction must not
+    silently keep a stale/mixed fingerprint set, so any doc whose
+    rows disagree on n_fp raises at execution time (tombstone the
+    doc, compact, then re-append — see `append_to_winnow_index`)."""
     import shutil
+
+    from pyspark.sql import Window
 
     from ..sources.layout import compact_sorted, swap_layout
     from .similarity import _tombstone_dir, _without_tombstones
 
+    live = _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    ).dropDuplicates(["doc_id", "h", "n_fp"])
+    w = Window.partitionBy("doc_id")
+    live = live.withColumn(
+        "n_fp",
+        F.when(
+            F.min("n_fp").over(w) == F.max("n_fp").over(w),
+            F.col("n_fp"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_winnow_index: doc_id "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        " has conflicting n_fp values — it was "
+                        "re-appended with changed text without a "
+                        "prior tombstone; delete_from_winnow_index "
+                        "it, compact, then re-append"
+                    ),
+                )
+            ).cast("bigint")
+        ),
+    )
     tmp = path.rstrip("/") + ".compacting"
     n_files = compact_sorted(
-        _without_tombstones(
-            spark, path, spark.read.parquet(path), "doc_id"
-        ).dropDuplicates(["doc_id", "h"]),
+        live,
         tmp,
         ["h"],
         target_rows_per_file,

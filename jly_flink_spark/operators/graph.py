@@ -181,12 +181,46 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     )
 
 
-def wedge_pairs(adj: DataFrame) -> DataFrame:
+# Packed-key domain: wedge_pairs(packed=True) packs (x, y) into one
+# bigint as x * 2^32 + y. Ids must sit in [0, 2^31): the worst case
+# (2^31-1)·2^32 + (2^31-1) = 2^63 - 2^32 + 2^31 - 1 just fits int64,
+# while a 2^32-1 id would overflow. The guard checks the sorted
+# list's endpoints, which bounds every element.
+WEDGE_PACK_BASE = 1 << 32
+WEDGE_PACK_MAX_ID = 1 << 31
+
+
+def wedge_unpack(packed_col: str):
+    """(x, y) column pair recovered from a wedge_pairs(packed=True)
+    key — exact integer div/mod (both operands nonnegative)."""
+    x = F.expr(f"{packed_col} div {WEDGE_PACK_BASE}")
+    y = F.expr(f"{packed_col} % {WEDGE_PACK_BASE}")
+    return x, y
+
+
+def wedge_pairs(
+    adj: DataFrame,
+    max_degree: int | None = None,
+    packed: bool = False,
+) -> DataFrame:
     """(x, y, d) wedge enumeration of an adjacency list (node, nbr):
     one output row per wedge x—node—y with x < y, carrying the wedge
     CENTER's degree d — the candidate generator shared by the
     link-prediction family (common-neighbors / Adamic–Adar /
     neighborhood-Jaccard score the groupBy(x, y) of these rows).
+
+    ``max_degree``: loud runtime guard (round-9 verdict task 6) — any
+    node whose neighbor list exceeds the bound raises at execution
+    time instead of silently exploding the Σ deg² wedge count (the
+    winnowing token-cap discipline, `dedup.py` WINNOW_POS). Callers
+    that df-cap their graph should pass the bound that cap implies.
+
+    ``packed=True``: emit (xy, d) with xy = x·2³² + y instead of
+    (x, y, d) — one 8-byte grouping key instead of two, which shrinks
+    the groupBy(x, y) shuffle the callers all perform (round-9 probe:
+    1.22 GB shuffle write on graph_adamic_adar_topk) by ~a third and
+    makes the aggregate hash one long. Requires node ids in
+    [0, 2^32) — guarded loudly; recover columns with `wedge_unpack`.
 
     Shape: ONE groupBy(node) exchange builds each node's sorted
     neighbor list, then the i < j combinations explode map-side —
@@ -223,9 +257,56 @@ def wedge_pairs(adj: DataFrame) -> DataFrame:
         adj.repartition(resolve_shards(adj, None), "node")
         .groupBy("node")
         .agg(F.sort_array(F.collect_list("nbr")).alias("ns"))
-        .select(F.size("ns").alias("d"), "ns")
+        .select("node", F.size("ns").alias("d"), "ns")
         .filter(F.col("d") >= 2)
     )
+    # raise_error branches must type-match ns exactly
+    ns_type = f"array<{adj.schema['nbr'].dataType.simpleString()}>"
+    # Loud degree guard: the when/otherwise keeps raise_error out of
+    # the evaluated path for every compliant row (winnow discipline).
+    if max_degree is not None:
+        nbrs = nbrs.withColumn(
+            "ns",
+            F.when(F.col("d") <= F.lit(max_degree), F.col("ns")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("wedge_pairs: node "),
+                        F.col("node").cast("string"),
+                        F.lit(" has degree "),
+                        F.col("d").cast("string"),
+                        F.lit(
+                            f" > max_degree={max_degree}; a hub makes the"
+                            " wedge count Σ deg² — df-cap or orient the"
+                            " graph (see triangle_counts) before calling"
+                        ),
+                    )
+                ).cast(ns_type)
+            ),
+        )
+    if packed:
+        # Id-domain guard on the sorted list's endpoints: first ≥ 0
+        # and last < 2^31 imply every element packs without overflow.
+        nbrs = nbrs.withColumn(
+            "ns",
+            F.when(
+                (F.element_at("ns", 1) >= 0)
+                & (F.element_at("ns", -1) < F.lit(WEDGE_PACK_MAX_ID)),
+                F.col("ns"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("wedge_pairs(packed=True): node "),
+                        F.col("node").cast("string"),
+                        F.lit(
+                            " has a neighbor id outside [0, 2^31) — "
+                            "packed keys need 31-bit ids; call with "
+                            "packed=False"
+                        ),
+                    )
+                ).cast(ns_type)
+            ),
+        )
+    nbrs = nbrs.drop("node")
     heads = nbrs.select(
         "d",
         "ns",
@@ -244,6 +325,13 @@ def wedge_pairs(adj: DataFrame) -> DataFrame:
         ),
         F.col("d").cast("bigint").alias("d"),
     )
-    return tails.select(
-        "x", F.explode("tail").alias("y"), "d"
-    ).select("x", "y", "d")
+    wedges = tails.select("x", F.explode("tail").alias("y"), "d")
+    if packed:
+        return wedges.select(
+            (
+                F.col("x").cast("bigint") * F.lit(WEDGE_PACK_BASE)
+                + F.col("y").cast("bigint")
+            ).alias("xy"),
+            "d",
+        )
+    return wedges.select("x", "y", "d")

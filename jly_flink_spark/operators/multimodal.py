@@ -866,7 +866,12 @@ def append_to_dhash_index(new_media: DataFrame, path: str) -> None:
     foreachBatch beside the probe). At-least-once safe: a replayed
     batch re-appends identical band rows, the probe is duplicate-
     insensitive (distinct pairs), and compaction drains the physical
-    duplicates — the winnowing index's replay contract."""
+    duplicates — the winnowing index's replay contract.
+
+    Tombstone-before-reappend: re-appending a doc_id whose PIXELS
+    changed requires `delete_from_dhash_index` + compaction first;
+    otherwise two dhash values coexist under one doc_id and
+    `compact_dhash_index` fails loudly on the conflict."""
     bands = dhash_bands(
         pixel_dhash_frame(new_media).filter(F.col("dhash").isNotNull())
     )
@@ -950,17 +955,48 @@ def compact_dhash_index(
     """Maintenance pass — the compact_lsh_index contract verbatim
     ((b, bkey)-sorted rewrite, atomic write-then-swap, tombstones
     applied and drained, replay-duplicated rows dropped; serialize
-    with appends; consumers re-resolve per epoch)."""
+    with appends; consumers re-resolve per epoch).
+
+    Loud conflict guard (round-9 ADVICE, winnow twin): the dedup on
+    (doc_id, dhash, b, bkey) is exact only for bit-identical
+    replays. A doc re-appended with CHANGED pixels and no prior
+    tombstone leaves two dhash values under one doc_id — raise at
+    execution time instead of silently keeping a stale/mixed band
+    set (tombstone the doc, compact, then re-append)."""
     import shutil
+
+    from pyspark.sql import Window
 
     from ..sources.layout import compact_sorted, swap_layout
     from .similarity import _tombstone_dir, _without_tombstones
 
+    live = _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    ).dropDuplicates(["doc_id", "dhash", "b", "bkey"])
+    w = Window.partitionBy("doc_id")
+    live = live.withColumn(
+        "dhash",
+        F.when(
+            F.min("dhash").over(w) == F.max("dhash").over(w),
+            F.col("dhash"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_dhash_index: doc_id "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        " has conflicting dhash values — it was "
+                        "re-appended with changed pixels without a "
+                        "prior tombstone; delete_from_dhash_index "
+                        "it, compact, then re-append"
+                    ),
+                )
+            ).cast("bigint")
+        ),
+    )
     tmp = path.rstrip("/") + ".compacting"
     n_files = compact_sorted(
-        _without_tombstones(
-            spark, path, spark.read.parquet(path), "doc_id"
-        ).dropDuplicates(["doc_id", "b", "bkey"]),
+        live,
         tmp,
         ["b", "bkey"],
         target_rows_per_file,

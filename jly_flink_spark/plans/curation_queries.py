@@ -1004,6 +1004,13 @@ PR_EDGE_MIN_DF = 2  # an edge needs a chunk shared by >= 2 docs
 PR_EDGE_MAX_DF = 50  # chunks in > this many docs are boilerplate, not
 #                      duplication links — df-capped like the LSH buckets
 PR_ITERS = 3
+# Loud wedge-degree bound for the link-prediction family (round-9
+# verdict task 6): the chunk-graph degree is structurally ≤
+# n_chunks·(PR_EDGE_MAX_DF−1); 64 chunks (≈190 tokens at 3/chunk) is
+# generous for this corpus (max doc = 100 tokens → ≤34 chunks), so a
+# breach means the df cap silently stopped applying — fail, don't
+# enumerate Σ deg² wedges.
+WEDGE_DEGREE_CAP = 64 * (PR_EDGE_MAX_DF - 1)
 
 
 def _chunk_graph_prefix() -> str:
@@ -3639,7 +3646,7 @@ ORDER BY common DESC, x, y LIMIT {LINKPRED_TOPK}
 def graph_link_prediction_topk(spark, sf_dir):
     from pyspark.sql import Window
 
-    from ..operators.graph import wedge_pairs
+    from ..operators.graph import wedge_pairs, wedge_unpack
 
     und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
@@ -3647,10 +3654,16 @@ def graph_link_prediction_topk(spark, sf_dir):
     ).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
+    # packed=True: the groupBy key is one 8-byte xy = x·2³² + y
+    # instead of two longs — the pair count is by far the widest
+    # shuffle in this family (round-9 ×10 probe: 1.22 GB write on the
+    # adamic-adar sibling); unpack after the combine.
+    ux, uy = wedge_unpack("xy")
     wedges = (
-        wedge_pairs(adj)
-        .groupBy("x", "y")
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True)
+        .groupBy("xy")
         .agg(F.count("*").cast("bigint").alias("common"))
+        .select(ux.alias("x"), uy.alias("y"), "common")
     )
     nonedges = wedges.join(
         und,
@@ -4024,7 +4037,7 @@ def _dup_chunk_und(spark, sf_dir):
 def graph_adamic_adar_topk(spark, sf_dir):
     from pyspark.sql import Window
 
-    from ..operators.graph import wedge_pairs
+    from ..operators.graph import wedge_pairs, wedge_unpack
 
     und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
@@ -4033,17 +4046,26 @@ def graph_adamic_adar_topk(spark, sf_dir):
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     # wedge_pairs carries the center's degree d on every wedge row —
-    # the per-center AA term needs no degree join at all
-    wp = wedge_pairs(adj).withColumn(
+    # the per-center AA term needs no degree join at all. packed=True
+    # shrinks the widest shuffle here (1.22 GB at ×10 in the round-9
+    # probe) to (xy, aaterm) longs; unpack after the combine.
+    wp = wedge_pairs(
+        adj, max_degree=WEDGE_DEGREE_CAP, packed=True
+    ).withColumn(
         "aaterm",
         F.expr(
             f"{AA_SCALE} div cast(round(ln(cast(d as double)) * 1000000)"
             " as bigint)"
         ),
     )
-    wedges = wp.groupBy("x", "y").agg(
-        F.count("*").cast("bigint").alias("n_common"),
-        F.sum("aaterm").cast("bigint").alias("aa_micro"),
+    ux, uy = wedge_unpack("xy")
+    wedges = (
+        wp.groupBy("xy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("aaterm").cast("bigint").alias("aa_micro"),
+        )
+        .select(ux.alias("x"), uy.alias("y"), "n_common", "aa_micro")
     )
     nonedges = wedges.join(
         und,
@@ -4125,7 +4147,7 @@ ORDER BY jaccard_ppm DESC, x, y LIMIT {LINKPRED_TOPK}
 def graph_jaccard_linkpred_topk(spark, sf_dir):
     from pyspark.sql import Window
 
-    from ..operators.graph import wedge_pairs
+    from ..operators.graph import wedge_pairs, wedge_unpack
 
     und = _dup_chunk_und(spark, sf_dir)
     adj = und.select(
@@ -4136,10 +4158,12 @@ def graph_jaccard_linkpred_topk(spark, sf_dir):
     deg = adj.groupBy("nbr").agg(
         F.count("*").cast("bigint").alias("d")
     ).select(F.col("nbr").alias("node"), "d")
+    ux, uy = wedge_unpack("xy")
     wedges = (
-        wedge_pairs(adj)
-        .groupBy("x", "y")
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True)
+        .groupBy("xy")
         .agg(F.count("*").cast("bigint").alias("n_common"))
+        .select(ux.alias("x"), uy.alias("y"), "n_common")
     )
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))

@@ -3328,6 +3328,7 @@ def dedup_substring_spans(spark, sf_dir):
 from ..operators.multimodal import (  # noqa: E402
     DHASH_BAND_BITS,
     DHASH_HAM_MAX,
+    DHASH_N_BANDS,
 )
 
 
@@ -3368,7 +3369,7 @@ bands AS (
   SELECT doc_id, dhash, b,
          (dhash >> ({DHASH_BAND_BITS} * b)) & {(1 << DHASH_BAND_BITS) - 1}
            AS bkey
-  FROM bits, unnest(generate_series(0, 3)) AS t(b)
+  FROM bits, unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS t(b)
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -3451,6 +3452,12 @@ def multimodal_phash_near_dups(spark, sf_dir):
 # --------------------------------------------------------------------
 JL_M = 16          # target dimensionality
 JL_QUANT = 10_000  # fixed-point scale sized so ny*1e6 stays in int64
+# int64 headroom bound (round-9 ADVICE): ny·1e6 < 2^63 needs
+# ny < 9.2e12; with |y_j| ≤ d·max|qv| and ny = Σ_m y², max|qv| must
+# stay < sqrt(9.2e12/(m·d²)) ≈ 11.9e3 at d=64, m=16 — i.e. embedding
+# components must satisfy |x| ≤ ~1.19. Enforced LOUDLY per row
+# (raise_error) instead of silently wrapping to a wrong ratio_ppm.
+JL_MAX_ABS_COMPONENT = 1.18
 
 
 def _jl_signs(d: int) -> list[list[int]]:
@@ -3539,7 +3546,14 @@ FROM norms n JOIN pnorms p USING (vec_id)
 )
 def embedding_jl_distortion(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    d = len(emb.select("embedding").head()["embedding"])
+    head = emb.select("embedding").head()
+    if head is None or head["embedding"] is None:
+        raise ValueError(
+            "embedding_jl_distortion: embeddings table is empty (or "
+            "its first embedding is NULL) — no dimension to size the "
+            "JL sign matrix from"
+        )
+    d = len(head["embedding"])
     signs = _jl_signs(d)
     q, m = JL_QUANT, JL_M
     # m rows of d signs, transposed for per-j zip_with folds
@@ -3552,6 +3566,29 @@ def embedding_jl_distortion(spark, sf_dir):
         lambda x: F.floor(x.cast("double") * F.lit(float(q))).cast(
             "bigint"
         ),
+    )
+    # Loud per-row guards (round-9 ADVICE): ragged dims would
+    # desynchronize the two engines (the oracle sizes its sign matrix
+    # by max(len)); over-bound components overflow ny·1e6 silently.
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qv = F.when(
+        (F.size("embedding") == F.lit(d))
+        & (max_abs <= F.lit(JL_MAX_ABS_COMPONENT)),
+        qv,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding_jl_distortion: vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    f" violates the JL contract (dim must be {d}, "
+                    f"components |x| <= {JL_MAX_ABS_COMPONENT} for "
+                    "int64 headroom)"
+                ),
+            )
+        ).cast("array<bigint>")
     )
     base = emb.select("vec_id", qv.alias("qv")).crossJoin(
         F.broadcast(one)
@@ -3875,8 +3912,9 @@ abits AS (
 ),
 bands AS (
   SELECT doc_id, dhash, b,
-         (dhash >> (14 * b)) & 16383 AS bkey
-  FROM dbits, unnest(generate_series(0, 3)) AS t(b)
+         (dhash >> ({DHASH_BAND_BITS} * b))
+           & {(1 << DHASH_BAND_BITS) - 1} AS bkey
+  FROM dbits, unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS t(b)
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -222,3 +222,35 @@ def test_stream_probe_matches_batch(spark, corpus, dhash_index, tmp_path):
     }
     assert streamed == batch
     assert (100_003, 3, 0) in streamed
+
+
+def test_compaction_rejects_conflicting_reappend(spark, corpus, tmp_path):
+    """Tombstone-before-reappend (ADVICE r9): re-appending a doc with
+    CHANGED pixels and no prior tombstone must make compaction fail
+    loudly on the conflicting dhash, and the prescribed tombstone →
+    compact → re-append recovery must succeed."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    path = str(tmp_path / "dhidx")
+    mm.persist_dhash_index(_media(spark, corpus), path)
+    # pick a doc that actually indexes (NOT a malformed-payload one —
+    # those parse to NULL dhash and never reach the index)
+    # PREPEND the edit: the planted grid samples the first 64 tokens,
+    # so an appended suffix on a >=64-token doc leaves pixels (and the
+    # dhash) unchanged — prepending shifts every sampled token
+    changed = corpus.filter(
+        F.col("doc_id") % mm.MALFORMED_MOD != 0
+    ).limit(1).select(
+        "doc_id",
+        F.concat(F.lit("wholly new pixel content "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    mm.append_to_dhash_index(_media(spark, changed), path)
+    with pytest.raises(SparkRuntimeException, match="conflicting dhash"):
+        mm.compact_dhash_index(spark, path)
+    doc_id = changed.head()["doc_id"]
+    mm.delete_from_dhash_index(spark, path, [doc_id])
+    mm.compact_dhash_index(spark, path)
+    mm.append_to_dhash_index(_media(spark, changed), path)
+    mm.compact_dhash_index(spark, path)

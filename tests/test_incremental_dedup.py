@@ -542,6 +542,45 @@ def test_winnow_append_replay_is_probe_invariant(spark, tmp_path):
     assert scores() == clean
 
 
+def test_winnow_compaction_rejects_conflicting_reappend(
+    spark, tmp_path
+):
+    """Tombstone-before-reappend contract (ADVICE r9): re-appending a
+    doc whose text CHANGED (different n_fp) without a prior tombstone
+    must make compaction fail loudly, not silently keep a stale/mixed
+    fingerprint set. A bit-identical replay still compacts fine."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException,
+    )
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators.dedup import (
+        append_to_winnow_index,
+        compact_winnow_index,
+        delete_from_winnow_index,
+        persist_winnow_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "widx")
+    persist_winnow_index(docs, path)
+    changed = docs.limit(1).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" extra trailing words here")).alias(
+            "text"
+        ),
+    )
+    append_to_winnow_index(changed, path)
+    with pytest.raises(SparkRuntimeException, match="conflicting n_fp"):
+        compact_winnow_index(spark, path)
+    # the prescribed recovery: tombstone the doc, compact, re-append
+    doc_id = changed.head()["doc_id"]
+    delete_from_winnow_index(spark, path, [doc_id])
+    compact_winnow_index(spark, path)
+    append_to_winnow_index(changed, path)
+    compact_winnow_index(spark, path)
+
+
 def test_winnow_rowwise_rejects_over_cap_docs(spark, monkeypatch):
     """The WINNOW_POS position tiebreak requires < 2^20 tokens per
     doc; an over-cap doc must fail LOUDLY, not silently corrupt the

@@ -1114,6 +1114,65 @@ def test_triangle_counts_match_bruteforce(spark):
     assert got == want and want
 
 
+def _wedge_rows(spark, edges, **kw):
+    from jly_flink_spark.operators.graph import wedge_pairs
+
+    und = spark.createDataFrame(edges, "u long, v long")
+    adj = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    return wedge_pairs(adj, **kw)
+
+
+def test_wedge_pairs_packed_roundtrip(spark):
+    """packed=True must emit exactly the unpacked wedges under
+    xy = x*2^32 + y, recoverable with wedge_unpack."""
+    from jly_flink_spark.operators.graph import wedge_unpack
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 5)]
+    plain = {
+        (r["x"], r["y"], r["d"])
+        for r in _wedge_rows(spark, edges).collect()
+    }
+    ux, uy = wedge_unpack("xy")
+    packed = {
+        (r["x"], r["y"], r["d"])
+        for r in _wedge_rows(spark, edges, packed=True)
+        .select(ux.alias("x"), uy.alias("y"), "d")
+        .collect()
+    }
+    assert plain == packed and plain
+
+
+def test_wedge_pairs_degree_cap_guard(spark):
+    """max_degree must fail LOUDLY on a hub instead of silently
+    enumerating Σ deg² wedges (round-9 verdict task 6)."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException,
+    )
+
+    star = [(0, i) for i in range(1, 6)]  # hub 0, degree 5
+    assert _wedge_rows(spark, star, max_degree=5).count() == 10
+    with pytest.raises(SparkRuntimeException, match="max_degree=4"):
+        _wedge_rows(spark, star, max_degree=4).count()
+
+
+def test_wedge_pairs_packed_rejects_wide_ids(spark):
+    """Ids ≥ 2^31 would overflow the packed key — loud failure."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException,
+    )
+
+    big = 1 << 31
+    edges = [(1, big), (1, 2), (2, big)]
+    with pytest.raises(SparkRuntimeException, match="2\\^31"):
+        _wedge_rows(spark, edges, packed=True).count()
+    # same graph unpacked is fine (one wedge per vertex of the C3)
+    assert _wedge_rows(spark, edges).count() == 3
+
+
 def test_resample_ffill_semantics(spark, monkeypatch, tmp_path):
     """LOCF on a crafted stream: NULL before the first observation,
     carry across gaps, newest same-second observation wins, fills
