@@ -1009,6 +1009,63 @@ def probe_winnow_index(
     )
 
 
+def winnow_containment_vs_index(
+    new_docs: DataFrame,
+    idx: DataFrame,
+    text_col: str = "text",
+    max_df: int = 50,
+) -> DataFrame:
+    """Per-new-doc aggregate substring-duplication signal against an
+    index FRAME: (doc_id, n_fp_new, n_fp_hit, contain_ppm) where
+    contain_ppm = fraction (ppm) of the new doc's winnow fingerprints
+    already present ANYWHERE in the (df-capped) index — the
+    incremental stand-in for `substring_cut_retention`'s duplicated-
+    span-mass when the partner docs live in the corpus index rather
+    than the same frame. Per-pair attribution (who it duplicates) is
+    `probe_winnow_index`'s job; this one answers the ADMISSION
+    question "how much of this doc is already in the corpus".
+
+    Takes the index as a DataFrame so callers can pre-filter it
+    (e.g. the admission gate anti-joins the current batch's own
+    doc_ids out, which makes an at-least-once epoch replay see
+    exactly the pre-epoch state). All aggregates are DISTINCT-based,
+    so replay-duplicated index rows cannot inflate the signal.
+    Token-less docs (no fingerprints) are absent from the output —
+    callers decide their fate, mirroring `substring_cut_retention`'s
+    ≥1-token contract."""
+    fp = winnow_fingerprints_rowwise(new_docs, text_col)
+    ok = (
+        idx.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    hit = fp.join(ok, "h", "left_semi").select(
+        "doc_id", F.col("h").alias("h_hit")
+    )
+    totals = fp.groupBy("doc_id").agg(
+        F.count_distinct("h").cast("bigint").alias("n_fp_new")
+    )
+    hits = hit.groupBy("doc_id").agg(
+        F.count_distinct("h_hit").cast("bigint").alias("n_fp_hit")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp_new",
+            F.coalesce("n_fp_hit", F.lit(0)).cast("bigint").alias(
+                "n_fp_hit"
+            ),
+        )
+        .withColumn(
+            "contain_ppm",
+            F.expr("n_fp_hit * 1000000 div greatest(n_fp_new, 1)")
+            .cast("bigint"),
+        )
+    )
+
+
 def delete_from_winnow_index(spark, path: str, doc_ids) -> None:
     """Logical deletion from the winnowing index — same tombstone
     files and LSM delete→compact contract as `delete_from_lsh_index`

@@ -3332,7 +3332,14 @@ from ..operators.multimodal import (  # noqa: E402
 )
 
 
-def _phash_oracle() -> str:
+def dhash_pair_ctes(p: str = "") -> str:
+    """The planted-pixel → dHash → Hamming-band candidate-pair chain
+    as a reusable CTE fragment (no leading WITH, no trailing comma):
+    relations {p}toks {p}cells {p}pix {p}bits {p}bands {p}cand, where
+    ``p`` prefixes every name so the fragment composes into oracles
+    that already bind toks/bands/cand (the admission-pipeline oracle
+    does). {p}cand has (doc_a, doc_b, ha, hb) for band-colliding
+    doc_a < doc_b pairs; callers apply the Hamming verify."""
     from ..operators.multimodal import DHASH_GRID, MALFORMED_MOD
 
     g = DHASH_GRID
@@ -3341,42 +3348,46 @@ def _phash_oracle() -> str:
         "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
         "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
     )
-    return f"""
-WITH toks AS (
+    return f"""{p}toks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents
   WHERE doc_id % {MALFORMED_MOD} <> 0
 ),
-cells AS (
+{p}cells AS (
   SELECT doc_id, i AS idx,
          md5(ts[1 + (i % len(ts))] || ':' || CAST(i AS VARCHAR)) AS d
-  FROM toks, unnest(generate_series(0, {g * g - 1})) AS t(i)
+  FROM {p}toks, unnest(generate_series(0, {g * g - 1})) AS t(i)
   WHERE len(ts) >= 1
 ),
-pix AS (
-  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS px FROM cells
+{p}pix AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS px FROM {p}cells
 ),
-bits AS (
+{p}bits AS (
   SELECT a.doc_id,
          CAST(sum(CASE WHEN b.px > a.px
               THEN (CAST(1 AS BIGINT) << (a.r * {g - 1} + a.c))
               ELSE 0 END) AS BIGINT) AS dhash
   FROM (SELECT doc_id, idx // {g} AS r, idx % {g} AS c, px
-        FROM pix WHERE idx % {g} < {g - 1}) a
-  JOIN pix b ON b.doc_id = a.doc_id AND b.idx = a.r * {g} + a.c + 1
+        FROM {p}pix WHERE idx % {g} < {g - 1}) a
+  JOIN {p}pix b ON b.doc_id = a.doc_id AND b.idx = a.r * {g} + a.c + 1
   GROUP BY a.doc_id
 ),
-bands AS (
+{p}bands AS (
   SELECT doc_id, dhash, b,
          (dhash >> ({DHASH_BAND_BITS} * b)) & {(1 << DHASH_BAND_BITS) - 1}
            AS bkey
-  FROM bits, unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS t(b)
+  FROM {p}bits, unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS t(b)
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.dhash AS ha, y.dhash AS hb
-  FROM bands x JOIN bands y
+  FROM {p}bands x JOIN {p}bands y
     ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
-)
+)"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+WITH {dhash_pair_ctes()}
 SELECT doc_a, doc_b,
        CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand

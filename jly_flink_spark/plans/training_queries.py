@@ -1163,6 +1163,126 @@ _REG2["pipeline_training_corpus_v3"].impl_hash = _impl_hash(
 
 
 # ---------------------------------------------------------------------------
+# Streaming admission gate, batch equivalent (round 10): the composed
+# foreachBatch policy (streaming/admission.py) run over the whole
+# corpus as ONE batch from empty state — the hash-checked twin the
+# driver contract requires for the streaming capstone.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_streaming_admission",
+    oracle=None,  # attached below (shared fragments)
+    tags=("training", "pipeline", "streaming", "dedup", "ml", "curation"),
+    doc="The streaming corpus-admission gate's batch equivalent: "
+    "streaming/admission.py's admission_decisions run with EMPTY "
+    "state and the whole corpus as one micro-batch — exact dedup → "
+    "MinHash-LSH near-dup removal → Bloom-prefiltered benchmark "
+    "decontamination → dHash image near-dup removal (the stage the "
+    "text-only v3 pipeline lacks) → frozen-weights quality gate → "
+    "ExactSubstr retention → per-source cap — returning the admitted "
+    "documents (doc_id, source, lang, n_tokens). The SAME code path "
+    "a foreachBatch epoch executes (admit_batch wraps it with index "
+    "I/O), so this hash certifies the streaming gate's per-epoch "
+    "policy; the replay/parity/streaming behavior is covered by "
+    "tests/test_admission.py. Classifier weights are extracted model "
+    "state (trained on the full corpus, the v3 discipline), and the "
+    "oracle replays training, every dedup tier, the planted-pixel "
+    "dHash chain, retention, and the cap end to end.",
+)
+def pipeline_streaming_admission(spark, sf_dir):
+    from ..operators.classifier import WEIGHT_COLS, fit_quality_classifier
+    from ..streaming.admission import (
+        BENCH_MAX_DOC,
+        admission_decisions,
+        empty_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # frozen weights = the v3 training run, extracted as model state
+    # (5 ints, the IVF-centroid discipline)
+    _, w = fit_quality_classifier(docs)
+    wrow = w.head()
+    weights = {m: int(wrow[c]) for m, c in WEIGHT_COLS}
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_DOC)
+    state = empty_state(spark, bench)
+    decisions = admission_decisions(
+        spark,
+        docs,
+        state,
+        weights,
+        source_cap=None,  # the relative v3 cap
+        enable_image_gate=True,
+    )
+    return decisions.filter(F.col("admitted")).select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _admission_oracle() -> str:
+    from ..operators.dedup import substring_retention_sql
+    from ..operators.multimodal import DHASH_HAM_MAX
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        qc_oracle_fragments,
+    )
+    from .northstar_queries import _TOKS, dhash_pair_ctes
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{dhash_pair_ctes("img")},
+img_losers AS (
+  -- image near-dup stage: pairs among kept3 survivors, doc_b of
+  -- each Hamming-verified (doc_a < doc_b) pair drops — the text
+  -- near-dup stage's rule one tier down the stack
+  SELECT DISTINCT c.doc_b AS doc_id FROM imgcand c
+  WHERE bit_count(xor(c.ha, c.hb)) <= {DHASH_HAM_MAX}
+    AND EXISTS (SELECT 1 FROM kept3 a WHERE a.doc_id = c.doc_a)
+    AND EXISTS (SELECT 1 FROM kept3 b2 WHERE b2.doc_id = c.doc_b)
+),
+kept3i AS MATERIALIZED (
+  SELECT k.* FROM kept3 k
+  WHERE NOT EXISTS (SELECT 1 FROM img_losers l WHERE l.doc_id = k.doc_id)
+),
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.text FROM kept3i k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+),
+{substring_retention_sql("kept4")},
+kept5 AS MATERIALIZED (
+  SELECT k.* FROM kept4 k
+  JOIN sretention r ON r.doc_id = k.doc_id
+  WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}
+),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept5),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.text, d.source,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+  FROM kept5 k JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, lang,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+FROM ranked, n5
+WHERE rnk <= greatest({SOURCE_CAP_MIN}, n // {SOURCE_CAP_DEN})
+"""
+
+
+_REG2["pipeline_streaming_admission"].oracle = _admission_oracle()
+_REG2["pipeline_streaming_admission"].impl_hash = _impl_hash(
+    _source_of(pipeline_streaming_admission),
+    _REG2["pipeline_streaming_admission"].oracle,
+)
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, data selection via
 # importance resampling)
 # ---------------------------------------------------------------------------
