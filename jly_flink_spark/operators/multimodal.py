@@ -1178,3 +1178,185 @@ def pixel_ahash_pooled_frame(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         batches, "doc_id bigint, ahash bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio tier (round 10): planted PCM frames + integer energy-band
+# fingerprint — the first op below the WAV container headers (the
+# RIFF walk above stops at `wav_data_range`). Mirrors the pixel tier
+# one modality over: plant REAL 16-bit PCM whose samples derive from
+# the document's first AUDIO_PREFIX_TOKENS tokens (so audio
+# duplication tracks the corpus's shared-prefix text duplication,
+# exactly like the 8x8 pixel grids), fingerprint = aHash over frame
+# ENERGIES (bit f set iff frame f's energy exceeds the mean — the
+# shape of every audio-fingerprinting scheme's filterbank stage,
+# integer-exact here), then Hamming-LSH banding identical to the
+# dHash discipline. Swapping the planted PCM for real decoded audio
+# + an FFT filterbank changes the pandas kernel body, never the
+# plan. Reference parity: the reference job has no media surface
+# (StartJob.java is CDC-only); this extends SURVEY §2.2's multimodal
+# north-star set.
+# ---------------------------------------------------------------------------
+AUDIO_FRAMES = 56        # fingerprint bits (bit 63 unusable in DuckDB)
+AUDIO_FRAME_LEN = 8      # samples per frame
+AUDIO_PREFIX_TOKENS = 64  # samples derive from the first 64 tokens —
+#                           the same prefix window the pixel grids
+#                           sample, so audio near-dups track the
+#                           corpus's text near-dup structure
+AUDIO_N_BANDS = 4        # 4 x 14-bit Hamming-LSH bands (= dHash)
+AUDIO_BAND_BITS = 14
+AUDIO_HAM_MAX = 6        # verified near-dup threshold (of 56 bits)
+
+
+def planted_pcm(toks: list[str]) -> Optional[bytes]:
+    """AUDIO_FRAMES*AUDIO_FRAME_LEN 16-bit little-endian samples:
+    sample idx holds the first md5 byte of `token:idx`, tokens cycled
+    over the first AUDIO_PREFIX_TOKENS positions (same token
+    definition as the pixel grids; the oracle rebuilds every sample
+    with the same md5 arithmetic). None for token-less docs."""
+    import hashlib
+
+    if not toks:
+        return None
+    m = min(len(toks), AUDIO_PREFIX_TOKENS)
+    n = AUDIO_FRAMES * AUDIO_FRAME_LEN
+    vals = [
+        int(
+            hashlib.md5(
+                f"{toks[idx % m]}:{idx}".encode()
+            ).hexdigest()[:2],
+            16,
+        )
+        for idx in range(n)
+    ]
+    return struct.pack(f"<{n}h", *vals)
+
+
+def plant_payload_audio(doc_id: int, text: str) -> bytes:
+    """A structurally-valid mono 8 kHz WAV whose data chunk is the
+    planted PCM; every MALFORMED_MOD-th doc truncated mid-signature
+    (the shared malformed-payload contract)."""
+    toks = [t for t in text.lower().split(" ") if t != ""]
+    pcm = planted_pcm(toks)
+    payload = encode_wav(1, 8000, pcm or b"")
+    if doc_id % MALFORMED_MOD == 0:
+        payload = payload[:MALFORMED_LEN]
+    return payload
+
+
+def documents_as_audio_media(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The documents corpus as a planted-PCM WAV media table
+    (doc_id, media_type, payload, n_bytes) — one Arrow-batched
+    mapInPandas pass, payloads built worker-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            planted = [
+                plant_payload_audio(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["wav"] * len(planted),
+                    "payload": planted,
+                    "n_bytes": [len(p) for p in planted],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )
+
+
+def wav_pcm_samples(payload) -> Optional[list[int]]:
+    """The 16-bit LE samples of a planted WAV's data chunk, via the
+    same RIFF walk every consumer uses (`wav_data_range`). None on
+    truncation, odd data size, or an unexpected sample count — the
+    malformed-payload -> NULL contract."""
+    rng = wav_data_range(payload)
+    if rng is None:
+        return None
+    off, size = rng
+    n = AUDIO_FRAMES * AUDIO_FRAME_LEN
+    if size != 2 * n:
+        return None
+    return list(struct.unpack(f"<{n}h", bytes(payload)[off : off + size]))
+
+
+def audio_fingerprint_int(samples: list[int]) -> int:
+    """56-bit integer energy fingerprint: frame f's energy is the sum
+    of its AUDIO_FRAME_LEN squared samples; bit f set iff the energy
+    exceeds the truncating mean over all frames — pure integer
+    arithmetic, the exact formula the SQL oracle sums with shifted
+    CASE bits."""
+    w = AUDIO_FRAME_LEN
+    energies = [
+        sum(s * s for s in samples[f * w : (f + 1) * w])
+        for f in range(AUDIO_FRAMES)
+    ]
+    mean = sum(energies) // AUDIO_FRAMES
+    v = 0
+    for f, e in enumerate(energies):
+        if e > mean:
+            v |= 1 << f
+    return v
+
+
+def audio_fingerprint_frame(media: DataFrame) -> DataFrame:
+    """(doc_id, afp bigint) per media row — NULL afp for payloads
+    whose PCM doesn't parse (truncated signature, token-less body).
+    One Arrow-batched pass; 8 bytes per clip leave this stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            fps = []
+            for p in pdf["payload"]:
+                s = wav_pcm_samples(p)
+                fps.append(
+                    audio_fingerprint_int(s) if s is not None else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id bigint, afp bigint"
+    )
+
+
+def audio_bands(hashes: DataFrame) -> DataFrame:
+    """(doc_id, afp, b, bkey) band rows — the dHash banding one
+    modality over; a clip pair collides iff SOME band matches."""
+    mask = (1 << AUDIO_BAND_BITS) - 1
+    return hashes.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("afp"), AUDIO_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(AUDIO_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "afp",
+        F.col("bb.b").alias("b"),
+        F.col("bb.bkey").alias("bkey"),
+    )

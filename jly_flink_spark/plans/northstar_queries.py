@@ -4026,3 +4026,188 @@ def multimodal_perceptual_crosscheck(spark, sf_dir):
             .alias("ahash_hamming"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Audio perceptual near-dup (round 10): planted PCM frames + integer
+# energy-band fingerprint + Hamming-LSH banding, cross-checked
+# against the text-shingle truth set
+# --------------------------------------------------------------------
+def _audio_oracle() -> str:
+    from ..operators.multimodal import (
+        AUDIO_BAND_BITS,
+        AUDIO_FRAME_LEN,
+        AUDIO_FRAMES,
+        AUDIO_HAM_MAX,
+        AUDIO_N_BANDS,
+        AUDIO_PREFIX_TOKENS,
+        MALFORMED_MOD,
+    )
+
+    n = AUDIO_FRAMES * AUDIO_FRAME_LEN
+    # 2-hex-char -> 0..255 sample value (the md5-prefix sample)
+    hex2 = (
+        "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
+    )
+    tri = (
+        "list_transform(generate_series(1, len(ts) - 2), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+    )
+    return f"""
+WITH audtoks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id % {MALFORMED_MOD} <> 0
+),
+audcells AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % least(len(ts), {AUDIO_PREFIX_TOKENS}))]
+             || ':' || CAST(i AS VARCHAR)) AS d
+  FROM audtoks, unnest(generate_series(0, {n - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+audsamp AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS v FROM audcells
+),
+audenergy AS (
+  SELECT doc_id, idx // {AUDIO_FRAME_LEN} AS f,
+         CAST(sum(v * v) AS BIGINT) AS e
+  FROM audsamp GROUP BY doc_id, idx // {AUDIO_FRAME_LEN}
+),
+audmean AS (
+  SELECT doc_id, CAST(sum(e) // {AUDIO_FRAMES} AS BIGINT) AS m
+  FROM audenergy GROUP BY doc_id
+),
+audfp AS (
+  SELECT e.doc_id,
+         CAST(sum(CASE WHEN e.e > m.m
+              THEN (CAST(1 AS BIGINT) << e.f) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM audenergy e JOIN audmean m USING (doc_id)
+  GROUP BY e.doc_id
+),
+audbands AS (
+  SELECT doc_id, afp, b,
+         (afp >> ({AUDIO_BAND_BITS} * b))
+           & {(1 << AUDIO_BAND_BITS) - 1} AS bkey
+  FROM audfp, unnest(generate_series(0, {AUDIO_N_BANDS - 1})) AS t(b)
+),
+audcand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.afp AS fa, y.afp AS fb
+  FROM audbands x JOIN audbands y
+    ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+),
+audpairs AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+  FROM audcand
+  WHERE bit_count(xor(fa, fb)) <= {AUDIO_HAM_MAX}
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({tri})) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+  WHERE len(ts) >= 3
+),
+shared AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM audpairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.hamming,
+       CAST(coalesce(s.shared_shingles, 0) AS BIGINT) AS shared_shingles
+FROM audpairs p
+LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+"""
+
+
+@register(
+    "multimodal_audio_near_dups",
+    oracle=_audio_oracle(),
+    tags=("northstar", "multimodal", "dedup", "approx"),
+    doc="Audio perceptual near-dup over the binary WAV column — the "
+    "first op below the RIFF container walk: plant 56 frames x 8 "
+    "deterministic 16-bit PCM samples per document (samples derived "
+    "from its first 64 tokens, so audio duplication tracks the "
+    "corpus's shared-prefix text duplication exactly like the pixel "
+    "grids), parse the samples back OUT of the data chunk, compute "
+    "the 56-bit integer energy fingerprint (bit f set iff frame f's "
+    "energy exceeds the truncating mean — the filterbank shape of "
+    "every audio-fingerprinting scheme, integer-exact here) in the "
+    "same Arrow batch, and find near-dup clip pairs by Hamming-LSH: "
+    "4 x 14-bit bands, candidates verify with bit_count(xor) <= 6 — "
+    "the dHash discipline one modality over. Each verified pair is "
+    "CROSS-CHECKED against the text-shingle truth set (shared "
+    "distinct trigram count rides on every output row), the same "
+    "audit the pixel tier got in round 9. Truncated payloads (every "
+    "37th doc) parse to NULL and drop — the shared malformed-media "
+    "contract. Swapping the planted PCM for real decoded audio + an "
+    "FFT filterbank changes the pandas kernel body, never the plan. "
+    "The oracle replays samples, frame energies, fingerprint bits, "
+    "banding, Hamming verification, and the shingle cross-check.",
+)
+def multimodal_audio_near_dups(spark, sf_dir):
+    from ..operators.multimodal import (
+        AUDIO_HAM_MAX,
+        audio_bands,
+        audio_fingerprint_frame,
+        documents_as_audio_media,
+    )
+    from ..operators.text import trigram_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_audio_media(docs)
+    hashes = (
+        audio_fingerprint_frame(media)
+        .filter(F.col("afp").isNotNull())
+        .transform(stage)
+    )
+    bands = audio_bands(hashes)
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fa"),
+        "b", "bkey",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fb"),
+        "b", "bkey",
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast(
+        "bigint"
+    )
+    pairs = (
+        x.join(y, ["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AUDIO_HAM_MAX)
+    )
+    # text-shingle truth cross-check: shared distinct trigrams per
+    # verified pair (array_intersect over slim per-doc shingle
+    # arrays joined onto the bounded pair set — no corpus self-join)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            trigram_shingles(text.tokens(F.col("text")))
+        ).alias("sharr"),
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sharr").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sharr").alias("sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("shared_shingles"),
+        )
+    )

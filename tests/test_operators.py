@@ -1114,6 +1114,67 @@ def test_triangle_counts_match_bruteforce(spark):
     assert got == want and want
 
 
+class TestAudioTier:
+    def test_pcm_roundtrip_and_fingerprint_determinism(self, spark):
+        """Planted WAV → RIFF walk → samples → fingerprint must be a
+        deterministic pure function of the text prefix: identical
+        first-64-token docs share the fingerprint (hamming 0), a
+        changed prefix moves it."""
+        base = " ".join(f"w{i}" for i in range(80))
+        rows = [
+            (1, base),
+            (2, base + " extra suffix tokens beyond the prefix"),
+            (3, "different " + base),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        media = multimodal.documents_as_audio_media(df)
+        fps = {
+            r["doc_id"]: r["afp"]
+            for r in multimodal.audio_fingerprint_frame(media).collect()
+        }
+        assert fps[1] is not None and 0 < fps[1] < (1 << 56)
+        # suffix edit beyond token 64 leaves the fingerprint intact
+        assert fps[1] == fps[2]
+        # prefix edit moves it
+        assert fps[3] != fps[1]
+
+    def test_truncation_and_tokenless_null_parity(self, spark):
+        """Every MALFORMED_MOD-th doc truncates mid-signature and a
+        token-less doc has no PCM — both must fingerprint to NULL
+        (the shared malformed-media contract), never crash or emit
+        a junk hash."""
+        m = multimodal.MALFORMED_MOD
+        rows = [(m, "alpha beta gamma"), (m + 1, "alpha beta gamma"),
+                (2 * m, "delta"), (5, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = {
+            r["doc_id"]: r["afp"]
+            for r in multimodal.audio_fingerprint_frame(
+                multimodal.documents_as_audio_media(df)
+            ).collect()
+        }
+        assert fps[m] is None and fps[2 * m] is None  # truncated
+        assert fps[5] is None  # token-less: no PCM planted
+        assert fps[m + 1] is not None
+
+    def test_bands_cover_all_fingerprint_bits(self, spark):
+        """4 x 14-bit bands must partition the 56-bit fingerprint:
+        reassembling the band keys recovers the hash."""
+        df = spark.createDataFrame(
+            [(1, "a few words make a tiny document here")],
+            "doc_id long, text string",
+        )
+        h = multimodal.audio_fingerprint_frame(
+            multimodal.documents_as_audio_media(df)
+        )
+        rows = multimodal.audio_bands(h).collect()
+        assert len(rows) == multimodal.AUDIO_N_BANDS
+        rebuilt = 0
+        for r in rows:
+            rebuilt |= r["bkey"] << (multimodal.AUDIO_BAND_BITS * r["b"])
+        assert rebuilt == rows[0]["afp"]
+
+
 def _wedge_rows(spark, edges, **kw):
     from jly_flink_spark.operators.graph import wedge_pairs
 

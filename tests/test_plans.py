@@ -601,6 +601,14 @@ class TestShuffleBudget:
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
+            # audio tier: hash frame staged (8 bytes/clip); one band
+            # exchange serves the pair join, the shingle cross-check
+            # rides doc-keyed joins onto the bounded pair set
+            ("multimodal_audio_near_dups", 1),
+            # admission gate: every stage lives behind its staging
+            # cut (decisions frame is eagerly staged); the visible
+            # tail is the admitted projection
+            ("pipeline_streaming_admission", 1),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):

@@ -121,6 +121,13 @@ QUERIES = [
     "multimodal_phash_near_dups",
     "graph_hits_authorities",
     "pipeline_training_corpus_v3",
+    # round-10: the audio-tier banding (PCM planting is 448 samples
+    # per doc — the widest per-row media kernel — and pair volume
+    # grows with duplication density) and the streaming admission
+    # gate's batch equivalent (the v3 chain + the image stage, the
+    # per-epoch policy every foreachBatch runs)
+    "multimodal_audio_near_dups",
+    "pipeline_streaming_admission",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
