@@ -1641,6 +1641,154 @@ def text_bigram_logprob(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# Trigram-LM perplexity scorer (round 10): the add-k-smoothed
+# count-based LM — the model-based quality signal next to
+# Gopher/CCNet/DSIR, one order up from text_bigram_logprob
+# --------------------------------------------------------------------
+def trigram_lm_ctes() -> str:
+    """toks → tg (per-doc trigram instances) → tgc/bgc/vsz (counts)
+    → tcost (per-TYPE quantized cost) → docppl (per-doc score) as a
+    WITH-clause fragment (no leading WITH, no trailing comma) —
+    shared by the standalone scorer oracle and pipeline v4's gate.
+    Add-1 smoothing: nll(w3|w1w2) = ln(c2 + V) − ln(c3 + 1),
+    quantized per trigram TYPE before the exact per-doc BIGINT sum
+    (the text_unigram_logprob boundary-margin discipline)."""
+    from .northstar_queries import _TOKS
+
+    return f"""toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM toks WHERE len(ts) >= 3
+),
+tgc AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY g
+),
+bgc AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1])) AS bg
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY bg
+),
+vsz AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(ts) AS tok FROM toks)
+),
+tcost AS (
+  SELECT t.g,
+         CAST(round((ln(CAST(b.c2 + vsz.v AS DOUBLE))
+                   - ln(CAST(t.c3 + 1 AS DOUBLE))) * 1000000)
+              AS BIGINT) AS nll_micro
+  FROM tgc t
+  JOIN bgc b ON b.bg = string_split(t.g, ' ')[1] || ' '
+                       || string_split(t.g, ' ')[2],
+       vsz
+),
+docppl AS (
+  SELECT tg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(c.nll_micro) AS BIGINT) AS nll_micro,
+         CAST(sum(c.nll_micro) // count(*) AS BIGINT) AS logppl_micro
+  FROM tg JOIN tcost c USING (g)
+  GROUP BY tg.doc_id
+)"""
+
+
+@register(
+    "text_trigram_perplexity",
+    oracle=f"""
+WITH {trigram_lm_ctes()}
+SELECT doc_id, n_trigrams, nll_micro, logppl_micro FROM docppl
+""",
+    tags=("curation", "quality", "text"),
+    doc="Count-based trigram-LM perplexity scorer (add-1 smoothing): "
+    "p(w3|w1,w2) = (c3+1)/(c2+V) from corpus statistics, per-doc "
+    "total negative log-likelihood and log-perplexity (mean nll) in "
+    "integer micro-nats — the model-based quality signal next to "
+    "Gopher/CCNet/DSIR: high log-perplexity = the corpus LM finds "
+    "the doc surprising (gibberish, wrong-language, OCR noise); "
+    "very low = boilerplate the LM has memorized. Each DISTINCT "
+    "trigram type's cost quantizes once (round(ln·1e6) absorbs libm "
+    "ulp noise); per-doc sums are exact BIGINT. Scale shape: "
+    "trigrams build per-row (no position self-join); c3/c2 are "
+    "map-side-combined groupBys; the cost table joins the corpus "
+    "trigrams on hashed keys (NOT broadcast — an add-k table has no "
+    "frequency cutoff, so it scales with distinct trigrams; AQE "
+    "picks the strategy) and the per-doc agg combines map-side. "
+    "Self-trained, so every applied trigram is in-vocabulary; the "
+    "smoothing matters for the probabilities, not coverage.",
+)
+def text_trigram_perplexity(spark, sf_dir):
+    return _trigram_perplexity_frame(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _trigram_perplexity_frame(docs):
+    """(doc_id, n_trigrams, nll_micro, logppl_micro) — shared by the
+    standalone scorer and pipeline v4's LM gate."""
+    ts = tokens(F.col("text"))
+
+    def grams(n):
+        parts = [
+            F.slice(ts, 1 + i, F.size(ts) - (n - 1)) for i in range(n)
+        ]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    tg = docs.filter(F.size(ts) >= 3).select(
+        "doc_id", F.explode(grams(3)).alias("g")
+    )
+    bg = docs.filter(F.size(ts) >= 2).select(
+        "doc_id", F.explode(grams(2)).alias("bg")
+    )
+    tgc = tg.groupBy("g").agg(F.count("*").cast("bigint").alias("c3"))
+    bgc = bg.groupBy("bg").agg(F.count("*").cast("bigint").alias("c2"))
+    vsz = docs.select(F.explode(ts).alias("tok")).agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
+    )
+    prefix = F.concat_ws(
+        " ",
+        F.split(F.col("g"), " ").getItem(0),
+        F.split(F.col("g"), " ").getItem(1),
+    )
+    tcost = (
+        tgc.join(bgc, prefix == F.col("bg"))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "g",
+            F.expr(
+                "CAST(round((ln(CAST(c2 + v AS DOUBLE))"
+                " - ln(CAST(c3 + 1 AS DOUBLE))) * 1000000) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    return (
+        tg.join(tcost, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "nll_micro",
+            F.expr("nll_micro div n_trigrams")
+            .cast("bigint")
+            .alias("logppl_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # BM25 retrieval scoring (quality-classifier / nearest-benchmark
 # retrieval pattern)
 # --------------------------------------------------------------------

@@ -577,6 +577,210 @@ def bpe_tokenize_corpus(spark, sf_dir):
     return bpe_tokenize_stats(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (round 10): the SentencePiece-style EM-trained
+# companion of the BPE trainer — see operators/unigram.py
+# ---------------------------------------------------------------------------
+def _uni_dp_sql(word: str, cm: str) -> str:
+    """The Viterbi DP over ``word`` under map ``cm`` as one DuckDB
+    expression (list_reduce with a list<struct> accumulator; elements
+    are singleton-wrapped so the first element serves as the
+    list-typed init — the BPE fold trick): evaluates to the final
+    struct(c, ps). Mirrors operators/unigram.viterbi_struct including
+    the packed (cost·1024 + n_pieces) state and the chr(1)-joined
+    tie-break."""
+    from ..operators.unigram import UNI_INF_ENC, UNI_MAX_PIECE
+
+    sub = (
+        f"substring({word}, CAST(i AS INT),"
+        " CAST(x[1].c - i + 1 AS INT))"
+    )
+    return f"""list_reduce(
+      [[{{'c': CAST(0 AS BIGINT), 'ps': CAST([] AS VARCHAR[])}}]]
+      || list_transform(generate_series(1, length({word})),
+           j -> [{{'c': CAST(j AS BIGINT), 'ps': CAST([] AS VARCHAR[])}}]),
+      (acc, x) -> acc || [
+        list_reduce(
+          list_transform(
+            generate_series(greatest(1, x[1].c - {UNI_MAX_PIECE - 1}), x[1].c),
+            i -> {{
+              'c': acc[i].c + coalesce({cm}[{sub}][1],
+                     CAST({UNI_INF_ENC} AS BIGINT)),
+              'ps': acc[i].ps || [{sub}]
+            }}),
+          (b, y) -> CASE WHEN y.c < b.c OR (y.c = b.c AND
+                         array_to_string(y.ps, chr(1))
+                           < array_to_string(b.ps, chr(1)))
+                    THEN y ELSE b END)
+      ]
+    )[-1]"""
+
+
+def _uni_train_ctes() -> str:
+    """toks → vocab → occ → seed/p0 → [cm{r}, seg{r}, c{r}, p{r}]
+    per EM round — the shared training chain; ends (no comma) at
+    p{UNI_ROUNDS}. Costs use the quantized-ln formula of
+    operators/unigram.cost_micro_expr verbatim."""
+    from ..operators.unigram import (
+        UNI_ENC,
+        UNI_MAX_PIECE,
+        UNI_ROUNDS,
+        UNI_SEED_MULTI,
+    )
+
+    def cost(cnt: str, t: str, v: str) -> str:
+        return (
+            f"CAST(round((ln(CAST({t} + {v} AS DOUBLE))"
+            f" - ln(CAST({cnt} + 1 AS DOUBLE))) * 1000000) AS BIGINT)"
+        )
+
+    blocks = []
+    prev = "p0"
+    for r in range(1, UNI_ROUNDS + 1):
+        blocks.append(f"""
+cm{r} AS (
+  SELECT map(list(piece ORDER BY piece),
+             list({cost("cnt", "t.t", "t.v")} * {UNI_ENC} + 1
+                  ORDER BY piece)) AS cm
+  FROM {prev}, (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS v FROM {prev}) t
+),
+seg{r} AS MATERIALIZED (
+  SELECT v.cnt, ({_uni_dp_sql("v.word", "cm")}).ps AS ps
+  FROM vocab v CROSS JOIN cm{r}
+),
+c{r} AS (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT cnt, unnest(ps) AS piece FROM seg{r})
+  GROUP BY piece
+),
+p{r} AS MATERIALIZED (
+  SELECT s.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM (SELECT piece FROM {prev}) s LEFT JOIN c{r} c USING (piece)
+)""")
+        prev = f"p{r}"
+    return f"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ts) AS tok FROM toks)
+  GROUP BY tok
+),
+occ AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT v.cnt, substring(v.word, CAST(i AS INT), CAST(l AS INT)) AS piece
+    FROM vocab v,
+         unnest(generate_series(1, length(v.word))) s(i),
+         unnest(generate_series(1, least({UNI_MAX_PIECE},
+                length(v.word) - i + 1))) u(l)
+  ) GROUP BY piece
+),
+p0 AS MATERIALIZED (
+  SELECT piece, cnt FROM occ WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM occ WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {UNI_SEED_MULTI})
+),
+{",".join(blocks)}"""
+
+
+def _uni_train_oracle() -> str:
+    from ..operators.unigram import UNI_ROUNDS
+
+    p = f"p{UNI_ROUNDS}"
+    cost = (
+        "CAST(round((ln(CAST(t.t + t.v AS DOUBLE))"
+        " - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH {_uni_train_ctes()}
+SELECT piece, cnt, {cost} AS cost_micro
+FROM {p}, (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS v FROM {p}) t
+"""
+
+
+def _uni_apply_oracle() -> str:
+    from ..operators.unigram import UNI_ENC, UNI_ROUNDS
+
+    p = f"p{UNI_ROUNDS}"
+    cost = (
+        "CAST(round((ln(CAST(t.t + t.v AS DOUBLE))"
+        " - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH {_uni_train_ctes()},
+cmf AS (
+  SELECT map(list(piece ORDER BY piece),
+             list({cost} * {UNI_ENC} + 1 ORDER BY piece)) AS cm
+  FROM {p}, (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                    CAST(count(*) AS BIGINT) AS v FROM {p}) t
+),
+segw AS MATERIALIZED (
+  SELECT v.word, ({_uni_dp_sql("v.word", "cm")}).c AS c
+  FROM (SELECT word FROM vocab) v CROSS JOIN cmf
+),
+perw AS (
+  SELECT word, CAST(c // {UNI_ENC} AS BIGINT) AS w_nll,
+         CAST(c % {UNI_ENC} AS BIGINT) AS w_pieces
+  FROM segw
+),
+docw AS (SELECT doc_id, unnest(ts) AS word FROM toks)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(w.w_pieces) AS BIGINT) AS n_uni_tokens,
+       CAST(sum(w.w_nll) AS BIGINT) AS nll_micro
+FROM docw d JOIN perw w USING (word)
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "unigram_lm_train_pieces",
+    oracle=_uni_train_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece "
+    "`unigram` model) — the EM-trained companion of bpe_train_merges: "
+    "seed the piece vocabulary from occurrence-weighted substrings "
+    "(all single chars + the top-48 multi-char pieces), then run 2 "
+    "unrolled hard-EM rounds — Viterbi-segment the (word, cnt) "
+    "vocabulary under the current quantized-ln piece costs (the DP "
+    "is a pure per-row fold; the cost table rides ONE broadcast "
+    "map), recount pieces from the best paths, re-derive costs with "
+    "add-1 smoothing. The corpus is touched once; every round is "
+    "|V| rows. Packed integer DP state (cost·1024 + n_pieces) and "
+    "chr(1)-joined tie-breaks make both engines segment identically, "
+    "so the full train chain value-hashes.",
+)
+def unigram_lm_train_pieces(spark, sf_dir):
+    from ..operators.unigram import unigram_train_pieces
+
+    return unigram_train_pieces(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "unigram_lm_tokenize_stats",
+    oracle=_uni_apply_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="Unigram-LM train→serve in one query: Viterbi-segment every "
+    "document with the piece costs learned on the corpus — per doc "
+    "the whitespace token count, the unigram piece count, and the "
+    "total quantized negative log-likelihood (the LM's own quality "
+    "signal, the per-doc companion of the perplexity scorer). Each "
+    "DISTINCT word segments once and joins back onto the corpus, so "
+    "apply cost is |vocabulary| DPs regardless of corpus size. "
+    "Value-hashes against the oracle's full seed+EM+apply chain.",
+)
+def unigram_lm_tokenize_stats(spark, sf_dir):
+    from ..operators.unigram import unigram_tokenize_stats
+
+    return unigram_tokenize_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "dedup_connected_components",
     oracle=None,  # set below — built from the shared minhash params
@@ -1279,6 +1483,190 @@ _REG2["pipeline_streaming_admission"].oracle = _admission_oracle()
 _REG2["pipeline_streaming_admission"].impl_hash = _impl_hash(
     _source_of(pipeline_streaming_admission),
     _REG2["pipeline_streaming_admission"].oracle,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline v4 (round 10): v3 + the trigram-LM perplexity gate — the
+# model-based quality cut (CCNet's perplexity filter) composed into
+# the curation chain
+# ---------------------------------------------------------------------------
+# LM gate: drop stage-4 survivors whose log-perplexity sits more than
+# one corpus standard deviation ABOVE the survivor mean — a pure
+# scalar-statistics rule (n, Σy, Σy² — one 1-row aggregate, no global
+# sort/rank, so it scales to any survivor count), exact in integers
+# via the squared comparison (y−m)² > σ² with y in MILLI-nats
+# (logppl_micro div 1000 keeps Σy² inside int64 at 1e9+ docs).
+LM_GATE_MILLI_DIV = 1000
+
+
+@register(
+    "pipeline_training_corpus_v4",
+    oracle=None,  # attached below (shared fragments)
+    tags=("training", "pipeline", "dedup", "ml", "curation"),
+    doc="The corpus pipeline extended with the model-based quality "
+    "cut: stages 1-4 are pipeline_training_corpus_v3 verbatim (exact "
+    "dedup → MinHash-LSH near-dup removal → decontamination → "
+    "learned fixed-point gate), then stage 4b applies the TRIGRAM-LM "
+    "PERPLEXITY gate — the corpus-trained add-1 trigram LM "
+    "(text_trigram_perplexity's cost table) scores every stage-4 "
+    "survivor and docs more than one standard deviation ABOVE the "
+    "survivor-mean log-perplexity drop (the CCNet perplexity-filter "
+    "pattern as an exact integer rule: (y−mean)² > variance over "
+    "milli-nat scores, one 1-row scalar aggregate, no global rank) — "
+    "then the ExactSubstr retention gate and the per-source cap run "
+    "as in v3. Docs too short to score (< 3 tokens) pass the LM gate "
+    "untouched. Seven curation moves in ONE declarative "
+    "value-hash-checked plan.",
+)
+def pipeline_training_corpus_v4(spark, sf_dir):
+    from ..io import stage
+    from ..operators import dedup
+    from ..operators.classifier import _p_expr, fit_quality_classifier
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        _trigram_perplexity_frame,
+    )
+
+    docs, kept3 = _corpus_through_decontamination(spark, sf_dir)
+
+    # 4. learned quality gate (= v3)
+    feats, w = fit_quality_classifier(docs)
+    keep_ids = (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", F.expr(_p_expr()).alias("p"))
+        .filter(F.col("p") > 500)
+        .select("doc_id")
+    )
+    kept4 = kept3.join(keep_ids, "doc_id", "left_semi").transform(stage)
+
+    # 4b. trigram-LM perplexity gate: LM trained on the FULL corpus
+    # (the classifier discipline); survivors more than 1σ above the
+    # survivor-mean log-perplexity drop. Exact integers: milli-nat
+    # scores, truncating mean m = Σy div n, the σ comparison as
+    # (y−m)²·n > Σ(y−m)² (≡ (y−m)² > var without a second divide;
+    # Σ(y−m)² expands to Σy² − 2mΣy + nm², all int64-safe).
+    # Unscored (<3-token) docs pass.
+    ppl = _trigram_perplexity_frame(docs)
+    sc4 = (
+        kept4.select("doc_id")
+        .join(ppl.select("doc_id", "logppl_micro"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"logppl_micro div {LM_GATE_MILLI_DIV}").alias("y"),
+        )
+    )
+    lm_stats = sc4.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    lm_drop = (
+        sc4.crossJoin(F.broadcast(lm_stats))
+        .withColumn("m", F.expr("sy div n"))
+        .filter(
+            (F.col("y") > F.col("m"))
+            & (
+                F.expr("(y - m) * (y - m) * n")
+                > F.expr("syy - 2 * m * sy + n * m * m")
+            )
+        )
+        .select("doc_id")
+    )
+    kept4b = kept4.join(lm_drop, "doc_id", "left_anti").transform(stage)
+
+    # 5. ExactSubstr retention gate among survivors (= v3)
+    ret = dedup.substring_cut_retention(kept4b)
+    keep_ret = ret.filter(
+        F.col("retention_ppm") >= PIPELINE_RETENTION_MIN_PPM
+    ).select("doc_id")
+    kept5 = kept4b.join(keep_ret, "doc_id", "left_semi").transform(stage)
+
+    # 6. per-source cap (= v3)
+    n5 = kept5.count()
+    cap = max(SOURCE_CAP_MIN, n5 // SOURCE_CAP_DEN)
+    ranked = kept5.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    kept6 = ranked.filter(F.col("rnk") <= cap).select(
+        "doc_id", "lang", "text"
+    )
+    return _split_and_stats(kept6)
+
+
+def _pipeline_v4_oracle() -> str:
+    from ..operators.dedup import substring_retention_sql
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        qc_oracle_fragments,
+        trigram_lm_ctes,
+    )
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    final = _pipeline_final_sql().replace("FROM kept4", "FROM kept6")
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.text FROM kept3 k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+),
+{trigram_lm_ctes()},
+sc4 AS (
+  SELECT k.doc_id,
+         CAST(pp.logppl_micro // {LM_GATE_MILLI_DIV} AS BIGINT) AS y
+  FROM kept4 k JOIN docppl pp USING (doc_id)
+),
+lm_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM sc4
+),
+lm_drop AS (
+  SELECT doc_id FROM sc4, lm_stats
+  WHERE y > sy // n
+    AND (y - sy // n) * (y - sy // n) * n
+        > syy - 2 * (sy // n) * sy + n * (sy // n) * (sy // n)
+),
+kept4b AS MATERIALIZED (
+  SELECT k.* FROM kept4 k
+  WHERE NOT EXISTS (SELECT 1 FROM lm_drop l WHERE l.doc_id = k.doc_id)
+),
+{substring_retention_sql("kept4b")},
+kept5 AS MATERIALIZED (
+  SELECT k.* FROM kept4b k
+  JOIN sretention r ON r.doc_id = k.doc_id
+  WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}
+),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept5),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.text,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+  FROM kept5 k JOIN documents d USING (doc_id)
+),
+kept6 AS (
+  SELECT doc_id, lang, text FROM ranked, n5
+  WHERE rnk <= greatest({SOURCE_CAP_MIN}, n // {SOURCE_CAP_DEN})
+)
+{final}"""
+
+
+_REG2["pipeline_training_corpus_v4"].oracle = _pipeline_v4_oracle()
+_REG2["pipeline_training_corpus_v4"].impl_hash = _impl_hash(
+    _source_of(pipeline_training_corpus_v4),
+    _REG2["pipeline_training_corpus_v4"].oracle,
 )
 
 

@@ -131,3 +131,91 @@ def test_bpe_rejects_bad_rounds(spark, rounds):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train_merges(docs, rounds=rounds)
+
+
+class TestUnigramLM:
+    """Unigram-LM tokenizer (operators/unigram.py) — the EM-trained
+    companion of the BPE trainer."""
+
+    def test_viterbi_picks_cheapest_segmentation(self, spark):
+        """DP correctness against a hand-built cost map: the cheapest
+        path wins over both the all-chars and the greedy-longest
+        segmentations."""
+        from pyspark.sql import functions as F
+
+        from jly_flink_spark.operators.unigram import (
+            UNI_ENC,
+            viterbi_struct,
+        )
+
+        # 'abc': chars cost 10+12+9=31, 'ab'+'c' = 15+9=24 (wins),
+        # 'a'+'bc' = 10+30=40
+        cm = {"a": 10, "b": 12, "c": 9, "ab": 15, "bc": 30}
+        one = spark.createDataFrame([("abc",)], "word string").select(
+            "word",
+            F.map_from_entries(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("piece"),
+                            F.lit(v * UNI_ENC + 1)
+                            .cast("bigint")
+                            .alias("enc"),
+                        )
+                        for k, v in cm.items()
+                    ]
+                )
+            ).alias("cm"),
+        )
+        row = one.select(
+            viterbi_struct(F.col("word"), F.col("cm")).alias("s")
+        ).head()["s"]
+        assert row["ps"] == ["ab", "c"]
+        assert row["c"] == (15 + 9) * UNI_ENC + 2
+
+    def test_train_pieces_em_moves_mass(self, spark):
+        """On a corpus dominated by one bigram, training must keep
+        the multi-char piece competitive: the seed contains it and
+        the EM counts concentrate on pieces the Viterbi paths use
+        (unused pieces drop to cnt 0 but stay, add-1 smoothed)."""
+        from jly_flink_spark.operators.unigram import (
+            unigram_train_pieces,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "ababab cd") for i in range(30)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["piece"]: r for r in unigram_train_pieces(docs).collect()
+        }
+        # every single char survives; the dominant substring seeded
+        assert {"a", "b", "c", "d"} <= set(rows)
+        assert any(len(p) > 1 and rows[p]["cnt"] > 0 for p in rows)
+        # cost ordering: a used piece is cheaper than an unused one
+        used = min(
+            (r for r in rows.values() if r["cnt"] > 0),
+            key=lambda r: r["cost_micro"],
+        )
+        unused = [r for r in rows.values() if r["cnt"] == 0]
+        assert all(used["cost_micro"] < u["cost_micro"] for u in unused)
+
+    def test_tokenize_stats_consistency(self, spark):
+        """Apply-side invariants: piece count ≥ word count (a word is
+        ≥1 piece), nll positive, token-less docs dropped."""
+        from jly_flink_spark.operators.unigram import (
+            unigram_tokenize_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world hello"), (2, "   "), (3, "xyz")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in unigram_tokenize_stats(docs).collect()
+        }
+        assert set(rows) == {1, 3}
+        assert rows[1]["n_ws_tokens"] == 3
+        assert rows[1]["n_uni_tokens"] >= rows[1]["n_ws_tokens"]
+        assert rows[1]["nll_micro"] > 0

@@ -609,6 +609,19 @@ class TestShuffleBudget:
             # cut (decisions frame is eagerly staged); the visible
             # tail is the admitted projection
             ("pipeline_streaming_admission", 1),
+            # unigram train: seed/vocab/EM rounds live behind staging
+            # cuts; visible tail = the final cost projection's 1-row
+            # totals
+            ("unigram_lm_train_pieces", 1),
+            # unigram apply: the per-word DP rides the staged vocab;
+            # visible = the cost-map fold + word join + per-doc agg
+            ("unigram_lm_tokenize_stats", 3),
+            # trigram LM: c3/c2/vocab combines + the cost join + the
+            # per-doc agg — corpus never shuffles, counts do
+            ("text_trigram_perplexity", 5),
+            # pipeline v4: v3's staged chain + the LM gate's 1-row
+            # stats; visible tail = cap window + split rollup
+            ("pipeline_training_corpus_v4", 2),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
