@@ -158,6 +158,24 @@ HEADLINE = [
     # the six-stage curation pipeline (v2 + retention gate + source
     # cap) — the composed flagship of the round
     "pipeline_training_corpus_v3",
+    # round-9 wave-D floors (registered late r9, pinned r10): rank
+    # statistics, cohort retention, weighted percentiles, and the
+    # canonical-representative pick over near-dup components
+    "customer_gini_by_nation",
+    "orders_trimmed_mean",
+    "orders_retention_triangle",
+    "events_time_to_convert",
+    "dedup_canonical_representatives",
+    # round-10 pins: the audio-tier near-dup (planted PCM + energy
+    # fingerprint banding), the unigram-LM train->apply composition,
+    # the trigram-LM perplexity scorer, the streaming admission
+    # gate's batch equivalent (the per-epoch policy), and pipeline
+    # v4 (v3 + the LM gate) — one floor per new family.
+    "multimodal_audio_near_dups",
+    "unigram_lm_tokenize_stats",
+    "text_trigram_perplexity",
+    "pipeline_streaming_admission",
+    "pipeline_training_corpus_v4",
 ]
 
 
