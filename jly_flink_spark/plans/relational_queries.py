@@ -631,6 +631,137 @@ def agg_kmv_distinct(spark, sf_dir):
     )
 
 
+HLL_M = 64  # registers (p=6): rse ≈ 1.04/sqrt(64) ≈ 13%
+HLL_RANK_CAP = 30  # rank saturates at 30 (P[rank>30] = 2^-29/value):
+# keeps alpha·m²·2^cap inside int64 so the estimator divides in EXACT
+# integer arithmetic — estimates saturate near 2^30 distincts, far
+# beyond any per-group cardinality this sketch would be sized for
+HLL_ALPHA_PPM = 709_340  # alpha_64 = 0.7213/(1 + 1.079/64), in ppm
+_HLL_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * 2**HLL_RANK_CAP  # ≈3.1e18
+# rank = leading-zeros-of-50-bit-remainder + 1 = 51 - bit_length(rem);
+# bin() is unpadded in BOTH engines, so bit_length = length(bin(x))
+_HLL_RANK_SQL = (
+    f"least(CASE WHEN {{rem}} = 0 THEN 51"
+    f" ELSE 51 - length(bin({{rem}})) END, {HLL_RANK_CAP})"
+)
+
+
+def _hll_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    rank = _HLL_RANK_SQL.format(rem="h // 64")
+    empty_inv = 2**HLL_RANK_CAP
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, ({_sql_hex_to_int(1)}) AS h
+  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS d
+        FROM lineitem)
+),
+pv AS (
+  SELECT l_returnflag, h % {HLL_M} AS reg, {rank} AS rk FROM hashed
+),
+regs AS (
+  SELECT l_returnflag, reg, max(rk) AS mj FROM pv GROUP BY 1, 2
+),
+sk AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(CAST(pow(2.0, {HLL_RANK_CAP} - mj) AS BIGINT))
+              AS BIGINT) AS present_inv
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.n_distinct,
+       CAST({HLL_M} - s.n_present AS BIGINT) AS n_zero_regs,
+       CAST(s.present_inv
+            + ({HLL_M} - s.n_present) * {empty_inv} AS BIGINT)
+         AS sum_inv_q,
+       CAST(({_HLL_NUM} // (s.present_inv
+            + ({HLL_M} - s.n_present) * {empty_inv})) // 1000000
+            AS BIGINT) AS hll_estimate,
+       CASE WHEN s.n_present < {HLL_M}
+            THEN CAST(round({HLL_M} * ln({HLL_M}.0
+                 / ({HLL_M} - s.n_present)) * 1000000) AS BIGINT)
+            ELSE NULL END AS lc_estimate_micro
+FROM ex e JOIN sk s USING (l_returnflag)
+"""
+
+
+@register(
+    "agg_hll_registers",
+    oracle=_hll_oracle(),
+    tags=("groupby", "approx", "sketch"),
+    doc="DETERMINISTIC HyperLogLog — the register-level twin of "
+    "agg_approx_distinct that closes the sketch suite's one rows-only "
+    "hole: per group, 64 registers keyed by the low 6 bits of a "
+    "56-bit md5-derived hash, register value = max(leading-zero rank "
+    "of the 50-bit remainder, capped at 30 so alpha·m²·2^cap stays "
+    "inside int64), estimate = alpha_64·m²·2^cap // Σ 2^(cap−M_j) in "
+    "EXACT integer arithmetic — bit-identical across engines and "
+    "fully value-hash-checked, unlike the engine-native HLL++ whose "
+    "internals differ per implementation. Emits the raw HLL estimate "
+    "plus the linear-counting small-range estimate (micro-quantized "
+    "ln, the established round(·1e6) libm discipline) and the exact "
+    "distinct for error inspection. Scale shape: rank/register are "
+    "per-row expressions; max(rank) per (group, register) combines "
+    "map-side, so the shuffle is O(groups·64) regardless of corpus "
+    "size — the sketch's mergeability is literally the plan's "
+    "partial-aggregate step. No distinct-explosion anywhere.",
+)
+def agg_hll_registers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    rank = F.expr(_HLL_RANK_SQL.format(rem="h div 64"))
+    pv = li.select("l_returnflag", h.alias("h")).select(
+        "l_returnflag",
+        F.expr(f"h % {HLL_M}").alias("reg"),
+        rank.alias("rk"),
+    )
+    regs = pv.groupBy("l_returnflag", "reg").agg(F.max("rk").alias("mj"))
+    empty_inv = 2**HLL_RANK_CAP
+    sk = regs.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(
+            F.expr(f"CAST(pow(2.0, {HLL_RANK_CAP} - mj) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("present_inv"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_distinct")
+    )
+    sum_inv = F.col("present_inv") + (
+        (F.lit(HLL_M) - F.col("n_present")) * F.lit(empty_inv)
+    )
+    return ex.join(sk, "l_returnflag").select(
+        "l_returnflag",
+        "n_distinct",
+        (F.lit(HLL_M) - F.col("n_present"))
+        .cast("bigint")
+        .alias("n_zero_regs"),
+        sum_inv.cast("bigint").alias("sum_inv_q"),
+        F.expr(
+            f"CAST((CAST({_HLL_NUM} AS BIGINT) div (present_inv"
+            f" + ({HLL_M} - n_present) * {empty_inv})) div 1000000"
+            " AS BIGINT)"
+        ).alias("hll_estimate"),
+        F.expr(
+            f"CASE WHEN n_present < {HLL_M}"
+            f" THEN CAST(round({HLL_M} * ln({HLL_M}.0"
+            f" / ({HLL_M} - n_present)) * 1000000) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("lc_estimate_micro"),
+    )
+
+
 QSK_K = 256  # sample size per group: quantile rank error ~ 1/sqrt(K)
 QSK_Q = 10_000  # value quantization (floor(value·1e4) → exact ints)
 

@@ -748,6 +748,32 @@ def test_approx_distinct_within_documented_error(spark, data_dir):
         assert rel_err <= 3 * 0.05, (flag, est, exact[flag], rel_err)
 
 
+@pytest.mark.parametrize(
+    "data_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hll_registers_estimate_within_documented_error(spark, data_dir):
+    """agg_hll_registers (the DETERMINISTIC 64-register HLL) must
+    estimate within 3× its relative standard error (1.04/sqrt(64) ≈
+    13%) of the exact distinct on every group — the accuracy half of
+    the sketch's contract; the value-hash oracle pins the register
+    arithmetic half. When the small-range regime applies (zero
+    registers present), linear counting must do at least as well."""
+    from jly_flink_spark.plans import REGISTRY
+
+    rows = (
+        REGISTRY["agg_hll_registers"].spark_fn(spark, data_dir).collect()
+    )
+    assert rows
+    rse = 1.04 / (64**0.5)
+    for r in rows:
+        exact = r["n_distinct"]
+        rel_err = abs(r["hll_estimate"] - exact) / max(exact, 1)
+        assert rel_err <= 3 * rse, (r["l_returnflag"], r["hll_estimate"], exact)
+        if r["n_zero_regs"] > 0 and exact <= 2 * 64:
+            lc = r["lc_estimate_micro"] / 1e6
+            assert abs(lc - exact) / max(exact, 1) <= 3 * rse, (lc, exact)
+
+
 class TestQualityClassifier:
     """Fixed-point weak-supervision logistic classifier
     (operators/classifier.py): the GD recurrence must be bit-exact

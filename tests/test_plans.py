@@ -186,6 +186,10 @@ class TestShuffleBudget:
             # distinct (2-phase) + partial-topk window + exact/kth
             # rollups; WindowGroupLimit keeps K hashes per partition
             ("agg_kmv_distinct", 4),
+            # (group, register) max-rank rollup + per-group register
+            # fold + the exact-distinct 2-phase twin; every exchanged
+            # row is a register/rank long — O(groups·64), not corpus
+            ("agg_hll_registers", 4),
             # 3 unrolled iterations × (rank-join + contrib-sum
             # shuffles) + init partitioning; the scalar-N count and
             # the edge list are checkpointed (no per-iteration
