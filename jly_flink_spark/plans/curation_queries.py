@@ -1271,6 +1271,122 @@ def graph_triangles_dup_chunks(spark, sf_dir):
     )
 
 
+BFS_MAX_HOPS = 4  # bounded frontier expansion (depth < cap per step)
+BFS_N_SEEDS = 3  # multi-source BFS from the 3 smallest edge sources
+
+# One recursive-CTE text shared verbatim by BOTH engines (modulo the
+# edge/seed relations): anchor = seeds at depth 0; step = previous
+# frontier joined to the edge list, DISTINCT per level so a dense
+# bucket-clique cannot explode into per-path rows; min(depth) per
+# reached node afterwards. Spark 4 executes this with the new
+# UnionLoop recursion operator — each level is ONE join shuffle of
+# slim (seed, node, depth) longs against the staged edge list.
+_BFS_RECURSIVE_SQL = f"""
+r(seed_id, node, depth) AS (
+  SELECT src, src, 0 FROM {{seeds}}
+  UNION ALL
+  SELECT DISTINCT r.seed_id, e.dst, r.depth + 1
+  FROM r JOIN {{edges}} e ON e.src = r.node
+  WHERE r.depth < {BFS_MAX_HOPS}
+)
+SELECT seed_id, node AS doc_id, CAST(min(depth) AS BIGINT) AS hops
+FROM r GROUP BY seed_id, node
+"""
+
+
+def _bfs_oracle() -> str:
+    prefix = _chunk_graph_prefix().replace(
+        "\nWITH toks", "\nWITH RECURSIVE toks", 1
+    )
+    return f"""{prefix}, seeds AS (
+  SELECT DISTINCT src FROM edges ORDER BY src LIMIT {BFS_N_SEEDS}
+),
+{_BFS_RECURSIVE_SQL.format(seeds="seeds", edges="edges")}
+"""
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle=_bfs_oracle(),
+    tags=("curation", "graph", "iterative", "recursive"),
+    doc="Multi-source BFS hop distance over the duplicate-chunk graph "
+    "via a RECURSIVE CTE — Spark 4's recursive-CTE execution "
+    "(UnionLoop) driving the same bounded frontier expansion DuckDB "
+    "runs, from the 3 smallest edge sources: 'how far does "
+    "duplication influence propagate from this document' — the "
+    "radius companion to the component/PageRank views of the same "
+    f"graph. Depth bounded at {BFS_MAX_HOPS}; each level dedupes "
+    "(DISTINCT) before recursing so a dense shared-chunk clique "
+    "contributes one row per reached node per level, never one row "
+    "per PATH; min(depth) per node folds revisits afterwards. Scale "
+    "shape: the edge list is derived once and localCheckpoint-staged "
+    "(the recursion re-reads it per level without re-deriving the "
+    "chunk joins); each level is one join shuffle of slim (seed, "
+    "node, depth) longs bounded by seeds x nodes.",
+)
+def graph_bfs_reachability(spark, sf_dir):
+    """Chunk-edge derivation duplicates graph_pagerank_dup_chunks'
+    inline construction (that fn's registered source is pin-frozen
+    against its verified hash); changes to the chunk/df-cap
+    definition must touch both."""
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+        .transform(stage)
+    )
+    seeds = (
+        edges.select("src").distinct().orderBy("src").limit(BFS_N_SEEDS)
+    )
+    edges.createOrReplaceTempView("_graph_bfs_edges")
+    seeds.createOrReplaceTempView("_graph_bfs_seeds")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _BFS_RECURSIVE_SQL.format(
+            seeds="_graph_bfs_seeds", edges="_graph_bfs_edges"
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Unigram-LM document scoring (CCNet-style perplexity filtering)
 # --------------------------------------------------------------------
