@@ -1905,6 +1905,180 @@ def _trigram_perplexity_frame(docs):
 
 
 # --------------------------------------------------------------------
+# Kneser-Ney trigram perplexity (round 10): the interpolated-KN
+# companion to the add-1 scorer above — KN is what production LM
+# quality filters (CCNet's KenLM stage) actually smooth with
+# --------------------------------------------------------------------
+# Interpolated Kneser-Ney (Chen & Goodman 1998) with absolute
+# discount D = 0.75 (exact binary fraction), every level's
+# continuation counts derived from the ONE trigram-type table so the
+# model is internally consistent:
+#   p(w3|w1w2) = (c3-D)/ctx + (D·n1p/ctx) · p_bi(w3|w2)
+#   p_bi(w3|w2) = (ct23-D)/mid2 + (D·fol2/mid2) · pre3/T
+# where ctx = Σc3 per (w1,w2), n1p = |{w3}| per (w1,w2), ct23 =
+# |{w1}| per (w2,w3), mid2 = #types with middle w2, fol2 = |{w3}| per
+# middle w2, pre3 = |{(w1,w2)}| per final w3, T = #types. Self-scored
+# corpus ⇒ c3 ≥ 1 ⇒ p > 0 everywhere. The cost expression below is
+# ONE string evaluated verbatim by both engines: identical IEEE
+# double operation order, so p is bit-identical and round(ln·1e6)
+# absorbs the last-ulp libm difference — the established discipline.
+_KN_COST = (
+    "CAST(round(-ln("
+    "(CAST(c3 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)"
+    " + ((0.75 * CAST(n1p AS DOUBLE)) / CAST(ctx AS DOUBLE))"
+    " * ((CAST(ct23 AS DOUBLE) - 0.75) / CAST(mid2 AS DOUBLE)"
+    " + ((0.75 * CAST(fol2 AS DOUBLE)) / CAST(mid2 AS DOUBLE))"
+    " * (CAST(pre3 AS DOUBLE) / CAST(tt AS DOUBLE)))"
+    ") * 1000000) AS BIGINT)"
+)
+
+
+def _kn_oracle() -> str:
+    from .northstar_queries import _TOKS
+
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+tg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(ts[1:len(ts)-2]) AS w1,
+         unnest(ts[2:len(ts)-1]) AS w2,
+         unnest(ts[3:len(ts)]) AS w3
+  FROM toks WHERE len(ts) >= 3
+),
+types AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+  FROM tg GROUP BY 1, 2, 3
+),
+ctx AS (
+  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM types GROUP BY 1, 2
+),
+mid AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS mid2,
+         CAST(count(DISTINCT w3) AS BIGINT) AS fol2
+  FROM types GROUP BY 1
+),
+sfx AS (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS ct23
+  FROM types GROUP BY 1, 2
+),
+fin AS (
+  SELECT w3, CAST(count(*) AS BIGINT) AS pre3 FROM types GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM types),
+tcost AS MATERIALIZED (
+  SELECT t.w1, t.w2, t.w3, {_KN_COST} AS nll_micro
+  FROM types t
+  JOIN ctx USING (w1, w2)
+  JOIN mid USING (w2)
+  JOIN sfx USING (w2, w3)
+  JOIN fin USING (w3), tot
+)
+SELECT tg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(c.nll_micro) AS BIGINT) AS kn_nll_micro,
+       CAST(sum(c.nll_micro) // count(*) AS BIGINT) AS kn_logppl_micro
+FROM tg JOIN tcost c USING (w1, w2, w3)
+GROUP BY tg.doc_id
+"""
+
+
+@register(
+    "text_trigram_kn_perplexity",
+    oracle=_kn_oracle(),
+    tags=("curation", "quality", "text"),
+    doc="Interpolated Kneser-Ney trigram perplexity (D=0.75): the "
+    "production-grade smoothing next to text_trigram_perplexity's "
+    "add-1 — KN backs off to CONTINUATION counts (in how many "
+    "distinct contexts does this word complete an n-gram), the "
+    "correction that makes frequent-but-context-bound words "
+    "('francisco') cheap only after their contexts, which is what "
+    "CCNet-style KenLM quality filters actually use. Every level's "
+    "counts derive from the single trigram-type table (internally "
+    "consistent back-off); D=0.75 is an exact binary fraction; the "
+    "per-type cost is ONE expression string evaluated by both "
+    "engines (bit-identical IEEE order) and micro-quantized before "
+    "the exact BIGINT per-doc sum. Scale shape: one corpus-wide "
+    "type groupBy (map-side combined), four slim rollups OVER the "
+    "type table (never the corpus), cost joined back on hashed "
+    "type keys, per-doc agg combines map-side; the type table is "
+    "staged so its five consumers read one checkpoint.",
+)
+def text_trigram_kn_perplexity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = F.size("ts")
+    tg = (
+        docs.filter(F.size(ts) >= 3)
+        .select("doc_id", ts.alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, n - 2).alias("w1"),
+                    F.slice(F.col("ts"), 2, n - 2).alias("w2"),
+                    F.slice(F.col("ts"), 3, n - 2).alias("w3"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z.w1").alias("w1"),
+            F.col("z.w2").alias("w2"),
+            F.col("z.w3").alias("w3"),
+        )
+        .transform(stage)
+    )
+    types = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("bigint").alias("c3"))
+        .transform(stage)
+    )
+    ctx = types.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("bigint").alias("ctx"),
+        F.count("*").cast("bigint").alias("n1p"),
+    )
+    mid = types.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("mid2"),
+        F.count_distinct("w3").cast("bigint").alias("fol2"),
+    )
+    sfx = types.groupBy("w2", "w3").agg(
+        F.count("*").cast("bigint").alias("ct23")
+    )
+    fin = types.groupBy("w3").agg(
+        F.count("*").cast("bigint").alias("pre3")
+    )
+    tot = types.agg(F.count("*").cast("bigint").alias("tt"))
+    tcost = (
+        types.join(ctx, ["w1", "w2"])
+        .join(mid, ["w2"])
+        .join(sfx, ["w2", "w3"])
+        .join(fin, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", F.expr(_KN_COST).alias("nll_micro"))
+    )
+    return (
+        tg.join(tcost, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum("nll_micro").cast("bigint").alias("kn_nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "kn_nll_micro",
+            F.expr("kn_nll_micro div n_trigrams")
+            .cast("bigint")
+            .alias("kn_logppl_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # BM25 retrieval scoring (quality-classifier / nearest-benchmark
 # retrieval pattern)
 # --------------------------------------------------------------------

@@ -1607,3 +1607,66 @@ class TestPixelDhash:
             mm.documents_as_pixel_media(docs)
         ).collect()[0]["dhash"]
         assert got == want
+
+
+def test_kn_trigram_matches_python_reference(spark):
+    """text_trigram_kn_perplexity must agree EXACTLY (same micro-nat
+    integers) with an independent pure-Python interpolated-KN
+    reimplementation over the sf0.001 corpus — pins the count
+    derivations (ctx/mid/sfx/fin continuation counts) and the shared
+    cost expression, not just cross-engine parity (both engines could
+    in principle share a bug; this reference cannot)."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from jly_flink_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["kn_nll_micro"])
+        for r in REGISTRY["text_trigram_kn_perplexity"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    tris = {}  # doc_id -> list of (w1,w2,w3)
+    for doc_id, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        tris[doc_id] = list(zip(ws, ws[1:], ws[2:]))
+    c3 = Counter(g for gs in tris.values() for g in gs)
+    ctx_tot, ctx_n1p = Counter(), defaultdict(set)
+    mid_types, mid_fol = Counter(), defaultdict(set)
+    sfx_ct, fin_pre = Counter(), defaultdict(set)
+    for (w1, w2, w3), c in c3.items():
+        ctx_tot[(w1, w2)] += c
+        ctx_n1p[(w1, w2)].add(w3)
+        mid_types[w2] += 1
+        mid_fol[w2].add(w3)
+        sfx_ct[(w2, w3)] += 1
+        fin_pre[w3].add((w1, w2))
+    tt = len(c3)
+    D = 0.75
+
+    def nll_micro(g):
+        w1, w2, w3 = g
+        p_uni = len(fin_pre[w3]) / tt
+        p_bi = (sfx_ct[(w2, w3)] - D) / mid_types[w2] + (
+            D * len(mid_fol[w2]) / mid_types[w2]
+        ) * p_uni
+        p = (c3[g] - D) / ctx_tot[(w1, w2)] + (
+            D * len(ctx_n1p[(w1, w2)]) / ctx_tot[(w1, w2)]
+        ) * p_bi
+        return round(-math.log(p) * 1e6)
+
+    expect = {
+        doc_id: (len(gs), sum(nll_micro(g) for g in gs))
+        for doc_id, gs in tris.items()
+        if gs
+    }
+    assert got == expect
