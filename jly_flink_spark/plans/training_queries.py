@@ -578,6 +578,176 @@ def bpe_tokenize_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (round 10): the likelihood-scored member of the
+# tokenizer trio (BPE = frequency, unigram LM = EM-pruned) — see
+# operators/wordpiece.py
+# ---------------------------------------------------------------------------
+def _wp_cte_prefix() -> str:
+    """The unrolled WordPiece training as a DuckDB WITH-clause prefix
+    (toks → vocab → st0 → [pc{r}, sc{r}, top{r}, st{r}] per round).
+    Mirrors operators/wordpiece.py round for round: pair counts AND
+    weighted symbol counts from the evolving symbol table, the
+    quantized likelihood score (the module's WP_SCORE_SQL string,
+    verbatim), (score DESC, a, b) winner selection, and the greedy
+    fold with the '##' strip on the right part."""
+    from ..operators.wordpiece import WP_ROUNDS, WP_SCORE_SQL
+
+    blocks = []
+    prev = "st0"
+    for r in range(1, WP_ROUNDS + 1):
+        blocks.append(f"""
+pc{r} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, syms[i+1] AS a, syms[i+2] AS b
+    FROM {prev}, unnest(range(len(syms)-1)) u(i)
+  )
+  GROUP BY a, b
+),
+sc{r} AS (
+  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(syms) AS sym FROM {prev})
+  GROUP BY sym
+),
+top{r} AS (
+  SELECT a, b, pair_count, {WP_SCORE_SQL} AS score_micro FROM (
+    SELECT p.a, p.b, p.pair_count, ca.c AS ca, cb.c AS cb
+    FROM pc{r} p
+    JOIN sc{r} ca ON ca.sym = p.a
+    JOIN sc{r} cb ON cb.sym = p.b
+  )
+  ORDER BY score_micro DESC, a, b LIMIT 1
+),
+st{r} AS (
+  SELECT s.cnt,
+         list_reduce(list_transform(s.syms, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                       THEN acc[1:len(acc)-1] || [t.a || t.b[3:]]
+                       ELSE acc || x END) AS syms
+  FROM {prev} s CROSS JOIN top{r} t
+)""")
+        prev = f"st{r}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+vocab AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ts) AS tok FROM toks)
+  GROUP BY tok
+),
+st0 AS (
+  SELECT cnt,
+         list_transform(generate_series(1, length(word)),
+           i -> CASE WHEN i = 1 THEN word[i]
+                ELSE '##' || word[i] END) AS syms
+  FROM vocab
+),
+{",".join(blocks)}"""
+
+
+def _wp_oracle() -> str:
+    from ..operators.wordpiece import WP_ROUNDS
+
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS merge_a,"
+        f" b AS merge_b, pair_count, score_micro FROM top{r}"
+        for r in range(1, WP_ROUNDS + 1)
+    )
+    return f"""{_wp_cte_prefix()}
+{union}
+"""
+
+
+def _wp_apply_oracle() -> str:
+    """Continues the training CTE chain with the per-document apply
+    (the BPE apply-oracle shape: LEFT JOIN ON TRUE so an exhausted
+    round passes symbols through unchanged)."""
+    from ..operators.wordpiece import WP_ROUNDS
+
+    blocks = []
+    prev = "ap0"
+    for r in range(1, WP_ROUNDS + 1):
+        blocks.append(f"""
+ap{r} AS (
+  SELECT s.doc_id, s.word,
+         CASE WHEN t.a IS NULL THEN s.syms
+              ELSE list_reduce(list_transform(s.syms, x -> [x]),
+                (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                            THEN acc[1:len(acc)-1] || [t.a || t.b[3:]]
+                            ELSE acc || x END)
+         END AS syms
+  FROM {prev} s LEFT JOIN top{r} t ON TRUE
+)""")
+        prev = f"ap{r}"
+    return f"""{_wp_cte_prefix()},
+docw AS (
+  SELECT doc_id, unnest(ts) AS word FROM toks
+),
+ap0 AS (
+  SELECT doc_id, word,
+         list_transform(generate_series(1, length(word)),
+           i -> CASE WHEN i = 1 THEN word[i]
+                ELSE '##' || word[i] END) AS syms
+  FROM docw
+),
+{",".join(blocks)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(syms)) AS BIGINT) AS n_wp_pieces
+FROM {prev}
+GROUP BY doc_id
+"""
+
+
+@register(
+    "wordpiece_train_merges",
+    oracle=_wp_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="WordPiece tokenizer TRAINING (Schuster & Nakajima 2012): 6 "
+    "unrolled rounds learning likelihood-scored merges — score(a,b) "
+    "= count(ab)/(count(a)·count(b)), the pair whose merge most "
+    "increases corpus likelihood under a unigram model (the BERT-"
+    "family tokenizer), vs BPE's raw frequency. Continuation symbols "
+    "carry the '##' marker; merges strip it from the right part. "
+    "Corpus aggregated ONCE to (word, cnt); per round one pair-count "
+    "and one symbol-count shuffle over the |V|-row symbol table "
+    "(both map-side combined), a 1-row winner sort-limit, and a "
+    "zero-shuffle greedy fold over the broadcast winner. The score "
+    "quantizes as round((ln c_ab − ln c_a − ln c_b)·1e6) — ONE "
+    "expression string shared verbatim with the oracle — with "
+    "(score DESC, a, b) tie-breaks, so all rounds value-hash.",
+)
+def wordpiece_train_merges(spark, sf_dir):
+    from ..operators.wordpiece import wordpiece_train_merges as _train
+
+    return _train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wordpiece_tokenize_corpus",
+    oracle=_wp_apply_oracle(),
+    tags=("training", "tokenizer", "text", "iterative", "ml"),
+    doc="WordPiece train→serve in one query: tokenize every document "
+    "with the merge table learned on the corpus. The 6 learned "
+    "merges collect to driver model state and freeze into a pure "
+    "per-row expression ('##'-marked chars → greedy folds in rank "
+    "order), so the apply scan is a single pass with ZERO shuffle; "
+    "continuation pieces are n_wp_pieces − n_ws_tokens by the '##' "
+    "invariant. Value-hashes against the oracle's full train+apply "
+    "CTE chain.",
+)
+def wordpiece_tokenize_corpus(spark, sf_dir):
+    from ..operators.wordpiece import wordpiece_tokenize_stats
+
+    return wordpiece_tokenize_stats(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (round 10): the SentencePiece-style EM-trained
 # companion of the BPE trainer — see operators/unigram.py
 # ---------------------------------------------------------------------------
