@@ -176,6 +176,15 @@ HEADLINE = [
     "text_trigram_perplexity",
     "pipeline_streaming_admission",
     "pipeline_training_corpus_v4",
+    # round-10 second wave: the Kneser-Ney trigram scorer (five
+    # rollups over one staged type table), WordPiece merge training
+    # (two shuffles per vocabulary round), recursive-CTE BFS
+    # (UnionLoop execution), and the deterministic HLL register
+    # sketch — one floor per new family.
+    "text_trigram_kn_perplexity",
+    "wordpiece_train_merges",
+    "graph_bfs_reachability",
+    "agg_hll_registers",
 ]
 
 

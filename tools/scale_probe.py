@@ -128,6 +128,16 @@ QUERIES = [
     # per-epoch policy every foreachBatch runs)
     "multimodal_audio_near_dups",
     "pipeline_streaming_admission",
+    # round-10 second wave: the KN trigram scorer (type-table volume
+    # grows with distinct trigrams — five rollups + the cost join
+    # back to corpus instances must stay linear), WordPiece training
+    # (two shuffles per round over the vocabulary table, which must
+    # stay corpus-size-independent), and the recursive-CTE BFS (per-
+    # level frontier joins against the duplication graph — frontier
+    # volume grows with duplication density)
+    "text_trigram_kn_perplexity",
+    "wordpiece_train_merges",
+    "graph_bfs_reachability",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
