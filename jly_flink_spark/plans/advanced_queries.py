@@ -1601,6 +1601,113 @@ def events_zorder_locality(spark, sf_dir):
     )
 
 
+def _hil_scale(v: str, vmax: str) -> str:
+    """MIN-max normalization of `v` in [0, vmax] onto the 2^16
+    Hilbert grid — the zorder_scaled_sql discipline (divide FIRST in
+    double so wide int64 ranges never overflow; clamp the 1.0-rounding
+    edge into the top cell), dialect-shared text."""
+    from ..sources.layout import HILBERT_BITS
+
+    top = (1 << HILBERT_BITS) - 1
+    return (
+        f"least(CAST(floor((({v}) / (({vmax}) + 1.0))"
+        f" * {1 << HILBERT_BITS}) AS BIGINT), {top})"
+    )
+
+
+def _hilbert_oracle() -> str:
+    from ..sources.layout import HILBERT_BITS, hilbert_duckdb_ctes
+
+    sx = _hil_scale("(x - mnx)", "(mxx - mnx)")
+    st = _hil_scale("(t - mnt)", "(mxt - mnt)")
+    ctes, final = hilbert_duckdb_ctes("scaled", "sx", "st", "x, t")
+    return f"""
+WITH norm AS (
+  SELECT CAST(user_id AS BIGINT) AS x,
+         greatest(CAST(floor(epoch(ts)) AS BIGINT) - {_Z_EPOCH0}, 0) AS t
+  FROM events
+),
+bounds AS (
+  SELECT min(x) AS mnx, max(x) AS mxx, min(t) AS mnt, max(t) AS mxt
+  FROM norm
+),
+scaled AS (
+  SELECT x, t, {sx} AS sx, {st} AS st FROM norm CROSS JOIN bounds
+),
+{ctes}
+SELECT hd >> {2 * HILBERT_BITS - 8} AS hbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(x) AS min_user, max(x) AS max_user,
+       min(t) AS min_t, max(t) AS max_t
+FROM {final} GROUP BY 1
+"""
+
+
+@register(
+    "events_hilbert_locality",
+    oracle=_hilbert_oracle(),
+    tags=("layout", "hilbert", "scalar"),
+    doc="Hilbert-curve index over (user_id, seconds-since-floor) and "
+    "per-top-8-bit-bucket min/max spans of BOTH dimensions — the "
+    "stronger-locality companion to events_zorder_locality: the "
+    "Hilbert curve has no Z-shape jumps (consecutive indexes are "
+    "ALWAYS plane-adjacent, pinned by tests/test_hilbert.py), so "
+    "bucket spans are tighter and layout pruning sharper at the "
+    "price of a stateful quadrant-rotation recurrence instead of a "
+    "bit interleave. Same min-max grid normalization (divide-first "
+    "double scaling); the 16-level xy2d state machine runs as ONE "
+    "per-row `aggregate` fold on Spark (no join/shuffle/UDF) and as "
+    "an unrolled 16-CTE projection chain in the oracle — NOT one "
+    "shared lambda text, because DuckDB 1.0's vectorized lambda "
+    "evaluation miscomputes repeated subexpressions across struct "
+    "fields (see hilbert_spark_sql's docstring). Both sides are "
+    "pinned to the classic xy2d reference point-for-point, and the "
+    "whole computation value-hashes. Per-row expression + one "
+    "rollup shuffle.",
+)
+def events_hilbert_locality(spark, sf_dir):
+    from ..sources.layout import HILBERT_BITS, hilbert_spark_sql
+
+    ev = _t(spark, sf_dir, "events")
+    norm = ev.select(
+        F.col("user_id").cast("bigint").alias("x"),
+        F.greatest(
+            F.unix_timestamp("ts").cast("bigint") - F.lit(_Z_EPOCH0),
+            F.lit(0).cast("bigint"),
+        ).alias("t"),
+    )
+    bounds = norm.agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("t").alias("mnt"),
+        F.max("t").alias("mxt"),
+    )
+    scaled = norm.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "t",
+        F.expr(_hil_scale("(x - mnx)", "(mxx - mnx)")).alias("sx"),
+        F.expr(_hil_scale("(t - mnt)", "(mxt - mnt)")).alias("st"),
+    )
+    hv = scaled.select(
+        "x", "t", F.expr(hilbert_spark_sql("sx", "st")).alias("hd")
+    )
+    return (
+        hv.select(
+            F.expr(f"hd >> {2 * HILBERT_BITS - 8}").alias("hbucket"),
+            "x",
+            "t",
+        )
+        .groupBy("hbucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").alias("min_user"),
+            F.max("x").alias("max_user"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series resampling: hourly grid + forward fill (LOCF)
 # ---------------------------------------------------------------------------

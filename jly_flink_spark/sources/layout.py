@@ -274,3 +274,126 @@ def optimize_zorder(
         drop_cols=["__zval", "mnx", "mxx", "mny", "mxy"],
     )
     swap_layout(path, tmp)
+
+
+HILBERT_BITS = 16  # bits per dimension: d < 2^32, 16 fold steps —
+# the Hilbert curve's better locality (no Z-shape jumps) costs a
+# stateful per-level rotation, so the code is a 16-step state machine
+# rather than zorder_sql's stateless bit-interleave
+
+
+def _hilbert_step_fields(n: int, s: str) -> dict[str, str]:
+    """The xy2d level step (the classic quadrant-rotate recurrence):
+    given state fields rendered by @X@/@Y@/@D@ and the level cell
+    size expression `s`, produce the next {x, y, d} SQL snippets.
+    rx/ry pick the quadrant, d accrues s²·quadrant-order, and for
+    ry=0 the frame flips (rx=1) then transposes — the rotation that
+    keeps adjacent d-values adjacent in the plane. s² multiplies as
+    BIGINT explicitly (an int32 literal cell size would overflow
+    Spark's ANSI multiply at s ≥ 2^16)."""
+    rx = f"(CASE WHEN (@X@ & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (@Y@ & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+        f" WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+    )
+    return {
+        "x": (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - @Y@ ELSE @Y@ END) ELSE @X@ END"
+        ),
+        "y": (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - @X@ ELSE @X@ END) ELSE @Y@ END"
+        ),
+        "d": f"@D@ + (CAST({s} AS BIGINT) * {s}) * {quad}",
+    }
+
+
+def hilbert_spark_sql(x: str, y: str, bits: int = HILBERT_BITS) -> str:
+    """Hilbert index d of NON-NEGATIVE bigint point expressions
+    (low `bits` bits) as ONE Spark SQL `aggregate` fold over the
+    descending cell sizes — the whole 16-level state machine is a
+    single per-row expression (no join, no shuffle, no UDF).
+
+    NOT dialect-shared (unlike zorder_sql): DuckDB 1.0's vectorized
+    lambda evaluation miscomputes this very fold when the lambda body
+    repeats the rx/ry subexpressions across struct fields (verified:
+    correct under constant inputs and when a string side-channel
+    field forces row-wise evaluation, wrong on table columns) — the
+    oracle therefore unrolls the SAME step recurrence as a CTE chain
+    (`hilbert_duckdb_ctes`), where plain projections evaluate
+    correctly."""
+    f = _hilbert_step_fields(1 << bits, "s")
+    step = {
+        k: v.replace("@X@", "acc.x").replace("@Y@", "acc.y")
+        .replace("@D@", "acc.d")
+        for k, v in f.items()
+    }
+    svals = ", ".join(str(1 << k) for k in range(bits - 1, -1, -1))
+    return (
+        f"aggregate(array({svals}),"
+        f" named_struct('x', CAST({x} AS BIGINT),"
+        f" 'y', CAST({y} AS BIGINT), 'd', CAST(0 AS BIGINT)),"
+        " (acc, s) -> named_struct("
+        f"'x', CAST({step['x']} AS BIGINT),"
+        f" 'y', CAST({step['y']} AS BIGINT),"
+        f" 'd', CAST({step['d']} AS BIGINT))"
+        ").d"
+    )
+
+
+def hilbert_duckdb_ctes(
+    src: str,
+    x: str,
+    y: str,
+    keys: str,
+    bits: int = HILBERT_BITS,
+    prefix: str = "hil",
+) -> tuple[str, str]:
+    """The DuckDB mirror of `hilbert_spark_sql` as an unrolled CTE
+    chain (one projection per level, generated from the SAME step
+    fields — see that function's docstring for why not list_reduce):
+    returns (cte_sql_fragment, final_relation_name); the final
+    relation has columns `keys` + hd (the Hilbert index). `keys` is a
+    comma-joined passthrough column list from `src`."""
+    blocks = [
+        f"{prefix}0 AS (\n"
+        f"  SELECT {keys}, CAST({x} AS BIGINT) AS hx,"
+        f" CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f"\n  FROM {src}\n)"
+    ]
+    n = 1 << bits
+    for i, k in enumerate(range(bits - 1, -1, -1)):
+        f = _hilbert_step_fields(n, str(1 << k))
+        step = {
+            kk: v.replace("@X@", "hx").replace("@Y@", "hy")
+            .replace("@D@", "hd")
+            for kk, v in f.items()
+        }
+        blocks.append(
+            f"{prefix}{i + 1} AS (\n"
+            f"  SELECT {keys}, CAST({step['x']} AS BIGINT) AS hx,"
+            f" CAST({step['y']} AS BIGINT) AS hy,"
+            f" CAST({step['d']} AS BIGINT) AS hd"
+            f"\n  FROM {prefix}{i}\n)"
+        )
+    return ",\n".join(blocks), f"{prefix}{bits}"
+
+
+def hilbert_xy2d_py(x: int, y: int, bits: int = HILBERT_BITS) -> int:
+    """Pure-Python reference (tests): the classic xy2d loop."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
