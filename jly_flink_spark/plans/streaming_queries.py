@@ -146,3 +146,56 @@ def events_json_props(spark, sf_dir):
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                          AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_k_mod7,
+       CAST(sum(1) AS BIGINT) AS n_missing,
+       CAST(count(DISTINCT json_structure(props)) AS BIGINT)
+         AS n_shapes
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "json", "variant"),
+    doc="VARIANT-typed payload analytics (Spark 4's binary "
+    "semi-structured type): props parses ONCE to variant "
+    "(parse_json), then variant_get extracts typed fields, "
+    "try_variant_get probes an absent path NULL-safely (counted — "
+    "all rows, pinning the missing-path contract), and "
+    "schema_of_variant fingerprints each payload's inferred shape "
+    "(distinct-counted per group — the schema-drift monitor over a "
+    "variant column). The engine path differs from "
+    "events_json_props' get_json_object: variant decodes the JSON "
+    "text a single time into a binary tree that every subsequent "
+    "extraction walks without re-parsing — the scale answer for "
+    "multi-field extraction over wide payloads. The oracle mirrors "
+    "the same semantics over DuckDB's JSON functions "
+    "(json_structure for the shape fingerprint), so values "
+    "hash-check while the Spark side exercises the variant kernel.",
+)
+def events_variant_props(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.sum((k % 7 == 0).cast("int")).cast("bigint").alias("n_k_mod7"),
+        F.sum(missing.isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.count_distinct(F.expr("schema_of_variant(v)"))
+        .cast("bigint")
+        .alias("n_shapes"),
+    )
