@@ -27,7 +27,7 @@ computes identical values — no engine-private hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io import ensure_min_parallelism, stage, stage_eager
@@ -1281,3 +1281,112 @@ sretention AS (
   FROM stoks t LEFT JOIN scut c USING (doc_id)
   WHERE len(t.ts) >= 1
 )"""
+
+
+# ---------------------------------------------------------------------
+# PPJoin-style EXACT-threshold set-similarity join (prefix + length
+# filters; Xiao et al. 2008) — the exact companion to the LSH/SimHash
+# candidate generators: zero false negatives BY THEOREM, not by
+# banding probability
+# ---------------------------------------------------------------------
+PPJOIN_T_NUM = 7  # Jaccard threshold t = 7/10, kept as an exact ratio
+PPJOIN_T_DEN = 10
+
+
+def ppjoin_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All pairs with EXACT shingle-set Jaccard ≥ t via prefix
+    filtering: order every doc's 3-gram shingles by ASCENDING global
+    document frequency (rare first), keep each doc's first
+    m − ⌈t·m⌉ + 1 shingles as its prefix, and generate candidates
+    only from prefix∩prefix — the prefix-filter theorem guarantees
+    any pair with J ≥ t shares a prefix shingle, so the verified
+    output is COMPLETE (the guarantee MinHash-LSH trades away for
+    speed). The length filter (5·min ≥ 4·max generalized to
+    den·min ≥ num·max) prunes size-incompatible candidates before
+    the exact intersection count.
+
+    Output: (doc_a, doc_b, m_a, m_b, inter, jacc_ppm), doc_a < doc_b.
+
+    Scale shape: the rare-first order is the skew guard — prefixes
+    hold the LEAST shared shingles, so prefix-bucket sizes are
+    bounded by rare-shingle df (boilerplate n-grams never enter a
+    prefix unless a doc is almost all boilerplate); candidate
+    verification joins the slim candidate list back to the shingle
+    table (never all-pairs); per-doc ranking windows partition by
+    doc_id (corpus-parallel). Threshold arithmetic is exact
+    integers end to end: ⌈t·m⌉ = (num·m + den − 1) // den, the
+    verify is den·inter ≥ num·union, and jacc_ppm divides two
+    exact BIGINTs."""
+    from .text import tokens as _tokens
+    from .text import trigram_shingles
+
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    sh = (
+        docs.select(
+            "doc_id", _tokens(F.col(text_col)).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
+        )
+        .transform(stage)
+    )
+    dfc = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfc, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_size).cast("bigint").alias("m"),
+        )
+    )
+    # prefix length L = m - ceil(t*m) + 1 (exact integer ceil)
+    prefix_len = (
+        F.col("m")
+        - F.expr(f"({num} * m + {den} - 1) div {den}")
+        + F.lit(1)
+    )
+    pre = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "shingle", "m"
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.expr(
+                f"least(a.m, b.m) * {den} >= greatest(a.m, b.m) * {num}"
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.m").alias("m_a"),
+            F.col("b.m").alias("m_b"),
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "m_a", "m_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return inter.filter(
+        F.expr(f"inter * {den} >= (m_a + m_b - inter) * {num}")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "m_a",
+        "m_b",
+        "inter",
+        F.expr("CAST(inter * 1000000 div (m_a + m_b - inter) AS BIGINT)")
+        .alias("jacc_ppm"),
+    )

@@ -315,6 +315,79 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _ppjoin_oracle() -> str:
+    num, den = dedup.PPJOIN_T_NUM, dedup.PPJOIN_T_DEN
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts) - 2),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+             AS shingle
+    FROM toks WHERE len(ts) >= 3)
+),
+dfc AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1
+),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.shingle) AS rn,
+         CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS m
+  FROM sh s JOIN dfc d USING (shingle)
+),
+pre AS (
+  SELECT doc_id, shingle, m FROM ranked
+  WHERE rn <= m - ({num} * m + {den} - 1) // {den} + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.m AS m_a, b.m AS m_b
+  FROM pre a
+  JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE least(a.m, b.m) * {den} >= greatest(a.m, b.m) * {num}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.m_a, c.m_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, m_a, m_b, inter,
+       CAST(inter * 1000000 // (m_a + m_b - inter) AS BIGINT)
+         AS jacc_ppm
+FROM inter
+WHERE inter * {den} >= (m_a + m_b - inter) * {num}
+"""
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    oracle=_ppjoin_oracle(),
+    tags=("northstar", "dedup", "jaccard", "join"),
+    doc="EXACT-threshold set-similarity self-join via prefix "
+    "filtering (PPJoin-style, Xiao et al. 2008): every pair with "
+    "shingle-set Jaccard ≥ 0.7 — COMPLETE by the prefix-filter "
+    "theorem (any qualifying pair must share a shingle in the "
+    "rare-first m−⌈t·m⌉+1 prefixes), the zero-false-negative "
+    "guarantee MinHash-LSH trades away; completeness pinned against "
+    "brute force in tests/test_operators.py. The rare-first global "
+    "order doubles as the skew guard (prefixes hold the least-shared "
+    "shingles, so boilerplate n-grams never seed candidate buckets); "
+    "the length filter prunes size-incompatible candidates before "
+    "the exact intersection count. Threshold arithmetic is exact "
+    "integers end to end (⌈t·m⌉ = (7m+9)//10; verify 10·inter ≥ "
+    "7·union), so the whole join value-hashes.",
+)
+def dedup_ppjoin_pairs(spark, sf_dir):
+    return dedup.ppjoin_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "text_stats",
     oracle=f"""

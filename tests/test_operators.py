@@ -1670,3 +1670,53 @@ def test_kn_trigram_matches_python_reference(spark):
         if gs
     }
     assert got == expect
+
+
+def test_ppjoin_complete_vs_brute_force(spark):
+    """dedup_ppjoin_pairs' defining property: COMPLETENESS. Every
+    pair with exact shingle-set Jaccard >= t must appear (the
+    prefix-filter theorem), with exact (inter, jacc_ppm) — checked
+    against an all-pairs brute force over sf0.001 (which the
+    operator itself must never run at scale)."""
+    import duckdb
+
+    from jly_flink_spark.operators.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        ppjoin_pairs,
+    )
+    from jly_flink_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["m_a"], r["m_b"], r["inter"], r["jacc_ppm"])
+        for r in ppjoin_pairs(load_table(spark, sf, "documents")).collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    sets = {}
+    for doc_id, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        sets[doc_id] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * PPJOIN_T_DEN >= union * PPJOIN_T_NUM:
+                want[(a, b)] = (
+                    len(sets[a]),
+                    len(sets[b]),
+                    inter,
+                    inter * 1_000_000 // union,
+                )
+    assert got == want
+    assert want, "fixture must contain at least one qualifying pair"
