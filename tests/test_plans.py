@@ -190,6 +190,24 @@ class TestShuffleBudget:
             # fold + the exact-distinct 2-phase twin; every exchanged
             # row is a register/rank long — O(groups·64), not corpus
             ("agg_hll_registers", 4),
+            # KN trigram: type groupBy + four type-table rollups +
+            # the cost join back + per-doc agg; the staged type
+            # table cuts the five consumers' upstream lineage
+            ("text_trigram_kn_perplexity", 7),
+            # recursion runs inside UnionLoop (per-level joins are
+            # loop-internal); the one visible exchange is the
+            # min-hop fold — the edge derivation is checkpointed
+            ("graph_bfs_reachability", 1),
+            # 1-row bounds aggregate + the bucket rollup; the
+            # 16-level xy2d fold is a pure per-row expression
+            ("events_hilbert_locality", 2),
+            # shingle-df groupBy + per-doc rank window + candidate
+            # distinct + intersection count; staged shingles feed
+            # ranking, prefixes, and verify from one checkpoint
+            ("dedup_ppjoin_pairs", 4),
+            # variant parse/extract are per-row; one 2-phase
+            # distinct-shape rollup
+            ("events_variant_props", 2),
             # 3 unrolled iterations × (rank-join + contrib-sum
             # shuffles) + init partitioning; the scalar-N count and
             # the edge list are checkpointed (no per-iteration
