@@ -1933,56 +1933,72 @@ _KN_COST = (
 )
 
 
-def _kn_oracle() -> str:
+def kn_lm_ctes(p: str = "kn_") -> str:
+    """The interpolated-KN trigram model as a WITH-clause fragment
+    (no leading WITH, no trailing comma): {p}toks → {p}tg → {p}types
+    → count rollups → {p}cost → {p}docppl with per-doc
+    (doc_id, n_trigrams, kn_nll_micro, kn_logppl_micro). CTE names
+    carry prefix `p` so the fragment composes with the add-1
+    fragment (trigram_lm_ctes) in one query without collisions."""
     from .northstar_queries import _TOKS
 
-    return f"""
-WITH toks AS MATERIALIZED (
+    return f"""{p}toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS ts FROM documents
 ),
-tg AS MATERIALIZED (
+{p}tg AS MATERIALIZED (
   SELECT doc_id,
          unnest(ts[1:len(ts)-2]) AS w1,
          unnest(ts[2:len(ts)-1]) AS w2,
          unnest(ts[3:len(ts)]) AS w3
-  FROM toks WHERE len(ts) >= 3
+  FROM {p}toks WHERE len(ts) >= 3
 ),
-types AS MATERIALIZED (
+{p}types AS MATERIALIZED (
   SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
-  FROM tg GROUP BY 1, 2, 3
+  FROM {p}tg GROUP BY 1, 2, 3
 ),
-ctx AS (
+{p}ctx AS (
   SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx,
          CAST(count(*) AS BIGINT) AS n1p
-  FROM types GROUP BY 1, 2
+  FROM {p}types GROUP BY 1, 2
 ),
-mid AS (
+{p}mid AS (
   SELECT w2, CAST(count(*) AS BIGINT) AS mid2,
          CAST(count(DISTINCT w3) AS BIGINT) AS fol2
-  FROM types GROUP BY 1
+  FROM {p}types GROUP BY 1
 ),
-sfx AS (
+{p}sfx AS (
   SELECT w2, w3, CAST(count(*) AS BIGINT) AS ct23
-  FROM types GROUP BY 1, 2
+  FROM {p}types GROUP BY 1, 2
 ),
-fin AS (
-  SELECT w3, CAST(count(*) AS BIGINT) AS pre3 FROM types GROUP BY 1
+{p}fin AS (
+  SELECT w3, CAST(count(*) AS BIGINT) AS pre3
+  FROM {p}types GROUP BY 1
 ),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM types),
-tcost AS MATERIALIZED (
+{p}tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM {p}types),
+{p}cost AS MATERIALIZED (
   SELECT t.w1, t.w2, t.w3, {_KN_COST} AS nll_micro
-  FROM types t
-  JOIN ctx USING (w1, w2)
-  JOIN mid USING (w2)
-  JOIN sfx USING (w2, w3)
-  JOIN fin USING (w3), tot
-)
-SELECT tg.doc_id,
-       CAST(count(*) AS BIGINT) AS n_trigrams,
-       CAST(sum(c.nll_micro) AS BIGINT) AS kn_nll_micro,
-       CAST(sum(c.nll_micro) // count(*) AS BIGINT) AS kn_logppl_micro
-FROM tg JOIN tcost c USING (w1, w2, w3)
-GROUP BY tg.doc_id
+  FROM {p}types t
+  JOIN {p}ctx USING (w1, w2)
+  JOIN {p}mid USING (w2)
+  JOIN {p}sfx USING (w2, w3)
+  JOIN {p}fin USING (w3), {p}tot
+),
+{p}docppl AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(c.nll_micro) AS BIGINT) AS kn_nll_micro,
+         CAST(sum(c.nll_micro) // count(*) AS BIGINT)
+           AS kn_logppl_micro
+  FROM {p}tg g JOIN {p}cost c USING (w1, w2, w3)
+  GROUP BY g.doc_id
+)"""
+
+
+def _kn_oracle() -> str:
+    return f"""
+WITH {kn_lm_ctes()}
+SELECT doc_id, n_trigrams, kn_nll_micro, kn_logppl_micro
+FROM kn_docppl
 """
 
 
@@ -2008,7 +2024,12 @@ GROUP BY tg.doc_id
     "staged so its five consumers read one checkpoint.",
 )
 def text_trigram_kn_perplexity(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    return _kn_perplexity_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _kn_perplexity_frame(docs):
+    """(doc_id, n_trigrams, kn_nll_micro, kn_logppl_micro) — shared
+    by the standalone scorer and the rank-agreement query."""
     ts = tokens(F.col("text"))
     n = F.size("ts")
     tg = (
@@ -2075,6 +2096,92 @@ def text_trigram_kn_perplexity(spark, sf_dir):
             .cast("bigint")
             .alias("kn_logppl_micro"),
         )
+    )
+
+
+def _rank_agreement_oracle() -> str:
+    return f"""
+WITH {trigram_lm_ctes()},
+{kn_lm_ctes()},
+j AS (
+  SELECT d.source, a.doc_id, a.logppl_micro AS s1,
+         k.kn_logppl_micro AS s2
+  FROM docppl a
+  JOIN kn_docppl k USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY s1, doc_id) AS r1,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY s2, doc_id) AS r2
+  FROM j
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+  FROM rk GROUP BY 1
+)
+SELECT source, n, sum_d2,
+       CAST((1000000 * (n * (n * n - 1) - 6 * sum_d2))
+            // (n * (n * n - 1)) AS BIGINT) AS rho_ppm
+FROM agg WHERE n >= 2
+"""
+
+
+@register(
+    "curation_lm_rank_agreement",
+    oracle=_rank_agreement_oracle(),
+    tags=("curation", "evaluation", "statistics", "quality"),
+    doc="Spearman rank agreement between the two LM quality scorers "
+    "(add-1 vs interpolated-KN trigram log-perplexity), per source: "
+    "do the smoothing methods ORDER documents the same way — the "
+    "question that decides whether upgrading the gate's LM changes "
+    "which documents a curation pipeline keeps. ρ = 1 − 6Σd²/"
+    "(n(n²−1)) is an exact rational of exact integer ranks "
+    "(row_number with doc_id tie-breaks), emitted as truncated ppm — "
+    "no floating point anywhere, both engines agree bit-for-bit. "
+    "Scale shape: both scorer subplans are the shared corpus-level "
+    "frames; ranking windows PARTITION BY source (never one global "
+    "sort — the source is the parallel unit; sub-shard with the "
+    "range-prefix-sum trick at larger per-source counts); the "
+    "int64 headroom bound is n ≤ ~20k per source "
+    "(10⁶·n³ < 2⁶³), far above any test SF.",
+)
+def curation_lm_rank_agreement(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    add1 = _trigram_perplexity_frame(docs).select(
+        "doc_id", F.col("logppl_micro").alias("s1")
+    )
+    kn = _kn_perplexity_frame(docs).select(
+        "doc_id", F.col("kn_logppl_micro").alias("s2")
+    )
+    j = (
+        add1.join(kn, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w1 = Window.partitionBy("source").orderBy("s1", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("s2", "doc_id")
+    rk = j.select(
+        "source",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    agg = rk.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("(r1 - r2) * (r1 - r2)"))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "source",
+        "n",
+        "sum_d2",
+        F.expr(
+            "CAST((1000000 * (n * (n * n - 1) - 6 * sum_d2))"
+            " div (n * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
     )
 
 
