@@ -1840,6 +1840,173 @@ _REG2["pipeline_training_corpus_v4"].impl_hash = _impl_hash(
 )
 
 
+@register(
+    "pipeline_training_corpus_v5",
+    oracle=None,  # attached below (shared fragments)
+    tags=("training", "pipeline", "dedup", "ml", "curation"),
+    doc="Pipeline v4 with the LM gate upgraded from add-1 to "
+    "INTERPOLATED KNESER-NEY smoothing (text_trigram_kn_perplexity's "
+    "cost table — the smoothing production KenLM filters actually "
+    "use): stages 1-4, the σ-rule gate shape, the ExactSubstr "
+    "retention gate, and the per-source cap are v4 verbatim; only "
+    "the per-doc score the gate reads changes (kn_logppl_micro). "
+    "Together with curation_lm_rank_agreement this answers the "
+    "operational question directly: the agreement query says HOW "
+    "differently the two smoothings order documents, this pipeline "
+    "says WHAT the corpus looks like if you act on the better one. "
+    "The swap is MEASURED non-vacuous: the two σ-gates disagree on "
+    "83 corpus docs at sf0.1 and the composed pipelines keep "
+    "different corpora there (v4 60 docs/1286 tokens vs v5 60/1248 "
+    "with a different language mix); at sf≤0.01 the few divergent "
+    "docs don't survive the upstream stages, so outputs coincide. "
+    "Same scale shape as v4: the gate is one 1-row scalar aggregate "
+    "over milli-nat integer scores, no global rank anywhere.",
+)
+def pipeline_training_corpus_v5(spark, sf_dir):
+    from ..io import stage
+    from ..operators import dedup
+    from ..operators.classifier import _p_expr, fit_quality_classifier
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        _kn_perplexity_frame,
+    )
+
+    docs, kept3 = _corpus_through_decontamination(spark, sf_dir)
+
+    # 4. learned quality gate (= v3/v4)
+    feats, w = fit_quality_classifier(docs)
+    keep_ids = (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", F.expr(_p_expr()).alias("p"))
+        .filter(F.col("p") > 500)
+        .select("doc_id")
+    )
+    kept4 = kept3.join(keep_ids, "doc_id", "left_semi").transform(stage)
+
+    # 4b. the KN-LM perplexity gate (v4's σ rule over KN scores)
+    ppl = _kn_perplexity_frame(docs)
+    sc4 = (
+        kept4.select("doc_id")
+        .join(ppl.select("doc_id", "kn_logppl_micro"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"kn_logppl_micro div {LM_GATE_MILLI_DIV}").alias("y"),
+        )
+    )
+    lm_stats = sc4.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    lm_drop = (
+        sc4.crossJoin(F.broadcast(lm_stats))
+        .withColumn("m", F.expr("sy div n"))
+        .filter(
+            (F.col("y") > F.col("m"))
+            & (
+                F.expr("(y - m) * (y - m) * n")
+                > F.expr("syy - 2 * m * sy + n * m * m")
+            )
+        )
+        .select("doc_id")
+    )
+    kept4b = kept4.join(lm_drop, "doc_id", "left_anti").transform(stage)
+
+    # 5. ExactSubstr retention gate among survivors (= v3/v4)
+    ret = dedup.substring_cut_retention(kept4b)
+    keep_ret = ret.filter(
+        F.col("retention_ppm") >= PIPELINE_RETENTION_MIN_PPM
+    ).select("doc_id")
+    kept5 = kept4b.join(keep_ret, "doc_id", "left_semi").transform(stage)
+
+    # 6. per-source cap (= v3/v4)
+    n5 = kept5.count()
+    cap = max(SOURCE_CAP_MIN, n5 // SOURCE_CAP_DEN)
+    ranked = kept5.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    kept6 = ranked.filter(F.col("rnk") <= cap).select(
+        "doc_id", "lang", "text"
+    )
+    return _split_and_stats(kept6)
+
+
+def _pipeline_v5_oracle() -> str:
+    from ..operators.dedup import substring_retention_sql
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        kn_lm_ctes,
+        qc_oracle_fragments,
+    )
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    final = _pipeline_final_sql().replace("FROM kept4", "FROM kept6")
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.text FROM kept3 k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+),
+{kn_lm_ctes()},
+sc4 AS (
+  SELECT k.doc_id,
+         CAST(pp.kn_logppl_micro // {LM_GATE_MILLI_DIV} AS BIGINT) AS y
+  FROM kept4 k JOIN kn_docppl pp USING (doc_id)
+),
+lm_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM sc4
+),
+lm_drop AS (
+  SELECT doc_id FROM sc4, lm_stats
+  WHERE y > sy // n
+    AND (y - sy // n) * (y - sy // n) * n
+        > syy - 2 * (sy // n) * sy + n * (sy // n) * (sy // n)
+),
+kept4b AS MATERIALIZED (
+  SELECT k.* FROM kept4 k
+  WHERE NOT EXISTS (SELECT 1 FROM lm_drop l WHERE l.doc_id = k.doc_id)
+),
+{substring_retention_sql("kept4b")},
+kept5 AS MATERIALIZED (
+  SELECT k.* FROM kept4b k
+  JOIN sretention r ON r.doc_id = k.doc_id
+  WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}
+),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept5),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.text,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+  FROM kept5 k JOIN documents d USING (doc_id)
+),
+kept6 AS (
+  SELECT doc_id, lang, text FROM ranked, n5
+  WHERE rnk <= greatest({SOURCE_CAP_MIN}, n // {SOURCE_CAP_DEN})
+)
+{final}"""
+
+
+_REG2["pipeline_training_corpus_v5"].oracle = _pipeline_v5_oracle()
+_REG2["pipeline_training_corpus_v5"].impl_hash = _impl_hash(
+    _source_of(pipeline_training_corpus_v5),
+    _REG2["pipeline_training_corpus_v5"].oracle,
+)
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, data selection via
 # importance resampling)
