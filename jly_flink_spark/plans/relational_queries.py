@@ -2728,3 +2728,122 @@ def orders_retention_triangle(spark, sf_dir):
         .cast("bigint")
         .alias("retention_ppm"),
     )
+
+
+# Wald-Wolfowitz runs test (round 10): is the daily-revenue delta
+# sequence random, or does it trend/mean-revert? The classic
+# distribution-free randomness test, next to the Benford audit and
+# the CUSUM changepoint in the statistical-audit family.
+_RUNS_Z_EXPR = (
+    "CAST(round(((CAST(r AS DOUBLE) - (1.0 + (2.0 * n1 * n2) / n))"
+    " / sqrt(((2.0 * n1 * n2) * (2.0 * n1 * n2 - n))"
+    " / ((CAST(n AS DOUBLE) * n) * (n - 1.0)))) * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "orders_runs_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+delta AS (
+  SELECT d, cents - lag(cents) OVER (ORDER BY d) AS diff FROM daily
+),
+signs AS (
+  SELECT d, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+  FROM delta WHERE diff IS NOT NULL AND diff <> 0
+),
+flips AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL THEN 0
+                 WHEN s <> lag(s) OVER (ORDER BY d) THEN 1
+                 ELSE 0 END AS flip
+  FROM signs
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(flip) + 1 AS BIGINT) AS r
+  FROM flips
+)
+SELECT n, n1, n2, r,
+       CAST((1000000 * n + 2000000 * n1 * n2) // n AS BIGINT) AS mu_ppm,
+       {_RUNS_Z_EXPR} AS z_milli
+FROM agg
+WHERE n >= 2 AND n1 >= 1 AND n2 >= 1 AND 2 * n1 * n2 <> n
+""",
+    tags=("statistics", "window", "temporal"),
+    doc="Wald-Wolfowitz runs test over daily-revenue delta signs: "
+    "count sign runs R among the nonzero day-over-day changes, "
+    "compare to the randomness expectation μ = 1 + 2n₁n₂/n — too "
+    "few runs = trending/autocorrelated, too many = mean-reverting "
+    "oscillation; the distribution-free audit next to Benford and "
+    "CUSUM. Counts and μ (truncated ppm) are exact integers; only "
+    "the final z quantizes (shared double expression, round to "
+    "milli — the libm discipline). The σ=0 degenerate case "
+    "(2n₁n₂ = n) is excluded on both engines. Scale shape: the "
+    "per-day rollup is the only corpus shuffle; the ordered lag "
+    "windows run over the DAY-level frame (bounded by the calendar "
+    "— ~2.4k rows at any corpus size).",
+)
+def orders_runs_test(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = Window.orderBy("d")
+    signs = (
+        daily.select(
+            "d", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+        )
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "d",
+            F.when(F.col("diff") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    flips = signs.select(
+        "s",
+        F.when(F.lag("s").over(w).isNull(), F.lit(0))
+        .when(F.col("s") != F.lag("s").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        (F.sum("flip") + 1).cast("bigint").alias("r"),
+    )
+    return agg.filter(
+        (F.col("n") >= 2)
+        & (F.col("n1") >= 1)
+        & (F.col("n2") >= 1)
+        & (F.expr("2 * n1 * n2") != F.col("n"))
+    ).select(
+        "n",
+        "n1",
+        "n2",
+        "r",
+        F.expr(
+            "CAST((1000000 * n + 2000000 * n1 * n2) div n AS BIGINT)"
+        ).alias("mu_ppm"),
+        F.expr(_RUNS_Z_EXPR).alias("z_milli"),
+    )

@@ -138,6 +138,10 @@ QUERIES = [
     "text_trigram_kn_perplexity",
     "wordpiece_train_merges",
     "graph_bfs_reachability",
+    # round-10 second wave (cont.): exact-threshold PPJoin — prefix-
+    # bucket candidate volume grows with duplication density, the
+    # classic superlinear risk the rare-first order must bound
+    "dedup_ppjoin_pairs",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
@@ -863,7 +867,20 @@ def main() -> None:
         t0 = time.time()
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        wall = time.time() - t0
+        # Drop this query's localCheckpoint blocks before the next
+        # one: 30 back-to-back 10x queries otherwise accumulate
+        # checkpointed RDDs in the single local JVM until a
+        # broadcast build OOMs (bit the round-10 probe on the KN
+        # scorer). gc.collect() releases the py4j refs so the
+        # ContextCleaner can unpersist; the timing window above has
+        # already closed, so cleanup cost is not billed to the query.
+        del df
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        return wall
 
     # warm the JVM/codegen once so neither measurement eats the
     # first-query compilation cost
