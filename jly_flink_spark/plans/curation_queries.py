@@ -1387,6 +1387,144 @@ def graph_bfs_reachability(spark, sf_dir):
     )
 
 
+# Degree assortativity (round 10): Pearson correlation of endpoint
+# degrees across the dup-chunk graph's directed edges — positive =
+# duplication concentrates hub-to-hub (template families), negative =
+# hubs link to leaves (one canonical copied everywhere). The sums are
+# exact integers; only the final r quantizes (ONE shared double
+# expression, round to ppm — the libm discipline).
+_ASSORT_R_EXPR = (
+    "CAST(round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _assortativity_oracle() -> str:
+    return f"""{_chunk_graph_prefix()},
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+  FROM edges GROUP BY 1
+),
+pairs AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM edges e
+  JOIN deg a ON a.node = e.src
+  JOIN deg b ON b.node = e.dst
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n, sx, sxy, {_ASSORT_R_EXPR} AS r_ppm
+FROM agg
+WHERE n >= 2 AND n * sxx <> sx * sx AND n * syy <> sy * sy
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_assortativity_oracle(),
+    tags=("curation", "graph", "statistics"),
+    doc="Degree assortativity of the duplicate-chunk graph: Pearson "
+    "r of (deg(src), deg(dst)) across directed edges — positive "
+    "means duplication concentrates hub-to-hub (template families "
+    "referencing each other), negative means hubs link to leaves "
+    "(one canonical document copied everywhere), the structural "
+    "signal for choosing BETWEEN cluster-level dedup strategies. "
+    "On the symmetrized edge list out-degree equals degree, and "
+    "every undirected edge contributes both orientations — the "
+    "standard undirected-assortativity convention, so sx = sy by "
+    "construction (emitted once). Moment sums are exact BIGINTs "
+    "with map-side combine; only the final r quantizes (one shared "
+    "double expression, ppm-rounded); zero-variance degenerate "
+    "graphs are excluded identically on both engines. Scale shape: "
+    "one degree rollup + two slim degree joins + a 1-row moment "
+    "aggregate — no window, no all-pairs anything.",
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Chunk-edge derivation duplicates graph_pagerank_dup_chunks'
+    inline construction (pin-stability pattern); changes to the
+    chunk/df-cap definition must touch both."""
+    K = CHUNK_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
+                )
+            ).alias("h"),
+            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
+                "clen"
+            ),
+        ),
+    )
+    chunks = (
+        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .filter(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.h").alias("h"))
+        .distinct()
+    )
+    okh = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= PR_EDGE_MIN_DF)
+            & (F.col("df") <= PR_EDGE_MAX_DF)
+        )
+        .select("h")
+    )
+    ca = chunks.join(okh, "h")
+    a, b = ca.alias("a"), ca.alias("b")
+    edges = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+        .transform(stage)
+    )
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    pairs = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("d").alias("dy")
+            ),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("bigint").alias("syy"),
+    )
+    return agg.filter(
+        (F.col("n") >= 2)
+        & (F.expr("n * sxx") != F.expr("sx * sx"))
+        & (F.expr("n * syy") != F.expr("sy * sy"))
+    ).select("n", "sx", "sxy", F.expr(_ASSORT_R_EXPR).alias("r_ppm"))
+
+
 # --------------------------------------------------------------------
 # Unigram-LM document scoring (CCNet-style perplexity filtering)
 # --------------------------------------------------------------------
