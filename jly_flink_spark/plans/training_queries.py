@@ -2291,3 +2291,137 @@ _REG["dedup_canonical_representatives"].impl_hash = _impl_hash(
     _source_of(dedup_canonical_representatives),
     _REG["dedup_canonical_representatives"].oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy coverage selection (round 10): submodular maximal-coverage
+# data selection — pick the K documents that together cover the most
+# distinct shingles (facility-location-style subset selection, the
+# coverage objective behind diversity-driven training-data pickers)
+# ---------------------------------------------------------------------------
+COVERAGE_K = 5  # selection rounds (unrolled, like GD epochs/BPE rounds)
+
+
+def _coverage_oracle() -> str:
+    from .northstar_queries import _TOKS
+
+    blocks = []
+    prev_cov = None
+    selects = []
+    for r in range(1, COVERAGE_K + 1):
+        anti = (
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev_cov} c"
+            " WHERE c.shingle = s.shingle)"
+            if prev_cov
+            else ""
+        )
+        blocks.append(f"""
+gain{r} AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM sh s
+  {anti}
+  GROUP BY s.doc_id
+),
+sel{r} AS (
+  SELECT doc_id, gain FROM gain{r}
+  ORDER BY gain DESC, doc_id LIMIT 1
+),
+cov{r} AS MATERIALIZED (
+  {f"SELECT shingle FROM {prev_cov} UNION " if prev_cov else ""}
+  SELECT DISTINCT s.shingle FROM sh s
+  JOIN sel{r} ON sel{r}.doc_id = s.doc_id
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, doc_id, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cov{r})"
+            f" AS covered_total FROM sel{r}"
+        )
+        prev_cov = f"cov{r}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts) - 2),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+             AS shingle
+    FROM toks WHERE len(ts) >= 3)
+),
+{",".join(blocks)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+@register(
+    "selection_greedy_coverage",
+    oracle=_coverage_oracle(),
+    tags=("training", "curation", "iterative", "sample"),
+    doc="Submodular greedy maximal-coverage selection: 5 unrolled "
+    "rounds, each picking the document whose shingle set covers the "
+    "most still-uncovered trigram shingles (ties to the smaller "
+    "doc_id) — the facility-location/coverage objective behind "
+    "diversity-driven training-data selection, with the greedy "
+    "(1−1/e) approximation guarantee. Per round: one anti-join of "
+    "the staged shingle table against the covered set (bounded by "
+    "K·max-doc-shingles rows — broadcast-sized model state, the "
+    "BPE-winner discipline), a map-side-combined gain rollup, and a "
+    "1-row argmax sort-limit; the covered set re-stages per round "
+    "so lineage stays linear in K. Emits (round, doc_id, gain, "
+    "covered_total) — gain is exactly the marginal coverage, "
+    "monotonically non-increasing by submodularity (asserted in "
+    "tests).",
+)
+def selection_greedy_coverage(spark, sf_dir):
+    from ..io import stage
+    from ..operators.text import trigram_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
+        )
+        .transform(stage)
+    )
+    covered = None  # DataFrame[shingle], grows by ≤ max-doc-shingles/round
+    out_rows = []
+    for r in range(1, COVERAGE_K + 1):
+        cand = (
+            sh.join(F.broadcast(covered), "shingle", "left_anti")
+            if covered is not None
+            else sh
+        )
+        gain = cand.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("gain")
+        )
+        sel = (
+            gain.orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .transform(stage)
+        )
+        new_cov = sh.join(
+            F.broadcast(sel.select("doc_id")), "doc_id", "left_semi"
+        ).select("shingle")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionAll(new_cov).distinct()
+        ).transform(stage)
+        n_cov = covered.agg(
+            F.count("*").cast("bigint").alias("covered_total")
+        )
+        out_rows.append(
+            sel.crossJoin(F.broadcast(n_cov)).select(
+                F.lit(r).cast("bigint").alias("round"),
+                "doc_id",
+                "gain",
+                "covered_total",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionAll(o)
+    return out

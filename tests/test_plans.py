@@ -936,3 +936,30 @@ class TestRuntimeFilters:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+def test_greedy_coverage_is_submodular_and_consistent(spark):
+    """selection_greedy_coverage's structural invariants: marginal
+    gains are monotonically non-increasing (submodularity of the
+    coverage objective under greedy selection), covered_total is the
+    exact running sum of gains (each round's pick contributes
+    exactly its marginal coverage), and no document is picked
+    twice (a re-pick would have gain 0)."""
+    from jly_flink_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["selection_greedy_coverage"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True), gains
+    assert all(g > 0 for g in gains)
+    running = 0
+    for r in rows:
+        running += r["gain"]
+        assert r["covered_total"] == running, (r, running)
+    picked = [r["doc_id"] for r in rows]
+    assert len(set(picked)) == len(picked)
