@@ -1899,20 +1899,36 @@ def text_bigram_logprob(spark, sf_dir):
 # count-based LM — the model-based quality signal next to
 # Gopher/CCNet/DSIR, one order up from text_bigram_logprob
 # --------------------------------------------------------------------
-def trigram_lm_ctes() -> str:
+def trigram_lm_ctes(score_rel: str | None = None) -> str:
     """toks → tg (per-doc trigram instances) → tgc/bgc/vsz (counts)
     → tcost (per-TYPE quantized cost) → docppl (per-doc score) as a
     WITH-clause fragment (no leading WITH, no trailing comma) —
     shared by the standalone scorer oracle and pipeline v4's gate.
+    `score_rel`: when given, docppl scores ONLY that relation's
+    doc_ids (the LM still trains on the FULL corpus) — the pipeline
+    gates read survivor scores alone, and scoring all 10x docs
+    through the tg⋈tcost join spilled DuckDB temp past the device
+    (round-10 x10 run); the survivor restriction shrinks that join
+    by the upstream keep-rate.
     Add-1 smoothing: nll(w3|w1w2) = ln(c2 + V) − ln(c3 + 1),
     quantized per trigram TYPE before the exact per-doc BIGINT sum
-    (the text_unigram_logprob boundary-margin discipline)."""
+    (the text_unigram_logprob boundary-margin discipline).
+    toks/tg/tcost are MATERIALIZED: toks is read 3x and tg 2x, and
+    when this fragment embeds in the v4 pipeline oracle DuckDB's
+    re-inlining of the 10x trigram fan-out spilled temp storage past
+    the device (round-10 x10 run) — the CC-oracle lesson applied."""
     from .northstar_queries import _TOKS
 
-    return f"""toks AS (
+    scored_rel = (
+        f"(SELECT t.doc_id, t.g FROM tg t"
+        f" JOIN {score_rel} k USING (doc_id))"
+        if score_rel
+        else "tg"
+    )
+    return f"""toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS ts FROM documents
 ),
-tg AS (
+tg AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(ts) - 2),
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
@@ -1933,7 +1949,7 @@ vsz AS (
   SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
   FROM (SELECT unnest(ts) AS tok FROM toks)
 ),
-tcost AS (
+tcost AS MATERIALIZED (
   SELECT t.g,
          CAST(round((ln(CAST(b.c2 + vsz.v AS DOUBLE))
                    - ln(CAST(t.c3 + 1 AS DOUBLE))) * 1000000)
@@ -1948,7 +1964,7 @@ docppl AS (
          CAST(count(*) AS BIGINT) AS n_trigrams,
          CAST(sum(c.nll_micro) AS BIGINT) AS nll_micro,
          CAST(sum(c.nll_micro) // count(*) AS BIGINT) AS logppl_micro
-  FROM tg JOIN tcost c USING (g)
+  FROM {scored_rel} tg JOIN tcost c USING (g)
   GROUP BY tg.doc_id
 )"""
 
@@ -2071,7 +2087,7 @@ _KN_COST = (
 )
 
 
-def kn_lm_ctes(p: str = "kn_") -> str:
+def kn_lm_ctes(p: str = "kn_", score_rel: str | None = None) -> str:
     """The interpolated-KN trigram model as a WITH-clause fragment
     (no leading WITH, no trailing comma): {p}toks → {p}tg → {p}types
     → count rollups → {p}cost → {p}docppl with per-doc
@@ -2080,6 +2096,12 @@ def kn_lm_ctes(p: str = "kn_") -> str:
     fragment (trigram_lm_ctes) in one query without collisions."""
     from .northstar_queries import _TOKS
 
+    scored_rel = (
+        f"(SELECT t.doc_id, t.w1, t.w2, t.w3 FROM {p}tg t"
+        f" JOIN {score_rel} k USING (doc_id))"
+        if score_rel
+        else f"{p}tg"
+    )
     return f"""{p}toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS ts FROM documents
 ),
@@ -2127,7 +2149,7 @@ def kn_lm_ctes(p: str = "kn_") -> str:
          CAST(sum(c.nll_micro) AS BIGINT) AS kn_nll_micro,
          CAST(sum(c.nll_micro) // count(*) AS BIGINT)
            AS kn_logppl_micro
-  FROM {p}tg g JOIN {p}cost c USING (w1, w2, w3)
+  FROM {scored_rel} g JOIN {p}cost c USING (w1, w2, w3)
   GROUP BY g.doc_id
 )"""
 

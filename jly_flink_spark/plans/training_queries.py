@@ -1791,8 +1791,8 @@ kept4 AS MATERIALIZED (
   WHERE EXISTS (SELECT 1 FROM pred s
                 WHERE s.doc_id = k.doc_id AND s.p > 500)
 ),
-{trigram_lm_ctes()},
-sc4 AS (
+{trigram_lm_ctes(score_rel="kept4")},
+sc4 AS MATERIALIZED (
   SELECT k.doc_id,
          CAST(pp.logppl_micro // {LM_GATE_MILLI_DIV} AS BIGINT) AS y
   FROM kept4 k JOIN docppl pp USING (doc_id)
@@ -1958,8 +1958,8 @@ kept4 AS MATERIALIZED (
   WHERE EXISTS (SELECT 1 FROM pred s
                 WHERE s.doc_id = k.doc_id AND s.p > 500)
 ),
-{kn_lm_ctes()},
-sc4 AS (
+{kn_lm_ctes(score_rel="kept4")},
+sc4 AS MATERIALIZED (
   SELECT k.doc_id,
          CAST(pp.kn_logppl_micro // {LM_GATE_MILLI_DIV} AS BIGINT) AS y
   FROM kept4 k JOIN kn_docppl pp USING (doc_id)
