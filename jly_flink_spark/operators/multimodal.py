@@ -1360,3 +1360,206 @@ def audio_bands(hashes: DataFrame) -> DataFrame:
         F.col("bb.b").alias("b"),
         F.col("bb.bkey").alias("bkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual near-dup (round 10): the third modality tier —
+# plant REAL YUV4MPEG2 (Y4M) containers whose frame luma derives
+# from the document's token prefix, parse the frames back out of the
+# container, per-frame 56-bit dHash (the pixel tier's exact gradient
+# formula), then TEMPORALLY-ALIGNED Hamming-LSH banding: candidates
+# collide when some frame f matches a band at the same position, and
+# pairs verify by counting aligned close frames — the temporal
+# dimension image/audio don't have. Swapping planted frames for real
+# decoded video (ffmpeg) changes the pandas kernel body, never the
+# plan. Reference parity: the reference job has no media surface;
+# this completes SURVEY §2.2's multimodal north-star trio.
+# ---------------------------------------------------------------------------
+VIDEO_FRAMES = 16        # frames per planted clip
+VIDEO_PREFIX_TOKENS = 64  # luma derives from the first 64 tokens —
+#                           the shared prefix window of all 3 tiers
+VIDEO_FRAME_HAM_MAX = 6   # per-frame close threshold (of 56 bits)
+VIDEO_MIN_CLOSE = 12      # near-dup iff ≥ 12 of 16 aligned frames close
+VIDEO_N_BANDS = 4         # 4 x 14-bit bands per frame (dHash discipline)
+VIDEO_BAND_BITS = 14
+
+_Y4M_HEADER = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n"
+_Y4M_UV = b"\x80" * 16 * 2  # flat U+V planes (4:2:0, 8x8 -> 16+16)
+
+
+def planted_video_luma(toks: list[str]) -> Optional[bytes]:
+    """VIDEO_FRAMES*64 luma bytes (flat): byte idx holds the first
+    md5 byte of `token:v:idx`, tokens cycled over the first
+    VIDEO_PREFIX_TOKENS positions — the ':v:' namespace keeps video
+    plants distinct from the audio/pixel streams; the oracle
+    rebuilds every byte with the same md5 arithmetic."""
+    import hashlib
+
+    if not toks:
+        return None
+    m = min(len(toks), VIDEO_PREFIX_TOKENS)
+    n = VIDEO_FRAMES * DHASH_GRID * DHASH_GRID
+    return bytes(
+        int(
+            hashlib.md5(
+                f"{toks[idx % m]}:v:{idx}".encode()
+            ).hexdigest()[:2],
+            16,
+        )
+        for idx in range(n)
+    )
+
+
+def encode_y4m(luma: bytes) -> bytes:
+    """A structurally-valid YUV4MPEG2 stream: the real header line,
+    one FRAME marker per 64-byte luma slice, flat 4:2:0 chroma."""
+    g2 = DHASH_GRID * DHASH_GRID
+    out = [_Y4M_HEADER]
+    for f in range(len(luma) // g2):
+        out.append(b"FRAME\n")
+        out.append(luma[f * g2 : (f + 1) * g2])
+        out.append(_Y4M_UV)
+    return b"".join(out)
+
+
+def parse_y4m(payload) -> Optional[list[bytes]]:
+    """Y (luma) planes of a planted Y4M stream: validate the magic,
+    read W/H from the header parameters, walk FRAME markers, slice
+    planes by the 4:2:0 geometry. None on any truncation/malformation
+    or zero frames — the malformed-payload -> NULL contract."""
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    if not payload.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in payload[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    if not w or not h:
+        return None
+    ylen = w * h
+    uvlen = (w // 2) * (h // 2) * 2
+    i = nl + 1
+    frames: list[bytes] = []
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            return None
+        i = fnl + 1
+        if i + ylen + uvlen > len(payload):
+            return None
+        frames.append(payload[i : i + ylen])
+        i += ylen + uvlen
+    return frames or None
+
+
+def plant_payload_video(doc_id: int, text: str) -> bytes:
+    """A planted Y4M clip; every MALFORMED_MOD-th doc truncated
+    mid-signature (the shared malformed-payload contract)."""
+    toks = [t for t in text.lower().split(" ") if t != ""]
+    luma = planted_video_luma(toks)
+    payload = encode_y4m(luma or b"")
+    if doc_id % MALFORMED_MOD == 0:
+        payload = payload[:MALFORMED_LEN]
+    return payload
+
+
+def documents_as_video_media(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The documents corpus as a planted-Y4M media table
+    (doc_id, media_type, payload, n_bytes) — one Arrow-batched
+    mapInPandas pass, payloads built worker-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            planted = [
+                plant_payload_video(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": ["y4m"] * len(planted),
+                    "payload": planted,
+                    "n_bytes": [len(p) for p in planted],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, ENCODED_MEDIA_SCHEMA
+    )
+
+
+def video_dhash_frames(media: DataFrame) -> DataFrame:
+    """(doc_id, f, vh) per parsed frame — the pixel tier's dhash_int
+    over each frame's 8x8 luma grid; clips whose container doesn't
+    parse contribute no rows (truncation -> NULL contract). One
+    Arrow-batched pass; 16 x 8 bytes per clip leave this stage, the
+    binary column never does."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fs, vhs = [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames = parse_y4m(p)
+                if frames is None:
+                    continue
+                for f, y in enumerate(frames):
+                    ids.append(int(d))
+                    fs.append(f)
+                    vhs.append(dhash_int(y))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "f": pd.array(fs, dtype="int32"),
+                    "vh": pd.array(vhs, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id bigint, f int, vh bigint"
+    )
+
+
+def video_bands(hashes: DataFrame) -> DataFrame:
+    """(doc_id, f, vh, b, bkey) band rows — TEMPORALLY ALIGNED: the
+    collision key is (frame position, band index, band bits), so two
+    clips become candidates only when the same frame slot matches."""
+    mask = (1 << VIDEO_BAND_BITS) - 1
+    return hashes.select(
+        "doc_id",
+        "f",
+        "vh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("vh"), VIDEO_BAND_BITS * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(VIDEO_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "f",
+        "vh",
+        F.col("bb.b").alias("b"),
+        F.col("bb.bkey").alias("bkey"),
+    )

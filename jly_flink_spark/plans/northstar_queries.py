@@ -4284,3 +4284,202 @@ def multimodal_audio_near_dups(spark, sf_dir):
             .alias("shared_shingles"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Video perceptual near-dup (round 10): planted Y4M frames, per-frame
+# dHash, TEMPORALLY-ALIGNED Hamming-LSH — completes the multimodal
+# near-dup trio (pixels / audio / video)
+# --------------------------------------------------------------------
+def _video_oracle() -> str:
+    from ..operators.multimodal import (
+        DHASH_GRID,
+        MALFORMED_MOD,
+        VIDEO_BAND_BITS,
+        VIDEO_FRAME_HAM_MAX,
+        VIDEO_FRAMES,
+        VIDEO_MIN_CLOSE,
+        VIDEO_N_BANDS,
+        VIDEO_PREFIX_TOKENS,
+    )
+
+    g = DHASH_GRID
+    n = VIDEO_FRAMES * g * g
+    hex2 = (
+        "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
+    )
+    tri = (
+        "list_transform(generate_series(1, len(ts) - 2), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+    )
+    return f"""
+WITH vtoks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id % {MALFORMED_MOD} <> 0
+),
+vcells AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % least(len(ts), {VIDEO_PREFIX_TOKENS}))]
+             || ':v:' || CAST(i AS VARCHAR)) AS d
+  FROM vtoks, unnest(generate_series(0, {n - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+vsamp AS (
+  SELECT doc_id, idx // {g * g} AS f, idx % {g * g} AS cell,
+         CAST({hex2} AS BIGINT) AS v
+  FROM vcells
+),
+vhash AS MATERIALIZED (
+  SELECT a.doc_id, a.f,
+         CAST(sum(CASE WHEN b.v > a.v
+              THEN (CAST(1 AS BIGINT)
+                    << ((a.cell // {g}) * {g - 1} + (a.cell % {g})))
+              ELSE 0 END) AS BIGINT) AS vh
+  FROM vsamp a
+  JOIN vsamp b ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.cell = a.cell + 1
+  WHERE a.cell % {g} < {g - 1}
+  GROUP BY a.doc_id, a.f
+),
+vbands AS (
+  SELECT doc_id, f, vh, b,
+         (vh >> ({VIDEO_BAND_BITS} * b))
+           & {(1 << VIDEO_BAND_BITS) - 1} AS bkey
+  FROM vhash, unnest(generate_series(0, {VIDEO_N_BANDS - 1})) AS t(b)
+),
+vcand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM vbands x JOIN vbands y
+    ON y.f = x.f AND y.b = x.b AND y.bkey = x.bkey
+   AND x.doc_id < y.doc_id
+),
+vclose AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN bit_count(xor(xa.vh, yb.vh))
+                  <= {VIDEO_FRAME_HAM_MAX} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_close_frames
+  FROM vcand c
+  JOIN vhash xa ON xa.doc_id = c.doc_a
+  JOIN vhash yb ON yb.doc_id = c.doc_b AND yb.f = xa.f
+  GROUP BY c.doc_a, c.doc_b
+),
+vpairs AS (
+  SELECT * FROM vclose WHERE n_close_frames >= {VIDEO_MIN_CLOSE}
+),
+vsh AS (
+  SELECT doc_id, unnest(list_distinct({tri})) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+  WHERE len(ts) >= 3
+),
+vshared AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM vpairs p
+  JOIN vsh a ON a.doc_id = p.doc_a
+  JOIN vsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.n_close_frames,
+       CAST(coalesce(s.shared_shingles, 0) AS BIGINT) AS shared_shingles
+FROM vpairs p
+LEFT JOIN vshared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+"""
+
+
+@register(
+    "multimodal_video_near_dups",
+    oracle=_video_oracle(),
+    tags=("northstar", "multimodal", "dedup", "approx"),
+    doc="Video perceptual near-dup over the binary Y4M column — "
+    "completes the multimodal trio (pixel dHash / audio energy "
+    "aHash / this): plant a REAL YUV4MPEG2 container per document "
+    "(16 frames of 8x8 luma derived from its first 64 tokens — the "
+    "same prefix window as the other tiers, so video duplication "
+    "tracks the corpus's text near-dup structure), walk the FRAME "
+    "markers back out, per-frame 56-bit gradient dHash (the pixel "
+    "tier's exact formula) in the same Arrow batch, then "
+    "TEMPORALLY-ALIGNED Hamming-LSH: the collision key is (frame "
+    "position, band, bits) so candidates must match at the same "
+    "frame slot, and pairs verify by counting aligned close frames "
+    "(≥ 12 of 16 within Hamming 6) — the temporal-consistency "
+    "dimension stills and audio lack. Each verified pair carries "
+    "the text-shingle truth cross-check. Truncated payloads (every "
+    "37th doc) parse to NULL frames and drop. Swapping planted "
+    "frames for real decoded video changes the pandas kernel body, "
+    "never the plan. Scale shape: 16 slim (doc, f, hash) rows per "
+    "clip leave the decode stage (the binary never does), banding "
+    "shuffles on uniform hash keys, verification joins only the "
+    "candidate pairs' frame tables.",
+)
+def multimodal_video_near_dups(spark, sf_dir):
+    from ..operators.multimodal import (
+        VIDEO_FRAME_HAM_MAX,
+        VIDEO_MIN_CLOSE,
+        documents_as_video_media,
+        video_bands,
+        video_dhash_frames,
+    )
+    from ..operators.text import trigram_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_video_media(docs)
+    hashes = video_dhash_frames(media).transform(stage)
+    bands = video_bands(hashes)
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), "f", "b", "bkey"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), "f", "b", "bkey"
+    )
+    cand = (
+        x.join(y, ["f", "b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"), "f", F.col("vh").alias("vhb")
+    )
+    close = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "f"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                (
+                    F.bit_count(F.col("vha").bitwiseXOR(F.col("vhb")))
+                    <= VIDEO_FRAME_HAM_MAX
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_close_frames")
+        )
+        .filter(F.col("n_close_frames") >= VIDEO_MIN_CLOSE)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            trigram_shingles(text.tokens(F.col("text")))
+        ).alias("sharr"),
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sharr").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sharr").alias("sh_b")
+    )
+    return (
+        close.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_close_frames",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("shared_shingles"),
+        )
+    )

@@ -1720,3 +1720,75 @@ def test_ppjoin_complete_vs_brute_force(spark):
                 )
     assert got == want
     assert want, "fixture must contain at least one qualifying pair"
+
+
+class TestVideoTier:
+    def test_y4m_roundtrip_and_temporal_frame_hashes(self, spark):
+        """Planted Y4M → FRAME walk → per-frame dHash must be a
+        deterministic pure function of the text prefix: identical
+        first-64-token docs share EVERY aligned frame hash, a prefix
+        edit moves at least one frame, and clips yield exactly
+        VIDEO_FRAMES rows."""
+        base = " ".join(f"w{i}" for i in range(80))
+        rows = [
+            (1, base),
+            (2, base + " extra suffix tokens beyond the prefix"),
+            (3, "different " + base),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in multimodal.video_dhash_frames(
+            multimodal.documents_as_video_media(df)
+        ).collect():
+            got.setdefault(r["doc_id"], {})[r["f"]] = r["vh"]
+        assert all(
+            len(v) == multimodal.VIDEO_FRAMES for v in got.values()
+        )
+        assert got[1] == got[2]  # suffix edit beyond token 64: no-op
+        assert got[3] != got[1]  # prefix edit moves some frame
+        # python-reference parity for one frame
+        frames = multimodal.parse_y4m(
+            multimodal.plant_payload_video(1, base)
+        )
+        assert got[1][0] == multimodal.dhash_int(frames[0])
+
+    def test_truncation_and_tokenless_drop(self, spark):
+        """Truncated (every MALFORMED_MOD-th) and token-less clips
+        must contribute ZERO frame rows — the malformed-media
+        contract in per-frame form."""
+        m = multimodal.MALFORMED_MOD
+        rows = [(m, "alpha beta gamma"), (m + 1, "alpha beta gamma"),
+                (5, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]
+            for r in multimodal.video_dhash_frames(
+                multimodal.documents_as_video_media(df)
+            ).collect()
+        }
+        assert got == {m + 1}
+
+    def test_video_bands_are_frame_aligned(self, spark):
+        """The banding key carries the frame position: band rows per
+        clip = VIDEO_FRAMES x VIDEO_N_BANDS, and reassembling any
+        frame's band keys recovers that frame's hash."""
+        df = spark.createDataFrame(
+            [(1, "a few words make a tiny document here")],
+            "doc_id long, text string",
+        )
+        h = multimodal.video_dhash_frames(
+            multimodal.documents_as_video_media(df)
+        )
+        rows = multimodal.video_bands(h).collect()
+        assert len(rows) == (
+            multimodal.VIDEO_FRAMES * multimodal.VIDEO_N_BANDS
+        )
+        by_f = {}
+        for r in rows:
+            by_f.setdefault(r["f"], [0, None])
+            by_f[r["f"]][0] |= r["bkey"] << (
+                multimodal.VIDEO_BAND_BITS * r["b"]
+            )
+            by_f[r["f"]][1] = r["vh"]
+        for rebuilt, vh in by_f.values():
+            assert rebuilt == vh
