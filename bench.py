@@ -185,6 +185,9 @@ HEADLINE = [
     "wordpiece_train_merges",
     "graph_bfs_reachability",
     "agg_hll_registers",
+    # round-10 third wave: the video near-dup tier (Y4M decode +
+    # temporally-aligned banding) — one floor for the new modality.
+    "multimodal_video_near_dups",
 ]
 
 

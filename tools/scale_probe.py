@@ -142,6 +142,10 @@ QUERIES = [
     # bucket candidate volume grows with duplication density, the
     # classic superlinear risk the rare-first order must bound
     "dedup_ppjoin_pairs",
+    # round-10 third wave: the video tier (16 frame-hash rows per
+    # clip; temporally-aligned pair volume grows with duplication
+    # density)
+    "multimodal_video_near_dups",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
