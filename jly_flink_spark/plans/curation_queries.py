@@ -1377,13 +1377,16 @@ def graph_bfs_reachability(spark, sf_dir):
     seeds = (
         edges.select("src").distinct().orderBy("src").limit(BFS_N_SEEDS)
     )
-    edges.createOrReplaceTempView("_graph_bfs_edges")
-    seeds.createOrReplaceTempView("_graph_bfs_seeds")
+    # Re-entrancy: the frames are passed as spark.sql DataFrame
+    # parameters (Spark binds each to a uniquely-named internal
+    # view), so two concurrent builds in one SparkSession can never
+    # clobber each other's edge list — no session-global temp-view
+    # side effects (round-10 ADVICE).
     return spark.sql(
         "WITH RECURSIVE "
-        + _BFS_RECURSIVE_SQL.format(
-            seeds="_graph_bfs_seeds", edges="_graph_bfs_edges"
-        )
+        + _BFS_RECURSIVE_SQL.format(seeds="{seeds}", edges="{edges}"),
+        seeds=seeds,
+        edges=edges,
     )
 
 
@@ -2259,6 +2262,11 @@ def _kn_perplexity_frame(docs):
     )
 
 
+# rho_ppm's exact-integer form needs 10⁶·n·(n²−1) < 2⁶³ → n ≤ 20_000
+# per source; the Spark side enforces it loudly (see the guard below).
+RHO_PPM_MAX_N = 20_000
+
+
 def _rank_agreement_oracle() -> str:
     return f"""
 WITH {trigram_lm_ctes()},
@@ -2306,8 +2314,8 @@ FROM agg WHERE n >= 2
     "frames; ranking windows PARTITION BY source (never one global "
     "sort — the source is the parallel unit; sub-shard with the "
     "range-prefix-sum trick at larger per-source counts); the "
-    "int64 headroom bound is n ≤ ~20k per source "
-    "(10⁶·n³ < 2⁶³), far above any test SF.",
+    "int64 headroom bound n ≤ 20k per source (10⁶·n³ < 2⁶³) is "
+    "ENFORCED with a loud raise_error guard, not just documented.",
 )
 def curation_lm_rank_agreement(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -2333,6 +2341,32 @@ def curation_lm_rank_agreement(spark, sf_dir):
         F.sum(F.expr("(r1 - r2) * (r1 - r2)"))
         .cast("bigint")
         .alias("sum_d2"),
+    )
+    # Loud int64-headroom guard (winnow discipline): 10⁶·n·(n²−1)
+    # needs n ≤ 20_000 to stay inside 2⁶³ — beyond that the product
+    # would throw under ANSI or silently wrap otherwise. The
+    # when/otherwise keeps raise_error off the evaluated path for
+    # every compliant row, so pinned hashes are untouched; at a
+    # larger per-source count the query now FAILS NAMING THE FIX
+    # (sub-shard ranks with the range-prefix-sum trick) instead of
+    # emitting a wrong rho_ppm.
+    agg = agg.withColumn(
+        "n",
+        F.when(F.col("n") <= F.lit(RHO_PPM_MAX_N), F.col("n")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("curation_lm_rank_agreement: source "),
+                    F.col("source"),
+                    F.lit(" has n = "),
+                    F.col("n").cast("string"),
+                    F.lit(
+                        f" > {RHO_PPM_MAX_N}; 1e6*n*(n^2-1) exceeds"
+                        " int64 — sub-shard the per-source ranking"
+                        " (range prefix-sum) before computing rho"
+                    ),
+                )
+            ).cast("bigint")
+        ),
     )
     return agg.filter(F.col("n") >= 2).select(
         "source",

@@ -159,7 +159,8 @@ SELECT event_type,
                           AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_k_mod7,
        CAST(sum(1) AS BIGINT) AS n_missing,
-       CAST(count(DISTINCT json_structure(props)) AS BIGINT)
+       CAST(count(DISTINCT array_to_string(list_sort(json_keys(props)),
+                                           ',')) AS BIGINT)
          AS n_shapes
 FROM events
 GROUP BY event_type
@@ -170,21 +171,23 @@ GROUP BY event_type
     "(parse_json), then variant_get extracts typed fields, "
     "try_variant_get probes an absent path NULL-safely (counted — "
     "all rows, pinning the missing-path contract), and "
-    "schema_of_variant fingerprints each payload's inferred shape "
-    "(distinct-counted per group — the schema-drift monitor over a "
-    "variant column). The engine path differs from "
-    "events_json_props' get_json_object: variant decodes the JSON "
-    "text a single time into a binary tree that every subsequent "
-    "extraction walks without re-parsing — the scale answer for "
-    "multi-field extraction over wide payloads. The oracle mirrors "
-    "the same semantics over DuckDB's JSON functions "
-    "(json_structure for the shape fingerprint), so values "
-    "hash-check while the Spark side exercises the variant kernel.",
+    "the sorted top-level key list fingerprints each payload's "
+    "shape (distinct-counted per group — the schema-drift monitor "
+    "over a variant column). The shape fingerprint is the ENGINE-"
+    "NEUTRAL sorted key list (json_object_keys / json_keys), not "
+    "engine-native schema strings (schema_of_variant vs "
+    "json_structure type numeric leaves differently, so their "
+    "parity held only for the generator's payload shapes — round-10 "
+    "ADVICE). The engine path differs from events_json_props' "
+    "get_json_object: variant decodes the JSON text a single time "
+    "into a binary tree that every subsequent extraction walks "
+    "without re-parsing — the scale answer for multi-field "
+    "extraction over wide payloads.",
 )
 def events_variant_props(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     v = e.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", "props", F.parse_json("props").alias("v")
     )
     k = F.variant_get("v", "$.k", "bigint")
     missing = F.try_variant_get("v", "$.missing", "bigint")
@@ -195,7 +198,9 @@ def events_variant_props(spark, sf_dir):
         F.sum(missing.isNull().cast("int"))
         .cast("bigint")
         .alias("n_missing"),
-        F.count_distinct(F.expr("schema_of_variant(v)"))
+        F.count_distinct(
+            F.array_join(F.array_sort(F.json_object_keys("props")), ",")
+        )
         .cast("bigint")
         .alias("n_shapes"),
     )

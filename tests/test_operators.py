@@ -1549,6 +1549,40 @@ class TestPatternCompiler:
         }
 
 
+def test_vectorized_decode_kernels_bit_identical():
+    """The round-11 numpy decode kernels (dhash_ints_vec /
+    audio_fps_vec) must return EXACTLY the scalar formulas' integers
+    — every pinned multimodal hash depends on it. Adversarial cases:
+    equal-neighbor runs (strict > at the boundary), int16 extremes
+    (±2^15 squares), all-zero energy (no bit exceeds the mean)."""
+    import random
+
+    import numpy as np
+
+    from jly_flink_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    grids = [
+        bytes(
+            rng.randrange(256) if rng.random() < 0.8 else 128
+            for _ in range(64)
+        )
+        for _ in range(300)
+    ]
+    arr = np.frombuffer(b"".join(grids), np.uint8).reshape(-1, 64)
+    for v, g in zip(mm.dhash_ints_vec(arr), grids):
+        assert int(v) == mm.dhash_int(g)
+
+    n = mm.AUDIO_FRAMES * mm.AUDIO_FRAME_LEN
+    clips = [
+        [rng.randrange(-32768, 32768) for _ in range(n)]
+        for _ in range(200)
+    ] + [[-32768] * n, [32767] * n, [0] * n]
+    pcm = np.array(clips, dtype=np.int64)
+    for v, s in zip(mm.audio_fps_vec(pcm), clips):
+        assert int(v) == mm.audio_fingerprint_int(s)
+
+
 class TestPixelDhash:
     """Round-9 pixel tier: plant -> parse -> dHash with the shared
     truncation -> NULL contract, and the near-dup invariant that an
