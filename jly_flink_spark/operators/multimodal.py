@@ -1651,3 +1651,145 @@ def video_bands(hashes: DataFrame) -> DataFrame:
         F.col("bb.b").alias("b"),
         F.col("bb.bkey").alias("bkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental audio / video band indexes (round 11): the dHash band
+# index's LSM contract extended to the other two perceptual tiers,
+# so the streaming admission gate can probe cross-batch audio/video
+# near-dups the way it already probes images. Same replay rules:
+# appends are at-least-once (probes are distinct-based, duplicates
+# physically drain at compaction), re-appending changed content
+# without a prior tombstone fails loudly at compaction.
+# ---------------------------------------------------------------------------
+
+
+def append_to_audio_index(new_media: DataFrame, path: str) -> None:
+    """Append a batch's audio fingerprint bands (doc_id, afp, b,
+    bkey) — `append_to_dhash_index` one modality over."""
+    bands = audio_bands(
+        audio_fingerprint_frame(new_media).filter(
+            F.col("afp").isNotNull()
+        )
+    )
+    bands.sortWithinPartitions("b", "bkey").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_audio_index(spark, path: str) -> DataFrame:
+    """Compaction-safe, tombstone-aware audio index read."""
+    from .similarity import _without_tombstones
+
+    return _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    )
+
+
+def compact_audio_index(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> int:
+    """Maintenance pass — the compact_dhash_index contract with afp
+    as the hash column (loud conflict guard on a changed-fingerprint
+    re-append without a tombstone)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.layout import compact_sorted, swap_layout
+    from .similarity import _tombstone_dir, _without_tombstones
+
+    live = _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    ).dropDuplicates(["doc_id", "afp", "b", "bkey"])
+    w = Window.partitionBy("doc_id")
+    live = live.withColumn(
+        "afp",
+        F.when(
+            F.min("afp").over(w) == F.max("afp").over(w),
+            F.col("afp"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_audio_index: doc_id "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        " has conflicting afp values — re-appended "
+                        "with changed samples without a prior "
+                        "tombstone; delete, compact, re-append"
+                    ),
+                )
+            ).cast("bigint")
+        ),
+    )
+    tmp = path.rstrip("/") + ".compacting"
+    n_files = compact_sorted(live, tmp, ["b", "bkey"], target_rows_per_file)
+    swap_layout(path, tmp)
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    return n_files
+
+
+def append_to_video_index(new_media: DataFrame, path: str) -> None:
+    """Append a batch's per-frame video dHash bands (doc_id, f, vh,
+    b, bkey). The frame slot rides in every row, so probes stay
+    TEMPORALLY ALIGNED: collisions require the same (f, b, bkey)."""
+    bands = video_bands(video_dhash_frames(new_media))
+    bands.sortWithinPartitions("f", "b", "bkey").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_video_index(spark, path: str) -> DataFrame:
+    """Compaction-safe, tombstone-aware video index read."""
+    from .similarity import _without_tombstones
+
+    return _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    )
+
+
+def compact_video_index(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> int:
+    """Maintenance pass — the dHash compaction contract per (doc_id,
+    frame): conflicting vh under one (doc_id, f) without a tombstone
+    raises loudly; files rewrite sorted by the probe key
+    (f, b, bkey) for min/max pruning."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.layout import compact_sorted, swap_layout
+    from .similarity import _tombstone_dir, _without_tombstones
+
+    live = _without_tombstones(
+        spark, path, spark.read.parquet(path), "doc_id"
+    ).dropDuplicates(["doc_id", "f", "vh", "b", "bkey"])
+    w = Window.partitionBy("doc_id", "f")
+    live = live.withColumn(
+        "vh",
+        F.when(
+            F.min("vh").over(w) == F.max("vh").over(w), F.col("vh")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_video_index: doc_id "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" frame "),
+                    F.col("f").cast("string"),
+                    F.lit(
+                        " has conflicting vh values — re-appended "
+                        "with changed frames without a prior "
+                        "tombstone; delete, compact, re-append"
+                    ),
+                )
+            ).cast("bigint")
+        ),
+    )
+    tmp = path.rstrip("/") + ".compacting"
+    n_files = compact_sorted(
+        live, tmp, ["f", "b", "bkey"], target_rows_per_file
+    )
+    swap_layout(path, tmp)
+    shutil.rmtree(_tombstone_dir(path), ignore_errors=True)
+    return n_files

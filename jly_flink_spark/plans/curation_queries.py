@@ -2190,12 +2190,13 @@ def text_trigram_kn_perplexity(spark, sf_dir):
     return _kn_perplexity_frame(load_table(spark, sf_dir, "documents"))
 
 
-def _kn_perplexity_frame(docs):
-    """(doc_id, n_trigrams, kn_nll_micro, kn_logppl_micro) — shared
-    by the standalone scorer and the rank-agreement query."""
+def doc_trigrams_frame(docs):
+    """(doc_id, w1, w2, w3) — one row per trigram TOKEN of every
+    ≥3-token document; the shared staging point of the KN train and
+    score halves."""
     ts = tokens(F.col("text"))
     n = F.size("ts")
-    tg = (
+    return (
         docs.filter(F.size(ts) >= 3)
         .select("doc_id", ts.alias("ts"))
         .select(
@@ -2216,6 +2217,27 @@ def _kn_perplexity_frame(docs):
         )
         .transform(stage)
     )
+
+
+def _kn_perplexity_frame(docs):
+    """(doc_id, n_trigrams, kn_nll_micro, kn_logppl_micro) — shared
+    by the standalone scorer and the rank-agreement query. Split
+    into `doc_trigrams_frame` → `kn_cost_frame` (train) →
+    `kn_score_frame` (apply) so the streaming admission gate can
+    freeze the cost table as broadcast model state (the classifier-
+    weights discipline) and score each micro-batch against it; this
+    composition is the identical plan those halves came from."""
+    tg = doc_trigrams_frame(docs)
+    return kn_score_frame(tg, kn_cost_frame(tg))
+
+
+def kn_cost_frame(tg):
+    """TRAIN half: the interpolated-KN per-trigram-type cost table
+    (w1, w2, w3, nll_micro) from a (doc_id, w1, w2, w3) trigram
+    frame — every back-off level's continuation counts derived from
+    the ONE trigram-type table, cost as the shared `_KN_COST`
+    micro-nat expression. This is the gate's MODEL STATE: |V|³-
+    bounded in theory, trigram-TYPE-bounded in fact."""
     types = (
         tg.groupBy("w1", "w2", "w3")
         .agg(F.count("*").cast("bigint").alias("c3"))
@@ -2236,7 +2258,7 @@ def _kn_perplexity_frame(docs):
         F.count("*").cast("bigint").alias("pre3")
     )
     tot = types.agg(F.count("*").cast("bigint").alias("tt"))
-    tcost = (
+    return (
         types.join(ctx, ["w1", "w2"])
         .join(mid, ["w2"])
         .join(sfx, ["w2", "w3"])
@@ -2244,6 +2266,17 @@ def _kn_perplexity_frame(docs):
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "w3", F.expr(_KN_COST).alias("nll_micro"))
     )
+
+
+def kn_score_frame(tg, tcost):
+    """APPLY half: per-doc KN scores (doc_id, n_trigrams,
+    kn_nll_micro, kn_logppl_micro) for a (doc_id, w1, w2, w3)
+    trigram frame against a frozen cost table. Inner join: trigram
+    types absent from the model contribute nothing (impossible when
+    the model was trained on the same corpus — the batch-pipeline
+    case; for a frozen model scoring NEW text, unseen types are
+    skipped and the perplexity is over seen types only, the
+    documented streaming-gate semantics)."""
     return (
         tg.join(tcost, ["w1", "w2", "w3"])
         .groupBy("doc_id")

@@ -4106,12 +4106,19 @@ def multimodal_perceptual_crosscheck(spark, sf_dir):
 # energy-band fingerprint + Hamming-LSH banding, cross-checked
 # against the text-shingle truth set
 # --------------------------------------------------------------------
-def _audio_oracle() -> str:
+def audio_pair_ctes(p: str = "aud") -> str:
+    """The planted-PCM → energy fingerprint → Hamming-band
+    candidate-pair chain as a reusable CTE fragment (no leading
+    WITH, no trailing comma): relations {p}toks {p}cells {p}samp
+    {p}energy {p}mean {p}fp {p}bands {p}cand, prefixed so the
+    fragment composes into oracles that bind their own toks/bands
+    (the v5 admission oracle does). {p}cand has (doc_a, doc_b, fa,
+    fb) for band-colliding doc_a < doc_b pairs; callers apply the
+    Hamming verify."""
     from ..operators.multimodal import (
         AUDIO_BAND_BITS,
         AUDIO_FRAME_LEN,
         AUDIO_FRAMES,
-        AUDIO_HAM_MAX,
         AUDIO_N_BANDS,
         AUDIO_PREFIX_TOKENS,
         MALFORMED_MOD,
@@ -4123,54 +4130,60 @@ def _audio_oracle() -> str:
         "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
         "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
     )
+    return f"""{p}toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id % {MALFORMED_MOD} <> 0
+),
+{p}cells AS (
+  SELECT doc_id, i AS idx,
+         md5(ts[1 + (i % least(len(ts), {AUDIO_PREFIX_TOKENS}))]
+             || ':' || CAST(i AS VARCHAR)) AS d
+  FROM {p}toks, unnest(generate_series(0, {n - 1})) AS t(i)
+  WHERE len(ts) >= 1
+),
+{p}samp AS (
+  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS v FROM {p}cells
+),
+{p}energy AS (
+  SELECT doc_id, idx // {AUDIO_FRAME_LEN} AS f,
+         CAST(sum(v * v) AS BIGINT) AS e
+  FROM {p}samp GROUP BY doc_id, idx // {AUDIO_FRAME_LEN}
+),
+{p}mean AS (
+  SELECT doc_id, CAST(sum(e) // {AUDIO_FRAMES} AS BIGINT) AS m
+  FROM {p}energy GROUP BY doc_id
+),
+{p}fp AS (
+  SELECT e.doc_id,
+         CAST(sum(CASE WHEN e.e > m.m
+              THEN (CAST(1 AS BIGINT) << e.f) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM {p}energy e JOIN {p}mean m USING (doc_id)
+  GROUP BY e.doc_id
+),
+{p}bands AS (
+  SELECT doc_id, afp, b,
+         (afp >> ({AUDIO_BAND_BITS} * b))
+           & {(1 << AUDIO_BAND_BITS) - 1} AS bkey
+  FROM {p}fp, unnest(generate_series(0, {AUDIO_N_BANDS - 1})) AS t(b)
+),
+{p}cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.afp AS fa, y.afp AS fb
+  FROM {p}bands x JOIN {p}bands y
+    ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+)"""
+
+
+def _audio_oracle() -> str:
+    from ..operators.multimodal import AUDIO_HAM_MAX
+
     tri = (
         "list_transform(generate_series(1, len(ts) - 2), "
         "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
     )
     return f"""
-WITH audtoks AS (
-  SELECT doc_id, {_TOKS} AS ts FROM documents
-  WHERE doc_id % {MALFORMED_MOD} <> 0
-),
-audcells AS (
-  SELECT doc_id, i AS idx,
-         md5(ts[1 + (i % least(len(ts), {AUDIO_PREFIX_TOKENS}))]
-             || ':' || CAST(i AS VARCHAR)) AS d
-  FROM audtoks, unnest(generate_series(0, {n - 1})) AS t(i)
-  WHERE len(ts) >= 1
-),
-audsamp AS (
-  SELECT doc_id, idx, CAST({hex2} AS BIGINT) AS v FROM audcells
-),
-audenergy AS (
-  SELECT doc_id, idx // {AUDIO_FRAME_LEN} AS f,
-         CAST(sum(v * v) AS BIGINT) AS e
-  FROM audsamp GROUP BY doc_id, idx // {AUDIO_FRAME_LEN}
-),
-audmean AS (
-  SELECT doc_id, CAST(sum(e) // {AUDIO_FRAMES} AS BIGINT) AS m
-  FROM audenergy GROUP BY doc_id
-),
-audfp AS (
-  SELECT e.doc_id,
-         CAST(sum(CASE WHEN e.e > m.m
-              THEN (CAST(1 AS BIGINT) << e.f) ELSE 0 END)
-              AS BIGINT) AS afp
-  FROM audenergy e JOIN audmean m USING (doc_id)
-  GROUP BY e.doc_id
-),
-audbands AS (
-  SELECT doc_id, afp, b,
-         (afp >> ({AUDIO_BAND_BITS} * b))
-           & {(1 << AUDIO_BAND_BITS) - 1} AS bkey
-  FROM audfp, unnest(generate_series(0, {AUDIO_N_BANDS - 1})) AS t(b)
-),
-audcand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         x.afp AS fa, y.afp AS fb
-  FROM audbands x JOIN audbands y
-    ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
-),
+WITH {audio_pair_ctes("aud")},
 audpairs AS (
   SELECT doc_a, doc_b,
          CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
@@ -4291,14 +4304,21 @@ def multimodal_audio_near_dups(spark, sf_dir):
 # dHash, TEMPORALLY-ALIGNED Hamming-LSH — completes the multimodal
 # near-dup trio (pixels / audio / video)
 # --------------------------------------------------------------------
-def _video_oracle() -> str:
+def video_pair_ctes(p: str = "v") -> str:
+    """The planted-Y4M → per-frame dHash → temporally-aligned band →
+    aligned-close-count chain as a reusable CTE fragment (no leading
+    WITH, no trailing comma): relations {p}toks {p}cells {p}samp
+    {p}hash {p}bands {p}cand {p}close, prefixed for composition
+    (the v5 admission oracle binds its own toks/bands/cand).
+    {p}close has (doc_a, doc_b, n_close_frames) for every band-
+    colliding doc_a < doc_b pair; callers apply the ≥ VIDEO_MIN_CLOSE
+    verify."""
     from ..operators.multimodal import (
         DHASH_GRID,
         MALFORMED_MOD,
         VIDEO_BAND_BITS,
         VIDEO_FRAME_HAM_MAX,
         VIDEO_FRAMES,
-        VIDEO_MIN_CLOSE,
         VIDEO_N_BANDS,
         VIDEO_PREFIX_TOKENS,
     )
@@ -4309,61 +4329,67 @@ def _video_oracle() -> str:
         "(instr('0123456789abcdef', substring(d, 1, 1)) - 1) * 16 + "
         "(instr('0123456789abcdef', substring(d, 2, 1)) - 1)"
     )
-    tri = (
-        "list_transform(generate_series(1, len(ts) - 2), "
-        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
-    )
-    return f"""
-WITH vtoks AS (
+    return f"""{p}toks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents
   WHERE doc_id % {MALFORMED_MOD} <> 0
 ),
-vcells AS (
+{p}cells AS (
   SELECT doc_id, i AS idx,
          md5(ts[1 + (i % least(len(ts), {VIDEO_PREFIX_TOKENS}))]
              || ':v:' || CAST(i AS VARCHAR)) AS d
-  FROM vtoks, unnest(generate_series(0, {n - 1})) AS t(i)
+  FROM {p}toks, unnest(generate_series(0, {n - 1})) AS t(i)
   WHERE len(ts) >= 1
 ),
-vsamp AS (
+{p}samp AS (
   SELECT doc_id, idx // {g * g} AS f, idx % {g * g} AS cell,
          CAST({hex2} AS BIGINT) AS v
-  FROM vcells
+  FROM {p}cells
 ),
-vhash AS MATERIALIZED (
+{p}hash AS MATERIALIZED (
   SELECT a.doc_id, a.f,
          CAST(sum(CASE WHEN b.v > a.v
               THEN (CAST(1 AS BIGINT)
                     << ((a.cell // {g}) * {g - 1} + (a.cell % {g})))
               ELSE 0 END) AS BIGINT) AS vh
-  FROM vsamp a
-  JOIN vsamp b ON b.doc_id = a.doc_id AND b.f = a.f
+  FROM {p}samp a
+  JOIN {p}samp b ON b.doc_id = a.doc_id AND b.f = a.f
               AND b.cell = a.cell + 1
   WHERE a.cell % {g} < {g - 1}
   GROUP BY a.doc_id, a.f
 ),
-vbands AS (
+{p}bands AS (
   SELECT doc_id, f, vh, b,
          (vh >> ({VIDEO_BAND_BITS} * b))
            & {(1 << VIDEO_BAND_BITS) - 1} AS bkey
-  FROM vhash, unnest(generate_series(0, {VIDEO_N_BANDS - 1})) AS t(b)
+  FROM {p}hash, unnest(generate_series(0, {VIDEO_N_BANDS - 1})) AS t(b)
 ),
-vcand AS (
+{p}cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM vbands x JOIN vbands y
+  FROM {p}bands x JOIN {p}bands y
     ON y.f = x.f AND y.b = x.b AND y.bkey = x.bkey
    AND x.doc_id < y.doc_id
 ),
-vclose AS (
+{p}close AS (
   SELECT c.doc_a, c.doc_b,
          CAST(sum(CASE WHEN bit_count(xor(xa.vh, yb.vh))
                   <= {VIDEO_FRAME_HAM_MAX} THEN 1 ELSE 0 END)
               AS BIGINT) AS n_close_frames
-  FROM vcand c
-  JOIN vhash xa ON xa.doc_id = c.doc_a
-  JOIN vhash yb ON yb.doc_id = c.doc_b AND yb.f = xa.f
+  FROM {p}cand c
+  JOIN {p}hash xa ON xa.doc_id = c.doc_a
+  JOIN {p}hash yb ON yb.doc_id = c.doc_b AND yb.f = xa.f
   GROUP BY c.doc_a, c.doc_b
-),
+)"""
+
+
+def _video_oracle() -> str:
+    from ..operators.multimodal import VIDEO_MIN_CLOSE
+
+    tri = (
+        "list_transform(generate_series(1, len(ts) - 2), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+    )
+    return f"""
+WITH {video_pair_ctes("v")},
 vpairs AS (
   SELECT * FROM vclose WHERE n_close_frames >= {VIDEO_MIN_CLOSE}
 ),

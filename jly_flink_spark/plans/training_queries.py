@@ -2425,3 +2425,176 @@ def selection_greedy_coverage(spark, sf_dir):
     for o in out_rows[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming admission gate, v5 policy (round 11): the batch twin of
+# the ingest path AT THE BATCH FRONTIER — verdict-r10 task 4. The
+# v3 twin (`pipeline_streaming_admission`) stays registered and
+# pinned; this query runs the same `admission_decisions` body with
+# policy="v5": all THREE perceptual tiers (image dHash + audio
+# energy aHash + video temporally-aligned dHash) over the
+# decon-survivor pair universe, then the Kneser-Ney σ-gate with the
+# cost table frozen from the corpus (broadcast model state).
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_streaming_admission_v5",
+    oracle=None,  # attached below (shared fragments)
+    tags=("training", "pipeline", "streaming", "dedup", "multimodal"),
+    doc="The streaming corpus-admission gate at v5 policy parity — "
+    "the ingest path finally tracks the best batch policy (round-10 "
+    "verdict gap #1). One batch = the whole corpus with empty "
+    "state, so the decisions equal the policy exactly: exact dedup "
+    "→ MinHash-LSH near-dup (Jaccard ≥ 0.8 verify) → benchmark "
+    "decontamination → ALL THREE media near-dup tiers over the "
+    "same survivor universe (planted-pixel dHash bands, planted-PCM "
+    "energy-fingerprint bands, planted-Y4M temporally-aligned "
+    "per-frame dHash bands — each min-id-wins) → frozen-weights "
+    "quality gate → interpolated-KN σ-gate (cost table trained on "
+    "the corpus, broadcast; milli-nat integer scores; docs > 1σ "
+    "above the survivor mean drop, unscored docs pass) → "
+    "ExactSubstr retention → per-source cap. In streaming the same "
+    "body runs per micro-batch against the persisted ledger + four "
+    "band indexes + frozen kn_cost (see streaming/admission.py); "
+    "replay-parity and batch-equivalence are pinned in "
+    "tests/test_admission.py. Reference parity: StartJob.java:63-"
+    "146 (the validate→route→sink ingest shape) with the curation "
+    "frontier as the validation stage.",
+)
+def pipeline_streaming_admission_v5(spark, sf_dir):
+    from ..operators.classifier import WEIGHT_COLS, fit_quality_classifier
+    from ..streaming.admission import (
+        BENCH_MAX_DOC,
+        admission_decisions,
+        empty_state,
+    )
+    from .curation_queries import doc_trigrams_frame, kn_cost_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, w = fit_quality_classifier(docs)
+    wrow = w.head()
+    weights = {m: int(wrow[c]) for m, c in WEIGHT_COLS}
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_DOC)
+    # frozen model state: the corpus-trained KN cost table (the
+    # classifier-weights discipline — trained once, broadcast)
+    kn_cost = kn_cost_frame(doc_trigrams_frame(docs))
+    state = empty_state(spark, bench, kn_cost=kn_cost)
+    decisions = admission_decisions(
+        spark,
+        docs,
+        state,
+        weights,
+        source_cap=None,
+        enable_image_gate=True,
+        policy="v5",
+    )
+    return decisions.filter(F.col("admitted")).select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _admission_v5_oracle() -> str:
+    from ..operators.dedup import substring_retention_sql
+    from ..operators.multimodal import (
+        AUDIO_HAM_MAX,
+        DHASH_HAM_MAX,
+        VIDEO_MIN_CLOSE,
+    )
+    from .curation_queries import (
+        SOURCE_CAP_DEN,
+        SOURCE_CAP_MIN,
+        kn_lm_ctes,
+        qc_oracle_fragments,
+    )
+    from .northstar_queries import (
+        _TOKS,
+        audio_pair_ctes,
+        dhash_pair_ctes,
+        video_pair_ctes,
+    )
+
+    feats_ctes, gd_ctes, p, prev = qc_oracle_fragments()
+    return f"""
+WITH {_pipeline_kept3_ctes()},
+{dhash_pair_ctes("img")},
+{audio_pair_ctes("au")},
+{video_pair_ctes("vd")},
+media_losers AS (
+  -- three perceptual tiers over the SAME kept3 pair universe:
+  -- doc_b of each verified (doc_a < doc_b) pair drops (min-id wins)
+  SELECT doc_id FROM (
+    SELECT c.doc_a, c.doc_b FROM imgcand c
+    WHERE bit_count(xor(c.ha, c.hb)) <= {DHASH_HAM_MAX}
+    UNION
+    SELECT c.doc_a, c.doc_b FROM aucand c
+    WHERE bit_count(xor(c.fa, c.fb)) <= {AUDIO_HAM_MAX}
+    UNION
+    SELECT c.doc_a, c.doc_b FROM vdclose c
+    WHERE c.n_close_frames >= {VIDEO_MIN_CLOSE}
+  ) pairs(doc_a, doc_id)
+  WHERE EXISTS (SELECT 1 FROM kept3 a WHERE a.doc_id = pairs.doc_a)
+    AND EXISTS (SELECT 1 FROM kept3 b2 WHERE b2.doc_id = pairs.doc_id)
+),
+kept3m AS MATERIALIZED (
+  SELECT k.* FROM kept3 k
+  WHERE NOT EXISTS (SELECT 1 FROM media_losers l
+                    WHERE l.doc_id = k.doc_id)
+),
+{feats_ctes},
+{gd_ctes},
+pred AS (SELECT doc_id, {p} AS p FROM feats f, {prev}),
+kept4 AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.text FROM kept3m k
+  WHERE EXISTS (SELECT 1 FROM pred s
+                WHERE s.doc_id = k.doc_id AND s.p > 500)
+),
+{kn_lm_ctes(score_rel="kept4")},
+sc4 AS MATERIALIZED (
+  SELECT k.doc_id,
+         CAST(pp.kn_logppl_micro // {LM_GATE_MILLI_DIV} AS BIGINT) AS y
+  FROM kept4 k JOIN kn_docppl pp USING (doc_id)
+),
+lm_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM sc4
+),
+lm_drop AS (
+  SELECT doc_id FROM sc4, lm_stats
+  WHERE y > sy // n
+    AND (y - sy // n) * (y - sy // n) * n
+        > syy - 2 * (sy // n) * sy + n * (sy // n) * (sy // n)
+),
+kept4b AS MATERIALIZED (
+  SELECT k.* FROM kept4 k
+  WHERE NOT EXISTS (SELECT 1 FROM lm_drop l WHERE l.doc_id = k.doc_id)
+),
+{substring_retention_sql("kept4b")},
+kept5 AS MATERIALIZED (
+  SELECT k.* FROM kept4b k
+  JOIN sretention r ON r.doc_id = k.doc_id
+  WHERE r.retention_ppm >= {PIPELINE_RETENTION_MIN_PPM}
+),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept5),
+ranked AS (
+  SELECT k.doc_id, k.lang, k.text, d.source,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rnk
+  FROM kept5 k JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, lang,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+FROM ranked, n5
+WHERE rnk <= greatest({SOURCE_CAP_MIN}, n // {SOURCE_CAP_DEN})
+"""
+
+
+_REG2["pipeline_streaming_admission_v5"].oracle = _admission_v5_oracle()
+_REG2["pipeline_streaming_admission_v5"].impl_hash = _impl_hash(
+    _source_of(pipeline_streaming_admission_v5),
+    _REG2["pipeline_streaming_admission_v5"].oracle,
+)

@@ -97,8 +97,16 @@ WINNOW_MAX_DF = 50
 _LEDGER_SCHEMA = (
     "doc_id long, source string, lang string, text string, fp string,"
     " passed2 boolean, passed3 boolean, passed4 boolean,"
-    " passed5 boolean, admitted boolean"
+    " passed5 boolean, admitted boolean, kn_y bigint"
 )
+# kn_y: the doc's milli-nat KN log-perplexity (v5 policy, NULL under
+# v3 or for unscored docs) — persisted so future batches' σ-gate
+# statistics extend over ALL prior quality-survivors without ever
+# re-scoring ledger text (the no-corpus-rescan rule).
+
+_AUDIO_IDX_SCHEMA = "doc_id long, afp long, b int, bkey long"
+_VIDEO_IDX_SCHEMA = "doc_id long, f int, vh long, b int, bkey long"
+_KN_COST_SCHEMA = "w1 string, w2 string, w3 string, nll_micro long"
 
 
 @dataclass
@@ -131,6 +139,18 @@ class AdmissionPaths:
     def bench(self) -> str:
         return os.path.join(self.root, "bench_shingles")
 
+    @property
+    def audio(self) -> str:
+        return os.path.join(self.root, "audio_bands")
+
+    @property
+    def video(self) -> str:
+        return os.path.join(self.root, "video_bands")
+
+    @property
+    def kn_cost(self) -> str:
+        return os.path.join(self.root, "kn_cost")
+
 
 @dataclass
 class AdmissionState:
@@ -146,25 +166,43 @@ class AdmissionState:
     dhash_bands: DataFrame
     bench_shingles: DataFrame
     bloom_words: list
+    # v5-policy state (empty/None under v3): the two extra perceptual
+    # band indexes and the FROZEN KN trigram cost table (model state,
+    # the classifier-weights discipline one size up — broadcast-able
+    # because it is trigram-TYPE-bounded, not corpus-bounded)
+    audio_bands: DataFrame | None = None
+    video_bands: DataFrame | None = None
+    kn_cost: DataFrame | None = None
 
 
-def empty_state(spark, bench_docs: DataFrame | None = None) -> AdmissionState:
+def empty_state(
+    spark,
+    bench_docs: DataFrame | None = None,
+    kn_cost: DataFrame | None = None,
+) -> AdmissionState:
     """State for a cold start: empty ledger/indexes plus the static
     benchmark decontamination set built from ``bench_docs`` (or an
-    empty one)."""
+    empty one). ``kn_cost`` freezes the v5 LM gate's cost table
+    (None → gate scores nothing and every doc passes it)."""
     ledger = spark.createDataFrame([], _LEDGER_SCHEMA)
     lsh = spark.createDataFrame([], "band_key string, doc_id long")
     win = spark.createDataFrame([], "doc_id long, h long, n_fp long")
     dh = spark.createDataFrame(
         [], "doc_id long, dhash long, b int, bkey long"
     )
+    au = spark.createDataFrame([], _AUDIO_IDX_SCHEMA)
+    vi = spark.createDataFrame([], _VIDEO_IDX_SCHEMA)
     if bench_docs is not None:
         bench = _bench_shingle_set(bench_docs)
     else:
         bench = spark.createDataFrame([], "shingle string")
     bench = stage(bench, eager=True)
     words = build_bloom_words(bench)
-    return AdmissionState(ledger, lsh, win, dh, bench, words)
+    if kn_cost is None:
+        kn_cost = spark.createDataFrame([], _KN_COST_SCHEMA)
+    return AdmissionState(
+        ledger, lsh, win, dh, bench, words, au, vi, kn_cost
+    )
 
 
 def _bench_shingle_set(bench_docs: DataFrame) -> DataFrame:
@@ -177,16 +215,24 @@ def _bench_shingle_set(bench_docs: DataFrame) -> DataFrame:
     )
 
 
-def init_admission_state(spark, paths: AdmissionPaths, bench_docs: DataFrame) -> None:
-    """One-time setup: persist the benchmark shingle set and create
-    the empty ledger. Index directories are created lazily by the
-    first append (parquet append on a fresh path)."""
+def init_admission_state(
+    spark,
+    paths: AdmissionPaths,
+    bench_docs: DataFrame,
+    kn_cost: DataFrame | None = None,
+) -> None:
+    """One-time setup: persist the benchmark shingle set, the empty
+    ledger, and (v5) the frozen KN cost table. Index directories are
+    created lazily by the first append (parquet append on a fresh
+    path)."""
     _bench_shingle_set(bench_docs).write.mode("overwrite").parquet(
         paths.bench
     )
     spark.createDataFrame([], _LEDGER_SCHEMA).write.mode(
         "overwrite"
     ).parquet(paths.ledger)
+    if kn_cost is not None:
+        kn_cost.write.mode("overwrite").parquet(paths.kn_cost)
 
 
 def load_state(spark, paths: AdmissionPaths) -> AdmissionState:
@@ -202,12 +248,134 @@ def load_state(spark, paths: AdmissionPaths) -> AdmissionState:
             return fallback
 
     ledger = _read(paths.ledger, s.ledger)
+    if "kn_y" not in ledger.columns:  # pre-round-11 ledger layout
+        ledger = ledger.withColumn("kn_y", F.lit(None).cast("bigint"))
     lsh = _read(paths.lsh, s.lsh_bands)
     win = _read(paths.winnow, s.winnow_fps)
     dh = _read(paths.dhash, s.dhash_bands)
+    au = _read(paths.audio, s.audio_bands)
+    vi = _read(paths.video, s.video_bands)
+    kn = _read(paths.kn_cost, s.kn_cost)
     bench = stage(_read(paths.bench, s.bench_shingles), eager=True)
     words = build_bloom_words(bench)
-    return AdmissionState(ledger, lsh, win, dh, bench, words)
+    return AdmissionState(
+        ledger, lsh, win, dh, bench, words, au, vi, kn
+    )
+
+
+def _audio_tier_losers(kept3: DataFrame, au_idx: DataFrame) -> DataFrame:
+    """Audio near-dup losers among ``kept3``: energy-fingerprint
+    Hamming-LSH pairs (intra-batch bands + index probes), doc_b of
+    each verified (a < b) pair drops — the image stage's rule one
+    modality over. Returns a (doc_id) frame (may contain dups; the
+    caller's anti-join is duplicate-insensitive)."""
+    media = mm.documents_as_audio_media(kept3)
+    bands = mm.audio_bands(
+        mm.audio_fingerprint_frame(media).filter(
+            F.col("afp").isNotNull()
+        )
+    ).transform(stage)
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fa"),
+        "b", "bkey",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fb"),
+        "b", "bkey",
+    )
+    intra = (
+        x.join(y, ["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    cross = (
+        bands.join(
+            au_idx.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("afp").alias("fa"),
+                "b",
+                "bkey",
+            ),
+            ["b", "bkey"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_id"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            "fa",
+            F.col("afp").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        intra.unionAll(cross)
+        .filter(ham <= mm.AUDIO_HAM_MAX)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
+    """Video near-dup losers among ``kept3``: TEMPORALLY-ALIGNED
+    per-frame dHash bands — candidates must collide at the same
+    (frame slot, band, bits); pairs verify by ≥ VIDEO_MIN_CLOSE of
+    VIDEO_FRAMES aligned frames within per-frame Hamming
+    VIDEO_FRAME_HAM_MAX. The cross-batch close-count reads the index
+    rows' own vh values (hashes ride in every band row), never the
+    corpus. doc_b of each verified (a < b) pair drops."""
+    media = mm.documents_as_video_media(kept3)
+    hashes = mm.video_dhash_frames(media).transform(stage)
+    bands = mm.video_bands(hashes)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "f", "b", "bkey")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "f", "b", "bkey")
+    intra = (
+        x.join(y, ["f", "b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cross = (
+        bands.join(
+            vi_idx.select(
+                F.col("doc_id").alias("doc_a"), "f", "b", "bkey"
+            ),
+            ["f", "b", "bkey"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_id"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand = intra.unionAll(cross).distinct()
+    # per-frame hashes of both sides: batch side from this batch's
+    # hashes, index side from the (distinct) index band rows
+    ha_all = hashes.select(
+        F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
+    ).unionAll(
+        vi_idx.select(
+            F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
+        ).distinct()
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"), "f", F.col("vh").alias("vhb")
+    )
+    return (
+        cand.join(ha_all, "doc_a")
+        .join(hb, ["doc_b", "f"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                (
+                    F.bit_count(F.col("vha").bitwiseXOR(F.col("vhb")))
+                    <= mm.VIDEO_FRAME_HAM_MAX
+                ).cast("int")
+            ).alias("n_close")
+        )
+        .filter(F.col("n_close") >= mm.VIDEO_MIN_CLOSE)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
 
 
 def admission_decisions(
@@ -217,6 +385,7 @@ def admission_decisions(
     weights: dict[str, int],
     source_cap: int | None = None,
     enable_image_gate: bool = True,
+    policy: str = "v3",
 ) -> DataFrame:
     """The pure admission policy: one micro-batch of documents
     (doc_id, source, lang, text) against the given state → the
@@ -231,9 +400,34 @@ def admission_decisions(
     max(SOURCE_CAP_MIN, n5 // SOURCE_CAP_DEN) over the running
     stage-5 survivor count — exact in single-batch mode, monotone
     (cap only grows) across batches.
+
+    ``policy``: "v3" (the round-9 gate: text/decon/image/quality/
+    ExactSubstr/cap — the pinned `pipeline_streaming_admission`
+    semantics, unchanged) or "v5" (round 11 — the ingest path
+    tracks the batch frontier): the perceptual near-dup stage runs
+    ALL THREE media tiers (image dHash, audio energy aHash, video
+    temporally-aligned dHash) over the same decon-survivor pair
+    universe, and stage 4b applies pipeline_training_corpus_v5's
+    Kneser-Ney σ-gate — batch docs score against the FROZEN
+    `state.kn_cost` table (broadcast model state), σ statistics
+    extend over prior quality-survivors via the ledger's stored
+    `kn_y` scores (never re-scoring ledger text), and docs more
+    than 1σ above the mean milli-nat log-perplexity drop; unscored
+    docs pass. With empty state and the whole corpus as one batch
+    (cost table trained on it), v5 equals the batch pipeline's
+    image+audio+video-extended v5 policy exactly — the
+    `pipeline_streaming_admission_v5` hash contract.
     """
     from ..plans.curation_queries import SOURCE_CAP_DEN, SOURCE_CAP_MIN
 
+    if policy not in ("v3", "v5"):
+        raise ValueError(f"unknown admission policy {policy!r}")
+    v5 = policy == "v5"
+    if v5 and not enable_image_gate:
+        raise ValueError(
+            "policy='v5' runs all three media tiers; "
+            "enable_image_gate=False only composes with 'v3'"
+        )
     batch = batch.select("doc_id", "source", "lang", "text")
     batch_ids = stage(batch.select("doc_id").distinct(), eager=True)
 
@@ -248,6 +442,23 @@ def admission_decisions(
     lsh_idx = _pre_epoch(state.lsh_bands)
     win_idx = _pre_epoch(state.winnow_fps)
     dh_idx = _pre_epoch(state.dhash_bands)
+    au_idx = _pre_epoch(state.audio_bands) if v5 else None
+    vi_idx = _pre_epoch(state.video_bands) if v5 else None
+
+    # Decode-parallelism guard (round-11 straggler fix): AQE
+    # rightly coalesces the tiny-BY-BYTES doc shuffles (a few MB)
+    # down to one partition, but the survivor frames feed
+    # CPU-dense per-doc work — media planting + perceptual decode,
+    # winnowing, trigram explode — whose cost AQE cannot see, so
+    # the whole gate serialized onto one core (measured: ALL 10×
+    # rows in 1 of 2 post-AQE partitions; the round-10 probe's one
+    # straggler stage). Each staged fan-out frame is therefore
+    # explicitly repartitioned by doc_id to cluster parallelism:
+    # a few-MB shuffle buys every downstream map stage the full
+    # executor fleet at any scale.
+    from ..operators.ranking import resolve_shards
+
+    shards = resolve_shards(batch, None)
 
     # ---- stage 1: exact dedup (keep min doc_id; ledger keeps first)
     slim = batch.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -257,6 +468,7 @@ def admission_decisions(
     kept1 = (
         batch.join(slim, "doc_id")
         .join(kept1_ids, "doc_id", "left_semi")
+        .repartition(shards, "doc_id")
         .transform(stage)
     )
 
@@ -308,7 +520,11 @@ def admission_decisions(
         .select("doc_id")
         .distinct()
     )
-    kept3 = kept2.join(contaminated, "doc_id", "left_anti").transform(stage)
+    kept3 = (
+        kept2.join(contaminated, "doc_id", "left_anti")
+        .repartition(shards, "doc_id")  # media tiers fan out below
+        .transform(stage)
+    )
 
     # ---- stage 3i: image near-dup (dHash Hamming-LSH, min-id wins)
     if enable_image_gate:
@@ -361,17 +577,80 @@ def admission_decisions(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        kept3 = kept3.join(losers_img, "doc_id", "left_anti").transform(
-            stage
-        )
+        media_losers = losers_img
+        if v5:
+            # audio + video tiers probe the SAME pre-drop pair
+            # universe (kept3); the anti-join is duplicate-
+            # insensitive so the union needs no extra distinct
+            media_losers = media_losers.unionAll(
+                _audio_tier_losers(kept3, au_idx)
+            ).unionAll(_video_tier_losers(kept3, vi_idx))
+        kept3 = kept3.join(
+            media_losers, "doc_id", "left_anti"
+        ).transform(stage)
 
     # ---- stage 4: frozen-weights quality gate
     scored = score_quality(kept3, weights)
-    kept4 = kept3.join(
-        scored.filter(F.col("p") > QUALITY_MIN_P).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).transform(stage)
+    kept4 = (
+        kept3.join(
+            scored.filter(F.col("p") > QUALITY_MIN_P).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .repartition(shards, "doc_id")  # winnow/trigram work below
+        .transform(stage)
+    )
+
+    # ---- stage 4b (v5): Kneser-Ney σ-gate — score quality
+    # survivors against the FROZEN cost table, pool σ statistics
+    # with prior quality-survivors' stored scores (ledger kn_y),
+    # drop docs > 1σ above the mean. Exact integers: milli-nat
+    # scores, truncating mean, squared comparison (the batch
+    # pipeline's LM_GATE arithmetic verbatim). Unscored docs pass.
+    batch_kn = None
+    if v5:
+        from ..plans.curation_queries import (
+            doc_trigrams_frame,
+            kn_score_frame,
+        )
+        from ..plans.training_queries import LM_GATE_MILLI_DIV
+
+        batch_kn = stage(
+            kn_score_frame(
+                doc_trigrams_frame(kept4), state.kn_cost
+            ).select(
+                "doc_id",
+                F.expr(
+                    f"kn_logppl_micro div {LM_GATE_MILLI_DIV}"
+                ).alias("y"),
+            ),
+            eager=True,
+        )
+        prior_y = ledger.filter(F.col("kn_y").isNotNull()).select(
+            F.col("kn_y").alias("y")
+        )
+        lm_stats = (
+            batch_kn.select("y").unionAll(prior_y).agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("y").cast("bigint").alias("sy"),
+                F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+            )
+        )
+        lm_drop = (
+            batch_kn.crossJoin(F.broadcast(lm_stats))
+            .withColumn("m", F.expr("sy div n"))
+            .filter(
+                (F.col("y") > F.col("m"))
+                & (
+                    F.expr("(y - m) * (y - m) * n")
+                    > F.expr("syy - 2 * m * sy + n * m * m")
+                )
+            )
+            .select("doc_id")
+        )
+        kept4 = kept4.join(lm_drop, "doc_id", "left_anti").transform(
+            stage
+        )
 
     # ---- stage 5: ExactSubstr retention (intra-batch exact) AND
     # winnow containment vs the indexed corpus (cross-batch)
@@ -436,23 +715,36 @@ def admission_decisions(
         .join(_flag(kept4.select("doc_id"), "passed4"), "doc_id", "left")
         .join(_flag(kept5.select("doc_id"), "passed5"), "doc_id", "left")
         .join(_flag(admitted_ids, "admitted"), "doc_id", "left")
-        .select(
+    )
+    # kn_y rides into the ledger for every scored quality survivor
+    # (pre-LM-drop universe — LM losers still seed future σ stats)
+    if batch_kn is not None:
+        decisions = decisions.join(
+            batch_kn.select("doc_id", F.col("y").alias("kn_y")),
             "doc_id",
-            "source",
-            "lang",
-            "text",
-            "fp",
-            *[
-                F.coalesce(c, F.lit(False)).alias(c)
-                for c in (
-                    "passed2",
-                    "passed3",
-                    "passed4",
-                    "passed5",
-                    "admitted",
-                )
-            ],
+            "left",
         )
+    else:
+        decisions = decisions.withColumn(
+            "kn_y", F.lit(None).cast("bigint")
+        )
+    decisions = decisions.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "fp",
+        *[
+            F.coalesce(c, F.lit(False)).alias(c)
+            for c in (
+                "passed2",
+                "passed3",
+                "passed4",
+                "passed5",
+                "admitted",
+            )
+        ],
+        "kn_y",
     )
     return stage(decisions, eager=True)
 
@@ -464,10 +756,11 @@ def admit_batch(
     weights: dict[str, int],
     source_cap: int | None = None,
     enable_image_gate: bool = True,
+    policy: str = "v3",
 ) -> DataFrame:
     """The foreachBatch body: load state, decide, write admitted
-    state back to the ledger AND all three indexes in this epoch,
-    return the admitted documents. At-least-once: a replay re-appends
+    state back to the ledger AND every index in this epoch, return
+    the admitted documents. At-least-once: a replay re-appends
     identical rows (decisions are replay-invariant — see
     `admission_decisions`), the probes ignore physical duplicates,
     and the periodic `compact_admission_state` drains them."""
@@ -479,6 +772,7 @@ def admit_batch(
         weights,
         source_cap=source_cap,
         enable_image_gate=enable_image_gate,
+        policy=policy,
     )
 
     # write-back, one artifact per stage-reference corpus:
@@ -488,14 +782,22 @@ def admit_batch(
     dedup.append_to_lsh_index(
         decisions.select("doc_id", "text"), paths.lsh
     )
-    # dHash bands ← kept3 docs (stage-3i's pair universe)
+    # perceptual band indexes ← kept3 docs (the media tiers' pair
+    # universe for the next batch: keep-first, losers never index)
     if enable_image_gate:
-        mm.append_to_dhash_index(
-            mm.documents_as_pixel_media(
-                decisions.filter(F.col("passed3")).select("doc_id", "text")
-            ),
-            paths.dhash,
+        kept3_docs = decisions.filter(F.col("passed3")).select(
+            "doc_id", "text"
         )
+        mm.append_to_dhash_index(
+            mm.documents_as_pixel_media(kept3_docs), paths.dhash
+        )
+        if policy == "v5":
+            mm.append_to_audio_index(
+                mm.documents_as_audio_media(kept3_docs), paths.audio
+            )
+            mm.append_to_video_index(
+                mm.documents_as_video_media(kept3_docs), paths.video
+            )
     # winnow fingerprints ← kept4 docs (stage-5's span universe)
     dedup.append_to_winnow_index(
         decisions.filter(F.col("passed4")).select("doc_id", "text"),
@@ -516,6 +818,10 @@ def compact_admission_state(spark, paths: AdmissionPaths) -> None:
     dedup.compact_lsh_index(spark, paths.lsh)
     dedup.compact_winnow_index(spark, paths.winnow)
     mm.compact_dhash_index(spark, paths.dhash)
+    if os.path.exists(paths.audio):
+        mm.compact_audio_index(spark, paths.audio)
+    if os.path.exists(paths.video):
+        mm.compact_video_index(spark, paths.video)
     tmp = paths.ledger.rstrip("/") + ".compacting"
     compact_sorted(
         spark.read.parquet(paths.ledger).dropDuplicates(["doc_id"]),
@@ -535,11 +841,15 @@ def run_admission_stream(
     admitted_dir: str,
     source_cap: int | None = None,
     enable_image_gate: bool = True,
+    policy: str = "v3",
 ):
     """Wire the gate onto a streaming frame: each micro-batch runs
     `admit_batch` and lands its admitted documents under
     ``admitted_dir`` (partitioned parquet, append). Returns the
-    started StreamingQuery; callers own stop/await."""
+    started StreamingQuery; callers own stop/await. ``policy='v5'``
+    runs the full batch-frontier gate (all three media tiers + the
+    KN σ-gate) — requires `init_admission_state` to have persisted
+    the frozen kn_cost table."""
 
     def _body(batch_df, epoch_id):
         admitted = admit_batch(
@@ -549,6 +859,7 @@ def run_admission_stream(
             weights,
             source_cap=source_cap,
             enable_image_gate=enable_image_gate,
+            policy=policy,
         )
         admitted.write.mode("append").parquet(admitted_dir)
 
