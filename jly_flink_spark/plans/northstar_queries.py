@@ -781,23 +781,17 @@ def ivf_refined_cents_sql(
 )"""
 
 
-def _ivf_int8_oracle(
-    n_list: int = _IVF_INT8_N_LIST, n_probe: int = _IVF_INT8_N_PROBE
-) -> str:
-    """Full DuckDB mirror of the PRUNED IVF-SQ8 serving path —
-    REFINED coarse centroids (seed + one fixed-point Lloyd step,
-    replayed by `ivf_refined_cents_sql`), quantized coarse
-    assignment, n_probe probe selection, and exact-integer int8
-    scoring are ALL reproduced expression-for-expression, so even
-    with n_probe < n_list (real partition pruning) the result
-    value-hashes across engines. Until round 9 the Lloyd step was
-    absent here (float means are fold-order-dependent); the
-    fixed-point refinement made it replayable, so the registered
-    query now serves the production quantizer instead of the seed
-    floor."""
+def ivf_assign_probe_ctes(n_list: int, n_probe: int) -> str:
+    """The refined-centroid → quantized coarse assignment → n_probe
+    probe-selection chain as a reusable CTE fragment (no leading
+    WITH, no trailing comma) — relations cents, cnorm, vnorm, cprod,
+    cdots, cent_cos, assign, probes. Shared by the int8 AND float
+    pruned-IVF oracles: ONE SQL definition of the serving path's
+    pruning arithmetic, mirroring `_assign_udf` /
+    `_select_probe_lists` expression-for-expression (quantized
+    centroid cosine, vq guarded at 1, ties → lowest cid)."""
     ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
-    return f"""
-WITH {ivf_refined_cents_sql(n_list, final="cents", idcol="cid")},
+    return f"""{ivf_refined_cents_sql(n_list, final="cents", idcol="cid")},
 cnorm AS (
   -- centroid quantized norm², guarded at 1 (mirrors _centroid_state)
   SELECT cid,
@@ -848,7 +842,25 @@ probes AS (
                               ORDER BY ccos DESC, cid) AS rn
     FROM cent_cos WHERE vec_id IN ({ids})
   ) WHERE rn <= {n_probe}
-),
+)"""
+
+
+def _ivf_int8_oracle(
+    n_list: int = _IVF_INT8_N_LIST, n_probe: int = _IVF_INT8_N_PROBE
+) -> str:
+    """Full DuckDB mirror of the PRUNED IVF-SQ8 serving path —
+    REFINED coarse centroids (seed + one fixed-point Lloyd step,
+    replayed by `ivf_refined_cents_sql`), quantized coarse
+    assignment, n_probe probe selection, and exact-integer int8
+    scoring are ALL reproduced expression-for-expression, so even
+    with n_probe < n_list (real partition pruning) the result
+    value-hashes across engines. Until round 9 the Lloyd step was
+    absent here (float means are fold-order-dependent); the
+    fixed-point refinement made it replayable, so the registered
+    query now serves the production quantizer instead of the seed
+    floor."""
+    return f"""
+WITH {ivf_assign_probe_ctes(n_list, n_probe)},
 scaled AS (
   SELECT vec_id, embedding,
          greatest(list_max(list_transform(embedding,
@@ -900,6 +912,80 @@ SELECT query_id, cand_id, cosine_q8, rnk FROM (
   FROM scored
 ) WHERE rnk <= {_ANN_K}
 """
+
+
+def _ivf_float_oracle(n_list: int = 16, n_probe: int = 4) -> str:
+    """Full DuckDB mirror of the PRUNED IVF-Flat serving path
+    (`ann_cosine_ivf`, round-11 — verdict task 5: retire the last
+    approximate-tier rows-only check). Shares the ONE
+    assignment/probe-selection fragment with the int8 oracle
+    (`ivf_assign_probe_ctes`), then scores probed pairs with the
+    exact quantized-float cosine (`_float_cos_score`'s arithmetic:
+    Σfloor(qx·ex·QUANT) / (√qn_q·√qn_c), zero-norm vectors dropped
+    on both sides — `drop_zero_norm` / `_probe_frame` parity). With
+    the pruning itself replayed in SQL, n_probe < n_list no longer
+    forces a rows-only contract: recall<1 vs brute force is a
+    PROPERTY of the algorithm both engines now reproduce
+    identically."""
+    return f"""
+WITH {ivf_assign_probe_ctes(n_list, n_probe)},
+qn AS (
+  -- true quantized norm² (UNguarded — scoring uses the real value;
+  -- the guard-at-1 applies only to assignment arithmetic above)
+  SELECT vec_id,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  -- candidates = vectors assigned to a probed list, self excluded
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+pprod AS (
+  SELECT pr.query_id, pr.cand_id,
+         unnest(eq.embedding) AS qx, unnest(ec.embedding) AS ex
+  FROM pairs pr
+  JOIN embeddings eq ON eq.vec_id = pr.query_id
+  JOIN embeddings ec ON ec.vec_id = pr.cand_id
+),
+dots AS (
+  SELECT query_id, cand_id,
+         CAST(sum(CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT) AS qdot
+  FROM pprod GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+           AS cosine
+  FROM dots d
+  JOIN qn nq ON nq.vec_id = d.query_id
+  JOIN qn nc ON nc.vec_id = d.cand_id
+  WHERE nq.qn > 0 AND nc.qn > 0
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+# Retire ann_cosine_ivf's rows-only status (round-11): the pruned
+# float serving path now carries the full unrolled-CTE oracle — the
+# int8 sibling proved the pattern; this closes the set to 1.
+from .registry import REGISTRY as _NREG  # noqa: E402
+from .registry import _impl_hash as _nimpl  # noqa: E402
+from .registry import _source_of as _nsrc  # noqa: E402
+
+_NREG["ann_cosine_ivf"].oracle = _ivf_float_oracle()
+_NREG["ann_cosine_ivf"].impl_hash = _nimpl(
+    _nsrc(ann_cosine_ivf), _NREG["ann_cosine_ivf"].oracle
+)
 
 
 @register(

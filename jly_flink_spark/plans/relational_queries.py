@@ -531,23 +531,116 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate — rows-only check per driver contract
+    oracle=None,  # attached below (shares the HLL register fragments)
     tags=("groupby", "approx"),
-    doc="approx_count_distinct (HyperLogLog++): the 100-TB path for "
-    "distinct counts — no exact-distinct shuffle explosion. "
-    "Approximate ⇒ no value oracle (driver does rows-only), but the "
-    "estimates are NOT unasserted: every per-group estimate is pinned "
-    "within 3×rsd of the exact distinct (test_operators.py::"
-    "test_approx_distinct_within_documented_error), and the exact-"
-    "integer KMV twin (agg_kmv_distinct) hash-anchors the sketch "
-    "arithmetic cross-engine.",
+    doc="HyperLogLog approximate distinct — the 100-TB path for "
+    "distinct counts, now FULLY value-hash-checked (round-11, "
+    "verdict task 6): the estimate derives from the deterministic "
+    "register state agg_hll_registers pins (64 md5-keyed registers, "
+    "rank capped at 30) with the classic HLL ESTIMATOR DECISION "
+    "RULE expressed identically in both engines — raw estimate "
+    "alpha·m²·2^cap // Σ2^(cap−M_j) in exact integer micro-counts, "
+    "switched to linear counting m·ln(m/V) (micro-quantized ln, the "
+    "libm discipline) when the raw estimate ≤ 2.5m and zero "
+    "registers remain — replacing the engine-internal "
+    "approx_count_distinct whose HLL++ internals can never "
+    "value-hash across engines (that kernel keeps its own 3×rsd "
+    "accuracy pin in test_operators.py). Scale shape unchanged from "
+    "the register twin: per-row expressions, map-side-combined "
+    "max(rank), O(groups·64) shuffle, no distinct explosion.",
 )
 def agg_approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count("*").alias("n"),
+    h = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    rank = F.expr(_HLL_RANK_SQL.format(rem="h div 64"))
+    pv = li.select("l_returnflag", h.alias("h")).select(
+        "l_returnflag",
+        F.expr(f"h % {HLL_M}").alias("reg"),
+        rank.alias("rk"),
     )
+    regs = pv.groupBy("l_returnflag", "reg").agg(F.max("rk").alias("mj"))
+    empty_inv = 2**HLL_RANK_CAP
+    sk = regs.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(
+            F.expr(f"CAST(pow(2.0, {HLL_RANK_CAP} - mj) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("present_inv"),
+    )
+    nrow = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    raw_micro = (
+        f"(CAST({_HLL_NUM} AS BIGINT) div (present_inv"
+        f" + ({HLL_M} - n_present) * {empty_inv}))"
+    )
+    # HLL small-range switch: LC when raw ≤ 2.5m AND zero registers
+    # remain (V > 0); both branches in integer micro-counts
+    chosen = (
+        f"CASE WHEN {raw_micro} <= {_HLL_LC_THRESH_MICRO}"
+        f" AND n_present < {HLL_M}"
+        f" THEN CAST(round({HLL_M} * ln({HLL_M}.0"
+        f" / ({HLL_M} - n_present)) * 1000000) AS BIGINT)"
+        f" ELSE {raw_micro} END"
+    )
+    return nrow.join(sk, "l_returnflag").select(
+        "l_returnflag",
+        F.expr(f"CAST(({chosen}) div 1000000 AS BIGINT)").alias(
+            "approx_parts"
+        ),
+        "n",
+    )
+
+
+def _approx_distinct_oracle() -> str:
+    from ..operators.dedup import _sql_hex_to_int
+
+    rank = _HLL_RANK_SQL.format(rem="h // 64")
+    empty_inv = 2**HLL_RANK_CAP
+    raw_micro = (
+        f"({_HLL_NUM} // (s.present_inv"
+        f" + ({HLL_M} - s.n_present) * {empty_inv}))"
+    )
+    chosen = (
+        f"CASE WHEN {raw_micro} <= {_HLL_LC_THRESH_MICRO}"
+        f" AND s.n_present < {HLL_M}"
+        f" THEN CAST(round({HLL_M} * ln({HLL_M}.0"
+        f" / ({HLL_M} - s.n_present)) * 1000000) AS BIGINT)"
+        f" ELSE {raw_micro} END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, ({_sql_hex_to_int(1)}) AS h
+  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS d
+        FROM lineitem)
+),
+pv AS (
+  SELECT l_returnflag, h % {HLL_M} AS reg, {rank} AS rk FROM hashed
+),
+regs AS (
+  SELECT l_returnflag, reg, max(rk) AS mj FROM pv GROUP BY 1, 2
+),
+sk AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(CAST(pow(2.0, {HLL_RANK_CAP} - mj) AS BIGINT))
+              AS BIGINT) AS present_inv
+  FROM regs GROUP BY 1
+),
+nrow AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT r.l_returnflag,
+       CAST(({chosen}) // 1000000 AS BIGINT) AS approx_parts,
+       r.n
+FROM nrow r JOIN sk s USING (l_returnflag)
+"""
 
 
 KMV_K = 128  # sketch size: ~1/sqrt(K) ≈ 9% relative error
@@ -644,6 +737,9 @@ _HLL_RANK_SQL = (
     f"least(CASE WHEN {{rem}} = 0 THEN 51"
     f" ELSE 51 - length(bin({{rem}})) END, {HLL_RANK_CAP})"
 )
+# HLL small-range switch threshold, 2.5·m in micro-counts (exact:
+# 2.5·64 = 160) — the classic estimator's linear-counting boundary
+_HLL_LC_THRESH_MICRO = (5 * HLL_M // 2) * 1_000_000
 
 
 def _hll_oracle() -> str:
@@ -2847,3 +2943,18 @@ def orders_runs_test(spark, sf_dir):
         ).alias("mu_ppm"),
         F.expr(_RUNS_Z_EXPR).alias("z_milli"),
     )
+
+
+# Retire agg_approx_distinct's rows-only status (round 11, verdict
+# task 6): the oracle derives from the deterministic HLL register
+# state with the estimator decision rule in both engines — the
+# registry sweep is now 100% value-verified. Attached post-hoc
+# because the oracle shares the HLL constants defined mid-module.
+from .registry import REGISTRY as _RREG  # noqa: E402
+from .registry import _impl_hash as _rimpl  # noqa: E402
+from .registry import _source_of as _rsrc  # noqa: E402
+
+_RREG["agg_approx_distinct"].oracle = _approx_distinct_oracle()
+_RREG["agg_approx_distinct"].impl_hash = _rimpl(
+    _rsrc(agg_approx_distinct), _RREG["agg_approx_distinct"].oracle
+)

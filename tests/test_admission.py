@@ -266,3 +266,181 @@ def test_streaming_wiring_matches_batch_by_batch(
     assert got == expected and expected
     # and the fresh unique doc made it through the streamed path
     assert 900_100 in got
+
+
+# ---------------------------------------------------------------------------
+# v5 policy (round 11): batch-frontier parity — all three media
+# tiers + the frozen-KN σ-gate
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kn_cost(spark, corpus):
+    from jly_flink_spark.plans.curation_queries import (
+        doc_trigrams_frame,
+        kn_cost_frame,
+    )
+
+    return kn_cost_frame(doc_trigrams_frame(corpus))
+
+
+def test_v5_single_batch_matches_registered_query(
+    spark, corpus, weights, bench, kn_cost
+):
+    """Empty state + whole corpus as one batch at policy='v5' must
+    equal the oracle-checked pipeline_streaming_admission_v5 query
+    — the keep-first streaming gate degenerates to the batch-
+    frontier policy exactly."""
+    from jly_flink_spark.plans import REGISTRY
+
+    state = empty_state(spark, bench, kn_cost=kn_cost)
+    decisions = admission_decisions(
+        spark, corpus, state, weights, source_cap=None, policy="v5"
+    )
+    got = _ids(decisions.filter(F.col("admitted")))
+    want = _ids(
+        REGISTRY["pipeline_streaming_admission_v5"].spark_fn(spark, SF)
+    )
+    assert got == want and want
+    # the KN scores that seeded the σ-gate rode into the decisions
+    assert (
+        decisions.filter(F.col("kn_y").isNotNull()).count() > 0
+    )
+
+
+def _media_dup_batch(spark):
+    """Two synthetic docs ≥ 64 tokens sharing their FIRST-64-token
+    prefix (all three planted media tiers derive from it → identical
+    payloads) but with different tails (distinct-trigram Jaccard
+    well under 0.8 → the TEXT near-dup stage cannot pair them).
+    Only the perceptual tiers can link these."""
+    prefix = " ".join(f"tok{i}" for i in range(64))
+    tail_a = " ".join(f"alpha{i}" for i in range(40))
+    tail_b = " ".join(f"beta{i}" for i in range(40))
+    rows = [
+        (910_000, "web", "en", f"{prefix} {tail_a}"),
+        (910_001, "web", "en", f"{prefix} {tail_b}"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+
+def test_v5_media_tiers_catch_text_invisible_dups(
+    spark, weights, bench, kn_cost, tmp_path
+):
+    """Intra-batch AND cross-batch: the media-prefix twins are
+    invisible to the text stages but collide in every perceptual
+    tier. Batch 1 admits the min-id twin and indexes its bands;
+    the twin arriving in batch 2 must die on the INDEX probe (audio/
+    video/dHash), proving the new band indexes carry history."""
+    paths = AdmissionPaths(str(tmp_path / "root"))
+    init_admission_state(spark, paths, bench, kn_cost=kn_cost)
+    pair = _media_dup_batch(spark)
+
+    # intra-batch: one batch containing both twins — the min-id twin
+    # survives the media stage, the other dies there (whether either
+    # is ultimately ADMITTED depends on the learned quality gate,
+    # which is not under test here — assert at the stage flags)
+    intra_paths = AdmissionPaths(str(tmp_path / "intra"))
+    admit_batch(
+        spark, pair, intra_paths, weights, source_cap=10, policy="v5"
+    )
+    flags = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(intra_paths.ledger).collect()
+    }
+    assert flags[910_000]["passed2"] and flags[910_000]["passed3"]
+    assert flags[910_001]["passed2"] and not flags[910_001]["passed3"]
+
+    # cross-batch: twin A in batch 1, twin B in batch 2
+    admit_batch(
+        spark,
+        pair.filter(F.col("doc_id") == 910_000),
+        paths,
+        weights,
+        source_cap=10,
+        policy="v5",
+    )
+    admit_batch(
+        spark,
+        pair.filter(F.col("doc_id") == 910_001),
+        paths,
+        weights,
+        source_cap=10,
+        policy="v5",
+    )
+    ledger = spark.read.parquet(paths.ledger)
+    row = ledger.filter(F.col("doc_id") == 910_001).head()
+    # reached the ledger (kept1), passed text near-dup, died at the
+    # media stage (passed3 False) — ON THE INDEX PROBE, since its
+    # twin arrived one batch earlier
+    assert row is not None
+    assert row["passed2"] is True and row["passed3"] is False
+    row0 = ledger.filter(F.col("doc_id") == 910_000).head()
+    assert row0["passed3"] is True
+
+    # replay of batch 2 is idempotent (same flags, duplicated rows),
+    # and compaction (now covering the audio/video indexes too)
+    # drains the physical duplicates silently
+    admit_batch(
+        spark,
+        pair.filter(F.col("doc_id") == 910_001),
+        paths,
+        weights,
+        source_cap=10,
+        policy="v5",
+    )
+    replayed = (
+        spark.read.parquet(paths.ledger)
+        .filter(F.col("doc_id") == 910_001)
+        .select("passed2", "passed3")
+        .distinct()
+        .collect()
+    )
+    assert len(replayed) == 1  # bit-identical decisions across replays
+    compact_admission_state(spark, paths)
+    ledger = spark.read.parquet(paths.ledger)
+    assert ledger.count() == ledger.select("doc_id").distinct().count()
+    # all three perceptual indexes exist and hold exactly the
+    # admitted twin's bands after compaction
+    for p in (paths.dhash, paths.audio, paths.video):
+        idx = spark.read.parquet(p)
+        assert _ids(idx) == {910_000}, p
+
+
+def test_v5_kn_y_persists_for_quality_survivors(
+    spark, corpus, weights, bench, kn_cost, tmp_path
+):
+    """The ledger's kn_y column: non-NULL exactly for scored
+    stage-4-quality survivors (pre-LM-drop universe), so future
+    σ statistics never re-read corpus text."""
+    paths = AdmissionPaths(str(tmp_path / "root"))
+    init_admission_state(spark, paths, bench, kn_cost=kn_cost)
+    admit_batch(spark, corpus, paths, weights, policy="v5")
+    ledger = spark.read.parquet(paths.ledger)
+    scored = ledger.filter(F.col("kn_y").isNotNull())
+    assert scored.count() > 0
+    # stored scores match a fresh scoring of the same docs
+    from jly_flink_spark.plans.curation_queries import (
+        doc_trigrams_frame,
+        kn_score_frame,
+    )
+    from jly_flink_spark.plans.training_queries import LM_GATE_MILLI_DIV
+
+    fresh = kn_score_frame(
+        doc_trigrams_frame(
+            corpus.join(scored.select("doc_id"), "doc_id", "left_semi")
+        ),
+        kn_cost,
+    ).select(
+        "doc_id",
+        F.expr(f"kn_logppl_micro div {LM_GATE_MILLI_DIV}").alias("y"),
+    )
+    mism = (
+        scored.select("doc_id", "kn_y")
+        .join(fresh, "doc_id")
+        .filter(F.col("kn_y") != F.col("y"))
+        .count()
+    )
+    assert mism == 0

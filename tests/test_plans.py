@@ -631,6 +631,9 @@ class TestShuffleBudget:
             # cut (decisions frame is eagerly staged); the visible
             # tail is the admitted projection
             ("pipeline_streaming_admission", 1),
+            # v5 gate: same staged-decisions shape — three media
+            # tiers + the KN gate all live behind the eager cut
+            ("pipeline_streaming_admission_v5", 1),
             # unigram train: seed/vocab/EM rounds live behind staging
             # cuts; visible tail = the final cost projection's 1-row
             # totals
