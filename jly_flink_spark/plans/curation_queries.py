@@ -5179,3 +5179,257 @@ def curation_source_cap_sample(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= cap)
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (round 11): one multiplicative-
+# weights update over per-domain EXCESS LOSS (proxy LM − reference
+# LM), α-smoothed toward uniform — the Domain Reweighting with
+# Minimax Optimization weight-update step (Xie et al. 2023) with the
+# repo's two corpus-trained LMs playing proxy (interpolated KN) and
+# reference (add-1), in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+DOREMI_EXCESS_CAP_MILLI = 2_000  # clamp excess at 2 nats: e² ≈ 7.39
+# keeps n_d · expq · 10⁶ inside int64 for n_d ≤ ~10⁶ docs per domain
+DOREMI_MAX_DOMAIN_DOCS = 1_000_000
+DOREMI_ALPHA_DEN = 5  # α = 1/5 uniform smoothing (final = (4w+u)/5)
+
+
+@register(
+    "mixture_doremi_weights",
+    oracle=None,  # attached below (shares the two LM fragments)
+    tags=("curation", "mixture", "ml"),
+    doc="DoReMi-style domain reweighting: per source, the mean "
+    "milli-nat log-perplexity under the interpolated-KN LM (proxy) "
+    "and the add-1 trigram LM (reference) — both corpus-trained, "
+    "both already hash-anchored — give excess_d = clamp(proxy − "
+    "reference, 0, 2000 milli-nats); one multiplicative-weights "
+    "update w_d ∝ (n_d/N)·exp(excess_d) (micro-quantized exp, the "
+    "established round(·1e6) libm discipline), normalized to ppm "
+    "and α=1/5-smoothed toward uniform — the published DoReMi "
+    "update with the proxy-retraining loop collapsed to its one "
+    "deterministic step (retraining per round is a training-loop "
+    "concern, not a query). Exact integers after the one quantized "
+    "exp; a LOUD int64-headroom guard fails any domain past 10⁶ "
+    "scored docs (n_d·e²·10⁶·10⁶ approaches 2⁶³) naming the fix. "
+    "Scale shape: both scorer subplans are corpus-level count "
+    "aggregations (trigram-TYPE-bounded cost tables, broadcast "
+    "1-row totals); the weight arithmetic runs on |domains| rows.",
+)
+def mixture_doremi_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kn = _kn_perplexity_frame(docs).select(
+        "doc_id", F.expr("kn_logppl_micro div 1000").alias("py")
+    )
+    ref = _trigram_perplexity_frame(docs).select(
+        "doc_id", F.expr("logppl_micro div 1000").alias("ry")
+    )
+    per_src = (
+        kn.join(ref, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("py").cast("bigint").alias("sp"),
+            F.sum("ry").cast("bigint").alias("sr"),
+        )
+    )
+    per_src = per_src.withColumn(
+        "n_docs",
+        F.when(
+            F.col("n_docs") <= F.lit(DOREMI_MAX_DOMAIN_DOCS),
+            F.col("n_docs"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_doremi_weights: domain "),
+                    F.col("source"),
+                    F.lit(" has n_docs = "),
+                    F.col("n_docs").cast("string"),
+                    F.lit(
+                        f" > {DOREMI_MAX_DOMAIN_DOCS}; n·expq·1e6"
+                        " approaches int64 — rescale the exp"
+                        " quantization (micro → deci) before"
+                        " raising the cap"
+                    ),
+                )
+            ).cast("bigint")
+        ),
+    )
+    stats = per_src.select(
+        "source",
+        "n_docs",
+        F.expr("sp div n_docs").alias("proxy_mean_milli"),
+        F.expr("sr div n_docs").alias("ref_mean_milli"),
+    ).withColumn(
+        "excess_milli",
+        F.expr(
+            "least(greatest(proxy_mean_milli - ref_mean_milli, 0),"
+            f" {DOREMI_EXCESS_CAP_MILLI})"
+        ),
+    )
+    num = stats.withColumn(
+        "num",
+        F.expr(
+            "n_docs * CAST(round(exp(CAST(excess_milli AS DOUBLE)"
+            " / 1000.0) * 1000000) AS BIGINT)"
+        ),
+    )
+    tot = num.agg(
+        F.sum("num").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    return (
+        num.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "proxy_mean_milli",
+            "ref_mean_milli",
+            "excess_milli",
+            F.expr("(1000000 * num) div tot").alias("weight_ppm"),
+            F.expr(
+                f"(({DOREMI_ALPHA_DEN - 1} * ((1000000 * num) div tot))"
+                f" + (1000000 div n_src)) div {DOREMI_ALPHA_DEN}"
+            ).alias("doremi_ppm"),
+        )
+    )
+
+
+def _doremi_oracle() -> str:
+    return f"""
+WITH {trigram_lm_ctes()},
+{kn_lm_ctes()},
+j AS (
+  SELECT d.source,
+         CAST(k.kn_logppl_micro // 1000 AS BIGINT) AS py,
+         CAST(a.logppl_micro // 1000 AS BIGINT) AS ry
+  FROM kn_docppl k
+  JOIN docppl a USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(py) AS BIGINT) AS sp,
+         CAST(sum(ry) AS BIGINT) AS sr
+  FROM j GROUP BY 1
+),
+stats AS (
+  SELECT source, n_docs,
+         CAST(sp // n_docs AS BIGINT) AS proxy_mean_milli,
+         CAST(sr // n_docs AS BIGINT) AS ref_mean_milli,
+         least(greatest(CAST(sp // n_docs AS BIGINT)
+                        - CAST(sr // n_docs AS BIGINT), 0),
+               {DOREMI_EXCESS_CAP_MILLI}) AS excess_milli
+  FROM per_src
+),
+num AS (
+  SELECT *, n_docs * CAST(round(exp(CAST(excess_milli AS DOUBLE)
+                / 1000.0) * 1000000) AS BIGINT) AS num
+  FROM stats
+),
+tot AS (
+  SELECT CAST(sum(num) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM num
+)
+SELECT n.source, n.n_docs, n.proxy_mean_milli, n.ref_mean_milli,
+       n.excess_milli,
+       CAST((1000000 * n.num) // t.tot AS BIGINT) AS weight_ppm,
+       CAST((({DOREMI_ALPHA_DEN - 1} * ((1000000 * n.num) // t.tot))
+            + (1000000 // t.n_src)) // {DOREMI_ALPHA_DEN} AS BIGINT)
+         AS doremi_ppm
+FROM num n, tot t
+"""
+
+
+from .registry import REGISTRY as _CREG  # noqa: E402
+from .registry import _impl_hash as _cimpl  # noqa: E402
+from .registry import _source_of as _csrc  # noqa: E402
+
+_CREG["mixture_doremi_weights"].oracle = _doremi_oracle()
+_CREG["mixture_doremi_weights"].impl_hash = _cimpl(
+    _csrc(mixture_doremi_weights), _CREG["mixture_doremi_weights"].oracle
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (round 11): easy→hard training order with
+# round-robin source interleaving — the data-ordering op between
+# mixture weighting and sequence packing in a training pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "training_curriculum_order",
+    oracle=None,  # attached below (shares the KN fragment)
+    tags=("curation", "training", "ranking"),
+    doc="Curriculum order over the corpus: each document's "
+    "difficulty is its interpolated-KN milli-nat log-perplexity "
+    "(the hash-anchored scorer), ranked EASY→HARD within its source "
+    "(wrank, a partitioned window), then globally interleaved "
+    "round-robin — curriculum_pos is the exact dense position under "
+    "(wrank, source, doc_id), so round r of every source precedes "
+    "round r+1 of any source: difficulty ramps while domains stay "
+    "mixed (the anti-clumping property naive global difficulty "
+    "sorts lack). Docs too short to score (<3 tokens) are excluded "
+    "by definition. Scale shape: the per-source rank is a "
+    "partitioned window (source = the parallel unit); the GLOBAL "
+    "dense position comes from global_rank_analytics' sharded "
+    "prefix-sum (numeric key wrank, no single-task window "
+    "anywhere); both LM subplans are the shared corpus-level count "
+    "aggregations.",
+)
+def training_curriculum_order(spark, sf_dir):
+    from ..operators.ranking import global_rank_analytics
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        _kn_perplexity_frame(docs)
+        .select(
+            "doc_id", F.expr("kn_logppl_micro div 1000").alias("kn_milli")
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("kn_milli", "doc_id")
+    ranked = scored.withColumn(
+        "wrank", F.row_number().over(w).cast("bigint")
+    )
+    out = global_rank_analytics(
+        ranked,
+        "wrank",
+        tiebreak=("source", "doc_id"),
+        row_number_only=True,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "kn_milli",
+        "wrank",
+        F.col("g_row_number").cast("bigint").alias("curriculum_pos"),
+    )
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+WITH {kn_lm_ctes()},
+scored AS (
+  SELECT d.doc_id, d.source,
+         CAST(k.kn_logppl_micro // 1000 AS BIGINT) AS kn_milli
+  FROM kn_docppl k JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY kn_milli, doc_id) AS BIGINT) AS wrank
+  FROM scored
+)
+SELECT doc_id, source, kn_milli, wrank,
+       CAST(row_number() OVER (ORDER BY wrank, source, doc_id)
+            AS BIGINT) AS curriculum_pos
+FROM ranked
+"""
+
+
+_CREG["training_curriculum_order"].oracle = _curriculum_oracle()
+_CREG["training_curriculum_order"].impl_hash = _cimpl(
+    _csrc(training_curriculum_order),
+    _CREG["training_curriculum_order"].oracle,
+)

@@ -4595,3 +4595,275 @@ def multimodal_video_near_dups(spark, sf_dir):
             .alias("shared_shingles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN serving-quality evaluation (round 11): recall@k of the PRUNED
+# IVF path against exact brute force — the measurement every ANN
+# deployment runs before trusting a pruning configuration. Both
+# sides are deterministic quantized arithmetic, so the recall
+# numbers themselves value-hash across engines.
+# ---------------------------------------------------------------------------
+def _ann_recall_oracle(n_list: int = 16, n_probe: int = 4) -> str:
+    """Composes the ONE assignment/probe fragment with a pruned
+    scoring chain and an exact brute-force chain (prefix x), then
+    counts the per-query intersection of the two top-k sets. Ties
+    break by (cosine DESC, cand_id) in both chains on both engines,
+    so the sets — not just their sizes — are deterministic."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    dotq = (
+        f"CAST(sum(CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)"
+        f" * {_QUANT}) AS BIGINT)) AS BIGINT)"
+    )
+    return f"""
+WITH {ivf_assign_probe_ctes(n_list, n_probe)},
+qn AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                  * {_QUANT}) AS BIGINT)) AS BIGINT) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+ppairs AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+pprod AS (
+  SELECT pr.query_id, pr.cand_id,
+         unnest(eq.embedding) AS qx, unnest(ec.embedding) AS ex
+  FROM ppairs pr
+  JOIN embeddings eq ON eq.vec_id = pr.query_id
+  JOIN embeddings ec ON ec.vec_id = pr.cand_id
+),
+pdots AS (
+  SELECT query_id, cand_id, {dotq} AS qdot
+  FROM pprod GROUP BY query_id, cand_id
+),
+ptop AS (
+  SELECT query_id, cand_id FROM (
+    SELECT d.query_id, d.cand_id,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY CAST(d.qdot AS DOUBLE)
+               / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+               DESC, d.cand_id) AS rnk
+    FROM pdots d
+    JOIN qn nq ON nq.vec_id = d.query_id
+    JOIN qn nc ON nc.vec_id = d.cand_id
+    WHERE nq.qn > 0 AND nc.qn > 0
+  ) WHERE rnk <= {_ANN_K}
+),
+xpairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+xprod AS (
+  SELECT pr.query_id, pr.cand_id,
+         unnest(eq.embedding) AS qx, unnest(ec.embedding) AS ex
+  FROM xpairs pr
+  JOIN embeddings eq ON eq.vec_id = pr.query_id
+  JOIN embeddings ec ON ec.vec_id = pr.cand_id
+),
+xdots AS (
+  SELECT query_id, cand_id, {dotq} AS qdot
+  FROM xprod GROUP BY query_id, cand_id
+),
+xtop AS (
+  SELECT query_id, cand_id FROM (
+    SELECT d.query_id, d.cand_id,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY CAST(d.qdot AS DOUBLE)
+               / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+               DESC, d.cand_id) AS rnk
+    FROM xdots d
+    JOIN qn nq ON nq.vec_id = d.query_id
+    JOIN qn nc ON nc.vec_id = d.cand_id
+    WHERE nq.qn > 0 AND nc.qn > 0
+  ) WHERE rnk <= {_ANN_K}
+)
+SELECT x.query_id,
+       CAST({_ANN_K} AS BIGINT) AS k,
+       CAST(count(p.cand_id) AS BIGINT) AS n_hits,
+       CAST((1000000 * count(p.cand_id)) // {_ANN_K} AS BIGINT)
+         AS recall_ppm
+FROM xtop x
+LEFT JOIN ptop p ON p.query_id = x.query_id AND p.cand_id = x.cand_id
+GROUP BY x.query_id
+"""
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=_ann_recall_oracle(),
+    tags=("northstar", "similarity", "approx", "eval"),
+    doc="Recall@k of the PRUNED IVF serving path (n_probe=4 of 16 "
+    "lists) against exact brute force — the serving-quality "
+    "measurement every ANN deployment runs before trusting a "
+    "pruning configuration, expressed as ONE declarative plan: both "
+    "top-k chains (partition-pruned IVF and broadcast-query brute "
+    "force) share the corpus scan lineage, intersect per query, and "
+    "emit exact-integer recall_ppm. Deterministic end-to-end — "
+    "quantized dots, (cosine DESC, cand_id) tie-breaks — so even "
+    "the recall NUMBERS value-hash across engines (the oracle "
+    "replays centroid build, assignment, pruning, and both top-k "
+    "sets). Scale shape: the pruned side reads ~n_probe/n_list of "
+    "the corpus; the exact side is the |Q|·n baseline you run on a "
+    "SAMPLE at 100 TB — the plan is the same, only query-set size "
+    "changes; the intersection joins touch 2·|Q|·k rows.",
+)
+def ann_recall_at_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _IVF_INDEX_CACHE.get(sf_dir)
+    if cents is None:
+        cents = similarity.build_ivf_centroids(emb)
+        _IVF_INDEX_CACHE[sf_dir] = cents
+    pruned = similarity.cosine_topk_ivf(
+        emb, query_ids=_ANN_QUERY_IDS, k=_ANN_K, centroids=cents
+    ).select("query_id", "cand_id")
+    exact = similarity.cosine_topk_bruteforce(
+        emb, query_ids=_ANN_QUERY_IDS, k=_ANN_K
+    ).select("query_id", "cand_id")
+    hits = exact.join(pruned, ["query_id", "cand_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_ANN_K).cast("bigint").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"CAST((1000000 * coalesce(n_hits, 0)) div {_ANN_K}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 11): per query, the top-k most-similar
+# vectors with a DIFFERENT label — the contrastive-training data op
+# (the near-misses that teach an embedding model its boundaries).
+# ---------------------------------------------------------------------------
+def _hard_negatives_oracle() -> str:
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    qprod = (
+        f"CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    nprod = (
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {_QUANT})"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH hnorms AS (
+  SELECT vec_id, sum({nprod}) AS qn
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+hq AS (
+  SELECT e.vec_id, e.embedding, e.label
+  FROM embeddings e JOIN hnorms n USING (vec_id)
+  WHERE e.vec_id IN ({ids}) AND n.qn > 0
+),
+hc AS (
+  SELECT e.vec_id, e.embedding, e.label
+  FROM embeddings e JOIN hnorms n USING (vec_id)
+  WHERE n.qn > 0
+),
+hprods AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         unnest(q.embedding) AS qx, unnest(c.embedding) AS ex
+  FROM hq q JOIN hc c ON c.label <> q.label
+),
+hdots AS (
+  SELECT query_id, cand_id, sum({qprod}) AS qdot
+  FROM hprods GROUP BY query_id, cand_id
+),
+hscored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+           AS cosine
+  FROM hdots d
+  JOIN hnorms nq ON nq.vec_id = d.query_id
+  JOIN hnorms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id)
+              AS INTEGER) AS rnk
+  FROM hscored
+) WHERE rnk <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("northstar", "similarity", "training"),
+    doc="Hard-negative mining for contrastive training: per query "
+    "vector, the top-k highest-cosine candidates whose LABEL "
+    "differs — the near-miss negatives that carry the gradient "
+    "signal in InfoNCE-style objectives (random negatives are too "
+    "easy; same-label neighbors are false negatives — the label "
+    "anti-filter removes exactly those). Same quantized-exact "
+    "cosine arithmetic as ann_cosine_topk; the different-label "
+    "constraint replaces the self-exclusion (a query's own vector "
+    "shares its label, so it is excluded for free). Scale shape: "
+    "broadcast(queries+labels) ⨯ one corpus scan — label filtering "
+    "happens BEFORE the dot product in the joined projection, so "
+    "same-label candidates never cost a d-dim multiply; at mining "
+    "scale (every doc a query) this becomes the blocked-GEMM / IVF "
+    "path with the label filter pushed into the candidate join.",
+)
+def ann_hard_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _qdot,
+        drop_zero_norm,
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..io import ensure_min_parallelism
+
+    corpus = drop_zero_norm(
+        with_norm(ensure_min_parallelism(emb))
+    ).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_vec"),
+        F.col("q_norm2").alias("cand_norm2"),
+        F.col("label").alias("cand_label"),
+    )
+    queries = drop_zero_norm(
+        with_norm(emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("q_norm2").alias("query_norm2"),
+        F.col("label").alias("query_label"),
+    )
+    cos = _qdot(F.col("query_vec"), F.col("cand_vec")).cast("double") / (
+        F.sqrt(F.col("query_norm2").cast("double"))
+        * F.sqrt(F.col("cand_norm2").cast("double"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_label") != F.col("query_label"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ANN_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd shuffle/broadcast compression: measured 1101 MB →
+        # 570 MB (-48%) on the repo's largest shuffle (the
+        # adamic-adar wedge rollup at 10×) at equal wall locally.
+        # On a real cluster shuffle bytes cross the network, so
+        # halving them is a first-order 100-TB lever; lz4 only wins
+        # when cores are the bottleneck and the fabric is idle —
+        # the opposite of a busy 1000-executor shuffle.
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

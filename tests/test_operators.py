@@ -1836,3 +1836,75 @@ class TestVideoTier:
             by_f[r["f"]][1] = r["vh"]
         for rebuilt, vh in by_f.values():
             assert rebuilt == vh
+
+
+def test_doremi_weights_contract(spark, sf_dir):
+    """mixture_doremi_weights: smoothed weights sum to ~1e6 ppm
+    (integer-division slack bounded by 2·n_src), every weight ≥ the
+    α-floor uniform/5 share, and excess is clamped to the cap."""
+    from jly_flink_spark.plans import REGISTRY
+    from jly_flink_spark.plans.curation_queries import (
+        DOREMI_EXCESS_CAP_MILLI,
+    )
+
+    rows = (
+        REGISTRY["mixture_doremi_weights"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    n = len(rows)
+    total = sum(r["doremi_ppm"] for r in rows)
+    assert abs(total - 1_000_000) <= 2 * n, total
+    floor = (1_000_000 // n) // 5
+    for r in rows:
+        assert 0 <= r["excess_milli"] <= DOREMI_EXCESS_CAP_MILLI
+        assert r["doremi_ppm"] >= floor - 1, r
+
+
+def test_recall_at_k_and_hard_negatives_contracts(spark, sf_dir):
+    """ann_recall_at_k: 0 ≤ n_hits ≤ k and recall_ppm is exactly
+    1e6·n_hits//k; with n_probe=n_list the recall would be 1e6 (the
+    brute-force-equality anchor lives in test_ivf_serving). Hard
+    negatives: no returned candidate may share the query's label,
+    and each query returns exactly k rows ranked 1..k."""
+    from pyspark.sql import functions as F
+
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.plans import REGISTRY
+
+    rec = REGISTRY["ann_recall_at_k"].spark_fn(spark, sf_dir).collect()
+    assert rec
+    for r in rec:
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert r["recall_ppm"] == 1_000_000 * r["n_hits"] // r["k"]
+
+    hn = REGISTRY["ann_hard_negatives"].spark_fn(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    joined = (
+        hn.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("cl"),
+            ),
+            "cand_id",
+        )
+    )
+    assert joined.filter(F.col("ql") == F.col("cl")).count() == 0
+    per_q = {
+        r["query_id"]: sorted(r["rnks"])
+        for r in hn.groupBy("query_id")
+        .agg(F.collect_list("rnk").alias("rnks"))
+        .collect()
+    }
+    for q, rnks in per_q.items():
+        assert rnks == list(range(1, len(rnks) + 1)), (q, rnks)

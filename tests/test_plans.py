@@ -634,6 +634,19 @@ class TestShuffleBudget:
             # v5 gate: same staged-decisions shape — three media
             # tiers + the KN gate all live behind the eager cut
             ("pipeline_streaming_admission_v5", 1),
+            # recall eval: pruned + exact chains and the two topk
+            # windows + the intersection rollup
+            ("ann_recall_at_k", 6),
+            # DoReMi: BOTH LM cost-table builds are visible (the
+            # trigram/KN count rollups behind the shared staged tg);
+            # the weight arithmetic adds only 1-row exchanges
+            ("mixture_doremi_weights", 27),
+            # curriculum: KN subplan + per-source rank window + the
+            # sharded global prefix-sum's shard exchanges
+            ("training_curriculum_order", 37),
+            # hard negatives: broadcast queries ⨯ one scan; only the
+            # per-query topk window shuffles
+            ("ann_hard_negatives", 1),
             # unigram train: seed/vocab/EM rounds live behind staging
             # cuts; visible tail = the final cost projection's 1-row
             # totals
