@@ -188,6 +188,16 @@ HEADLINE = [
     # round-10 third wave: the video near-dup tier (Y4M decode +
     # temporally-aligned banding) — one floor for the new modality.
     "multimodal_video_near_dups",
+    # round-11: the v5 admission gate (three media tiers + the KN
+    # σ-gate — the full ingest policy per epoch), the DoReMi domain
+    # reweighting step (two LM trainings in one plan), the pruned-
+    # IVF recall eval (both top-k chains), the curriculum ordering
+    # (sharded global rank), and hard-negative mining.
+    "pipeline_streaming_admission_v5",
+    "mixture_doremi_weights",
+    "ann_recall_at_k",
+    "training_curriculum_order",
+    "ann_hard_negatives",
 ]
 
 

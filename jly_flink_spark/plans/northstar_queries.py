@@ -4867,3 +4867,202 @@ def ann_hard_negatives(spark, sf_dir):
         .filter(F.col("rnk") <= _ANN_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 third wave: MinHash estimator-quality eval (the dedup
+# analog of ann_recall_at_k) and Flesch-Kincaid readability scoring
+# (the classic quality-curation feature family missing from the
+# Gopher/CCNet tier).
+# ---------------------------------------------------------------------------
+def _minhash_error_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.MINHASH_K)
+    )
+    return f"""
+WITH {_DOC_TOKS_CTE},
+sigs AS ({dedup.minhash_sigs_sql()}),
+bands AS ({dedup.minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+tarr AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({agree} AS BIGINT) AS n_agree,
+         CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS n_inter,
+         CAST(len(ta.ts) + len(tb.ts)
+              - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  JOIN tarr ta ON ta.doc_id = c.doc_a
+  JOIN tarr tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_agree,
+       CAST((1000000 * n_agree) // {dedup.MINHASH_K} AS BIGINT)
+         AS est_ppm,
+       CAST((1000000 * n_inter) // n_union AS BIGINT) AS jac_ppm,
+       CAST((1000000 * n_agree) // {dedup.MINHASH_K}
+            - (1000000 * n_inter) // n_union AS BIGINT) AS err_ppm
+FROM pairs
+"""
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=_minhash_error_oracle(),
+    tags=("northstar", "dedup", "minhash", "eval"),
+    doc="MinHash estimator-quality evaluation — the dedup analog of "
+    "ann_recall_at_k: for every LSH candidate pair, the signature "
+    "AGREEMENT fraction (the K=24 MinHash Jaccard estimate, "
+    "E[agree/K] = J) against the EXACT token-set Jaccard, with the "
+    "signed error in ppm. This is the measurement that justifies a "
+    "banding configuration: the error distribution over real "
+    "candidates tells you whether K is large enough for the corpus "
+    "before trusting the verify threshold. Fully deterministic — "
+    "md5-derived signatures, exact integer set sizes — so the error "
+    "NUMBERS value-hash across engines. Scale shape: candidates "
+    "come from the banded buckets (never all pairs); each doc's "
+    "distinct-token array joins the bounded pair set once "
+    "(verify_candidates_jaccard's array discipline); signatures "
+    "ride two slim K-column joins.",
+)
+def dedup_minhash_estimate_error(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.minhash_candidate_pairs(docs)
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(dedup.MINHASH_K)
+    ).cast("bigint")
+    tarr = docs.select(
+        "doc_id", F.array_distinct(text.tokens(F.col("text"))).alias("ts")
+    )
+    pairs = (
+        cand.join(
+            sigs.alias("sa"),
+            F.col("doc_a") == F.col("sa.doc_id"),
+        )
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", agree.alias("n_agree"))
+        .join(
+            tarr.select(
+                F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            tarr.select(
+                F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union",
+            (F.size("ta") + F.size("tb") - F.col("n_inter")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        F.expr(
+            f"CAST((1000000 * n_agree) div {dedup.MINHASH_K} AS BIGINT)"
+        ).alias("est_ppm"),
+        F.expr("CAST((1000000 * n_inter) div n_union AS BIGINT)").alias(
+            "jac_ppm"
+        ),
+        F.expr(
+            f"CAST((1000000 * n_agree) div {dedup.MINHASH_K}"
+            " - (1000000 * n_inter) div n_union AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+@register(
+    "text_readability_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST(greatest(len(list_filter(
+                regexp_split_to_array(text, '[.!?]+'),
+                s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform({_TOKS},
+                t -> greatest(len(regexp_extract_all(t, '[aeiou]+')),
+                              1))) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, source, n_words, n_sentences, n_syllables,
+       CAST((390000 * n_words * n_words
+             + 11800000 * n_syllables * n_sentences
+             - 15590000 * n_sentences * n_words)
+            // (n_sentences * n_words) AS BIGINT) AS fk_grade_ppm
+FROM base WHERE n_words >= 1
+""",
+    tags=("northstar", "text", "curation"),
+    doc="Flesch-Kincaid readability grade per document — the classic "
+    "reading-level feature the quality-curation tier lacked (Gopher "
+    "rules gate on lengths/ratios; FK gates on SENTENCE STRUCTURE): "
+    "words via the shared tokenizer, sentences via [.!?]+ regex "
+    "splits (floor 1 — unpunctuated docs are one sentence), "
+    "syllables via the vowel-group heuristic (maximal [aeiou]+ runs "
+    "per word, floor 1 — the standard dictionary-free "
+    "approximation). Grade = 0.39·W/S + 11.8·Syl/W − 15.59 emitted "
+    "as EXACT-integer ppm over the common denominator S·W, so both "
+    "engines agree bit-for-bit (headroom: 390000·W² needs W ≤ 4.8M "
+    "words/doc — any real doc fits). Scale shape: one scan, "
+    "per-row expressions only (regexp + array fold), no shuffle "
+    "at all.",
+)
+def text_readability_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ts = text.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(ts).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), "[.!?]+"),
+                    lambda s: F.trim(s) != "",
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.expr(
+            "aggregate(transform("
+            "  filter(split(lower(text), ' '), t -> t <> ''),"
+            "  t -> greatest(size(regexp_extract_all(t, '[aeiou]+', 0)),"
+            "                1)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    return base.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST((390000 * n_words * n_words"
+            " + 11800000 * n_syllables * n_sentences"
+            " - 15590000 * n_sentences * n_words)"
+            " div (n_sentences * n_words) AS BIGINT)"
+        ).alias("fk_grade_ppm"),
+    )

@@ -647,6 +647,11 @@ class TestShuffleBudget:
             # hard negatives: broadcast queries ⨯ one scan; only the
             # per-query topk window shuffles
             ("ann_hard_negatives", 1),
+            # minhash estimator eval: signature agg + band explode +
+            # the pair/signature/array joins
+            ("dedup_minhash_estimate_error", 6),
+            # readability: one scan, per-row expressions — NO shuffle
+            ("text_readability_scores", 0),
             # unigram train: seed/vocab/EM rounds live behind staging
             # cuts; visible tail = the final cost projection's 1-row
             # totals

@@ -146,6 +146,12 @@ QUERIES = [
     # clip; temporally-aligned pair volume grows with duplication
     # density)
     "multimodal_video_near_dups",
+    # round-11: the v5 admission gate (ALL THREE media tiers + the
+    # KN σ-gate per epoch — the heaviest composed plan in the repo)
+    # and the DoReMi step (two LM cost-table trainings in one plan;
+    # trigram-type volume is the scaled axis)
+    "pipeline_streaming_admission_v5",
+    "mixture_doremi_weights",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
