@@ -66,6 +66,11 @@ def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> Data
     same keys reuses the exchange instead of adding one.
     """
     spark = df.sparkSession
+    if df.isStreaming:
+        # a streaming frame's partitioning can't be inspected
+        # (df.rdd is illegal pre-execution) and its micro-batches
+        # follow the source's split parallelism — leave it alone
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(target // 2, 2):
         return df

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import ensure_min_parallelism
+
 # Schema of the decoded-header output: metadata carried through,
 # parsed container fields appended (NULL where the modality lacks
 # them or the payload is malformed). Mirrors a real media-ingest
@@ -120,9 +122,15 @@ def documents_as_encoded_media(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 def wav_data_range(payload) -> Optional[tuple[int, int]]:
@@ -650,9 +658,15 @@ def documents_as_encoded_media_variants(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -732,9 +746,15 @@ def documents_as_pixel_media(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 def png_pixels(payload) -> Optional[bytes]:
@@ -1149,9 +1169,15 @@ def documents_as_pixel_media16(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 def avg_pool_2x2(px: bytes, grid: int) -> bytes:
@@ -1302,9 +1328,15 @@ def documents_as_audio_media(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 def wav_pcm_samples(payload) -> Optional[list[int]]:
@@ -1452,6 +1484,18 @@ VIDEO_FRAME_HAM_MAX = 6   # per-frame close threshold (of 56 bits)
 VIDEO_MIN_CLOSE = 12      # near-dup iff ≥ 12 of 16 aligned frames close
 VIDEO_N_BANDS = 4         # 4 x 14-bit bands per frame (dHash discipline)
 VIDEO_BAND_BITS = 14
+# Perceptual band-bucket cap (round 11): a 14-bit band key space
+# saturates with corpus size (birthday effect — at 10x sf0.1, 83% of
+# video candidate pairs came from buckets >8 members while TRUE
+# near-dup families max out at 4), so pair expansion skips buckets
+# above this cap — the MAX_LSH_BUCKET discipline one tier down. A
+# true pair loses only the capped band and keeps its 63 other
+# collision chances (planted dups collide everywhere). The cap is
+# PART OF THE OPERATOR'S DEFINITION and mirrored in every oracle —
+# both engines agree at all SFs; the standalone video query's
+# sf0.01 output is unchanged vs the uncapped round-10 pin (9 rows),
+# and candidate volume at 10x drops 15.7M → ~linear.
+PERCEPTUAL_MAX_BAND_BUCKET = 16
 
 _Y4M_HEADER = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n"
 _Y4M_UV = b"\x80" * 16 * 2  # flat U+V planes (4:2:0, 8x8 -> 16+16)
@@ -1566,9 +1610,15 @@ def documents_as_video_media(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        batches, ENCODED_MEDIA_SCHEMA
-    )
+    # Plant-parallelism guard (round 11): a small documents table
+    # scans as 1-2 partitions, serializing the CPU-dense per-doc
+    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
+    # matter the cluster size — the measured cause of the video
+    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
+    # real many-split scans (the 100 TB case).
+    return ensure_min_parallelism(
+        docs.select("doc_id", text_col), keys=["doc_id"]
+    ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
 def video_dhash_frames(media: DataFrame) -> DataFrame:

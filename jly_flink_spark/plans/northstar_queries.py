@@ -4402,6 +4402,7 @@ def video_pair_ctes(p: str = "v") -> str:
     from ..operators.multimodal import (
         DHASH_GRID,
         MALFORMED_MOD,
+        PERCEPTUAL_MAX_BAND_BUCKET,
         VIDEO_BAND_BITS,
         VIDEO_FRAME_HAM_MAX,
         VIDEO_FRAMES,
@@ -4449,11 +4450,17 @@ def video_pair_ctes(p: str = "v") -> str:
            & {(1 << VIDEO_BAND_BITS) - 1} AS bkey
   FROM {p}hash, unnest(generate_series(0, {VIDEO_N_BANDS - 1})) AS t(b)
 ),
+{p}ok AS (
+  SELECT f, b, bkey FROM {p}bands
+  GROUP BY 1, 2, 3
+  HAVING count(*) <= {PERCEPTUAL_MAX_BAND_BUCKET}
+),
 {p}cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM {p}bands x JOIN {p}bands y
     ON y.f = x.f AND y.b = x.b AND y.bkey = x.bkey
    AND x.doc_id < y.doc_id
+  JOIN {p}ok k ON k.f = x.f AND k.b = x.b AND k.bkey = x.bkey
 ),
 {p}close AS (
   SELECT c.doc_a, c.doc_b,
@@ -4533,14 +4540,26 @@ def multimodal_video_near_dups(spark, sf_dir):
     )
     from ..operators.text import trigram_shingles
 
+    from ..operators.multimodal import PERCEPTUAL_MAX_BAND_BUCKET
+
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_video_media(docs)
     hashes = video_dhash_frames(media).transform(stage)
     bands = video_bands(hashes)
-    x = bands.select(
+    # bucket cap: 14-bit band keys saturate with corpus size (random
+    # collisions grow quadratically); buckets past the cap are
+    # skipped — true pairs keep their other 63 collision chances
+    ok = (
+        bands.groupBy("f", "b", "bkey")
+        .count()
+        .filter(F.col("count") <= PERCEPTUAL_MAX_BAND_BUCKET)
+        .select("f", "b", "bkey")
+    )
+    capped = bands.join(ok, ["f", "b", "bkey"], "left_semi")
+    x = capped.select(
         F.col("doc_id").alias("doc_a"), "f", "b", "bkey"
     )
-    y = bands.select(
+    y = capped.select(
         F.col("doc_id").alias("doc_b"), "f", "b", "bkey"
     )
     cand = (
@@ -4549,25 +4568,43 @@ def multimodal_video_near_dups(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ha = hashes.select(
-        F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
-    )
-    hb = hashes.select(
-        F.col("doc_id").alias("doc_b"), "f", F.col("vh").alias("vhb")
+    # Close-count via per-doc frame-hash MAPS instead of a pair×frame
+    # join (round 11): the old shape exploded |cand|·16 rows through
+    # two joins and a pair-keyed aggregate; per-doc maps are |docs|
+    # rows (~150 B each — broadcastable at any probe-able batch
+    # size), so the count becomes two broadcast joins + ONE per-pair
+    # expression over aligned frame slots. Identical semantics: only
+    # frame slots present on BOTH sides compare (the old inner join
+    # on (doc_b, f)).
+    fmap = hashes.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("f", "vh"))
+        ).alias("fm")
     )
     close = (
-        cand.join(ha, "doc_a")
-        .join(hb, ["doc_b", "f"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                (
-                    F.bit_count(F.col("vha").bitwiseXOR(F.col("vhb")))
-                    <= VIDEO_FRAME_HAM_MAX
-                ).cast("int")
-            )
-            .cast("bigint")
-            .alias("n_close_frames")
+        cand.join(
+            fmap.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("fm").alias("fma"),
+            ),
+            "doc_a",
+        )
+        .join(
+            fmap.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("fm").alias("fmb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(filter(map_keys(fma), k ->"
+                " map_contains_key(fmb, k) AND"
+                " bit_count(fma[k] ^ fmb[k])"
+                f" <= {VIDEO_FRAME_HAM_MAX})) AS BIGINT)"
+            ).alias("n_close_frames"),
         )
         .filter(F.col("n_close_frames") >= VIDEO_MIN_CLOSE)
     )

@@ -328,6 +328,22 @@ def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
     media = mm.documents_as_video_media(kept3)
     hashes = mm.video_dhash_frames(media).transform(stage)
     bands = mm.video_bands(hashes)
+    # Band-bucket cap over batch ∪ index rows (the registered video
+    # query's PERCEPTUAL_MAX_BAND_BUCKET rule): 14-bit band keys
+    # saturate with corpus size; with an empty index this is exactly
+    # the batch twin's cap, so single-batch parity holds.
+    allb = bands.select("f", "b", "bkey").unionAll(
+        vi_idx.select("f", "b", "bkey")
+    )
+    ok = (
+        allb.groupBy("f", "b", "bkey")
+        .count()
+        .filter(F.col("count") <= mm.PERCEPTUAL_MAX_BAND_BUCKET)
+        .select("f", "b", "bkey")
+    )
+    bands = bands.join(ok, ["f", "b", "bkey"], "left_semi").transform(
+        stage
+    )
     x = bands.select(F.col("doc_id").alias("doc_a"), "f", "b", "bkey")
     y = bands.select(F.col("doc_id").alias("doc_b"), "f", "b", "bkey")
     intra = (
@@ -340,7 +356,7 @@ def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
         bands.join(
             vi_idx.select(
                 F.col("doc_id").alias("doc_a"), "f", "b", "bkey"
-            ),
+            ).join(ok, ["f", "b", "bkey"], "left_semi"),
             ["f", "b", "bkey"],
         )
         .filter(F.col("doc_a") < F.col("doc_id"))
@@ -348,29 +364,43 @@ def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
         .distinct()
     )
     cand = intra.unionAll(cross).distinct()
-    # per-frame hashes of both sides: batch side from this batch's
-    # hashes, index side from the (distinct) index band rows
-    ha_all = hashes.select(
-        F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
-    ).unionAll(
-        vi_idx.select(
-            F.col("doc_id").alias("doc_a"), "f", F.col("vh").alias("vha")
-        ).distinct()
+    # Close-count via per-doc frame-hash MAPS (the registered video
+    # query's round-11 shape — two broadcast joins + one per-pair
+    # aligned-slot expression instead of a |cand|·16-row join):
+    # batch side from this batch's hashes, index side from the
+    # (distinct) index band rows.
+    h_all = hashes.select("doc_id", "f", "vh").unionAll(
+        vi_idx.select("doc_id", "f", "vh").distinct()
     )
-    hb = hashes.select(
-        F.col("doc_id").alias("doc_b"), "f", F.col("vh").alias("vhb")
+    fmap = h_all.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "vh"))).alias(
+            "fm"
+        )
     )
     return (
-        cand.join(ha_all, "doc_a")
-        .join(hb, ["doc_b", "f"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                (
-                    F.bit_count(F.col("vha").bitwiseXOR(F.col("vhb")))
-                    <= mm.VIDEO_FRAME_HAM_MAX
-                ).cast("int")
-            ).alias("n_close")
+        cand.join(
+            fmap.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("fm").alias("fma"),
+            ),
+            "doc_a",
+        )
+        .join(
+            fmap.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("fm").alias("fmb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(filter(map_keys(fma), k ->"
+                " map_contains_key(fmb, k) AND"
+                " bit_count(fma[k] ^ fmb[k])"
+                f" <= {mm.VIDEO_FRAME_HAM_MAX}))"
+            ).alias("n_close"),
         )
         .filter(F.col("n_close") >= mm.VIDEO_MIN_CLOSE)
         .select(F.col("doc_b").alias("doc_id"))
