@@ -310,6 +310,26 @@ def main() -> None:
                 "one shuffle); sub-second query whose min-of-N at "
                 "sf0.1 is dominated by JVM/GC variance on a shared box"
             ),
+            "multimodal_variant_decode_stats": (
+                "r11: media builders fan small scans to cluster "
+                "parallelism before the Arrow decode "
+                "(ensure_min_parallelism — the measured fix for the "
+                "video tier's single-core 10x decode); at sf0.1 the "
+                "added ~0.5s repartition exceeds the tiny decode it "
+                "parallelizes, the same scale-correctness-for-"
+                "small-SF-latency trade dedup_embedding_cosine made "
+                "in r02 (decade evidence: docs/SCALE_PROBE.md)"
+            ),
+            "curation_gopher_rules": (
+                "plan unchanged since its pin (verified via git); "
+                "single-task sub-second scan whose wall on the r11 "
+                "boot carries a uniform ~+0.3-0.5s fixed overhead "
+                "also seen on pareto_front_parts and "
+                "events_attribution_linear, while multi-task "
+                "queries run BELOW their floors on the same boot "
+                "(q1 0.74x, q3 0.48x) — per-core host variance, "
+                "not a regression"
+            ),
         }
     # Persist the complete result in-repo (the driver's stdout tail
     # truncates at 2000 chars, which has cut the vs_baseline map in

@@ -47,14 +47,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # zstd shuffle/broadcast compression: measured 1101 MB →
-        # 570 MB (-48%) on the repo's largest shuffle (the
-        # adamic-adar wedge rollup at 10×) at equal wall locally.
-        # On a real cluster shuffle bytes cross the network, so
-        # halving them is a first-order 100-TB lever; lz4 only wins
-        # when cores are the bottleneck and the fabric is idle —
-        # the opposite of a busy 1000-executor shuffle.
-        .config("spark.io.compression.codec", "zstd")
+        # IO compression codec — a measured tradeoff, env-switchable:
+        # zstd cut the repo's largest shuffle (adamic-adar wedge
+        # rollup at 10×) 1101 MB → 570 MB (-48%) at equal wall, the
+        # first-order lever when shuffle bytes cross a busy fabric
+        # (the 1000-executor case) — but it DOUBLED the wall of the
+        # checkpoint-heavy composed pipelines (v2 7.3 s → 15.9 s
+        # best-of-3 idle: dozens of small stages/broadcasts each pay
+        # zstd per-stream CPU; buffer-pool tuning recovered only
+        # ~15%). Local/latency-bound runs therefore default to lz4;
+        # set SPARK_GRAFT_IO_CODEC=zstd on network-bound clusters.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -519,9 +519,11 @@ class TestShuffleBudget:
             # stage cuts + candidate joins + support count (the
             # candidate table is model-sized, joins broadcast)
             ("itemsets_apriori_triples", 4),
-            # variant multimodal: mapInPandas scan only / + rollup
-            ("multimodal_variant_features", 0),
-            ("multimodal_variant_decode_stats", 1),
+            # variant multimodal: mapInPandas scan + the round-11
+            # decode-parallelism repartition (media builders fan
+            # small scans to cluster width before the Arrow kernel)
+            ("multimodal_variant_features", 1),
+            ("multimodal_variant_decode_stats", 2),
             # compiled pattern: the ONE user_id exchange carries the
             # run windows + run combine + sequence window; then the
             # 1-row rollup (same budget as the hand-compiled twin)
