@@ -5433,3 +5433,153 @@ _CREG["training_curriculum_order"].impl_hash = _cimpl(
     _csrc(training_curriculum_order),
     _CREG["training_curriculum_order"].oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (round 11): V(N) ≈ K·N^β measured at
+# doubling corpus prefixes — the companion to text_zipf_fit (Zipf:
+# frequency vs rank at one size; Heaps: vocabulary vs corpus size),
+# and the curve that predicts tokenizer-vocab pressure as a corpus
+# grows toward 100 TB.
+# ---------------------------------------------------------------------------
+HEAPS_MIN_DOCS = 16  # first checkpoint; doubles until the corpus ends
+
+
+@register(
+    "text_heaps_fit",
+    oracle=None,  # attached below
+    tags=("curation", "text", "ml"),
+    doc="Heaps'-law fit over doubling corpus prefixes: checkpoints "
+    "N ∈ {16, 32, …} docs (doc_id order); V(N) = distinct tokens in "
+    "the first N docs, computed in ONE pass — each token's FIRST-"
+    "OCCURRENCE doc rank (min doc rank per token, one groupBy) turns "
+    "every V(N) into a count of first-occurrences ≤ N, so the curve "
+    "costs one token aggregation regardless of checkpoint count "
+    "(the naive per-checkpoint distinct would rescan the corpus "
+    "log N times). β comes from exact least squares over micro-"
+    "quantized (ln N, ln V) pairs — integer sums, one final ppm "
+    "division — so both engines agree bit-for-bit. Output: one row "
+    "per checkpoint (n_docs, vocab) plus the shared fitted "
+    "beta_ppm/intercept_micro on every row (window-free broadcast "
+    "of a 1-row fit). Scale shape: one token explode + groupBy, a "
+    "|vocab|-row first-occurrence frame, checkpoint rollup is "
+    "log N rows.",
+)
+def text_heaps_fit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # doc rank = dense position by doc_id (ids may be sparse);
+    # checkpoints are powers of two over ranks. The rank window is
+    # over the slim (doc_id) projection — at larger corpora swap in
+    # global_rank_analytics' sharded path (ids here are ≤ ~100k).
+    from ..operators.ranking import global_rank_analytics
+
+    ranked = global_rank_analytics(
+        docs.select("doc_id"), "doc_id", row_number_only=True
+    ).select("doc_id", F.col("g_row_number").alias("rnk"))
+    tok1 = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .join(ranked, "doc_id")
+        .groupBy("tok")
+        .agg(F.min("rnk").alias("first_rnk"))
+    )
+    n_docs = ranked.agg(F.max("rnk").alias("n")).head()["n"]
+    cps = []
+    n = HEAPS_MIN_DOCS
+    while n < n_docs:
+        cps.append(n)
+        n *= 2
+    cps.append(int(n_docs))
+    cp_df = spark.createDataFrame([(c,) for c in cps], "n_docs long")
+    curve = (
+        cp_df.join(
+            tok1.select("first_rnk"),
+            F.col("first_rnk") <= F.col("n_docs"),
+            "left",
+        )
+        .groupBy("n_docs")
+        .agg(F.count("first_rnk").cast("bigint").alias("vocab"))
+    )
+    pts = curve.select(
+        "n_docs",
+        "vocab",
+        F.expr("CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000)"
+               " AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)"
+               " AS BIGINT)").alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y div 1000000")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x div 1000000")).cast("bigint").alias("sxx"),
+    ).select(
+        "k",
+        F.expr(
+            "CAST((1000000 * (k * sxy - sx div 1000 * (sy div 1000)))"
+            " div (k * sxx - sx div 1000 * (sx div 1000)) AS BIGINT)"
+        ).alias("beta_ppm"),
+    )
+    return (
+        pts.select("n_docs", "vocab", "x", "y")
+        .crossJoin(F.broadcast(fit))
+        .select("n_docs", "vocab", "k", "beta_ppm")
+        .orderBy("n_docs")
+    )
+
+
+def _heaps_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+  FROM documents
+),
+tok1 AS (
+  SELECT tok, min(rnk) AS first_rnk FROM (
+    SELECT d.doc_id, unnest(list_filter(string_split(lower(d.text),
+           ' '), t -> t <> '')) AS tok
+    FROM documents d
+  ) t JOIN ranked r USING (doc_id)
+  GROUP BY tok
+),
+nd AS (SELECT max(rnk) AS n FROM ranked),
+cps AS (
+  SELECT CAST(least(p, n) AS BIGINT) AS n_docs
+  FROM (SELECT {HEAPS_MIN_DOCS} * (1 << g) AS p
+        FROM unnest(generate_series(0, 50)) AS t(g)), nd
+  WHERE p <= 2 * n
+  GROUP BY 1
+),
+curve AS (
+  SELECT c.n_docs,
+         CAST(count(t.first_rnk) AS BIGINT) AS vocab
+  FROM cps c LEFT JOIN tok1 t ON t.first_rnk <= c.n_docs
+  GROUP BY 1
+),
+pts AS (
+  SELECT n_docs, vocab,
+         CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM curve
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y // 1000000) AS BIGINT) AS sxy,
+         CAST(sum(x * x // 1000000) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT p.n_docs, p.vocab, f.k,
+       CAST((1000000 * (f.k * f.sxy - f.sx // 1000 * (f.sy // 1000)))
+            // (f.k * f.sxx - f.sx // 1000 * (f.sx // 1000)) AS BIGINT)
+         AS beta_ppm
+FROM pts p, fit f
+"""
+
+
+_CREG["text_heaps_fit"].oracle = _heaps_oracle()
+_CREG["text_heaps_fit"].impl_hash = _cimpl(
+    _csrc(text_heaps_fit), _CREG["text_heaps_fit"].oracle
+)

@@ -654,6 +654,9 @@ class TestShuffleBudget:
             ("dedup_minhash_estimate_error", 6),
             # readability: one scan, per-row expressions — NO shuffle
             ("text_readability_scores", 0),
+            # Heaps fit: sharded doc-rank exchanges + the token
+            # first-occurrence groupBy + checkpoint/fit rollups
+            ("text_heaps_fit", 16),
             # unigram train: seed/vocab/EM rounds live behind staging
             # cuts; visible tail = the final cost projection's 1-row
             # totals
