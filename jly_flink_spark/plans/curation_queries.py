@@ -5504,8 +5504,8 @@ def text_heaps_fit(spark, sf_dir):
         "vocab",
         F.expr("CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000)"
                " AS BIGINT)").alias("x"),
-        F.expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)"
-               " AS BIGINT)").alias("y"),
+        F.expr("CAST(round(ln(CAST(greatest(vocab, 1) AS DOUBLE))"
+               " * 1000000) AS BIGINT)").alias("y"),
     )
     fit = pts.agg(
         F.count("*").cast("bigint").alias("k"),
@@ -5545,11 +5545,12 @@ tok1 AS (
 ),
 nd AS (SELECT max(rnk) AS n FROM ranked),
 cps AS (
-  SELECT CAST(least(p, n) AS BIGINT) AS n_docs
+  SELECT CAST(p AS BIGINT) AS n_docs
   FROM (SELECT {HEAPS_MIN_DOCS} * (1 << g) AS p
         FROM unnest(generate_series(0, 50)) AS t(g)), nd
-  WHERE p <= 2 * n
-  GROUP BY 1
+  WHERE p < n
+  UNION
+  SELECT CAST(n AS BIGINT) AS n_docs FROM nd
 ),
 curve AS (
   SELECT c.n_docs,
@@ -5560,7 +5561,8 @@ curve AS (
 pts AS (
   SELECT n_docs, vocab,
          CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-         CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         CAST(round(ln(CAST(greatest(vocab, 1) AS DOUBLE)) * 1000000)
+           AS BIGINT) AS y
   FROM curve
 ),
 fit AS (

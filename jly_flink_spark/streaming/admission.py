@@ -331,9 +331,15 @@ def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
     # Band-bucket cap over batch ∪ index rows (the registered video
     # query's PERCEPTUAL_MAX_BAND_BUCKET rule): 14-bit band keys
     # saturate with corpus size; with an empty index this is exactly
-    # the batch twin's cap, so single-batch parity holds.
-    allb = bands.select("f", "b", "bkey").unionAll(
-        vi_idx.select("f", "b", "bkey")
+    # the batch twin's cap, so single-batch parity holds. The count
+    # is per DISTINCT doc_id — the at-least-once index may hold
+    # replayed copies of a band row, and the module contract says
+    # probes ignore physical duplicates, so a replayed history must
+    # cap exactly like a clean one.
+    allb = (
+        bands.select("doc_id", "f", "b", "bkey")
+        .unionAll(vi_idx.select("doc_id", "f", "b", "bkey"))
+        .distinct()
     )
     ok = (
         allb.groupBy("f", "b", "bkey")
@@ -370,9 +376,42 @@ def _video_tier_losers(kept3: DataFrame, vi_idx: DataFrame) -> DataFrame:
     # batch side from this batch's hashes, index side from the
     # (distinct) index band rows.
     h_all = hashes.select("doc_id", "f", "vh").unionAll(
-        vi_idx.select("doc_id", "f", "vh").distinct()
+        vi_idx.select("doc_id", "f", "vh")
     )
-    fmap = h_all.groupBy("doc_id").agg(
+    # One vh per (doc_id, f) BEFORE map_from_entries: replayed rows
+    # (same vh) collapse silently; CONFLICTING vh under one frame —
+    # content re-appended without a tombstone — raises with the same
+    # named cause as compact_video_index instead of Spark's opaque
+    # "duplicate map key" error.
+    per_frame = (
+        h_all.groupBy("doc_id", "f")
+        .agg(F.min("vh").alias("vh_min"), F.max("vh").alias("vh_max"))
+        .select(
+            "doc_id",
+            "f",
+            F.when(
+                F.col("vh_min") == F.col("vh_max"), F.col("vh_min")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("admission video probe: doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" frame "),
+                        F.col("f").cast("string"),
+                        F.lit(
+                            " has conflicting vh values — "
+                            "re-appended with changed frames "
+                            "without a prior tombstone; delete, "
+                            "compact, re-append"
+                        ),
+                    )
+                ).cast("bigint")
+            )
+            .alias("vh"),
+        )
+    )
+    fmap = per_frame.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("f", "vh"))).alias(
             "fm"
         )
