@@ -52,7 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    min_bytes_per_task: int = 0,
+) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before a
     CPU-dense stage (hashing, regex, vector math).
 
@@ -64,6 +68,17 @@ def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> Data
     ever paid on inputs small enough for it to be cheap. Passing
     `keys` hash-partitions on them, so a downstream groupBy on the
     same keys reuses the exchange instead of adding one.
+
+    ``min_bytes_per_task`` makes the fan-out COST-AWARE (round 12):
+    callers whose downstream per-row work is cheap (container
+    struct-packing, header walks — not md5 grids) pass the minimum
+    input bytes one task must receive for the fan-out to beat its
+    fixed shuffle cost. When Catalyst's size estimate says the scan
+    can't feed every task that much, the repartition is skipped — a
+    sub-MB input decodes faster on one core than behind a
+    2·parallelism-task shuffle stage. The estimate comes from plan
+    stats (no job is triggered); if stats are unavailable the guard
+    errs toward fanning out, which is the safe direction at scale.
     """
     spark = df.sparkSession
     if df.isStreaming:
@@ -74,6 +89,20 @@ def ensure_min_parallelism(df: DataFrame, keys: list[str] | None = None) -> Data
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(target // 2, 2):
         return df
+    if min_bytes_per_task > 0:
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            est = None
+        if est is not None and est < min_bytes_per_task * target:
+            return df
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)

@@ -55,6 +55,16 @@ ENCODED_MEDIA_SCHEMA = (
 MALFORMED_MOD = 37   # doc_id % 37 == 0 → payload truncated to 6 bytes
 MALFORMED_LEN = 6
 
+# Fan-out cost gate for the CHEAP-plant builders (round 12): minimal
+# container packing + header walks cost ~µs/row, so the pre-plant
+# repartition only pays for itself once every task gets this many
+# input bytes; below it the fixed 2·parallelism-task shuffle stage
+# exceeds the decode it parallelizes (the r11 variant-decode pin
+# breach). The md5-grid builders (pixel/audio/video, 64–1024 md5
+# calls per doc) stay UNGATED — their per-row cost dwarfs the
+# shuffle at any input size that scans under-parallel.
+CHEAP_PLANT_MIN_BYTES_PER_TASK = 32 * 1024
+
 
 def _planted_fields(doc_id: int) -> tuple[str, dict]:
     fmt = doc_id % 3
@@ -122,14 +132,17 @@ def documents_as_encoded_media(
                 }
             )
 
-    # Plant-parallelism guard (round 11): a small documents table
-    # scans as 1-2 partitions, serializing the CPU-dense per-doc
-    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
-    # matter the cluster size — the measured cause of the video
-    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
-    # real many-split scans (the 100 TB case).
+    # Plant-parallelism guard (round 11), cost-gated (round 12):
+    # a small documents table scans as 1-2 partitions, serializing
+    # per-doc payload synthesis — but THIS builder's plant is cheap
+    # struct-packing, so the fan-out only pays once every task gets
+    # CHEAP_PLANT_MIN_BYTES_PER_TASK of input; below that the
+    # shuffle exceeds the plant it parallelizes. No-op on real
+    # many-split scans (the 100 TB case) either way.
     return ensure_min_parallelism(
-        docs.select("doc_id", text_col), keys=["doc_id"]
+        docs.select("doc_id", text_col),
+        keys=["doc_id"],
+        min_bytes_per_task=CHEAP_PLANT_MIN_BYTES_PER_TASK,
     ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 
@@ -658,14 +671,14 @@ def documents_as_encoded_media_variants(
                 }
             )
 
-    # Plant-parallelism guard (round 11): a small documents table
-    # scans as 1-2 partitions, serializing the CPU-dense per-doc
-    # payload synthesis (64-1024 md5 calls/doc) onto 1-2 cores no
-    # matter the cluster size — the measured cause of the video
-    # tier's 12x decade ratio. ensure_min_parallelism is a no-op on
-    # real many-split scans (the 100 TB case).
+    # Plant-parallelism guard (round 11), cost-gated (round 12) —
+    # same cheap struct-packing plant as documents_as_encoded_media:
+    # skip the fan-out when the scan can't feed every task
+    # CHEAP_PLANT_MIN_BYTES_PER_TASK of input.
     return ensure_min_parallelism(
-        docs.select("doc_id", text_col), keys=["doc_id"]
+        docs.select("doc_id", text_col),
+        keys=["doc_id"],
+        min_bytes_per_task=CHEAP_PLANT_MIN_BYTES_PER_TASK,
     ).mapInPandas(batches, ENCODED_MEDIA_SCHEMA)
 
 

@@ -4196,11 +4196,15 @@ def audio_pair_ctes(p: str = "aud") -> str:
     """The planted-PCM → energy fingerprint → Hamming-band
     candidate-pair chain as a reusable CTE fragment (no leading
     WITH, no trailing comma): relations {p}toks {p}cells {p}samp
-    {p}energy {p}mean {p}fp {p}bands {p}cand, prefixed so the
+    {p}energy {p}mean {p}fp {p}bands {p}ok {p}cand, prefixed so the
     fragment composes into oracles that bind their own toks/bands
     (the v5 admission oracle does). {p}cand has (doc_a, doc_b, fa,
     fb) for band-colliding doc_a < doc_b pairs; callers apply the
-    Hamming verify."""
+    Hamming verify. Band buckets past PERCEPTUAL_MAX_BAND_BUCKET
+    are skipped ({p}ok — the video tier's saturation rule, ported
+    round 12): 14-bit band keys collide quadratically with corpus
+    size while true near-dup families stay small, so an over-cap
+    bucket is noise; a true pair keeps its other bands' chances."""
     from ..operators.multimodal import (
         AUDIO_BAND_BITS,
         AUDIO_FRAME_LEN,
@@ -4208,6 +4212,7 @@ def audio_pair_ctes(p: str = "aud") -> str:
         AUDIO_N_BANDS,
         AUDIO_PREFIX_TOKENS,
         MALFORMED_MOD,
+        PERCEPTUAL_MAX_BAND_BUCKET,
     )
 
     n = AUDIO_FRAMES * AUDIO_FRAME_LEN
@@ -4253,11 +4258,17 @@ def audio_pair_ctes(p: str = "aud") -> str:
            & {(1 << AUDIO_BAND_BITS) - 1} AS bkey
   FROM {p}fp, unnest(generate_series(0, {AUDIO_N_BANDS - 1})) AS t(b)
 ),
+{p}ok AS (
+  SELECT b, bkey FROM {p}bands
+  GROUP BY 1, 2
+  HAVING count(*) <= {PERCEPTUAL_MAX_BAND_BUCKET}
+),
 {p}cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.afp AS fa, y.afp AS fb
   FROM {p}bands x JOIN {p}bands y
     ON y.b = x.b AND y.bkey = x.bkey AND x.doc_id < y.doc_id
+  JOIN {p}ok k ON k.b = x.b AND k.bkey = x.bkey
 )"""
 
 
@@ -4337,22 +4348,50 @@ def multimodal_audio_near_dups(spark, sf_dir):
         .transform(stage)
     )
     bands = audio_bands(hashes)
-    x = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fa"),
-        "b", "bkey",
+    # bucket cap (the video tier's rule, ported round 12): 14-bit
+    # band keys saturate quadratically with corpus size; buckets
+    # past the cap are skipped — a true pair keeps its other 3
+    # bands' collision chances
+    from ..operators.multimodal import PERCEPTUAL_MAX_BAND_BUCKET
+
+    ok = (
+        bands.groupBy("b", "bkey")
+        .count()
+        .filter(F.col("count") <= PERCEPTUAL_MAX_BAND_BUCKET)
+        .select("b", "bkey")
     )
-    y = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fb"),
-        "b", "bkey",
+    capped = bands.join(ok, ["b", "bkey"], "left_semi")
+    # SLIM candidate pairs — doc ids only; fingerprints re-join from
+    # the |docs|-row hashes frame instead of riding every band
+    # collision row through the join + distinct (the video tier's
+    # per-doc map shape; audio has ONE fingerprint per doc, so the
+    # map degenerates to two equijoins on the slim frame)
+    x = capped.select(F.col("doc_id").alias("doc_a"), "b", "bkey")
+    y = capped.select(F.col("doc_id").alias("doc_b"), "b", "bkey")
+    cand = (
+        x.join(y, ["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast(
         "bigint"
     )
     pairs = (
-        x.join(y, ["b", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
+        cand.join(
+            hashes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("afp").alias("fa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            hashes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("afp").alias("fb"),
+            ),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= AUDIO_HAM_MAX)
     )

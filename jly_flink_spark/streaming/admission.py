@@ -270,47 +270,95 @@ def _audio_tier_losers(kept3: DataFrame, au_idx: DataFrame) -> DataFrame:
     modality over. Returns a (doc_id) frame (may contain dups; the
     caller's anti-join is duplicate-insensitive)."""
     media = mm.documents_as_audio_media(kept3)
-    bands = mm.audio_bands(
-        mm.audio_fingerprint_frame(media).filter(
-            F.col("afp").isNotNull()
-        )
-    ).transform(stage)
-    x = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fa"),
-        "b", "bkey",
+    hashes = (
+        mm.audio_fingerprint_frame(media)
+        .filter(F.col("afp").isNotNull())
+        .transform(stage)
     )
-    y = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fb"),
-        "b", "bkey",
+    bands = mm.audio_bands(hashes)
+    # Band-bucket cap over batch ∪ index rows (the registered audio
+    # query's PERCEPTUAL_MAX_BAND_BUCKET rule, ported from the video
+    # tier round 12): 14-bit band keys saturate with corpus size.
+    # DISTINCT doc_ids — the at-least-once index may hold replayed
+    # copies, and probes must ignore physical duplicates.
+    allb = (
+        bands.select("doc_id", "b", "bkey")
+        .unionAll(au_idx.select("doc_id", "b", "bkey"))
+        .distinct()
     )
+    ok = (
+        allb.groupBy("b", "bkey")
+        .count()
+        .filter(F.col("count") <= mm.PERCEPTUAL_MAX_BAND_BUCKET)
+        .select("b", "bkey")
+    )
+    bands_c = bands.join(ok, ["b", "bkey"], "left_semi")
+    x = bands_c.select(F.col("doc_id").alias("doc_a"), "b", "bkey")
+    y = bands_c.select(F.col("doc_id").alias("doc_b"), "b", "bkey")
     intra = (
         x.join(y, ["b", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
+        .select("doc_a", "doc_b")
         .distinct()
     )
     cross = (
-        bands.join(
+        bands_c.join(
             au_idx.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("afp").alias("fa"),
-                "b",
-                "bkey",
-            ),
+                F.col("doc_id").alias("doc_a"), "b", "bkey"
+            ).join(ok, ["b", "bkey"], "left_semi"),
             ["b", "bkey"],
         )
         .filter(F.col("doc_a") < F.col("doc_id"))
-        .select(
-            "doc_a",
-            F.col("doc_id").alias("doc_b"),
-            "fa",
-            F.col("afp").alias("fb"),
-        )
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
+    )
+    cand = intra.unionAll(cross).distinct()
+    # One afp per doc over batch ∪ index rows BEFORE the verify
+    # joins: replayed index rows (same afp) collapse silently;
+    # conflicting afp — content re-appended without a tombstone —
+    # raises the same named cause as compact_audio_index.
+    a_all = hashes.select("doc_id", "afp").unionAll(
+        au_idx.select("doc_id", "afp")
+    )
+    fp = (
+        a_all.groupBy("doc_id")
+        .agg(F.min("afp").alias("a_min"), F.max("afp").alias("a_max"))
+        .select(
+            "doc_id",
+            F.when(F.col("a_min") == F.col("a_max"), F.col("a_min"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("admission audio probe: doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            " has conflicting afp values — "
+                            "re-appended with changed samples "
+                            "without a prior tombstone; delete, "
+                            "compact, re-append"
+                        ),
+                    )
+                ).cast("bigint")
+            )
+            .alias("afp"),
+        )
     )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        intra.unionAll(cross)
+        cand.join(
+            fp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("afp").alias("fa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            fp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("afp").alias("fb"),
+            ),
+            "doc_b",
+        )
         .filter(ham <= mm.AUDIO_HAM_MAX)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()

@@ -625,10 +625,12 @@ class TestShuffleBudget:
             # KM survival: per-customer combine + bucket combine +
             # the 1-row fold collect (model-sized)
             ("customer_survival_km", 3),
-            # audio tier: hash frame staged (8 bytes/clip); one band
-            # exchange serves the pair join, the shingle cross-check
-            # rides doc-keyed joins onto the bounded pair set
-            ("multimodal_audio_near_dups", 1),
+            # audio tier: hash frame staged (8 bytes/clip); band
+            # exchange serves the pair join + the bucket-cap combine
+            # (round 12) + the doc-keyed fingerprint re-join onto the
+            # slim candidate set; shingle cross-check rides the same
+            # doc keying
+            ("multimodal_audio_near_dups", 3),
             # admission gate: every stage lives behind its staging
             # cut (decisions frame is eagerly staged); the visible
             # tail is the admitted projection
