@@ -4431,16 +4431,22 @@ def graph_link_prediction_topk(spark, sf_dir):
     # shuffle in this family (round-9 ×10 probe: 1.22 GB write on the
     # adamic-adar sibling); unpack after the combine.
     ux, uy = wedge_unpack("xy")
+    wp, post_filter = _wedges_sans_edges(
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True), und
+    )
     wedges = (
-        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True)
-        .groupBy("xy")
+        wp.groupBy("xy")
         .agg(F.count("*").cast("bigint").alias("common"))
         .select(ux.alias("x"), uy.alias("y"), "common")
     )
-    nonedges = wedges.join(
-        und,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_anti",
+    nonedges = (
+        wedges.join(
+            und,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+        if post_filter
+        else wedges
     )
     top = nonedges.orderBy(
         F.col("common").desc(), "x", "y"
@@ -4732,6 +4738,39 @@ ORDER BY aa_micro DESC, x, y LIMIT {LINKPRED_TOPK}
 """
 
 
+# Pre-shuffle adjacency filter bound (round 12): edge lists at or
+# under this many rows broadcast as ~16 MB of packed 8-byte keys.
+LINKPRED_PREFILTER_MAX_EDGES = 2_000_000
+
+
+def _wedges_sans_edges(wp, und):
+    """Drop ADJACENT pairs from packed wedge rows BEFORE the
+    groupBy(xy) exchange, when the edge list broadcasts. Near-dup
+    chunk cliques make adjacent wedge pairs the dominant share of
+    all wedges (every wedge pair inside a k-clique is adjacent), and
+    the link-prediction family shuffled all of them only to
+    anti-join them away after the combine — the ×10 probe's single
+    largest shuffle (1,004 MB, rounds 9–11). The same packed und
+    keys filter identically on either side of the aggregate, so
+    semantics are exact. Above the bound (the 100 TB case, where
+    edges outgrow the driver) the caller's post-agg anti-join stays:
+    returns (wedges, post_filter_needed)."""
+    from ..operators.graph import WEDGE_PACK_BASE
+
+    # und is staged — this count materializes the checkpoint once
+    # and every downstream read (adj, the broadcast, any post
+    # anti-join) reuses it.
+    if und.count() > LINKPRED_PREFILTER_MAX_EDGES:
+        return wp, True
+    undxy = und.select(
+        (
+            F.col("u").cast("bigint") * F.lit(WEDGE_PACK_BASE)
+            + F.col("v").cast("bigint")
+        ).alias("xy")
+    )
+    return wp.join(F.broadcast(undxy), "xy", "left_anti"), False
+
+
 def _dup_chunk_und(spark, sf_dir):
     """The duplicate-chunk graph's undirected edge list (u < v),
     df-capped and staged — shared by the whole link-prediction
@@ -4804,7 +4843,18 @@ def _dup_chunk_und(spark, sf_dir):
     "emitted once (the old adj self-join shuffled the adjacency "
     "twice) — and the center degree rides along on the wedge row, "
     "so the separate degree join disappears; TakeOrdered top-20, "
-    "never a global sort.",
+    "never a global sort. Round 12 shuffle shave: adjacent pairs "
+    "drop BEFORE the exchange via a broadcast anti-join on packed "
+    "edge keys (size-guarded; the post-agg anti-join returns when "
+    "edges outgrow the driver) and count+sum ride one packed long — "
+    "×10 probe 1,004 → 884 MB at unchanged wall/skew. The remainder "
+    "is the candidate set itself (66M distinct pairs ≈ the lz4 "
+    "floor): top-k score-bound pruning was MEASURED dead on this "
+    "graph — degree-bound min(dx,dy)·aaterm_max prunes 0 of 66M "
+    "(every bound ≥ 2.89e6 vs floor 3.24e6), the tighter "
+    "neighbor-aaterm-sum bound prunes 1.7%, min-neighbor wedge "
+    "clustering −5% at +3 s wall — so the fabric-bound lever is the "
+    "documented SPARK_GRAFT_IO_CODEC=zstd (−48% on this exchange).",
 )
 def graph_adamic_adar_topk(spark, sf_dir):
     from pyspark.sql import Window
@@ -4821,28 +4871,42 @@ def graph_adamic_adar_topk(spark, sf_dir):
     # the per-center AA term needs no degree join at all. packed=True
     # shrinks the widest shuffle here (1.22 GB at ×10 in the round-9
     # probe) to (xy, aaterm) longs; unpack after the combine.
+    # Round 12: count and sum ride ONE long — the wedge value is
+    # 2⁴² + aaterm, so Σ carries n_common in the high bits and
+    # aa_micro in the low 42, dropping a third 8-byte column from
+    # every partial-agg shuffle row. Headroom is exact: aaterm ≤
+    # 1e12 div qln(2) = 1,442,695 and n_common ≤ WEDGE_DEGREE_CAP
+    # = 3,136, so Σaaterm ≤ 4.53e9 < 2⁴² = 4.4e12 (970× margin)
+    # and n_common·2⁴² ≤ 1.4e16 < 2⁶³.
     wp = wedge_pairs(
         adj, max_degree=WEDGE_DEGREE_CAP, packed=True
     ).withColumn(
-        "aaterm",
+        "aapacked",
         F.expr(
-            f"{AA_SCALE} div cast(round(ln(cast(d as double)) * 1000000)"
-            " as bigint)"
+            f"{1 << 42} + {AA_SCALE} div"
+            " cast(round(ln(cast(d as double)) * 1000000) as bigint)"
         ),
     )
+    wp, post_filter = _wedges_sans_edges(wp, und)
     ux, uy = wedge_unpack("xy")
     wedges = (
         wp.groupBy("xy")
-        .agg(
-            F.count("*").cast("bigint").alias("n_common"),
-            F.sum("aaterm").cast("bigint").alias("aa_micro"),
+        .agg(F.sum("aapacked").alias("pk"))
+        .select(
+            ux.alias("x"),
+            uy.alias("y"),
+            F.expr(f"pk div {1 << 42}").cast("bigint").alias("n_common"),
+            F.expr(f"pk % {1 << 42}").cast("bigint").alias("aa_micro"),
         )
-        .select(ux.alias("x"), uy.alias("y"), "n_common", "aa_micro")
     )
-    nonedges = wedges.join(
-        und,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_anti",
+    nonedges = (
+        wedges.join(
+            und,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+        if post_filter
+        else wedges
     )
     top = nonedges.orderBy(
         F.col("aa_micro").desc(), "x", "y"
@@ -4931,9 +4995,11 @@ def graph_jaccard_linkpred_topk(spark, sf_dir):
         F.count("*").cast("bigint").alias("d")
     ).select(F.col("nbr").alias("node"), "d")
     ux, uy = wedge_unpack("xy")
+    wp, post_filter = _wedges_sans_edges(
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True), und
+    )
     wedges = (
-        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True)
-        .groupBy("xy")
+        wp.groupBy("xy")
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .select(ux.alias("x"), uy.alias("y"), "n_common")
     )
@@ -4948,10 +5014,14 @@ def graph_jaccard_linkpred_topk(spark, sf_dir):
             .cast("bigint"),
         )
     )
-    nonedges = scored.join(
-        und,
-        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
-        "left_anti",
+    nonedges = (
+        scored.join(
+            und,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+        if post_filter
+        else scored
     )
     top = nonedges.orderBy(
         F.col("jaccard_ppm").desc(), "x", "y"
