@@ -4398,7 +4398,17 @@ def multimodal_audio_near_dups(spark, sf_dir):
     # text-shingle truth cross-check: shared distinct trigrams per
     # verified pair (array_intersect over slim per-doc shingle
     # arrays joined onto the bounded pair set — no corpus self-join)
-    sh = docs.select(
+    # The shingle-array build is the query's heaviest per-row JVM
+    # work (~3 ms/doc: tokenize + trigram explode + array_distinct);
+    # a small documents table scans as 1-2 splits and serializes it
+    # (measured ×10: ONE 2-task 79 s stage = 75% of the wall) — fan
+    # to cluster width first. Ungated: per-row cost dwarfs the
+    # shuffle at any under-parallel input size.
+    from ..io import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
+    ).select(
         "doc_id",
         F.array_distinct(
             trigram_shingles(text.tokens(F.col("text")))
@@ -4647,7 +4657,17 @@ def multimodal_video_near_dups(spark, sf_dir):
         )
         .filter(F.col("n_close_frames") >= VIDEO_MIN_CLOSE)
     )
-    sh = docs.select(
+    # The shingle-array build is the query's heaviest per-row JVM
+    # work (~3 ms/doc: tokenize + trigram explode + array_distinct);
+    # a small documents table scans as 1-2 splits and serializes it
+    # (measured ×10: ONE 2-task 79 s stage = 75% of the wall) — fan
+    # to cluster width first. Ungated: per-row cost dwarfs the
+    # shuffle at any under-parallel input size.
+    from ..io import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
+    ).select(
         "doc_id",
         F.array_distinct(
             trigram_shingles(text.tokens(F.col("text")))
