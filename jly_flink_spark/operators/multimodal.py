@@ -987,10 +987,9 @@ def probe_dhash_index(
     ).filter(F.col("hamming") <= ham_max)
 
 
-def delete_from_dhash_index(spark, path: str, doc_ids) -> None:
-    """Logical deletion — the shared tombstone contract (removed
-    images stop surfacing immediately; compaction applies
-    physically)."""
+def _append_doc_tombstones(spark, path: str, doc_ids) -> None:
+    """Shared tombstone write for every doc-keyed media index
+    (dhash / audio bands / video bands)."""
     from pyspark.sql import DataFrame as _DF
 
     from .similarity import _tombstone_dir
@@ -1005,6 +1004,13 @@ def delete_from_dhash_index(spark, path: str, doc_ids) -> None:
     df.select("doc_id").write.mode("append").parquet(
         _tombstone_dir(path)
     )
+
+
+def delete_from_dhash_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion — the shared tombstone contract (removed
+    images stop surfacing immediately; compaction applies
+    physically)."""
+    _append_doc_tombstones(spark, path, doc_ids)
 
 
 def read_dhash_index(spark, path: str) -> DataFrame:
@@ -1749,6 +1755,13 @@ def read_audio_index(spark, path: str) -> DataFrame:
     )
 
 
+def delete_from_audio_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion — the shared tombstone contract (removed
+    clips stop surfacing immediately; compaction applies
+    physically)."""
+    _append_doc_tombstones(spark, path, doc_ids)
+
+
 def compact_audio_index(
     spark, path: str, target_rows_per_file: int = 4_000_000
 ) -> int:
@@ -1809,6 +1822,13 @@ def read_video_index(spark, path: str) -> DataFrame:
     return _without_tombstones(
         spark, path, spark.read.parquet(path), "doc_id"
     )
+
+
+def delete_from_video_index(spark, path: str, doc_ids) -> None:
+    """Logical deletion — the shared tombstone contract (removed
+    clips stop surfacing immediately; compaction applies
+    physically)."""
+    _append_doc_tombstones(spark, path, doc_ids)
 
 
 def compact_video_index(

@@ -152,6 +152,20 @@ QUERIES = [
     # trigram-type volume is the scaled axis)
     "pipeline_streaming_admission_v5",
     "mixture_doremi_weights",
+    # round-12 additions (the r11 newcomers, verdict task 8): ANN
+    # serving-quality evals run BOTH the pruned and exact chains —
+    # the exact side must stay the bounded query-batch shape as the
+    # corpus grows; the minhash estimate error is per-LSH-candidate
+    # (candidate volume grows with duplication density); Heaps fit
+    # is one token aggregation + a log-N checkpoint rollup;
+    # readability is a pure per-doc scan rollup; curriculum order is
+    # the sharded global rank over the whole admitted corpus
+    "ann_recall_at_k",
+    "ann_hard_negatives",
+    "dedup_minhash_estimate_error",
+    "text_heaps_fit",
+    "text_readability_scores",
+    "training_curriculum_order",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
