@@ -198,6 +198,13 @@ HEADLINE = [
     "ann_recall_at_k",
     "training_curriculum_order",
     "ann_hard_negatives",
+    # round-12: MMR diversity re-rank (8 unrolled greedy rounds over
+    # the int8-ADC candidate set), temperature-scaled mixture
+    # weights (largest-remainder ppm apportionment), and the
+    # training-shard balance audit — one floor per new family.
+    "ann_mmr_rerank",
+    "mixture_temperature_weights",
+    "training_shard_assignment",
 ]
 
 

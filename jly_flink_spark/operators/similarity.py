@@ -990,6 +990,42 @@ def _idot(a, b):
     )
 
 
+def _int8_coded(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes, qn) int8 code table — `int8_codes`' formula as
+    a frame, shared by the ADC scan and the MMR re-ranker.
+
+    The scale is materialized as its OWN projection column before the
+    code transform (rather than nested inside the lambda as in
+    `int8_codes`): Catalyst does no CSE inside lambda bodies, so the
+    nested form re-evaluates the absmax fold per ELEMENT — O(d²)
+    interpreted ops per row, measured ~5× slower. CollapseProject
+    keeps the split because the scale expression is non-cheap and
+    referenced d times. Values are bit-identical either way."""
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    return (
+        emb.select("vec_id", vec_col)
+        .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(
+                    v.cast("double") * F.lit(127.0) / F.col("scale")
+                ).cast("long"),
+            ),
+        )
+        .select(
+            "vec_id",
+            "codes",
+            _idot(F.col("codes"), F.col("codes")).alias("qn"),
+        )
+    )
+
+
 def cosine_topk_int8(
     emb: DataFrame,
     query_ids: list[int],
@@ -1017,40 +1053,10 @@ def cosine_topk_int8(
 
     Vectors whose codes are all zero (every |x| under the quantization
     unit) are dropped on both sides — integer norm 0, cosine
-    undefined; same guard class as `drop_zero_norm`.
-
-    The scale is materialized as its OWN projection column before the
-    code transform (rather than nested inside the lambda as in
-    `int8_codes`): Catalyst does no CSE inside lambda bodies, so the
-    nested form re-evaluates the absmax fold per ELEMENT — O(d²)
-    interpreted ops per row, measured ~5× slower. CollapseProject
-    keeps the split because the scale expression is non-cheap and
-    referenced d times. Values are bit-identical either way."""
+    undefined; same guard class as `drop_zero_norm`."""
     from ..io import ensure_min_parallelism
 
-    absmax = F.aggregate(
-        F.col(vec_col),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
-    )
-    coded = (
-        emb.select("vec_id", vec_col)
-        .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
-        .withColumn(
-            "codes",
-            F.transform(
-                F.col(vec_col),
-                lambda v: F.floor(
-                    v.cast("double") * F.lit(127.0) / F.col("scale")
-                ).cast("long"),
-            ),
-        )
-        .select(
-            "vec_id",
-            "codes",
-            _idot(F.col("codes"), F.col("codes")).alias("qn"),
-        )
-    )
+    coded = _int8_coded(emb, vec_col)
     corpus = (
         ensure_min_parallelism(coded)
         .filter(F.col("qn") > 0)
@@ -1087,6 +1093,158 @@ def cosine_topk_int8(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cosine_q8", "rnk")
+    )
+
+
+MMR_LAMBDA_NUM = 7  # λ = 0.7 in tenths: score = 7·rel − 3·maxsim
+MMR_CANDIDATES = 20
+MMR_K = 8
+
+
+def mmr_rerank_int8(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_candidates: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    1998) of the int8-ADC candidate set: greedily pick k of the
+    per-query top-n_candidates, each round maximizing
+    λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s) — the diversity
+    selection every retrieval/dedup-aware training-batch builder
+    runs on top of a similarity index (near-identical candidates
+    waste the batch).
+
+    Exactness: relevance and pairwise similarity are the int8 ADC
+    cosine (integer dots/norms) micro-quantized via the established
+    round(·1e6) discipline, so the greedy arithmetic —
+    score = 7·rel_micro − 3·maxsim_micro (λ=0.7, ×10-scaled, order-
+    preserving) with (score DESC, cand_id) tie-breaks — is exact
+    integers and the picked SETS (not just sizes) value-hash across
+    engines.
+
+    Scale shape: the candidate generator is the serving tier
+    (broadcast queries × streamed corpus, top-n via window); the MMR
+    stage itself touches only |queries|·n_candidates rows and their
+    |queries|·n²_candidates pairwise sims — bounded request-batch
+    state, never corpus-scale. The greedy loop is k driver-built
+    rounds over those staged frames with a lineage cut per round
+    (the repo's iterative discipline; plans would otherwise nest
+    k deep)."""
+    from ..io import stage_eager
+
+    cands = cosine_topk_int8(
+        emb, query_ids=query_ids, k=n_candidates, vec_col=vec_col
+    )
+    rel = stage_eager(
+        cands.select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("cosine_q8") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    coded = _int8_coded(emb, vec_col)
+    a = rel.select("query_id", "cand_id").join(
+        coded.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("codes"),
+            F.col("qn"),
+        ),
+        "cand_id",
+    )
+    xa = a.select(
+        "query_id",
+        F.col("cand_id").alias("aid"),
+        F.col("codes").alias("ca"),
+        F.col("qn").alias("na"),
+    )
+    xb = a.select(
+        "query_id",
+        F.col("cand_id").alias("bid"),
+        F.col("codes").alias("cb"),
+        F.col("qn").alias("nb"),
+    )
+    sim = (
+        _idot(F.col("ca"), F.col("cb")).cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        )
+        * F.lit(1_000_000.0)
+    )
+    sims = stage_eager(
+        xa.join(xb, "query_id")
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            "query_id",
+            "aid",
+            "bid",
+            F.round(sim).cast("bigint").alias("sim"),
+        )
+    )
+    lam, lam1 = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "cand_id"
+    )
+    selected = (
+        rel.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).cast("bigint").alias("pick"),
+            "rel",
+            (F.lit(lam) * F.col("rel")).cast("bigint").alias(
+                "mmr_score"
+            ),
+        )
+    )
+    for t in range(2, k + 1):
+        ms = (
+            rel.join(
+                selected.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+            .join(
+                sims.join(
+                    selected.select(
+                        "query_id", F.col("cand_id").alias("aid")
+                    ),
+                    ["query_id", "aid"],
+                ).select("query_id", F.col("bid").alias("cand_id"), "sim"),
+                ["query_id", "cand_id"],
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        score = (
+            F.lit(lam) * F.col("rel") - F.lit(lam1) * F.col("maxsim")
+        ).cast("bigint")
+        wt = Window.partitionBy("query_id").orderBy(
+            score.desc(), "cand_id"
+        )
+        pick = (
+            ms.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(t).cast("bigint").alias("pick"),
+                "rel",
+                score.alias("mmr_score"),
+            )
+        )
+        selected = stage_eager(selected.unionAll(pick))
+    return selected.select(
+        "query_id",
+        "cand_id",
+        "pick",
+        F.col("rel").alias("rel_micro"),
+        "mmr_score",
     )
 
 

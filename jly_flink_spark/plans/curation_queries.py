@@ -5252,6 +5252,122 @@ def curation_source_cap_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (round 12): the classic
+# multilingual/multi-source sampling rule p_d ∝ n_d^(1/T) with T=2
+# (Arivazhagan et al. 2019; mT5's exponent family) — the static
+# companion to DoReMi's learned update: upsample the tail, damp the
+# head, with an exactly-apportioned ppm budget.
+# ---------------------------------------------------------------------------
+MIX_TEMP_SQRT_MILLI = 1_000  # sqrt quantization: floor(sqrt(n)·1e3)
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({{toks}})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+              * {MIX_TEMP_SQRT_MILLI}) AS BIGINT) AS s_milli
+  FROM per
+),
+tot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS s FROM sq),
+base AS (
+  SELECT q.source, q.n_docs, q.n_tokens, q.s_milli,
+         CAST(q.s_milli * 1000000 // t.s AS BIGINT) AS w_floor,
+         CAST(q.s_milli * 1000000 % t.s AS BIGINT) AS rem
+  FROM sq q, tot t
+),
+lo AS (SELECT CAST(1000000 - sum(w_floor) AS BIGINT) AS l FROM base)
+SELECT b.source, b.n_docs, b.n_tokens, b.s_milli,
+       CAST(b.w_floor + CASE WHEN
+              CAST(row_number() OVER (ORDER BY b.rem DESC, b.source)
+                   AS BIGINT) <= lo.l
+            THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+FROM base b, lo
+""".replace(
+        "{toks}",
+        "list_filter(string_split(lower(text), ' '), t -> t <> '')",
+    ),
+    tags=("curation", "mixture", "training"),
+    doc="Temperature-scaled source sampling weights, T=2 "
+    "(Arivazhagan et al. 2019 / the mT5 exponent family): "
+    "p_d ∝ n_d^(1/2) over per-source token counts — upsample the "
+    "tail, damp the head, the static mixture rule next to DoReMi's "
+    "learned one. Exact arithmetic: ONE milli-quantized IEEE sqrt "
+    "per source (correctly rounded on both engines — the "
+    "round(·1e6) libm discipline's square-root sibling), then pure "
+    "integers: floor-div ppm shares plus LARGEST-REMAINDER "
+    "apportionment (Hamilton's method; remainder DESC, source "
+    "ties), so Σ weight_ppm = 1,000,000 EXACTLY — a real sampler "
+    "can consume the row as-is with no renormalization drift. "
+    "Headroom: s_milli ≤ 1e9 at 10¹² tokens/source; ·1e6 stays "
+    "under 2⁶³ until ~8.5e24 tokens. Scale shape: one map-side-"
+    "combined (source) count aggregation over the corpus; every "
+    "later step runs on |sources| rows behind a broadcast total.",
+)
+def mixture_temperature_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    sq = per.withColumn(
+        "s_milli",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double"))
+            * F.lit(float(MIX_TEMP_SQRT_MILLI))
+        ).cast("bigint"),
+    )
+    tot = sq.agg(F.sum("s_milli").cast("bigint").alias("s"))
+    # |sources|-row frame read twice (the leftover count AND the
+    # final apportionment) — cut lineage so the corpus aggregation
+    # under it runs once, not once per reader.
+    base = stage(
+        sq.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "s_milli",
+            F.expr("s_milli * 1000000 div s").cast("bigint").alias(
+                "w_floor"
+            ),
+            F.expr("s_milli * 1000000 % s").cast("bigint").alias(
+                "rem"
+            ),
+        )
+    )
+    lo = base.agg(
+        (F.lit(1_000_000) - F.sum("w_floor"))
+        .cast("bigint")
+        .alias("l")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "s_milli",
+            (
+                F.col("w_floor")
+                + F.when(F.col("rn") <= F.col("l"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DoReMi-style domain reweighting (round 11): one multiplicative-
 # weights update over per-domain EXCESS LOSS (proxy LM − reference
 # LM), α-smoothed toward uniform — the Domain Reweighting with

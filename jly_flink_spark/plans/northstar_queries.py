@@ -522,6 +522,152 @@ def ann_cosine_int8_adc(spark, sf_dir):
     )
 
 
+def _mmr_oracle(n_candidates: int = 20, k: int = 8) -> str:
+    """Unrolled greedy MMR over the int8-ADC candidate chain: the
+    `_int8_adc_oracle` prefix (scaled → codes → norms → dots →
+    scored) feeds a top-n_candidates CTE, pairwise candidate sims
+    reuse the same codes, then k unrolled selection rounds — round t
+    anti-joins the running pick set, takes max sim to it, and argmaxes
+    7·rel − 3·maxsim with (score DESC, cand_id) ties. MATERIALIZED
+    marks on the shared CTEs keep DuckDB from re-inlining the code
+    table into every round (the iterative-oracle discipline)."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    rounds = []
+    for t in range(2, k + 1):
+        prev = f"selu{t - 1}"
+        rounds.append(f"""ms{t} AS (
+  SELECT c.query_id, c.cand_id, c.rel, max(s.sim) AS maxsim
+  FROM mmr_cands c
+  JOIN {prev} p ON p.query_id = c.query_id
+  JOIN mmr_sims s ON s.query_id = c.query_id
+   AND s.aid = p.cand_id AND s.bid = c.cand_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} q
+                    WHERE q.query_id = c.query_id
+                      AND q.cand_id = c.cand_id)
+  GROUP BY 1, 2, 3
+),
+pick{t} AS (
+  SELECT query_id, cand_id, CAST({t} AS BIGINT) AS pick, rel,
+         CAST(7 * rel - 3 * maxsim AS BIGINT) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 7 * rel - 3 * maxsim DESC, cand_id) AS r
+        FROM ms{t})
+  WHERE r = 1
+),
+selu{t} AS MATERIALIZED (
+  SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM pick{t}
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))), 1e-12) AS scale
+  FROM embeddings
+),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale)
+                     AS BIGINT)) AS q
+  FROM scaled
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS qn
+  FROM codes
+),
+prods AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         unnest(q.q) AS qa, unnest(c.q) AS qb
+  FROM codes q, codes c
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+dots AS (
+  SELECT query_id, cand_id, CAST(sum(qa * qb) AS BIGINT) AS qdot
+  FROM prods GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.qdot AS DOUBLE)
+           / (sqrt(CAST(nq.qn AS DOUBLE)) * sqrt(CAST(nc.qn AS DOUBLE)))
+           AS cosine_q8
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+  WHERE nq.qn > 0 AND nc.qn > 0
+),
+mmr_cands AS MATERIALIZED (
+  SELECT query_id, cand_id,
+         CAST(round(cosine_q8 * 1000000) AS BIGINT) AS rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine_q8 DESC, cand_id) AS rnk
+        FROM scored)
+  WHERE rnk <= {n_candidates}
+),
+pprod AS (
+  SELECT a.query_id, a.cand_id AS aid, b.cand_id AS bid,
+         unnest(ca.q) AS xa, unnest(cb.q) AS xb
+  FROM mmr_cands a
+  JOIN mmr_cands b ON b.query_id = a.query_id
+                  AND b.cand_id <> a.cand_id
+  JOIN codes ca ON ca.vec_id = a.cand_id
+  JOIN codes cb ON cb.vec_id = b.cand_id
+),
+pd AS (
+  SELECT query_id, aid, bid, CAST(sum(xa * xb) AS BIGINT) AS qd
+  FROM pprod GROUP BY 1, 2, 3
+),
+mmr_sims AS MATERIALIZED (
+  SELECT p.query_id, p.aid, p.bid,
+         CAST(round(CAST(p.qd AS DOUBLE)
+           / (sqrt(CAST(na.qn AS DOUBLE)) * sqrt(CAST(nb.qn AS DOUBLE)))
+           * 1000000) AS BIGINT) AS sim
+  FROM pd p
+  JOIN norms na ON na.vec_id = p.aid
+  JOIN norms nb ON nb.vec_id = p.bid
+),
+selu1 AS MATERIALIZED (
+  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS pick, rel,
+         CAST(7 * rel AS BIGINT) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, cand_id) AS r
+        FROM mmr_cands)
+  WHERE r = 1
+),
+{rounds_sql}
+SELECT query_id, cand_id, pick, rel AS rel_micro, mmr_score
+FROM selu{k}
+"""
+
+
+@register(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("northstar", "similarity", "ranking", "eval"),
+    doc="Maximal Marginal Relevance diversity re-rank (Carbonell & "
+    "Goldstein 1998) of the int8-ADC top-20: greedily pick 8, each "
+    "round maximizing λ·rel − (1−λ)·max-sim-to-picked (λ=0.7) — the "
+    "redundancy-aware selection a retrieval-augmented or "
+    "dedup-aware training-batch builder runs on top of the "
+    "similarity index (near-identical candidates waste the batch; "
+    "MMR trades a little relevance for coverage). Exact: relevance "
+    "and pairwise sims are micro-quantized int8 cosines (integer "
+    "dots/norms, the round(·1e6) discipline), the greedy argmax is "
+    "integer arithmetic with (score DESC, cand_id) ties, so the "
+    "picked SETS value-hash across engines; the oracle unrolls all "
+    "8 rounds as CTEs. Scale shape: candidate generation is the "
+    "serving tier (broadcast queries × streamed corpus); the MMR "
+    "stage touches only |queries|·20 candidate rows and their "
+    "pairwise sims — request-batch state, never corpus-scale — with "
+    "a lineage cut per greedy round.",
+)
+def ann_mmr_rerank(spark, sf_dir):
+    return similarity.mmr_rerank_int8(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_ANN_QUERY_IDS,
+    )
+
+
 def _lsh_oracle(n_planes: int = 6) -> str:
     """Exact DuckDB mirror of the LSH path: the hyperplanes are
     md5-derived and the sign sums are quantized int64 (see

@@ -74,6 +74,70 @@ def train_test_split_hash(spark, sf_dir):
     )
 
 
+N_SHARDS = 32  # training-shard fan-out audited by shard_assignment
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+WITH assigned AS (
+  SELECT CAST(floor({_hash_frac_sql("doc_id")} * {N_SHARDS})
+              AS BIGINT) AS shard,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY shard
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS s FROM per)
+SELECT p.shard, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens * 1000000 // t.s AS BIGINT) AS share_ppm
+FROM per p, tot t
+""",
+    tags=("training", "split", "audit"),
+    doc="Deterministic training-shard assignment + balance audit: "
+    "every doc picks shard = floor(hash_frac(doc_id)·32) — the same "
+    "md5-prefix fraction as the split/sample family, so shard "
+    "membership is reproducible, repartition-stable, and "
+    "coordination-free (a writer can fan 100 TB to N output shards "
+    "with zero planning state) — and the audit reports per-shard "
+    "doc/token counts plus the corpus token share in ppm (ideal = "
+    "1e6/32 = 31,250; drift means token-length structure correlates "
+    "with the hash, which this proves it doesn't). Exact integers "
+    "after the count aggregation; headroom n_tokens·1e6 < 2⁶³ holds "
+    "to ~9.2e12 tokens per shard. Scale shape: one map-side-"
+    "combined groupBy(shard) over a two-column projection; the "
+    "share arithmetic runs on 32 rows behind a broadcast total.",
+)
+def training_shard_assignment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.floor(_hash_frac(F.col("doc_id")) * N_SHARDS)
+            .cast("bigint")
+            .alias("shard"),
+            token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("s"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div s").cast("bigint").alias(
+            "share_ppm"
+        ),
+    )
+
+
 @register(
     "sample_hash_10pct",
     oracle=f"""

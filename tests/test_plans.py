@@ -628,9 +628,9 @@ class TestShuffleBudget:
             # audio tier: hash frame staged (8 bytes/clip); band
             # exchange serves the pair join + the bucket-cap combine
             # (round 12) + the doc-keyed fingerprint re-join onto the
-            # slim candidate set; shingle cross-check rides the same
-            # doc keying
-            ("multimodal_audio_near_dups", 3),
+            # slim candidate set + the shingle build's fan-out
+            # repartition and its doc-keyed join
+            ("multimodal_audio_near_dups", 5),
             # admission gate: every stage lives behind its staging
             # cut (decisions frame is eagerly staged); the visible
             # tail is the admitted projection
@@ -672,6 +672,16 @@ class TestShuffleBudget:
             # pipeline v4: v3's staged chain + the LM gate's 1-row
             # stats; visible tail = cap window + split rollup
             ("pipeline_training_corpus_v4", 2),
+            # MMR re-rank: candidate generation + every greedy round
+            # live behind eager stage cuts (request-batch frames)
+            ("ann_mmr_rerank", 0),
+            # temperature mixture: the (source) combine + the 1-row
+            # total; apportionment runs on |sources| rows behind the
+            # staged base
+            ("mixture_temperature_weights", 2),
+            # shard audit: the (shard) combine + the 1-row total +
+            # its broadcast side
+            ("training_shard_assignment", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
