@@ -205,6 +205,9 @@ HEADLINE = [
     "ann_mmr_rerank",
     "mixture_temperature_weights",
     "training_shard_assignment",
+    # the Gopher repetition suite (five n-gram families over one
+    # staged token scan)
+    "curation_gopher_repetition",
 ]
 
 

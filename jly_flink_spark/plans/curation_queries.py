@@ -3071,6 +3071,184 @@ def curation_gopher_rules(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher REPETITION suite (round 12): the MassiveText repetition
+# filters (Rae et al. 2021 A1.1) the rules suite doesn't cover — the
+# fraction of a document's characters covered by its most frequent
+# n-gram (n = 2, 3, 4) and by all DUPLICATED n-grams (n = 5, 10).
+# Occurrence-weighted coverage (count · ngram chars, Gopher's own
+# accounting — overlaps are not de-duplicated), exact integer ppm.
+# ---------------------------------------------------------------------------
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 10)
+
+
+def _gopher_repetition_oracle() -> str:
+    gram_selects = []
+    for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS):
+        gram_selects.append(f"""  SELECT doc_id, nch, CAST({n} AS BIGINT) AS n, unnest(
+    list_transform(generate_series(1, greatest(len(ts) - {n - 1}, 0)),
+                   i -> array_to_string(list_slice(ts, i, i + {n - 1}),
+                                        ' '))) AS g
+  FROM toks""")
+    grams_sql = "\n  UNION ALL\n".join(gram_selects)
+    top_cols = ",\n".join(
+        f"""       CAST(coalesce(max(CASE WHEN p.n = {n} THEN p.top_cov END)
+              * 1000000 // greatest(d.nch, 1), 0) AS BIGINT)
+         AS top{n}_ppm"""
+        for n in GOPHER_TOP_NS
+    )
+    dup_cols = ",\n".join(
+        f"""       CAST(coalesce(max(CASE WHEN p.n = {n} THEN p.dup_cov END)
+              * 1000000 // greatest(d.nch, 1), 0) AS BIGINT)
+         AS dup{n}_ppm"""
+        for n in GOPHER_DUP_NS
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS nch,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+{grams_sql}
+),
+tf AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c,
+         CAST(count(*) * length(g) AS BIGINT) AS cov
+  FROM grams GROUP BY doc_id, n, g
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY c DESC, g) AS rn
+  FROM tf
+),
+per_n AS (
+  SELECT doc_id, n,
+         CAST(max(CASE WHEN rn = 1 THEN cov END) AS BIGINT) AS top_cov,
+         CAST(sum(CASE WHEN c >= 2 THEN cov ELSE 0 END) AS BIGINT)
+           AS dup_cov
+  FROM ranked GROUP BY doc_id, n
+)
+SELECT d.doc_id,
+{top_cols},
+{dup_cols}
+FROM (SELECT doc_id, nch FROM toks) d
+LEFT JOIN per_n p ON p.doc_id = d.doc_id
+GROUP BY d.doc_id, d.nch
+"""
+
+
+@register(
+    "curation_gopher_repetition",
+    oracle=_gopher_repetition_oracle(),
+    tags=("curation", "quality", "text"),
+    doc="Gopher/MassiveText repetition filters (Rae et al. 2021 "
+    "A1.1) — the signals the rules suite doesn't cover: per "
+    "document, the character-coverage fraction of the single most "
+    "frequent n-gram for n ∈ {2,3,4} (looping/boilerplate text "
+    "repeats one phrase) and of ALL duplicated n-grams for n ∈ "
+    "{5,10} (templated text repeats long spans). Coverage is "
+    "Gopher's own occurrence-weighted accounting (count · n-gram "
+    "chars; overlaps not de-duplicated), reported in exact integer "
+    "ppm of the document's characters — ties on the top n-gram "
+    "break (count DESC, gram), so every value hashes across "
+    "engines. Scale shape: ONE staged tokenization scan feeds all "
+    "five n-gram families; per-(doc, n, gram) counts map-side-"
+    "combine before the single exchange; the top/dup rollup and "
+    "the pivot run on (doc, n) rows. The corpus text never moves "
+    "twice.",
+)
+def curation_gopher_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = stage(
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("nch"),
+            tokens(F.col("text")).alias("ts"),
+        )
+    )
+
+    def grams_of(n: int):
+        return toks.select(
+            "doc_id",
+            "nch",
+            F.lit(n).cast("bigint").alias("n"),
+            F.explode(
+                F.when(
+                    F.size("ts") >= n,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("ts") - F.lit(n - 1)
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("ts"), i, n)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+
+    grams = None
+    for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS):
+        grams = grams_of(n) if grams is None else grams.unionAll(
+            grams_of(n)
+        )
+    tf = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").cast("bigint").alias("c"),
+        (F.count("*") * F.length("g")).cast("bigint").alias("cov"),
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), "g"
+    )
+    per_n = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cov")))
+            .cast("bigint")
+            .alias("top_cov"),
+            F.sum(F.when(F.col("c") >= 2, F.col("cov")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_cov"),
+        )
+    )
+    base = toks.select("doc_id", "nch")
+    agg_exprs = []
+    for n in GOPHER_TOP_NS:
+        agg_exprs.append(
+            F.coalesce(
+                F.expr(
+                    f"max(CASE WHEN n = {n} THEN top_cov END)"
+                    " * 1000000 div greatest(nch, 1)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"top{n}_ppm")
+        )
+    for n in GOPHER_DUP_NS:
+        agg_exprs.append(
+            F.coalesce(
+                F.expr(
+                    f"max(CASE WHEN n = {n} THEN dup_cov END)"
+                    " * 1000000 div greatest(nch, 1)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"dup{n}_ppm")
+        )
+    return (
+        base.join(per_n, "doc_id", "left")
+        .groupBy("doc_id", "nch")
+        .agg(*agg_exprs)
+        .select("doc_id", *[c for c in (
+            "top2_ppm", "top3_ppm", "top4_ppm", "dup5_ppm", "dup10_ppm"
+        )])
+    )
+
+
 def _clustering_oracle() -> str:
     """Local clustering coefficient over the same chunk graph: the
     triangle CTEs verbatim (same degree-oriented order), then

@@ -682,6 +682,10 @@ class TestShuffleBudget:
             # shard audit: the (shard) combine + the 1-row total +
             # its broadcast side
             ("training_shard_assignment", 3),
+            # repetition suite: one (doc, n, gram) combine over the
+            # staged token scan + the (doc, n) rollup + the per-doc
+            # pivot join
+            ("curation_gopher_repetition", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
