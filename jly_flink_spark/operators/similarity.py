@@ -254,13 +254,32 @@ def _centroid_state(cent_rows):
     return ids, mat, qn
 
 
-def _assign_udf(spark, cent_rows):
-    """Arrow-batched assignment: list_id = argmax quantized cosine
-    against the broadcast centroid matrix. numpy computes the same
+def _assign_batch(mat, state):
+    """numpy assignment kernel: list ids (int64 array) for a (n, d)
+    float64 batch against broadcast centroid state — the same
     floor(x·y·1e8) int64 sums as the SQL expressions, so assignment
     is engine-reproducible; np.argmax takes the FIRST max, matching
-    the lowest-centroid-id tie rule. A pure map over the scan — the
-    corpus is never shuffled for assignment."""
+    the lowest-centroid-id tie rule."""
+    import numpy as np
+
+    ids, cmat, cqn = state
+    qd = (
+        np.floor(mat[:, None, :] * cmat[None, :, :] * QUANT)
+        .astype("int64")
+        .sum(axis=2)
+    )
+    vq = np.maximum(
+        np.floor(mat * mat * QUANT).astype("int64").sum(axis=1), 1
+    )
+    cos = qd / (np.sqrt(vq)[:, None] * np.sqrt(cqn)[None, :])
+    return ids[np.argmax(cos, axis=1)]
+
+
+def _assign_udf(spark, cent_rows):
+    """Arrow-batched assignment: list_id = argmax quantized cosine
+    against the broadcast centroid matrix (`_assign_batch`). A pure
+    map over the scan — the corpus is never shuffled for
+    assignment."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -268,18 +287,8 @@ def _assign_udf(spark, cent_rows):
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        ids, cmat, cqn = bc.value
         mat = np.array(list(vecs), dtype="float64")
-        qd = (
-            np.floor(mat[:, None, :] * cmat[None, :, :] * QUANT)
-            .astype("int64")
-            .sum(axis=2)
-        )
-        vq = np.maximum(
-            np.floor(mat * mat * QUANT).astype("int64").sum(axis=1), 1
-        )
-        cos = qd / (np.sqrt(vq)[:, None] * np.sqrt(cqn)[None, :])
-        return pd.Series(ids[np.argmax(cos, axis=1)])
+        return pd.Series(_assign_batch(mat, bc.value))
 
     return assign
 
@@ -332,32 +341,60 @@ def ivf_refine(emb: DataFrame, cent_rows, vec_col: str = "embedding") -> list:
     centroids and still value-hash cross-engine (round-8 verdict: the
     refined tier is the one that makes residual PQ pay).
 
-    Plan shape: assignment is the broadcast-centroid pandas_udf (a
-    pure map over the scan); the update shuffles only (list_id, dim)
-    partial sums — posexplode is map-side combined to ≤ n_list·d rows
-    per partition, so per-step shuffle volume is independent of
-    corpus size (the kmeans_fixed discipline). The collect returns
-    n_list·d integers of model state. Empty lists keep their seed,
-    quantized through the same floor/scale so the fallback is
-    replayable too."""
+    Plan shape: ONE Arrow-batched mapInPandas computes assignment
+    (broadcast centroid state) and the per-(list, dim) integer
+    partial sums in the same kernel, emitting ≤ n_list·d rows per
+    batch — so per-step shuffle volume is independent of corpus
+    size (the kmeans_fixed discipline) and the corpus crosses the
+    Python boundary exactly once. The collect returns n_list·d
+    integers of model state. Empty lists keep their seed, quantized
+    through the same floor/scale so the fallback is replayable
+    too."""
     import math
+
+    import numpy as np
+
+    from ..io import ensure_min_parallelism
 
     spark = emb.sparkSession
     scale = REFINE_SCALE
-    assign = _assign_udf(spark, cent_rows)
-    flat = emb.select(
-        assign(F.col(vec_col)).alias("list_id"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(float(scale))
-                ).cast("bigint"),
+    bc = spark.sparkContext.broadcast(_centroid_state(cent_rows))
+
+    # ONE Arrow pass computes assignment AND the per-(list, dim)
+    # integer partial sums inside the batch kernel — ≤ n_list·d
+    # output rows per batch regardless of batch size. The previous
+    # shape (assignment pandas_udf + posexplode in one projection)
+    # pushed every exploded row through the Python-runner pipeline:
+    # measured 20.5 s vs 5.3 s for assignment alone at the ×10
+    # corpus; this fused pass plus the fan-out guard below takes the
+    # whole refine to ~2 s. Fan-out: a small embeddings table scans
+    # as 1-2 splits, serializing the kernel onto one core (measured
+    # ×10: ONE 22 s single-task stage) — no-op on many-split scans.
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            lid = _assign_batch(mat, bc.value)
+            q = np.floor(mat * scale).astype("int64")
+            rows = []
+            for c in np.unique(lid):
+                m = lid == c
+                s = q[m].sum(axis=0)
+                n = int(m.sum())
+                rows.extend(
+                    (int(c), d, int(s[d]), n)
+                    for d in range(q.shape[1])
+                )
+            yield pd.DataFrame(
+                rows, columns=["list_id", "dim", "s", "cnt"]
             )
-        ).alias("dim", "val"),
-    )
-    sums = flat.groupBy("list_id", "dim").agg(
-        F.sum("val").alias("s"), F.count("*").alias("cnt")
+
+    partials = ensure_min_parallelism(
+        emb.select("vec_id", vec_col)
+    ).mapInPandas(batches, "list_id int, dim int, s long, cnt long")
+    sums = partials.groupBy("list_id", "dim").agg(
+        F.sum("s").alias("s"), F.sum("cnt").alias("cnt")
     )
     got = {
         (int(r["list_id"]), int(r["dim"])): (int(r["s"]), int(r["cnt"]))
