@@ -176,3 +176,65 @@ class TestStagingModeOnRealQueries:
             map(tuple, REGISTRY[name].spark_fn(spark, sf).collect())
         )
         assert reliable_rows == local_rows and local_rows
+
+
+class TestCostAwareFanOut:
+    """ensure_min_parallelism's min_bytes_per_task gate (round 12):
+    the fan-out must SKIP when Catalyst's size estimate says the
+    scan can't feed every task the declared bytes, and FIRE when it
+    can — asserted on partition counts, because a silently-disabled
+    gate measures exactly like a working one on a warm cache (the
+    py4j BigInt .toString() bug shipped and was caught only by a
+    partition-count check)."""
+
+    def test_small_input_skips_fanout(self, spark):
+        from jly_flink_spark.io import (
+            ensure_min_parallelism,
+            load_table,
+        )
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("doc_id", "text")
+        assert docs.rdd.getNumPartitions() <= 2
+        gated = ensure_min_parallelism(
+            docs, keys=["doc_id"], min_bytes_per_task=1 << 20
+        )
+        # sf0.001 documents are a few hundred KB — far below
+        # 1 MiB/task × parallelism, so the gate must skip
+        assert (
+            gated.rdd.getNumPartitions()
+            == docs.rdd.getNumPartitions()
+        )
+
+    def test_tiny_threshold_fans_out(self, spark):
+        from jly_flink_spark.io import (
+            ensure_min_parallelism,
+            load_table,
+        )
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("doc_id", "text")
+        fanned = ensure_min_parallelism(
+            docs, keys=["doc_id"], min_bytes_per_task=1
+        )
+        assert (
+            fanned.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+
+    def test_ungated_always_fans(self, spark):
+        from jly_flink_spark.io import (
+            ensure_min_parallelism,
+            load_table,
+        )
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).select("doc_id", "text")
+        fanned = ensure_min_parallelism(docs)
+        assert (
+            fanned.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
