@@ -45,10 +45,12 @@ def _is_green_row(row, has_oracle: bool = False) -> bool:
     )
 
 
-def _already_verified() -> set[str]:
+def _already_verified() -> dict[str, int]:
     """Names with a green row (hash match, or completed rows-only
     check) in ANY prior round's CORRECTNESS_r*.json — **whose
-    implementation is unchanged since that green row**.
+    implementation is unchanged since that green row** — mapped to
+    the LATEST round number that re-verified them (the staleness
+    signal the rotation sorts on).
 
     VERIFIED_HASHES.json (maintained by tools/update_verified_hashes.py
     right after each round) pins every green name to the impl_hash
@@ -60,12 +62,15 @@ def _already_verified() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     from jly_flink_spark.plans import REGISTRY
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as f:
                 data = json.load(f)
@@ -76,7 +81,7 @@ def _already_verified() -> set[str]:
             if _is_green_row(
                 row, has_oracle=spec is not None and spec.oracle is not None
             ):
-                seen.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
 
     try:
         with open(
@@ -84,10 +89,10 @@ def _already_verified() -> set[str]:
         ) as f:
             pinned = json.load(f)
     except (OSError, ValueError):
-        return seen  # no sidecar — fall back to green-row-only logic
+        return last_green  # no sidecar — green-row-only fallback
     return {
-        n
-        for n in seen
+        n: rnd
+        for n, rnd in last_green.items()
         if n in REGISTRY
         and pinned.get(n) == REGISTRY[n].impl_hash
     }
@@ -102,8 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     been value-checked at least once. Within the unverified group,
     the families the round-1 verdict flagged as the coverage gap
     (training-data suite, TPC-H shapes, multimodal, curation) run
-    before the rest. Ties preserve registration order, so the
-    ordering is deterministic."""
+    before the rest. Within the VERIFIED group, STALEST-green first
+    (round-13 verdict task 9): a name last re-validated in r01 runs
+    ahead of one green last round, so Spark/DuckDB version drift on
+    old pins surfaces within a bounded number of rounds instead of
+    never. Ties preserve registration order, so the ordering is
+    deterministic."""
     from jly_flink_spark.plans import REGISTRY, queries_map
 
     qm = queries_map()
@@ -119,9 +128,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0
         return 1
 
-    names = sorted(
-        qm, key=lambda n: (n in verified, priority(n), order[n])
-    )
+    def sort_key(n: str):
+        if n in verified:
+            # verified tier: stalest green round first, then
+            # registration order (family priority only matters for
+            # first-time coverage)
+            return (1, verified[n], 0, order[n])
+        return (0, 0, priority(n), order[n])
+
+    names = sorted(qm, key=sort_key)
     return {n: qm[n] for n in names}
 
 

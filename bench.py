@@ -217,6 +217,11 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    # Sampled BEFORE the session/warmup so the recorded value reflects
+    # the box the bench STARTED on (round-13 verdict task 5: the
+    # end-of-run load mostly measures the bench itself, which made
+    # every "idle box" claim unauditable from the artifacts).
+    pre_load = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -265,6 +270,10 @@ def main() -> None:
         # within ~1.5x of a floor measured on a DIFFERENT host are
         # noise unless the plan changed (see regression_notes).
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        # pre-run load: ~0-1 substantiates an idle-box run; the
+        # end-of-run value above is dominated by the bench's own 32
+        # threads and only shows whether a COMPETING load appeared.
+        "load_avg_1m_pre": pre_load,
     }
     # Regression guard: per-query ratio against the tracked floor
     # (BENCH_BASELINE.json = round 1). Ratios > 1.5 are flagged so a

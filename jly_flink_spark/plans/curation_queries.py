@@ -4610,7 +4610,9 @@ def graph_link_prediction_topk(spark, sf_dir):
     # adamic-adar sibling); unpack after the combine.
     ux, uy = wedge_unpack("xy")
     wp, post_filter = _wedges_sans_edges(
-        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True), und
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True),
+        und,
+        memo_key=(spark.sparkContext.applicationId, sf_dir),
     )
     wedges = (
         wp.groupBy("xy")
@@ -4880,6 +4882,43 @@ def ann_ivf_pq_residual(spark, sf_dir):
 # --------------------------------------------------------------------
 AA_SCALE = 1_000_000_000_000  # 1e12: micro-units over qln's 1e6
 
+# Loud-guard bound on per-pair n_common for the packed count+sum long
+# (round 13, ADVICE): WEDGE_DEGREE_CAP bounds wedge CENTERS only —
+# n_common per (x, y) pair is bounded by min(deg x, deg y), which is
+# uncapped, so a hub pair could overflow the packing silently (ANSI
+# off wraps int64). Every pk the guard passes is provably exact:
+# n_common ≤ 2²⁰ ⇒ Σaaterm ≤ 2²⁰ · 1,442,695 ≈ 1.51e12 < 2⁴², so the
+# sum never spills into the count bits, and pk < 2⁶² never wraps.
+AA_PACKED_NCOMMON_MAX = 1 << 20
+
+
+def _aa_packed_guard():
+    """Guarded `pk` column: passes provably-exact packed values,
+    raises loudly otherwise (see AA_PACKED_NCOMMON_MAX). Wrapping
+    clean PAST this guard would need n_common within 2²⁰ of a
+    multiple of 2²² (≥ 4.19M common neighbors on one pair) — switch
+    to separate count/sum agg columns before running a graph whose
+    endpoint degrees can reach that."""
+    ok = (F.col("pk") >= F.lit(1 << 42)) & (
+        F.expr(f"pk div {1 << 42}") <= F.lit(AA_PACKED_NCOMMON_MAX)
+    )
+    return F.when(ok, F.col("pk")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "graph_adamic_adar_topk: packed count+sum overflow"
+                    " on pair xy="
+                ),
+                F.col("xy").cast("string"),
+                F.lit(
+                    f" (n_common > {AA_PACKED_NCOMMON_MAX} or wrapped)"
+                    " — endpoint degrees exceed the packing margin;"
+                    " use separate count/sum agg columns"
+                ),
+            )
+        ).cast("bigint")
+    )
+
 
 def _adamic_adar_oracle() -> str:
     return f"""{_chunk_graph_prefix()},
@@ -4920,8 +4959,19 @@ ORDER BY aa_micro DESC, x, y LIMIT {LINKPRED_TOPK}
 # under this many rows broadcast as ~16 MB of packed 8-byte keys.
 LINKPRED_PREFILTER_MAX_EDGES = 2_000_000
 
+# Per-(application, sf_dir) memo of the staged dup-chunk edge count.
+# The broadcast-vs-post-filter decision is data-dependent, so the
+# FIRST link-prediction plan built in a session pays one count job;
+# the memo keeps the other two family members (and repeated builds,
+# e.g. explain-only inspection after any query ran) side-effect-free.
+# Plan-stats estimates are no substitute here: the edge list is a
+# join→distinct chain whose sizeInBytes estimate is off by orders of
+# magnitude, and a false "too big" silently re-inflates the ×10
+# probe's largest shuffle from 884 MB back to 1 GB.
+_UND_EDGE_COUNT_MEMO: dict[tuple[str, str], int] = {}
 
-def _wedges_sans_edges(wp, und):
+
+def _wedges_sans_edges(wp, und, memo_key=None):
     """Drop ADJACENT pairs from packed wedge rows BEFORE the
     groupBy(xy) exchange, when the edge list broadcasts. Near-dup
     chunk cliques make adjacent wedge pairs the dominant share of
@@ -4937,8 +4987,14 @@ def _wedges_sans_edges(wp, und):
 
     # und is staged — this count materializes the checkpoint once
     # and every downstream read (adj, the broadcast, any post
-    # anti-join) reuses it.
-    if und.count() > LINKPRED_PREFILTER_MAX_EDGES:
+    # anti-join) reuses it. Memoized per (application, sf_dir) so
+    # plan construction triggers at most one job per session/corpus.
+    n_edges = _UND_EDGE_COUNT_MEMO.get(memo_key) if memo_key else None
+    if n_edges is None:
+        n_edges = und.count()
+        if memo_key:
+            _UND_EDGE_COUNT_MEMO[memo_key] = n_edges
+    if n_edges > LINKPRED_PREFILTER_MAX_EDGES:
         return wp, True
     undxy = und.select(
         (
@@ -5052,10 +5108,13 @@ def graph_adamic_adar_topk(spark, sf_dir):
     # Round 12: count and sum ride ONE long — the wedge value is
     # 2⁴² + aaterm, so Σ carries n_common in the high bits and
     # aa_micro in the low 42, dropping a third 8-byte column from
-    # every partial-agg shuffle row. Headroom is exact: aaterm ≤
-    # 1e12 div qln(2) = 1,442,695 and n_common ≤ WEDGE_DEGREE_CAP
-    # = 3,136, so Σaaterm ≤ 4.53e9 < 2⁴² = 4.4e12 (970× margin)
-    # and n_common·2⁴² ≤ 1.4e16 < 2⁶³.
+    # every partial-agg shuffle row. Headroom (corrected round 13):
+    # WEDGE_DEGREE_CAP caps wedge CENTERS, not endpoints — n_common
+    # per pair is ≤ min(deg x, deg y), which is uncapped — so the
+    # packing is exact only while n_common ≤ 2⁴²/1,442,695 ≈ 3.0M
+    # and int64-safe while n_common < 2²¹. _aa_packed_guard below
+    # raises loudly at n_common > 2²⁰, far inside both bounds,
+    # instead of ranking on silently-wrapped scores.
     wp = wedge_pairs(
         adj, max_degree=WEDGE_DEGREE_CAP, packed=True
     ).withColumn(
@@ -5065,11 +5124,14 @@ def graph_adamic_adar_topk(spark, sf_dir):
             " cast(round(ln(cast(d as double)) * 1000000) as bigint)"
         ),
     )
-    wp, post_filter = _wedges_sans_edges(wp, und)
+    wp, post_filter = _wedges_sans_edges(
+        wp, und, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    )
     ux, uy = wedge_unpack("xy")
     wedges = (
         wp.groupBy("xy")
         .agg(F.sum("aapacked").alias("pk"))
+        .withColumn("pk", _aa_packed_guard())
         .select(
             ux.alias("x"),
             uy.alias("y"),
@@ -5174,7 +5236,9 @@ def graph_jaccard_linkpred_topk(spark, sf_dir):
     ).select(F.col("nbr").alias("node"), "d")
     ux, uy = wedge_unpack("xy")
     wp, post_filter = _wedges_sans_edges(
-        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True), und
+        wedge_pairs(adj, max_degree=WEDGE_DEGREE_CAP, packed=True),
+        und,
+        memo_key=(spark.sparkContext.applicationId, sf_dir),
     )
     wedges = (
         wp.groupBy("xy")
@@ -5456,8 +5520,9 @@ sq AS (
 tot AS (SELECT CAST(sum(s_milli) AS BIGINT) AS s FROM sq),
 base AS (
   SELECT q.source, q.n_docs, q.n_tokens, q.s_milli,
-         CAST(q.s_milli * 1000000 // t.s AS BIGINT) AS w_floor,
-         CAST(q.s_milli * 1000000 % t.s AS BIGINT) AS rem
+         CAST(q.s_milli * 1000000 // greatest(t.s, 1) AS BIGINT)
+           AS w_floor,
+         CAST(q.s_milli * 1000000 % greatest(t.s, 1) AS BIGINT) AS rem
   FROM sq q, tot t
 ),
 lo AS (SELECT CAST(1000000 - sum(w_floor) AS BIGINT) AS l FROM base)
@@ -5513,12 +5578,16 @@ def mixture_temperature_weights(spark, sf_dir):
             "n_docs",
             "n_tokens",
             "s_milli",
-            F.expr("s_milli * 1000000 div s").cast("bigint").alias(
-                "w_floor"
-            ),
-            F.expr("s_milli * 1000000 % s").cast("bigint").alias(
-                "rem"
-            ),
+            # greatest(s, 1): an all-empty-text corpus makes every
+            # s_milli (hence the total) 0, where Spark's div yields
+            # NULL but DuckDB's // raises — the guard makes both
+            # engines emit 0 identically (nch's existing pattern).
+            F.expr("s_milli * 1000000 div greatest(s, 1)")
+            .cast("bigint")
+            .alias("w_floor"),
+            F.expr("s_milli * 1000000 % greatest(s, 1)")
+            .cast("bigint")
+            .alias("rem"),
         )
     )
     lo = base.agg(

@@ -94,7 +94,8 @@ per AS (
 ),
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS s FROM per)
 SELECT p.shard, p.n_docs, p.n_tokens,
-       CAST(p.n_tokens * 1000000 // t.s AS BIGINT) AS share_ppm
+       CAST(p.n_tokens * 1000000 // greatest(t.s, 1) AS BIGINT)
+         AS share_ppm
 FROM per p, tot t
 """,
     tags=("training", "split", "audit"),
@@ -132,9 +133,12 @@ def training_shard_assignment(spark, sf_dir):
         "shard",
         "n_docs",
         "n_tokens",
-        F.expr("n_tokens * 1000000 div s").cast("bigint").alias(
-            "share_ppm"
-        ),
+        # greatest(s, 1): an all-empty-text corpus zeroes the total,
+        # where Spark's div yields NULL but DuckDB's // raises — the
+        # guard makes both engines emit 0 identically.
+        F.expr("n_tokens * 1000000 div greatest(s, 1)")
+        .cast("bigint")
+        .alias("share_ppm"),
     )
 
 

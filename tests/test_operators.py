@@ -1270,6 +1270,82 @@ def test_wedge_pairs_packed_rejects_wide_ids(spark):
     assert _wedge_rows(spark, edges).count() == 3
 
 
+def test_wedge_pairs_cluster_exactness(spark):
+    """cluster=True (re-shuffle collected neighbor lists by their
+    min neighbor) must emit EXACTLY the cluster=False wedges — the
+    mechanism is a partitioning hint, never a semantic change
+    (round-13 ADVICE: the branch was dead code with no test)."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 5), (4, 5), (1, 5)]
+    for kw in ({}, {"packed": True}):
+        plain = sorted(
+            tuple(r) for r in _wedge_rows(spark, edges, **kw).collect()
+        )
+        clustered = sorted(
+            tuple(r)
+            for r in _wedge_rows(
+                spark, edges, cluster=True, **kw
+            ).collect()
+        )
+        assert plain == clustered and plain
+
+
+def test_aa_packed_guard(spark):
+    """The adamic-adar packed count+sum guard: provably-exact values
+    pass through; overflowed/wrapped values raise loudly instead of
+    ranking on corrupted scores (round-13 ADVICE, medium)."""
+    from pyspark.errors.exceptions.captured import (
+        SparkRuntimeException,
+    )
+
+    from jly_flink_spark.plans.curation_queries import (
+        AA_PACKED_NCOMMON_MAX,
+        _aa_packed_guard,
+    )
+
+    good = [(1 << 42) + 123, (AA_PACKED_NCOMMON_MAX << 42) + 999]
+    df = spark.createDataFrame(
+        [(7, v) for v in good], "xy long, pk long"
+    )
+    out = [
+        r["pk"]
+        for r in df.withColumn("pk", _aa_packed_guard())
+        .orderBy("pk")
+        .collect()
+    ]
+    assert out == sorted(good)
+    # n_common one past the bound; a sign-wrapped sum; a low-bits-only
+    # value (impossible for any real Σ of 2^42+aaterm wedges)
+    for bad in [(AA_PACKED_NCOMMON_MAX + 1) << 42, -(1 << 42), 123]:
+        bdf = spark.createDataFrame([(9, bad)], "xy long, pk long")
+        with pytest.raises(
+            SparkRuntimeException, match="packing margin"
+        ):
+            bdf.withColumn("pk", _aa_packed_guard()).collect()
+
+
+def test_wedges_sans_edges_count_memo(spark):
+    """_wedges_sans_edges consults the per-(app, sf_dir) memo before
+    counting: a seeded over-limit count forces the post-filter path
+    on a tiny edge list with no job (round-13 ADVICE: plan
+    construction stays side-effect-light after the first build)."""
+    from jly_flink_spark.plans import curation_queries as CQ
+
+    und = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    wp = spark.createDataFrame([((1 << 32) + 3, 2)], "xy long, d long")
+    key = (spark.sparkContext.applicationId, "/memo/test")
+    try:
+        CQ._UND_EDGE_COUNT_MEMO[key] = (
+            CQ.LINKPRED_PREFILTER_MAX_EDGES + 1
+        )
+        _, post = CQ._wedges_sans_edges(wp, und, memo_key=key)
+        assert post is True
+        CQ._UND_EDGE_COUNT_MEMO[key] = 2
+        out, post = CQ._wedges_sans_edges(wp, und, memo_key=key)
+        assert post is False and out.count() == 1
+    finally:
+        CQ._UND_EDGE_COUNT_MEMO.pop(key, None)
+
+
 def test_resample_ffill_semantics(spark, monkeypatch, tmp_path):
     """LOCF on a crafted stream: NULL before the first observation,
     carry across gaps, newest same-second observation wins, fills
