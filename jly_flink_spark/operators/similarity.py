@@ -1027,39 +1027,82 @@ def _idot(a, b):
     )
 
 
-def _int8_coded(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def _int8_coded(
+    emb: DataFrame, vec_col: str = "embedding", fan_out: bool = True
+) -> DataFrame:
     """(vec_id, codes, qn) int8 code table — `int8_codes`' formula as
     a frame, shared by the ADC scan and the MMR re-ranker.
 
-    The scale is materialized as its OWN projection column before the
-    code transform (rather than nested inside the lambda as in
-    `int8_codes`): Catalyst does no CSE inside lambda bodies, so the
-    nested form re-evaluates the absmax fold per ELEMENT — O(d²)
-    interpreted ops per row, measured ~5× slower. CollapseProject
-    keeps the split because the scale expression is non-cheap and
-    referenced d times. Values are bit-identical either way."""
-    absmax = F.aggregate(
-        F.col(vec_col),
-        F.lit(0.0),
-        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
-    )
-    return (
-        emb.select("vec_id", vec_col)
-        .withColumn("scale", F.greatest(absmax, F.lit(1e-12)))
-        .withColumn(
-            "codes",
-            F.transform(
-                F.col(vec_col),
-                lambda v: F.floor(
-                    v.cast("double") * F.lit(127.0) / F.col("scale")
-                ).cast("long"),
-            ),
-        )
-        .select(
-            "vec_id",
-            "codes",
-            _idot(F.col("codes"), F.col("codes")).alias("qn"),
-        )
+    Round 13: ONE Arrow-batched mapInPandas kernel computes the
+    absmax scale, the codes, and the integer self-dot qn in a single
+    numpy pass — the same pandas_udf-pipelining fix as `ivf_refine`
+    (the round-12 fusion template). The previous interpreted-lambda
+    projection (aggregate fold + transform + zip_with per row) ran
+    BEFORE the fan-out exchange, i.e. inside the single-split scan
+    stage: measured ×10 it was ONE 16.6 s task feeding a 4.1 MB
+    exchange — the whole `ann_cosine_int8_adc` 7.4× decade ratio was
+    this stage. The fan-out now happens on the RAW float rows, so
+    the kernel runs at session parallelism; no-op on real
+    many-split scans (the 100 TB case).
+
+    Bit-parity with the expression form (and the DuckDB oracles):
+    float32→float64 widening is exact, numpy's `M·127.0` then
+    `/scale` is the same IEEE double sequence as the lambda's
+    `v·127.0/scale`, and floor/int64 match — verified by the int8
+    family's value-hash oracles. Null embedding → (NULL, NULL) and
+    empty → ([], 0), mirroring the aggregate/transform null
+    semantics the expression form had."""
+    import numpy as np
+
+    from ..io import ensure_min_parallelism
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            vecs = list(pdf[vec_col])
+            if all(v is not None for v in vecs) and (
+                len({len(v) for v in vecs}) == 1 and len(vecs[0]) > 0
+            ):
+                M = np.array(vecs, dtype="float64")
+                scale = np.maximum(np.abs(M).max(axis=1), 1e-12)
+                C = np.floor(M * 127.0 / scale[:, None]).astype(
+                    "int64"
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "codes": list(C),
+                        "qn": (C * C).sum(axis=1),
+                    }
+                )
+                continue
+            rows = []
+            for i, v in zip(ids, vecs):
+                if v is None:
+                    rows.append((int(i), None, None))
+                    continue
+                a = np.asarray(v, dtype="float64")
+                if a.size == 0:
+                    rows.append((int(i), [], 0))
+                    continue
+                s = max(float(np.abs(a).max()), 1e-12)
+                c = np.floor(a * 127.0 / s).astype("int64")
+                rows.append((int(i), c.tolist(), int((c * c).sum())))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "codes", "qn"]
+            )
+
+    # fan_out=False: callers quantizing a HANDFUL of pre-filtered
+    # rows (the query side of a serving pair) skip the repartition —
+    # spreading 5 rows over 32 tasks just pays 32 cold Python-worker
+    # launches for nothing.
+    src = emb.select("vec_id", vec_col)
+    if fan_out:
+        src = ensure_min_parallelism(src, keys=["vec_id"])
+    return src.mapInPandas(
+        batches, "vec_id long, codes array<long>, qn long"
     )
 
 
@@ -1091,11 +1134,8 @@ def cosine_topk_int8(
     Vectors whose codes are all zero (every |x| under the quantization
     unit) are dropped on both sides — integer norm 0, cosine
     undefined; same guard class as `drop_zero_norm`."""
-    from ..io import ensure_min_parallelism
-
-    coded = _int8_coded(emb, vec_col)
     corpus = (
-        ensure_min_parallelism(coded)
+        _int8_coded(emb, vec_col)
         .filter(F.col("qn") > 0)
         .select(
             F.col("vec_id").alias("cand_id"),
@@ -1103,8 +1143,16 @@ def cosine_topk_int8(
             F.col("qn").alias("cand_qn"),
         )
     )
+    # quantize the query vectors from a PRE-FILTERED scan: an isin
+    # predicate cannot push through the kernel's Python barrier, so
+    # filtering the coded frame would re-quantize the whole corpus
+    # just to keep |query_ids| rows
     queries = (
-        coded.filter(F.col("vec_id").isin(query_ids))
+        _int8_coded(
+            emb.filter(F.col("vec_id").isin(query_ids)),
+            vec_col,
+            fan_out=False,
+        )
         .filter(F.col("qn") > 0)
         .select(
             F.col("vec_id").alias("query_id"),

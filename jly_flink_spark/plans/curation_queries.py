@@ -3153,47 +3153,80 @@ GROUP BY d.doc_id, d.nch
     "chars; overlaps not de-duplicated), reported in exact integer "
     "ppm of the document's characters — ties on the top n-gram "
     "break (count DESC, gram), so every value hashes across "
-    "engines. Scale shape: ONE staged tokenization scan feeds all "
-    "five n-gram families; per-(doc, n, gram) counts map-side-"
-    "combine before the single exchange; the top/dup rollup and "
-    "the pivot run on (doc, n) rows. The corpus text never moves "
-    "twice.",
+    "engines. Scale shape (round 13): one doc_id-keyed fan-out of "
+    "the raw text, then ONE tokenization pass emits all five "
+    "families via literal-n gram arrays + stack(); every later "
+    "grouping keys on doc_id, so the fanned partitioning carries "
+    "the whole pipeline with no further exchange. The corpus text "
+    "moves once.",
 )
 def curation_gopher_repetition(spark, sf_dir):
+    from ..io import ensure_min_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = stage(
-        docs.select(
-            "doc_id",
-            F.length("text").cast("bigint").alias("nch"),
-            tokens(F.col("text")).alias("ts"),
-        )
+    # Fan the RAW text out BY doc_id BEFORE tokenizing. Two effects
+    # (measured ×10, round-13 probe): (a) the regex tokenization
+    # runs at session parallelism instead of the scan's split count
+    # (tokenize-before-exchange was a 2-task 4.8 s/task stage), and
+    # (b) hashpartitioning(doc_id) satisfies EVERY downstream
+    # distribution here — groupBy(doc_id,n,g), the (doc_id,n)
+    # window, the final (doc_id,nch) rollup — so Catalyst plans the
+    # whole pipeline after the fan as ONE fused stage with ZERO
+    # further exchanges: 2×8 MB of text shuffle total where the
+    # checkpoint shape moved 8+301+409 MB (wall 24.7 → 16.9 s). The
+    # base branch re-materializes the same 0.6 s exchange (AQE
+    # didn't dedupe the twin stages — accepted). On a real
+    # many-split scan (the 100 TB case) the fan is a no-op and the
+    # tf groupBy keeps its normal exchange.
+    fan = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
+    )
+    toks = fan.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("nch"),
+        tokens(F.col("text")).alias("ts"),
     )
 
-    def grams_of(n: int):
-        return toks.select(
-            "doc_id",
-            "nch",
-            F.lit(n).cast("bigint").alias("n"),
-            F.explode(
-                F.when(
-                    F.size("ts") >= n,
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.size("ts") - F.lit(n - 1)
-                        ),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("ts"), i, n)
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
-        )
+    # One pass emits all five n-gram families: the 5 gram arrays are
+    # computed with LITERAL n (whole-stage codegen keeps the slice/
+    # concat loop compiled — a dynamic-n column variant measured 2×
+    # the CPU), stack() pivots them onto 5 slim (n, garr) rows, and
+    # one explode streams the grams out. Tokenization runs ONCE —
+    # the previous 5-way unionAll re-read a lazy checkpoint from 5
+    # branches of one job, racing the cache population and
+    # re-tokenizing partitions up to 5× (round-13 probe: max-task
+    # 4× median). Transient per-row state is the 5 arrays
+    # (O(25·|doc| chars) for the n=10 family) — same order as one
+    # family at a time.
+    ns = list((*GOPHER_TOP_NS, *GOPHER_DUP_NS))
 
-    grams = None
-    for n in (*GOPHER_TOP_NS, *GOPHER_DUP_NS):
-        grams = grams_of(n) if grams is None else grams.unionAll(
-            grams_of(n)
-        )
+    def gram_arr(n: int):
+        return F.when(
+            F.size("ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ts"), i, n)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    arrs = toks.select(
+        "doc_id",
+        "nch",
+        *[gram_arr(n).alias(f"g{n}") for n in ns],
+    )
+    stacked = arrs.selectExpr(
+        "doc_id",
+        "nch",
+        "stack({}, {}) AS (n, garr)".format(
+            len(ns),
+            ", ".join(f"CAST({n} AS BIGINT), g{n}" for n in ns),
+        ),
+    )
+    grams = stacked.select(
+        "doc_id", "nch", "n", F.explode("garr").alias("g")
+    )
     tf = grams.groupBy("doc_id", "n", "g").agg(
         F.count("*").cast("bigint").alias("c"),
         (F.count("*") * F.length("g")).cast("bigint").alias("cov"),
@@ -5561,12 +5594,18 @@ def mixture_temperature_weights(spark, sf_dir):
         .cast("bigint")
         .alias("n_tokens"),
     )
-    sq = per.withColumn(
-        "s_milli",
-        F.floor(
-            F.sqrt(F.col("n_tokens").cast("double"))
-            * F.lit(float(MIX_TEMP_SQRT_MILLI))
-        ).cast("bigint"),
+    # stage the |sources|-row agg result: it feeds BOTH the total
+    # (for the broadcast) and the apportionment below — unstaged,
+    # each branch re-runs the corpus tokenization scan (measured ×10:
+    # two identical 2.6 s stages, round-13 probe)
+    sq = stage(
+        per.withColumn(
+            "s_milli",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double"))
+                * F.lit(float(MIX_TEMP_SQRT_MILLI))
+            ).cast("bigint"),
+        )
     )
     tot = sq.agg(F.sum("s_milli").cast("bigint").alias("s"))
     # |sources|-row frame read twice (the leftover count AND the

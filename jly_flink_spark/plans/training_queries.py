@@ -114,8 +114,14 @@ FROM per p, tot t
     "share arithmetic runs on 32 rows behind a broadcast total.",
 )
 def training_shard_assignment(spark, sf_dir):
+    from ..io import stage
+
     docs = load_table(spark, sf_dir, "documents")
-    per = (
+    # staged: the 32-row agg feeds BOTH the broadcast total and the
+    # final share projection — unstaged, each branch re-runs the
+    # corpus tokenization scan (measured ×10: two identical 1.7 s
+    # stages, round-13 probe)
+    per = stage(
         docs.select(
             F.floor(_hash_frac(F.col("doc_id")) * N_SHARDS)
             .cast("bigint")

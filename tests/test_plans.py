@@ -170,7 +170,11 @@ class TestShuffleBudget:
             ("text_boilerplate_chunks", 4),
             # broadcast queries × streamed corpus codes; one window
             # shuffle of partitions×k slim rows (partial top-k first)
-            ("ann_cosine_int8_adc", 1),
+            # + the round-13 raw-vector fan-out exchange that feeds
+            # the Arrow quantize kernel at session parallelism (a
+            # single-split corpus otherwise quantizes on ONE task —
+            # measured 16.6 s of the ×10 wall)
+            ("ann_cosine_int8_adc", 2),
             # partition-pruned layout scan + broadcast probe frame;
             # one window shuffle of partitions×k slim rows
             ("ann_cosine_ivf_int8", 1),
