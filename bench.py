@@ -208,6 +208,12 @@ HEADLINE = [
     # the Gopher repetition suite (five n-gram families over one
     # staged token scan)
     "curation_gopher_repetition",
+    # round-13: web-ingest URL canonicalization (scan-local string
+    # algebra + two-grain dup groups) and the per-benchmark
+    # decontamination report (broadcast multi-benchmark shingle
+    # index; corpus never shuffles)
+    "dedup_url_canonicalize",
+    "contamination_benchmark_report",
 ]
 
 

@@ -1323,6 +1323,84 @@ def test_aa_packed_guard(spark):
             bdf.withColumn("pk", _aa_packed_guard()).collect()
 
 
+URL_CANON_CASES = [
+    # (raw, canon, host) — one per canonicalization rule
+    (
+        "HTTP://WWW.Example.COM:80/a/1/?p=1&utm_source=x#frag",
+        "http://example.com/a/1?p=1",
+        "example.com",
+    ),
+    ("https://Example.com:443/x", "https://example.com/x", "example.com"),
+    (
+        "https://example.com:8443/x",
+        "https://example.com:8443/x",
+        "example.com",
+    ),
+    (
+        "http://example.com:8080/",
+        "http://example.com:8080",
+        "example.com",
+    ),
+    (
+        "http://example.com/a?b=2&a=1",
+        "http://example.com/a?a=1&b=2",
+        "example.com",
+    ),
+    (
+        "http://example.com/a?utm_campaign=c&fbclid=z&gclid=g",
+        "http://example.com/a",
+        "example.com",
+    ),
+    ("http://example.com", "http://example.com", "example.com"),
+    (
+        "https://www.sub.example.com/p///",
+        "https://sub.example.com/p",
+        "sub.example.com",
+    ),
+]
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule on a hand-built case: fragment,
+    case, www, default vs explicit port, param sort, tracking strip,
+    empty path, trailing slashes."""
+    from jly_flink_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(URL_CANON_CASES)],
+        "i long, url string",
+    )
+    out = {
+        r["i"]: (r["canon_url"], r["host"])
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        )
+        .select("i", "c.canon_url", "c.host")
+        .collect()
+    }
+    for i, (raw, canon, host) in enumerate(URL_CANON_CASES):
+        assert out[i] == (canon, host), (raw, out[i])
+
+
+def test_canonicalize_url_sql_parity():
+    """The DuckDB mirror must produce byte-identical canon/host for
+    every edge case — beyond the synthesized URLs the registered
+    oracle covers (no path, triple slash, explicit ports)."""
+    import duckdb
+
+    from jly_flink_spark.operators.urls import canonicalize_url_sql
+
+    canon_sql, host_sql = canonicalize_url_sql("url")
+    con = duckdb.connect()
+    for raw, canon, host in URL_CANON_CASES:
+        got = con.execute(
+            f"SELECT {canon_sql}, {host_sql} FROM "
+            "(SELECT ? AS url)",
+            [raw],
+        ).fetchone()
+        assert got == (canon, host), (raw, got)
+
+
 def test_wedges_sans_edges_count_memo(spark):
     """_wedges_sans_edges consults the per-(app, sf_dir) memo before
     counting: a seeded over-limit count forces the post-filter path

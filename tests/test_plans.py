@@ -686,10 +686,20 @@ class TestShuffleBudget:
             # shard audit: the (shard) combine + the 1-row total +
             # its broadcast side
             ("training_shard_assignment", 3),
-            # repetition suite: one (doc, n, gram) combine over the
-            # staged token scan + the (doc, n) rollup + the per-doc
-            # pivot join
+            # repetition suite: the doc_id fan-out exchange carries
+            # the whole pipeline (every later grouping keys on
+            # doc_id) — plus headroom for the twin materialization
+            # of the base branch
             ("curation_gopher_repetition", 3),
+            # url canonicalization is scan-local; the page-group
+            # combine + the host window over the reduced group table
+            ("dedup_url_canonicalize", 2),
+            # the doc_id fan-out (appears once per branch in the
+            # plan text) + the benchmark shingle index distinct
+            # (tiny, broadcast); the (benchmark, doc_id) counting
+            # rolls up on the fanned partitioning with no further
+            # exchange (see TestScaleShapes)
+            ("contamination_benchmark_report", 3),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -701,6 +711,21 @@ class TestScaleShapes:
     """Plan shapes of the round-2 distributed rewrites: the properties
     that distinguish them from their single-task/driver-side
     predecessors must hold structurally, not by luck."""
+
+    def test_contamination_report_corpus_never_shuffles(self, spark):
+        """The multi-benchmark report must probe the corpus against a
+        BROADCAST shingle index: the corpus side reaches its one
+        counting exchange only as matched slim rows — no sort-merge
+        join, no corpus-side text/shingle-array column below any
+        hash exchange (round-13 verdict task 8's structural pin)."""
+        plan = plan_of(spark, "contamination_benchmark_report")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the only hash exchanges are the tiny index distinct and the
+        # matched-pair combine; text never appears under either
+        for frag in plan.split("Exchange hashpartitioning")[1:]:
+            head = frag[:400]
+            assert "text#" not in head, plan
 
     def test_near_dup_pairs_no_driver_collect_shape(self, spark):
         """Blocked all-pairs: the plan must contain the block-pair
