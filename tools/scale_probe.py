@@ -166,6 +166,21 @@ QUERIES = [
     "text_heaps_fit",
     "text_readability_scores",
     "training_curriculum_order",
+    # round-13 additions (the r12 newcomers, verdict task 1, plus
+    # this round's two): the MMR re-rank runs the int8 serving tier
+    # + a bounded greedy; the mixture/shard audits are one corpus
+    # aggregation each (the staged-total fix is what the row
+    # certifies); the Gopher suite explodes five n-gram families off
+    # one fanned scan (the exact shape that hid a 2-task 79 s pole
+    # in r12); URL canonicalization is scan-local string algebra;
+    # the decontamination report probes the corpus against a
+    # broadcast multi-benchmark shingle index
+    "ann_mmr_rerank",
+    "mixture_temperature_weights",
+    "training_shard_assignment",
+    "curation_gopher_repetition",
+    "dedup_url_canonicalize",
+    "contamination_benchmark_report",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
