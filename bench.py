@@ -214,6 +214,9 @@ HEADLINE = [
     # index; corpus never shuffles)
     "dedup_url_canonicalize",
     "contamination_benchmark_report",
+    # the composed ingest funnel (canonicalize -> URL keep-first ->
+    # exact-text keep-first -> per-host report; text never shuffles)
+    "pipeline_web_ingest",
 ]
 
 

@@ -293,6 +293,130 @@ def dedup_url_canonicalize(spark, sf_dir):
     )
 
 
+def _web_ingest_oracle() -> str:
+    from ..operators.urls import canonicalize_url_sql
+
+    canon, host = canonicalize_url_sql("url")
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    return f"""
+WITH urls AS (
+  SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {canon} AS canon_url, {host} AS host,
+         md5(text) AS th,
+         CAST(len({toks}) AS BIGINT) AS n_tok
+  FROM urls
+),
+url_kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY canon_url
+                                 ORDER BY doc_id) AS rn
+    FROM canon) WHERE rn = 1
+),
+text_kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY th
+                                 ORDER BY doc_id) AS rn2
+    FROM url_kept) WHERE rn2 = 1
+),
+raw AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS docs_raw
+  FROM canon GROUP BY host
+),
+u AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS docs_after_url
+  FROM url_kept GROUP BY host
+),
+tk AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS docs_after_text,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+  FROM text_kept GROUP BY host
+)
+SELECT r.host, r.docs_raw, u.docs_after_url,
+       CAST(coalesce(tk.docs_after_text, 0) AS BIGINT)
+         AS docs_after_text,
+       CAST(coalesce(tk.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM raw r JOIN u USING (host) LEFT JOIN tk USING (host)
+"""
+
+
+@register(
+    "pipeline_web_ingest",
+    oracle=_web_ingest_oracle(),
+    tags=("training", "pipeline", "web", "dedup", "ingest"),
+    doc="The web-corpus ingest funnel end to end — what a real "
+    "100 TB crawl pipeline runs before any fancy dedup, composed "
+    "from this round's canonicalizer and the exact-dedup keep-first "
+    "discipline: (1) canonicalize every URL (operators/urls.py), "
+    "(2) page-level keep-first — one survivor per canonical URL "
+    "(earliest doc_id), (3) exact text dedup over the survivors "
+    "(md5 keep-first, GLOBAL — a host can lose every doc to an "
+    "earlier copy elsewhere, hence the left-join + 0 in the "
+    "report), (4) the per-host funnel report: raw → after-URL → "
+    "after-text doc counts and surviving token mass. Scale shape: "
+    "canon_url / host / md5(text) / n_tok all compute SCAN-LOCAL, "
+    "so the text column never crosses an exchange — both keep-first "
+    "windows and all three rollups move only slim key/count rows. "
+    "Keep-first is WindowGroupLimit-prunable (rn = 1 per key, "
+    "map-side partial limit before each shuffle). Deterministic "
+    "survivors (min doc_id), exact integers — value-hash checked.",
+)
+def pipeline_web_ingest(spark, sf_dir):
+    from ..operators.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        canonicalize_url(_synth_url_col()).alias("c"),
+        F.md5("text").alias("th"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    ).select(
+        "doc_id",
+        F.col("c.canon_url").alias("canon_url"),
+        F.col("c.host").alias("host"),
+        "th",
+        "n_tok",
+    )
+    w1 = Window.partitionBy("canon_url").orderBy("doc_id")
+    url_kept = (
+        c.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("th").orderBy("doc_id")
+    text_kept = (
+        url_kept.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .drop("rn2")
+    )
+    raw = c.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("docs_raw")
+    )
+    u = url_kept.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("docs_after_url")
+    )
+    tk = text_kept.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("docs_after_text"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        raw.join(u, "host")
+        .join(tk, "host", "left")
+        .select(
+            "host",
+            "docs_raw",
+            "docs_after_url",
+            F.coalesce("docs_after_text", F.lit(0))
+            .cast("bigint")
+            .alias("docs_after_text"),
+            F.coalesce("tokens_kept", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+
+
 @register(
     "sample_hash_10pct",
     oracle=f"""

@@ -700,6 +700,11 @@ class TestShuffleBudget:
             # rolls up on the fanned partitioning with no further
             # exchange (see TestScaleShapes)
             ("contamination_benchmark_report", 3),
+            # ingest funnel: two keep-first windows (canon_url, th)
+            # + three host rollups + the report join — every
+            # exchanged row is slim keys/counts, the text column
+            # never leaves the scan (WindowGroupLimit pinned below)
+            ("pipeline_web_ingest", 6),
         ],
     )
     def test_shuffle_budget(self, spark, name, budget):
@@ -711,6 +716,16 @@ class TestScaleShapes:
     """Plan shapes of the round-2 distributed rewrites: the properties
     that distinguish them from their single-task/driver-side
     predecessors must hold structurally, not by luck."""
+
+    def test_web_ingest_text_never_shuffles(self, spark):
+        """The ingest funnel must compute md5/token-count/canon keys
+        scan-local: no text column below any exchange, and the two
+        keep-first windows must be WindowGroupLimit-prunable so each
+        shuffle carries per-partition rn=1 survivors, not the corpus."""
+        plan = plan_of(spark, "pipeline_web_ingest")
+        assert "WindowGroupLimit" in plan, plan
+        for frag in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text#" not in frag[:400], plan
 
     def test_contamination_report_corpus_never_shuffles(self, spark):
         """The multi-benchmark report must probe the corpus against a

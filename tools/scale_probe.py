@@ -181,6 +181,9 @@ QUERIES = [
     "curation_gopher_repetition",
     "dedup_url_canonicalize",
     "contamination_benchmark_report",
+    # the composed ingest funnel: two keep-first windows + three
+    # host rollups, every exchanged row slim (text never shuffles)
+    "pipeline_web_ingest",
 ]
 STRAGGLER_RATIO = 4.0
 MIN_TASKS = 8          # quantiles are noise below this
