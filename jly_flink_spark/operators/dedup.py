@@ -1321,14 +1321,26 @@ def ppjoin_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from .text import trigram_shingles
 
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    # Fan the RAW text out before the tokenize+shingle explode (the
+    # per-row cost otherwise runs at the scan's split count — ×10
+    # probe: 2-task 5-6 s/task stages), and explode_OUTER so
+    # InferFiltersFromGenerate can't push the whole shingle chain
+    # into the parquet scan filter (a full second evaluation); the
+    # isNotNull above the Generate restores exactly explode's rows.
+    from ..io import ensure_min_parallelism
+
     sh = (
-        docs.select(
-            "doc_id", _tokens(F.col(text_col)).alias("ts")
+        ensure_min_parallelism(
+            docs.select("doc_id", text_col), keys=["doc_id"]
         )
+        .select("doc_id", _tokens(F.col(text_col)).alias("ts"))
         .select(
             "doc_id",
-            F.explode(trigram_shingles(F.col("ts"))).alias("shingle"),
+            F.explode_outer(trigram_shingles(F.col("ts"))).alias(
+                "shingle"
+            ),
         )
+        .filter(F.col("shingle").isNotNull())
         .transform(stage)
     )
     dfc = sh.groupBy("shingle").agg(

@@ -913,9 +913,16 @@ FROM scoredocs GROUP BY source
     "per-source rollups are map-side combined.",
 )
 def curation_dup_chunk_fraction(spark, sf_dir):
+    from ..io import ensure_min_parallelism
+
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("ts"))
+    # fan the raw text before the tokenize+chunk-md5 grid (×10
+    # probe: 2-task 5.4 s/task at scan parallelism) — no-op on real
+    # many-split scans
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "source", "text"), keys=["doc_id"]
+    ).select("doc_id", "source", tokens(F.col("text")).alias("ts"))
     n_chunks = F.greatest(
         F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
     )
@@ -932,8 +939,15 @@ def curation_dup_chunk_fraction(spark, sf_dir):
             ),
         ),
     )
+    # explode_OUTER: the array is never empty (n_chunks >= 1) but a
+    # plain explode lets InferFiltersFromGenerate push the whole
+    # chunk-md5 grid into the scan filter (a second full evaluation
+    # at scan parallelism — the ×10 probe's twin 2-task stage); the
+    # existing clen filter drops any NULL row identically.
     chunks = (
-        toks.select("doc_id", "source", F.explode(chunk_structs).alias("c"))
+        toks.select(
+            "doc_id", "source", F.explode_outer(chunk_structs).alias("c")
+        )
         .filter(F.col("c.clen") > 0)
         .select("doc_id", "source", F.col("c.h").alias("h"))
     )

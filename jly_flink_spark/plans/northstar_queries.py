@@ -3585,22 +3585,45 @@ def dedup_substring_spans(spark, sf_dir):
 
     k = SUBSTR_K
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", text.tokens(F.col("text")).alias("ts")
-    )
+    # fan the RAW text out before tokenize + the k-gram md5 grid:
+    # the per-row work is the query's dominant cost and otherwise
+    # runs at the scan's split count (round-13 ×10 probe: one
+    # 2-task 9.3 s/task stage = half the wall); no-op on real
+    # many-split scans
+    from ..io import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
+    ).select("doc_id", text.tokens(F.col("text")).alias("ts"))
+    # posexplode_OUTER + a guarded transform, deliberately: the old
+    # `filter(size(ts) >= k)` pushed below the fan into the parquet
+    # scan with tokens(text) INLINED (a full second tokenize at scan
+    # parallelism), and a plain posexplode would let
+    # InferFiltersFromGenerate push the whole md5 k-gram grid down
+    # the same way. The when() guard also avoids the
+    # F.sequence(1, 0) == [1, 0] negative-step trap the filter
+    # previously covered; short docs emit one NULL row dropped by
+    # the isNotNull above the Generate.
     sh = (
-        toks.filter(F.size("ts") >= k)
-        .select(
+        toks.select(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
-                    lambda i: F.md5(
-                        F.array_join(F.slice(F.col("ts"), i, k), " ")
+            F.posexplode_outer(
+                F.when(
+                    F.size("ts") >= k,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("ts") - (k - 1)
+                        ),
+                        lambda i: F.md5(
+                            F.array_join(
+                                F.slice(F.col("ts"), i, k), " "
+                            )
+                        ),
                     ),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("p0", "h"),
         )
+        .filter(F.col("h").isNotNull())
         .select("doc_id", (F.col("p0") + 1).alias("i"), "h")
         .transform(stage)
     )
