@@ -1049,3 +1049,75 @@ def test_greedy_coverage_is_submodular_and_consistent(spark):
         assert r["covered_total"] == running, (r, running)
     picked = [r["doc_id"] for r in rows]
     assert len(set(picked)) == len(picked)
+
+
+class TestScanLocalTokenizeTraps:
+    """Round-13 second wave: the tokenize/shingle chain in the heavy
+    dedup/curation operators must run ABOVE a fan-out exchange, never
+    inside the parquet scan stage. Two traps produce the bad shape:
+    (a) projection-above-repartition collapses a tokenize projection
+    into the single-split scan stage; (b) InferFiltersFromGenerate
+    synthesizes a size()>0 filter from a plain explode and pushdown
+    then inlines the WHOLE tokenize chain into the scan filter,
+    evaluating it twice (once at split parallelism). The fix is
+    raw-column fan-out + explode_outer + isNotNull; these tests pin
+    the resulting shape on the unstaged plan (stage() patched to
+    identity, because localCheckpoint hides the subtree)."""
+
+    QUERIES = (
+        "dedup_substring_spans",
+        "dedup_ppjoin_pairs",
+        "curation_dup_chunk_fraction",
+    )
+
+    def _unstaged_simple_plan(self, spark, monkeypatch, name: str) -> str:
+        import jly_flink_spark.io as jio
+        import jly_flink_spark.operators.dedup as dd
+        import jly_flink_spark.plans.curation_queries as cq
+        import jly_flink_spark.plans.northstar_queries as nq
+
+        ident = lambda df, eager=False: df  # noqa: E731
+        for mod in (jio, dd, cq, nq):
+            if hasattr(mod, "stage"):
+                monkeypatch.setattr(mod, "stage", ident)
+            if hasattr(mod, "stage_eager"):
+                monkeypatch.setattr(mod, "stage_eager", lambda df: df)
+        df = REGISTRY[name].spark_fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    @pytest.mark.parametrize("name", QUERIES)
+    def test_tokenize_never_runs_at_scan_parallelism(
+        self, spark, monkeypatch, name
+    ):
+        plan = self._unstaged_simple_plan(spark, monkeypatch, name)
+        lines = plan.splitlines()
+        n_generates = sum("Generate" in ln for ln in lines)
+        assert n_generates >= 1, plan  # shape drifted ⇒ rewrite test
+        for i, ln in enumerate(lines):
+            if "FileScan parquet" not in ln:
+                continue
+            # Walk upward to the nearest exchange feeding this scan.
+            between: list[str] = []
+            exchange = None
+            for j in range(i - 1, -1, -1):
+                if "Exchange" in lines[j]:
+                    exchange = lines[j]
+                    break
+                between.append(lines[j])
+            # Every text/doc scan must be fanned out by an explicit
+            # repartition before any per-row tokenize work...
+            assert exchange is not None, plan
+            assert (
+                "REPARTITION_BY_NUM" in exchange
+                or "BroadcastExchange" in exchange
+            ), (name, exchange)
+            # ...and the scan stage itself (scan → exchange) must
+            # contain no Generate and no tokenizer expression — only
+            # cheap pruning filters/projections.
+            for mid in between:
+                assert "Generate" not in mid, (name, mid)
+                assert "transform(" not in mid, (name, mid)
+                assert "md5(" not in mid, (name, mid)
