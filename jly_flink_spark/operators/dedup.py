@@ -234,14 +234,27 @@ def minhash_signature_rowwise(
     are dropped, matching the batch pipeline (explode emits nothing
     for them)."""
     tok_arr = F.array_distinct(tokens(F.col(text_col)))
+    return minhash_signature_from_tokens(
+        docs.select("doc_id", tok_arr.alias("ts"))
+    )
+
+
+def minhash_signature_from_tokens(toks: DataFrame) -> DataFrame:
+    """Row-wise MinHash signature from a PREPARED (doc_id, ts) frame,
+    ts = the DISTINCT token array — for callers that already hold the
+    tokenized corpus and share the arrays between the signature and
+    the Jaccard verify (`tokens()` is a CodegenFallback higher-order
+    chain, so every avoided pass is a full interpreted scan of the
+    corpus). Values identical to `minhash_signatures` /
+    `minhash_signature_rowwise` on the arrays' source."""
     # Materialize the digest array under ONE alias referenced by all
-    # K mins: inlining `transform(array_distinct(tokens(..)), md5)`
-    # into each of the 24 columns would tokenize+digest every row up
-    # to 24 times (higher-order fns are CodegenFallback — no common-
-    # subexpression elimination rescues the duplicates, and Catalyst
-    # keeps a non-cheap alias referenced 24 times materialized).
-    staged = docs.filter(F.size(tok_arr) > 0).select(
-        "doc_id", F.transform(tok_arr, F.md5).alias("_digests")
+    # K mins: inlining `transform(ts, md5)` into each of the 24
+    # columns would digest every row up to 24 times (higher-order
+    # fns are CodegenFallback — no common-subexpression elimination
+    # rescues the duplicates, and Catalyst keeps a non-cheap alias
+    # referenced 24 times materialized).
+    staged = toks.filter(F.size("ts") > 0).select(
+        "doc_id", F.transform(F.col("ts"), F.md5).alias("_digests")
     )
 
     def h_i(i):
@@ -464,6 +477,15 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     over: the signature pipeline is computed once, not twice, and the
     bucket is materialized once instead of hash-joined."""
     bands = minhash_bands(minhash_signatures(docs, text_col))
+    return minhash_pairs_from_bands(bands)
+
+
+def minhash_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Intra-corpus candidate pairs from a PREBUILT band table — for
+    callers that already hold the bands (e.g. the admission gate,
+    which needs the same band frame for the persisted-index probe and
+    would otherwise run the whole signature pipeline twice). Values
+    identical to `minhash_candidate_pairs` on the bands' source."""
     return (
         _expand_bucket_pairs(bands, ["band_key"], "doc_id")
         .select(
@@ -742,6 +764,7 @@ def verify_candidates_jaccard(
     candidates: DataFrame,
     min_jaccard: float = 0.8,
     text_col: str = "text",
+    toks_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs — stage 2 of the
     standard dedup pipeline (LSH candidates → exact verify → cluster).
@@ -762,11 +785,30 @@ def verify_candidates_jaccard(
     the set-similarity-join literature; exact, never lossy), and the
     intersection is one codegen `array_intersect` per surviving
     pair — |candidates| rows through the joins instead of
-    |candidates|·|tokens|."""
-    toks_arr = ensure_min_parallelism(docs, keys=["doc_id"]).select(
-        "doc_id",
-        F.array_distinct(tokens(F.col(text_col))).alias("ts"),
-    )
+    |candidates|·|tokens|.
+
+    The token arrays are STAGED: this frame is referenced four times
+    below (slim counts + array payloads, each on both pair sides),
+    and the tokenize projection sits above the fan-out exchange, so
+    without the cut every consumer stage re-tokenizes the whole
+    verify universe — measured as the dominant compute stage of the
+    admission gate and the canonical-representatives query (the
+    reused exchange only dedups the raw-doc shuffle, not the
+    projection on top of it).
+
+    ``toks_arr``: a caller-prepared (doc_id, ts) frame with ts the
+    DISTINCT token array of every doc a candidate can name — for
+    callers that already tokenized the universe (e.g. to build the
+    MinHash signatures) and want the verify to reuse those arrays
+    instead of tokenizing a second time. The caller owns the
+    staging of a provided frame; `docs`/`text_col` are ignored."""
+    if toks_arr is None:
+        toks_arr = stage(
+            ensure_min_parallelism(docs, keys=["doc_id"]).select(
+                "doc_id",
+                F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+            )
+        )
     arr_a = toks_arr.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ts").alias("ts_a"),

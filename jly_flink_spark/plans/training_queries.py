@@ -1423,9 +1423,23 @@ def dedup_connected_components(spark, sf_dir):
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    candidates = dedup.minhash_candidate_pairs(docs)
+    # one staged tokenize pass shared by the signature and the verify
+    # (same discipline as _corpus_through_decontamination)
+    from ..io import ensure_min_parallelism, stage
+
+    toks1 = stage(
+        ensure_min_parallelism(
+            docs.select("doc_id", "text"), keys=["doc_id"]
+        ).select(
+            "doc_id",
+            F.array_distinct(tokens(F.col("text"))).alias("ts"),
+        )
+    )
+    candidates = dedup.minhash_pairs_from_bands(
+        dedup.minhash_bands(dedup.minhash_signature_from_tokens(toks1))
+    )
     edges = dedup.verify_candidates_jaccard(
-        docs, candidates, min_jaccard=0.8
+        docs, candidates, min_jaccard=0.8, toks_arr=toks1
     ).select("doc_a", "doc_b")
     return dedup.connected_components(edges)
 
@@ -1632,9 +1646,27 @@ def _corpus_through_decontamination(spark, sf_dir):
 
     # 2. near-dup removal: verified pairs always have doc_a < doc_b,
     #    so dropping every doc_b keeps exactly the smallest doc of
-    #    each near-dup clique edge-wise (greedy keep-first)
-    cands = dedup.minhash_candidate_pairs(kept1)
-    near = dedup.verify_candidates_jaccard(kept1, cands, min_jaccard=0.8)
+    #    each near-dup clique edge-wise (greedy keep-first).
+    #    ONE tokenize pass (staged) feeds both the MinHash signature
+    #    and the Jaccard verify — `tokens()` is a CodegenFallback
+    #    higher-order chain, so the avoided second pass is a full
+    #    interpreted scan of the survivor corpus.
+    from ..io import ensure_min_parallelism, stage
+
+    toks1 = stage(
+        ensure_min_parallelism(
+            kept1.select("doc_id", "text"), keys=["doc_id"]
+        ).select(
+            "doc_id",
+            F.array_distinct(tokens(F.col("text"))).alias("ts"),
+        )
+    )
+    cands = dedup.minhash_pairs_from_bands(
+        dedup.minhash_bands(dedup.minhash_signature_from_tokens(toks1))
+    )
+    near = dedup.verify_candidates_jaccard(
+        kept1, cands, min_jaccard=0.8, toks_arr=toks1
+    )
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     kept2 = kept1.join(losers, "doc_id", "left_anti")
 
@@ -2682,9 +2714,23 @@ def dedup_canonical_representatives(spark, sf_dir):
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    candidates = dedup.minhash_candidate_pairs(docs)
+    # one staged tokenize pass shared by the signature and the verify
+    # (same discipline as _corpus_through_decontamination)
+    from ..io import ensure_min_parallelism, stage
+
+    toks1 = stage(
+        ensure_min_parallelism(
+            docs.select("doc_id", "text"), keys=["doc_id"]
+        ).select(
+            "doc_id",
+            F.array_distinct(tokens(F.col("text"))).alias("ts"),
+        )
+    )
+    candidates = dedup.minhash_pairs_from_bands(
+        dedup.minhash_bands(dedup.minhash_signature_from_tokens(toks1))
+    )
     edges = dedup.verify_candidates_jaccard(
-        docs, candidates, min_jaccard=0.8
+        docs, candidates, min_jaccard=0.8, toks_arr=toks1
     ).select("doc_a", "doc_b")
     comp = dedup.connected_components(edges)
     ntok = docs.select(

@@ -589,18 +589,42 @@ def admission_decisions(
         .transform(stage)
     )
 
-    # ---- stage 2: text near-dup (LSH → exact Jaccard ≥ 0.8)
-    intra = dedup.minhash_candidate_pairs(kept1)
+    # ---- stage 2: text near-dup (LSH → exact Jaccard ≥ 0.8).
+    # ONE band table serves BOTH candidate sources: the rowwise
+    # signature is value-identical to the batch explode/groupBy one
+    # (see minhash_signature_rowwise), so the gate used to run the
+    # signature pipeline twice over kept1 — once inside
+    # minhash_candidate_pairs, once inside the index probe. Built
+    # once, staged EAGERLY because the two consumers are concurrent
+    # stages of the same job (a lazy cut would let them race the
+    # cache population and recompute partitions). The signature
+    # tokenizes kept1's cached text INLINE on purpose: it is the
+    # expression's only consumer, and an A/B measured the
+    # shared-token-array variant (stage the arrays, digest from
+    # cache) SLOWER — deserializing cached token arrays costs more
+    # than one inline pass over cached text. The Jaccard verify,
+    # whose token frame has FOUR consumers, stages its arrays
+    # internally (see verify_candidates_jaccard).
+    bands1 = stage(
+        dedup.minhash_bands(
+            dedup.minhash_signature_rowwise(kept1)
+        ),
+        eager=True,
+    )
+    intra = dedup.minhash_pairs_from_bands(bands1)
     cross = (
-        dedup.stream_near_dup_candidates(kept1, lsh_idx)
+        bands1.join(
+            lsh_idx.withColumnRenamed("doc_id", "corpus_doc_id"),
+            "band_key",
+        )
         # the batch pipeline's asymmetric rule: doc_b of an (a < b)
         # pair drops — the index doc must be the SMALLER id for the
         # batch doc to lose (index docs are kept1 docs, admitted or
         # not, exactly like the batch operator's pair universe)
-        .filter(F.col("corpus_doc_id") < F.col("new_doc_id"))
+        .filter(F.col("corpus_doc_id") < F.col("doc_id"))
         .select(
             F.col("corpus_doc_id").alias("doc_a"),
-            F.col("new_doc_id").alias("doc_b"),
+            F.col("doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -616,7 +640,15 @@ def admission_decisions(
     near = dedup.verify_candidates_jaccard(
         verify_universe, cands, min_jaccard=MIN_JACCARD
     )
-    losers2 = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    # Staged because kept2 is read by TWO actions: the kept3
+    # materialization (job 1) and the decisions frame's passed2 flag
+    # join (the final eager stage) — without the cut the ENTIRE
+    # LSH+verify chain above re-executes in the second job (the ×10
+    # probe's twin ~25 s/task whale stages with byte-identical
+    # 474 MB band exchanges). The cut caches only the slim loser ids.
+    losers2 = stage(
+        near.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
     kept2 = kept1.join(losers2, "doc_id", "left_anti")
 
     # ---- stage 3: benchmark decontamination (Bloom prefilter +

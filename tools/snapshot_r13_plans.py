@@ -35,6 +35,13 @@ TOUCHED = [
     "curation_dup_chunk_fraction",
     # packed-sum guard (advice item; plan gains one guard projection)
     "graph_adamic_adar_topk",
+    # third perf wave (cross-action recompute cuts: staged losers2 /
+    # verify token arrays / shared tokenize in the dedup chain)
+    "pipeline_streaming_admission",
+    "pipeline_streaming_admission_v5",
+    "pipeline_training_corpus_v3",
+    "dedup_canonical_representatives",
+    "dedup_connected_components",
     # new this round — after only
     "dedup_url_canonicalize",
     "contamination_benchmark_report",
