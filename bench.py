@@ -220,6 +220,52 @@ HEADLINE = [
 ]
 
 
+# Fixed sentinel subset for the compact stdout line (round-14, r13
+# verdict task 2): the 30 slowest headline queries by pin
+# (BENCH_BASELINE.json r13 floors) plus the two ANN serving paths
+# under active observation (`ann_cosine_ivf` idle-band work item,
+# `ann_cosine_int8_adc` rewritten r13). Same names printed every
+# round regardless of current timings, so the driver's
+# round-over-round common set is stable and improved queries stay
+# visible instead of rotating out as "dropped". Every headline query
+# is still TIMED and included in `value` / the persisted artifact —
+# this list only selects what is inlined on the 2000-char line.
+SENTINEL_PRINT = [
+    "pipeline_streaming_admission_v5",
+    "pipeline_streaming_admission",
+    "dedup_canonical_representatives",
+    "pipeline_training_corpus_v4",
+    "multimodal_video_near_dups",
+    "pipeline_training_corpus_v3",
+    "pipeline_training_corpus_v2",
+    "multimodal_audio_near_dups",
+    "dedup_minhash_candidates",
+    "dedup_semantic_clusters",
+    "embedding_pq_adc",
+    "graph_adamic_adar_topk",
+    "embedding_kmeans_clusters",
+    "graph_triangles_dup_chunks",
+    "graph_bfs_reachability",
+    "graph_hits_authorities",
+    "graph_clustering_coeff_buckets",
+    "graph_pagerank_dup_chunks",
+    "orders_item_neighbors_topk",
+    "dedup_simhash_hamming",
+    "quality_classifier_train",
+    "contamination_bloom_prefilter",
+    "embedding_jl_distortion",
+    "mixture_doremi_weights",
+    "join_multiway_q5",
+    "pipeline_web_ingest",
+    "wordpiece_train_merges",
+    "bpe_train_merges",
+    "training_curriculum_order",
+    "embedding_pca_power",
+    "ann_cosine_ivf",
+    "ann_cosine_int8_adc",
+]
+
+
 def _force(df) -> None:
     """Execute the full plan; noop sink avoids collect() overhead."""
     df.write.format("noop").mode("overwrite").save()
@@ -382,32 +428,53 @@ def main() -> None:
         print(f"bench: could not persist {local_path}: {e}", file=sys.stderr)
 
     # The driver records only the LAST 2000 chars of stdout and parses
-    # the final JSON line; the full 90-query dict is ~3 kB, which made
-    # BENCH_r09/r10 unparseable (`parsed: null`). Print a compact line
-    # that always fits: contract fields + the slowest queries inline
-    # until a ~1850-char budget, the rest summarized, with the complete
-    # per-query map persisted in the local artifact named on the line.
+    # the final JSON line; the full 102-query dict is ~3 kB, which made
+    # BENCH_r09/r10 unparseable (`parsed: null`). Rounds 11-13 printed
+    # the slowest queries that fit a char budget, but a slowest-first
+    # set ROTATES between rounds: improved queries fall out of the
+    # print and the driver's round-over-round comparison is computed
+    # over a set biased toward whatever got slower (r13 verdict task
+    # 2). Print a FIXED sentinel subset instead — the same names every
+    # round — so the printed intersection is stable; the complete
+    # per-query map is persisted in the local artifact named on the
+    # line. Sentinel = the 30 slowest queries by pin (BENCH_BASELINE
+    # floors, r13) + the two ANN serving paths under active
+    # observation; frozen as a literal so pin drift cannot rotate it.
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
-        "queries": {},
+        "queries": {
+            n: timings[n] for n in SENTINEL_PRINT if n in timings
+        },
         "full": os.path.basename(local_path),
     }
-    if "regressions" in out:
-        compact["regressions"] = out["regressions"]
-    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
-    budget = 1850
-    for name, t in by_cost:
-        compact["queries"][name] = t
-        if len(json.dumps(compact, separators=(",", ":"))) > budget:
-            del compact["queries"][name]
-            break
     elided = [n for n in timings if n not in compact["queries"]]
     if elided:
         compact["queries_elided"] = len(elided)
         compact["elided_sec"] = round(sum(timings[n] for n in elided), 3)
+    if "regressions" in out:
+        # Worst 8 by ratio; the rest as a count so a loaded-box run
+        # (10+ flags, r13) cannot blow the line past the 2000-char
+        # driver truncation and take the queries map with it.
+        worst = sorted(out["regressions"].items(), key=lambda kv: -kv[1])
+        compact["regressions"] = dict(worst[:8])
+        if len(worst) > 8:
+            compact["regressions_elided"] = len(worst) - 8
+    # Hard guard: never exceed the driver's truncation window. Drops
+    # the cheapest sentinel entries only in the pathological case of
+    # very wide values; normally a no-op (line ~1.7 kB).
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > 1900
+        and compact["queries"]
+    ):
+        cheapest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][cheapest]
+        compact["queries_elided"] = compact.get("queries_elided", 0) + 1
+        compact["elided_sec"] = round(
+            compact.get("elided_sec", 0.0) + timings[cheapest], 3
+        )
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -128,3 +128,37 @@ def test_bench_and_probe_lists_stay_consistent():
     assert set(base["queries"]) == set(HEADLINE)
     assert abs(sum(base["queries"].values()) - base["value"]) < 0.02
     assert all(v > 0 for v in base["queries"].values())
+
+
+def test_bench_sentinel_print_contract():
+    """The compact stdout line prints a FIXED sentinel query subset
+    (r13 verdict task 2): every sentinel is a headline query, the list
+    has no duplicates, and the worst-case line (3-digit seconds on
+    every sentinel, a full 8-entry regressions map, elision fields)
+    fits the driver's 2000-char stdout truncation with margin. If a
+    sentinel query were removed from HEADLINE, or the list grew past
+    the budget, this fails before the driver sees a broken line."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import HEADLINE, SENTINEL_PRINT
+
+    assert len(SENTINEL_PRINT) == len(set(SENTINEL_PRINT))
+    assert set(SENTINEL_PRINT) <= set(HEADLINE)
+    worst = {
+        "metric": "headline_queries_total_runtime",
+        "value": 9999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {n: 999.999 for n in SENTINEL_PRINT},
+        "full": "BENCH_local_r99_99.json",
+        "queries_elided": len(HEADLINE) - len(SENTINEL_PRINT),
+        "elided_sec": 9999.999,
+        "regressions": {n: 99.99 for n in SENTINEL_PRINT[:8]},
+        "regressions_elided": 99,
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    assert len(line) < 1900, f"sentinel line too long: {len(line)}"
