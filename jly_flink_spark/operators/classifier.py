@@ -281,6 +281,69 @@ def score_quality(docs: DataFrame, weights: dict[str, int]) -> DataFrame:
     )
 
 
+def with_quality_p(
+    docs: DataFrame, weights: dict[str, int], text_col: str = "text"
+) -> DataFrame:
+    """``docs`` with an added milli-unit ``p`` column — the SAME
+    hard-sigmoid arithmetic as `score_quality` (bit-identical p,
+    pinned by test) computed as layered projections on the input
+    frame itself. For callers that gate a survivor frame on p this
+    removes the score-side subtree and the doc_id semi-join back
+    (one exchange pair fewer, guide §2.4): the filter fuses into the
+    survivor pass. Layered like `quality_features` so the interpreted
+    stopword filter chain is referenced once per layer, not inlined
+    per use site."""
+    from .text import stopword_count, token_count
+
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("bigint")
+    n_sw = stopword_count(t).cast("bigint")
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("bigint")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
+    n_punct = F.length(F.regexp_replace(t, _PUNCT_RE, "")).cast("bigint")
+    base = docs.withColumns(
+        {
+            "_nt": n_tok,
+            "_ns": n_sw,
+            "_nc": n_chars,
+            "_nd": n_digit,
+            "_np": n_punct,
+        }
+    )
+    derived = base.withColumns(
+        {
+            "_swm": F.expr(f"(_ns * {S}) div greatest(_nt, 1)"),
+            "_noise": F.expr(
+                f"(_nd * {S}) div _nc + (_np * {S}) div _nc"
+            ),
+        }
+    ).drop("_ns", "_nc", "_nd", "_np")
+    feats = derived.withColumns(
+        {
+            "x_bias": F.lit(S).cast("bigint"),
+            "x_short": F.expr(
+                f"least(greatest({MIN_TOKENS} - _nt, 0) * 200, {S})"
+            ).cast("bigint"),
+            "x_sw_lo": F.expr(
+                f"least(greatest({SW_LO} - _swm, 0) * 20, {S})"
+            ).cast("bigint"),
+            "x_sw_hi": F.expr(
+                f"least(greatest(_swm - {SW_HI}, 0) * 2, {S})"
+            ).cast("bigint"),
+            "x_noise": F.expr(
+                f"least(greatest(_noise - {NOISE_MAX - 1}, 0), {S})"
+            ).cast("bigint"),
+        }
+    ).drop("_nt", "_swm", "_noise")
+    z = " + ".join(
+        f"{weights[m]}L * {x}" for (m, _), x in zip(WEIGHT_COLS, FEATURE_COLS)
+    )
+    p = f"least(greatest(500 + ({z}) div {4 * Q}, 0), {S})"
+    return feats.withColumn("p", F.expr(p).cast("bigint")).drop(
+        *FEATURE_COLS
+    )
+
+
 def serve_quality_stream(
     docs_sdf: DataFrame,
     weights: dict[str, int],

@@ -801,7 +801,25 @@ def verify_candidates_jaccard(
     callers that already tokenized the universe (e.g. to build the
     MinHash signatures) and want the verify to reuse those arrays
     instead of tokenizing a second time. The caller owns the
-    staging of a provided frame; `docs`/`text_col` are ignored."""
+    staging of a provided frame; `docs`/`text_col` are ignored.
+
+    Small-vocabulary fast path (round 14): Jaccard depends only on
+    each doc's distinct-token SET, so when the verify universe's
+    whole vocabulary fits in a few machine words the sets become
+    BITMASKS — ``|A∩B| = Σ bit_count(a_w & b_w)`` — and the per-pair
+    cost drops from a hash-based string-array intersection to a
+    handful of codegen integer ops, while the pair-join payload
+    shrinks from a token array (~hundreds of bytes) to K longs
+    (guide §2.3 narrow types / §8 lightweight-proxy shuffles). The
+    dictionary probe is ONE bounded action over the already-staged
+    token arrays (limit vocab_cap+1); corpora whose vocabulary
+    exceeds `spark.jly.verify.bitsetMaxVocab` (default 256, 0
+    disables) take the general array path unchanged — the 100 TB
+    shape, where the probe costs one cheap pass over arrays that
+    were staged anyway. Both paths compute the identical integers
+    (|A|, |B|, |A∩B| under an injective token→bit dictionary), so
+    the jaccard doubles are bit-identical."""
+    spark = candidates.sparkSession
     if toks_arr is None:
         toks_arr = stage(
             ensure_min_parallelism(docs, keys=["doc_id"]).select(
@@ -809,6 +827,21 @@ def verify_candidates_jaccard(
                 F.array_distinct(tokens(F.col(text_col))).alias("ts"),
             )
         )
+    vocab_cap = int(
+        spark.conf.get("spark.jly.verify.bitsetMaxVocab", "256")
+    )
+    if vocab_cap > 0:
+        vocab = [
+            r["t"]
+            for r in toks_arr.select(F.explode("ts").alias("t"))
+            .distinct()
+            .limit(vocab_cap + 1)
+            .collect()
+        ]
+        if len(vocab) <= vocab_cap:
+            return _verify_pairs_bitset(
+                toks_arr, candidates, sorted(vocab), min_jaccard
+            )
     arr_a = toks_arr.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ts").alias("ts_a"),
@@ -843,6 +876,85 @@ def verify_candidates_jaccard(
         # pre-r6 shared-token inner join (a pair with ZERO overlap is
         # not a verified duplicate at any threshold); redundant for
         # min_jaccard > 0 where jaccard >= threshold implies overlap
+        .filter((F.col("jaccard") >= min_jaccard) & (F.col("_ns") > 0))
+        .drop("_ns")
+    )
+
+
+def _verify_pairs_bitset(
+    toks_arr: DataFrame,
+    candidates: DataFrame,
+    vocab: list,
+    min_jaccard: float,
+) -> DataFrame:
+    """Bitmask tier of `verify_candidates_jaccard`: every distinct
+    token of the (bounded) vocabulary gets one bit of K 64-bit words;
+    each doc's token SET becomes K long columns computed scan-local
+    from the staged arrays (one map-literal lookup per token, once
+    per DOC — never per pair), and per-pair set arithmetic is pure
+    whole-stage-codegen integer ops. The size prefilter and the
+    payload join collapse into ONE join per pair side (the mask IS
+    both the size and the payload), versus two joins each on the
+    array path. Exactness: the dictionary is injective, so
+    bit_count(m_a & m_b) == |A∩B| and popcounts == set sizes — the
+    same integers the array path feeds the jaccard double."""
+    n_words = max(1, (len(vocab) + 63) // 64)
+    # token → its single-bit contribution, one map literal per word
+    # (values precomputed in Python; bit 63 wraps to Long.MIN_VALUE
+    # exactly like the JVM's 1L << 63).
+    word_maps = []
+    for w in range(n_words):
+        entries = []
+        for i, tok in enumerate(vocab):
+            if i // 64 == w:
+                bit = i % 64
+                val = (1 << bit) if bit < 63 else -(1 << 63)
+                entries.extend([F.lit(tok), F.lit(val).cast("long")])
+        word_maps.append(F.create_map(*entries))
+    zero = F.lit(0).cast("long")
+
+    def _mask(w):
+        return F.aggregate(
+            F.col("ts"),
+            zero,
+            lambda acc, t: acc.bitwiseOR(
+                F.coalesce(F.element_at(word_maps[w], t), zero)
+            ),
+        )
+
+    mcols = [f"_m{w}" for w in range(n_words)]
+    masks = toks_arr.select(
+        "doc_id", *[_mask(w).alias(c) for w, c in enumerate(mcols)]
+    )
+    m_a = masks.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}a") for c in mcols],
+    )
+    m_b = masks.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}b") for c in mcols],
+    )
+
+    def _popsum(cols):
+        out = F.bit_count(cols[0])
+        for c in cols[1:]:
+            out = out + F.bit_count(c)
+        return out
+
+    n_a = _popsum([F.col(f"{c}a") for c in mcols])
+    n_b = _popsum([F.col(f"{c}b") for c in mcols])
+    n_shared = _popsum(
+        [F.col(f"{c}a").bitwiseAND(F.col(f"{c}b")) for c in mcols]
+    )
+    jac = n_shared.cast("double") / (n_a + n_b - n_shared).cast("double")
+    return (
+        candidates.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .filter(
+            F.least(n_a, n_b).cast("double")
+            >= F.lit(min_jaccard) * F.greatest(n_a, n_b)
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"), n_shared.alias("_ns"))
         .filter((F.col("jaccard") >= min_jaccard) & (F.col("_ns") > 0))
         .drop("_ns")
     )
@@ -1082,23 +1194,23 @@ def winnow_containment_vs_index(
         .filter(F.col("df") <= max_df)
         .select("h")
     )
-    hit = fp.join(ok, "h", "left_semi").select(
-        "doc_id", F.col("h").alias("h_hit")
-    )
-    totals = fp.groupBy("doc_id").agg(
-        F.count_distinct("h").cast("bigint").alias("n_fp_new")
-    )
-    hits = hit.groupBy("doc_id").agg(
-        F.count_distinct("h_hit").cast("bigint").alias("n_fp_hit")
-    )
+    # ONE pass over the fingerprint frame (round 14): `fp` is the
+    # expensive interpreted winnowing chain, and the old
+    # totals-branch/hits-branch shape was two consumers of an
+    # unstaged frame — the whole fingerprint computation executed
+    # twice (the r13 cross-action-recompute pattern, inside one
+    # plan). A left join against the (h-unique) df-capped index keys
+    # preserves the row count and marks hits, so totals and hits
+    # fall out of a single groupBy: n_fp_new = count(*) (fp is
+    # globally (doc_id, h)-distinct by construction), n_fp_hit =
+    # count of matched rows — the same integers as the old
+    # count_distinct pair.
+    marked = fp.join(ok.withColumn("_hit", F.lit(1)), "h", "left")
     return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_fp_new",
-            F.coalesce("n_fp_hit", F.lit(0)).cast("bigint").alias(
-                "n_fp_hit"
-            ),
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp_new"),
+            F.count("_hit").cast("bigint").alias("n_fp_hit"),
         )
         .withColumn(
             "contain_ppm",

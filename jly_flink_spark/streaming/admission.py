@@ -80,7 +80,7 @@ from ..io import stage
 from ..operators import dedup
 from ..operators import multimodal as mm
 from ..operators.bloom import bloom_probe_expr, build_bloom_words
-from ..operators.classifier import score_quality
+from ..operators.classifier import with_quality_p
 from ..operators.text import fingerprint, tokens, trigram_shingles
 
 # admission thresholds — shared with the batch pipeline
@@ -738,14 +738,17 @@ def admission_decisions(
             media_losers, "doc_id", "left_anti"
         ).transform(stage)
 
-    # ---- stage 4: frozen-weights quality gate
-    scored = score_quality(kept3, weights)
+    # ---- stage 4: frozen-weights quality gate. The score is a pure
+    # per-row projection against literal weights, so the p-filter
+    # FUSES into the survivor pass (with_quality_p) instead of
+    # scoring a second frame and semi-joining the ids back — one
+    # exchange pair fewer per policy tier (r13 verdict task 3;
+    # guide §2.4). Bit-identical p (pinned by
+    # test_with_quality_p_matches_score_quality).
     kept4 = (
-        kept3.join(
-            scored.filter(F.col("p") > QUALITY_MIN_P).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
+        with_quality_p(kept3, weights)
+        .filter(F.col("p") > QUALITY_MIN_P)
+        .drop("p")
         .repartition(shards, "doc_id")  # winnow/trigram work below
         .transform(stage)
     )
@@ -785,7 +788,14 @@ def admission_decisions(
                 F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
             )
         )
-        lm_drop = (
+        # Stage the SLIM dropped-id set, not a second full-payload
+        # checkpoint of kept4: the post-gate frame's four consumers
+        # (retention, winnow containment, kept5, flags) re-run only
+        # a broadcast anti-join against staged kept4 — no heavy
+        # recompute — and the text column is materialized once
+        # instead of twice (r13 verdict task 3: narrow the survivor
+        # payload through the staged checkpoints).
+        lm_drop = stage(
             batch_kn.crossJoin(F.broadcast(lm_stats))
             .withColumn("m", F.expr("sy div n"))
             .filter(
@@ -797,9 +807,9 @@ def admission_decisions(
             )
             .select("doc_id")
         )
-        kept4 = kept4.join(lm_drop, "doc_id", "left_anti").transform(
-            stage
-        )
+        # no broadcast hint: the dropped-id set is corpus-bounded in
+        # the batch twin — AQE picks broadcast when it actually fits
+        kept4 = kept4.join(lm_drop, "doc_id", "left_anti")
 
     # ---- stage 5: ExactSubstr retention (intra-batch exact) AND
     # winnow containment vs the indexed corpus (cross-batch)
@@ -813,9 +823,14 @@ def admission_decisions(
     cut_cross = contain.filter(
         F.col("contain_ppm") > CONTAIN_CUT_PPM
     ).select("doc_id")
+    # kept5 is SLIM (doc_id, source): none of its consumers — the n5
+    # count, the cap ranking, the passed5/admitted flags — reads
+    # text/lang/fp, so the checkpoint carries two narrow columns
+    # instead of the full document payload (r13 verdict task 3).
     kept5 = (
         kept4.join(keep_ret, "doc_id", "left_semi")
         .join(cut_cross, "doc_id", "left_anti")
+        .select("doc_id", "source")
         .transform(stage)
     )
 
@@ -823,10 +838,17 @@ def admission_decisions(
     # admitted counts). Counts and n5 are scalar model state over
     # slim ledger projections — the batch pipeline's n5 discipline.
     if source_cap is None:
-        n5_prior = (
-            ledger.filter(F.col("passed5")).select("doc_id").distinct().count()
+        # ONE count action, not two: pre-epoch ledger ids and batch
+        # kept5 ids are disjoint by construction (the ledger view is
+        # anti-joined against the batch), so the union's count equals
+        # the old n5_prior + kept5.count() exactly.
+        n5 = (
+            ledger.filter(F.col("passed5"))
+            .select("doc_id")
+            .distinct()
+            .unionAll(kept5.select("doc_id"))
+            .count()
         )
-        n5 = n5_prior + kept5.count()
         cap = max(SOURCE_CAP_MIN, n5 // SOURCE_CAP_DEN)
     else:
         cap = int(source_cap)

@@ -280,6 +280,66 @@ def test_verify_candidates_zero_threshold_requires_overlap(spark):
     assert got == {(1, 3)}
 
 
+def test_verify_bitset_tier_matches_array_path(spark):
+    """Round-14 small-vocabulary bitmask tier: on a universe whose
+    vocabulary fits the bitset cap, verify_candidates_jaccard must
+    return BIT-IDENTICAL rows (including the jaccard double) to the
+    general array path, across word boundaries (vocab > 64 → two
+    mask words), empty docs, and the j=0 overlap boundary; and a
+    vocabulary past the cap must fall back to the array path."""
+    # 70-token vocabulary → 2 mask words; docs straddle the word
+    # boundary so cross-word popcounts are exercised.
+    vocab = [f"tok{i:02d}" for i in range(70)]
+    rows = [
+        (1, " ".join(vocab[0:10])),
+        (2, " ".join(vocab[0:9] + [vocab[68]])),  # j = 9/11 with 1
+        (3, " ".join(vocab[60:70])),              # all in word 2
+        (4, " ".join(vocab[60:69] + [vocab[0]])),  # j = 9/11 with 3
+        (5, ""),                                   # empty token set
+        (6, " ".join(vocab[0:10])),                # j = 1 with 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5), (1, 6), (2, 3)],
+        "doc_a long, doc_b long",
+    )
+
+    def run(threshold):
+        return sorted(
+            map(
+                tuple,
+                dedup.verify_candidates_jaccard(
+                    docs, cands, min_jaccard=threshold
+                ).collect(),
+            )
+        )
+
+    spark.conf.set("spark.jly.verify.bitsetMaxVocab", "256")
+    try:
+        bitset_08 = run(0.8)
+        bitset_00 = run(0.0)
+        spark.conf.set("spark.jly.verify.bitsetMaxVocab", "0")
+        array_08 = run(0.8)
+        array_00 = run(0.0)
+    finally:
+        spark.conf.set("spark.jly.verify.bitsetMaxVocab", "256")
+    assert bitset_08 == array_08
+    assert bitset_00 == array_00
+    got = {(a, b) for a, b, _ in bitset_08}
+    assert got == {(1, 2), (3, 4), (1, 6)}
+    # j values bit-identical: (1,2)/(3,4) = 9/11, (1,6) = 1.0
+    jmap = {(a, b): j for a, b, j in bitset_08}
+    assert jmap[(1, 2)] == 9 / 11 and jmap[(3, 4)] == 9 / 11
+    assert jmap[(1, 6)] == 1.0
+    # cap below the vocabulary → the array path must be taken (same
+    # results; this asserts the fallback does not error or diverge)
+    spark.conf.set("spark.jly.verify.bitsetMaxVocab", "16")
+    try:
+        assert run(0.8) == array_08
+    finally:
+        spark.conf.set("spark.jly.verify.bitsetMaxVocab", "256")
+
+
 # ---------------------------------------------------------------------------
 # Incremental WINNOWING index (round 8): the MOSS-fingerprint twin of
 # the LSH index above

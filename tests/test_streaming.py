@@ -985,6 +985,40 @@ def test_two_queries_distinct_ids_no_label_collision(spark, tmp_path):
     assert sorted(loaded) == ["1", "1"]  # once per query, not thrice
 
 
+def test_with_quality_p_matches_score_quality(spark):
+    """The fused survivor-pass score (`with_quality_p`, round 14 —
+    the admission gate's stage-4 shape) must produce bit-identical
+    p values to `score_quality` for every doc, and must preserve
+    the input frame's payload columns."""
+    from jly_flink_spark.io import load_table
+    from jly_flink_spark.operators import classifier as C
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    weights = C.extract_weights(C.train_quality_classifier(docs))
+
+    via_score = {
+        r["doc_id"]: r["p"]
+        for r in C.score_quality(docs, weights).collect()
+    }
+    fused = C.with_quality_p(
+        docs.select("doc_id", "source", "text"), weights
+    )
+    assert set(fused.columns) == {"doc_id", "source", "text", "p"}
+    via_fused = {r["doc_id"]: r["p"] for r in fused.collect()}
+    assert via_fused == via_score
+    # degenerate rows score identically too (empty text)
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "the and of to is in that it a an")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["p"] for r in C.score_quality(edge, weights).collect()}
+    f = {
+        r["doc_id"]: r["p"]
+        for r in C.with_quality_p(edge, weights).collect()
+    }
+    assert s == f
+
+
 def test_quality_stream_scores_match_batch(spark, tmp_path):
     """Train-offline/serve-online for the quality classifier: a
     document stream scored against frozen weights must produce
