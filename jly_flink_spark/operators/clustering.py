@@ -74,16 +74,67 @@ def _argmin_cid(code, cents):
 
 def _assign(codes: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, code, cid): nearest centroid per vector, ties to the
-    smallest cid. The K centroids collapse to ONE broadcast row of
-    (cid, carr) structs; the argmin is a per-row expression over that
-    list — no join, no shuffle."""
-    cent1 = cent.agg(
-        F.collect_list(F.struct("cid", "carr")).alias("cents")
-    )
-    return codes.crossJoin(F.broadcast(cent1)).select(
-        "vec_id",
-        "code",
-        _argmin_cid(F.col("code"), F.col("cents")).alias("cid"),
+    smallest cid. The K centroids are model state (K·d ints,
+    collected once per call — the IVF-centroid discipline); the
+    argmin runs as ONE Arrow numpy kernel per batch (guide §4.2 —
+    the r13 int8-ADC template) instead of the interpreted
+    fold-over-broadcast-structs expression, which was the dominant
+    compute stage of every K-means family query (25.7 task-seconds
+    per assignment pass at sf0.1). Exact: int64 squared-L2 sums in
+    numpy are the same integers the expression computed, and
+    `argmin` over cid-ascending rows is min-dist-then-smallest-cid
+    (pinned by test_assign_arrow_matches_expression). No join, no
+    corpus shuffle, same as before."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cmat = np.asarray([list(r["carr"]) for r in rows], dtype=np.int64)
+    cids = np.asarray([r["cid"] for r in rows], dtype=np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cid=pd.Series([], dtype="int64"))
+                continue
+            # Ragged/NULL code arrays are malformed input — fail
+            # loudly with the named message downstream callers pin
+            # (semdedup's contract) instead of a raw numpy
+            # broadcast error.
+            try:
+                x = np.asarray(
+                    [
+                        np.asarray(c, dtype=np.int64)
+                        for c in pdf["code"]
+                    ],
+                    dtype=np.int64,
+                )
+            except (ValueError, TypeError):
+                x = None
+            if x is None or x.ndim != 2 or x.shape[1] != cmat.shape[1]:
+                lens = sorted(
+                    {
+                        "null" if c is None else str(len(c))
+                        for c in pdf["code"]
+                    }
+                )
+                raise ValueError(
+                    f"ragged embedding lengths {lens} — every code "
+                    f"must match the centroid dimension "
+                    f"{cmat.shape[1]}"
+                )
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": pdf["code"],
+                    "cid": cids[d2.argmin(axis=1)],
+                }
+            )
+
+    return codes.mapInPandas(
+        kernel, schema="vec_id long, code array<bigint>, cid bigint"
     )
 
 

@@ -70,8 +70,16 @@ def pagerank_fixed(
     # one row; checkpointed so the scalar-N count subtree runs once,
     # not once per crossJoin (init + 2 per unrolled iteration)
     n_df = nodes.agg(F.count("*").alias("_n")).transform(stage)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src").transform(stage)
+    # out-degree as a WINDOW count, not a groupBy + self-join: the
+    # join form read `edges` from two concurrent subtrees, so an
+    # expensive unstaged edge derivation executed twice (r14 profile
+    # on the chunk graph: twin single-task build stages). One pass,
+    # one exchange by src, identical (src, dst, deg) rows.
+    from pyspark.sql import Window as _W
+
+    edges_deg = edges.withColumn(
+        "deg", F.count("*").over(_W.partitionBy("src"))
+    ).transform(stage)
 
     base = F.expr(
         f"CAST({(DAMP_DEN - DAMP_NUM) * quant} AS BIGINT)"
@@ -125,14 +133,18 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     """
     # und is read three times (both degree legs + the orientation
     # join) and deg twice — checkpoint both so an expensive upstream
-    # edge derivation runs once (the pagerank_fixed discipline)
-    und = und.transform(stage)
-    deg = (
+    # edge derivation runs once (the pagerank_fixed discipline).
+    # EAGER (round 14): the consumers are concurrent subtrees of the
+    # same join stages, and a lazy cut lets them race the cache
+    # population and recompute partitions (the r13 gopher lesson) —
+    # measured here as twin edge-build stages in the r14 profile.
+    und = stage(und, eager=True)
+    deg = stage(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .transform(stage)
+        .agg(F.count("*").alias("d")),
+        eager=True,
     )
     e = (
         und.join(
@@ -151,11 +163,16 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    ori = e.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
-    ).transform(stage)
+    # eager for the same reason: three concurrent readers (two wedge
+    # legs + the closing probe) of one checkpoint
+    ori = stage(
+        e.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
+        ),
+        eager=True,
+    )
 
     o1 = ori.select(
         F.col("a"), F.col("b").alias("y"), F.col("bd").alias("yd")

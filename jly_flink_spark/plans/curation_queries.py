@@ -1119,28 +1119,68 @@ def graph_pagerank_dup_chunks(spark, sf_dir):
 
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -1238,28 +1278,68 @@ def graph_triangles_dup_chunks(spark, sf_dir):
 
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -1345,28 +1425,68 @@ def graph_bfs_reachability(spark, sf_dir):
     definition must touch both."""
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -1471,28 +1591,68 @@ def graph_degree_assortativity(spark, sf_dir):
     chunk/df-cap definition must touch both."""
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -3371,28 +3531,68 @@ def graph_clustering_coeff_buckets(spark, sf_dir):
 
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -3649,28 +3849,68 @@ def graph_degree_distribution(spark, sf_dir):
     changes to the chunk/df-cap definition must touch all four."""
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))).alias(
-                "clen"
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
             ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -4097,28 +4337,68 @@ und1 AS MATERIALIZED (
 def graph_kcore_peel(spark, sf_dir):
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(
-                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
-            ).alias("clen"),
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
+            ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
@@ -5059,28 +5339,68 @@ def _dup_chunk_und(spark, sf_dir):
     / `graph_jaccard_linkpred_topk`)."""
     K = CHUNK_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    n_chunks = F.greatest(
-        F.ceil(F.size("ts") / F.lit(K)).cast("int"), F.lit(1)
+    # fan the RAW text to cluster parallelism before tokenize +
+    # the md5 chunk grid (round 14): the per-row work otherwise
+    # runs at the scan's split count — one task on a small
+    # single-file scan; a no-op on real many-split scans
+    from ..io import ensure_min_parallelism, stage_eager
+
+    fanned = ensure_min_parallelism(
+        docs.select("doc_id", "text"), keys=["doc_id"]
     )
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K)), " "
-                )
-            ).alias("h"),
-            F.size(
-                F.slice(F.col("ts"), (i - 1) * K + 1, F.lit(K))
-            ).alias("clen"),
+
+    def _chunk_structs_over(ts):
+        n_chunks = F.greatest(
+            F.ceil(F.size(ts) / F.lit(K)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                F.md5(
+                    F.array_join(
+                        F.slice(ts, (i - 1) * K + 1, F.lit(K)), " "
+                    )
+                ).alias("h"),
+                F.size(F.slice(ts, (i - 1) * K + 1, F.lit(K))).alias(
+                    "clen"
+                ),
+            ),
+        )
+
+    # The token array is bound ONCE per row as a higher-order lambda
+    # variable (the Bloom-probe discipline, SKILL.md), so no later
+    # projection collapse can inline tokens(text) back into the
+    # 2·n_chunks references inside the chunk lambda. An
+    # order-controlled probe (fresh session per variant, 3 reps)
+    # measured the bound and projected-column forms EQUAL at sf0.1
+    # (0.29 s vs 0.30 s warm; ~4.5 s cold-JIT first execution both)
+    # — the binding is insurance for optimizer drift, not a
+    # measured win today.
+    chunk_structs = F.get(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda ts: _chunk_structs_over(ts),
         ),
+        0,
     )
     chunks = (
-        toks.select("doc_id", F.explode(chunk_structs).alias("c"))
+        # explode_OUTER: a plain explode lets
+        # InferFiltersFromGenerate synthesize a size()>0 scan
+        # filter that inlines the whole tokenize+md5 grid into
+        # the parquet scan (computing it twice, once single-task
+        # — the r13 second-wave trap); c.clen > 0 drops the same
+        # rows (NULL > 0 is NULL), values identical
+        fanned.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
         .filter(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.h").alias("h"))
         .distinct()
+        # staged EAGERLY: two consumers (the df-cap groupBy and
+        # the pair join) are concurrent subtrees of one join —
+        # unstaged, the whole chunk derivation executed twice
+        # (r14 profile: twin 2.3 s single-task stages with
+        # byte-identical 3.4 MB writes); a lazy cut would let
+        # the two branches race the cache population
+        .transform(stage_eager)
     )
     okh = (
         chunks.groupBy("h")
