@@ -155,13 +155,16 @@ def kmeans_fixed(
     centroid."""
     if iterations < 1 or k < 1:
         raise ValueError("k and iterations must be >= 1")
-    from ..io import ensure_min_parallelism
+    # Arrow quantize (round 14): the interpreted `int8_codes`
+    # expression chain was the K-means path's dominant remaining
+    # stage once the argmin moved to the Arrow kernel. `_int8_coded`
+    # computes the identical formula as one numpy kernel with the
+    # raw-row fan-out built in (bit-parity pinned by the int8
+    # family's value-hash oracles since r13).
+    from .similarity import _int8_coded
 
-    # A single-file embeddings scan is ONE partition; the per-row
-    # argmin is CPU-dense, so fan out before checkpointing (no-op on
-    # a real many-split scan).
-    codes = ensure_min_parallelism(
-        emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
+    codes = _int8_coded(emb, vec_col).select(
+        "vec_id", F.col("codes").alias("code")
     ).transform(stage)
 
     seeds = codes.orderBy("vec_id").limit(k)

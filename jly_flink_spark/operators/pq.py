@@ -87,10 +87,17 @@ def pq_train_encode(
     codebooks. Init: subvectors of the k smallest vec_ids. Size
     parameters default to the module constants AT CALL TIME (so
     audits can sweep them)."""
-    from ..io import ensure_min_parallelism
+    # Arrow quantize (round 14): `int8_codes` is an interpreted
+    # aggregate/transform/zip_with chain — with the Lloyd argmin now
+    # an Arrow kernel it was the PQ path's dominant remaining stage
+    # (92 task-seconds cold at sf0.1). `_int8_coded` is the same
+    # formula as ONE numpy kernel with the raw-row fan-out built in
+    # (bit-parity pinned by the int8 family's value-hash oracles
+    # since r13).
+    from .similarity import _int8_coded
 
-    codes = ensure_min_parallelism(
-        emb.select("vec_id", int8_codes(F.col(vec_col)).alias("code"))
+    codes = _int8_coded(emb, vec_col).select(
+        "vec_id", F.col("codes").alias("code")
     )
     return pq_train_encode_codes(codes, m, k, iterations)
 
