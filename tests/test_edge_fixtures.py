@@ -84,7 +84,9 @@ def edge_sf_dir(tmp_path_factory):
         # x_short hinge to its cap and n_tok=0 through the
         # greatest(n_tok,1) guard — both engines must agree through
         # all 8 epochs on a corpus that is ~all rule-negative
-        "quality_classifier_train",
+        pytest.param(
+            "quality_classifier_train", marks=pytest.mark.slow
+        ),  # 20 s of unrolled GD epochs on the boundary corpus
         # the learned-gate composite on the same corpus: the whole
         # dedup→decontaminate→train→gate chain over token-less and
         # boundary-length docs, ending in a tiny (likely empty)

@@ -463,6 +463,7 @@ def test_winnow_append_makes_prior_arrivals_visible(
     assert {7, 200_007} <= after
 
 
+@pytest.mark.slow
 def test_winnow_stream_probe_matches_batch(spark, winnow_index, tmp_path):
     """foreachBatch probe-then-append over two epochs: every epoch's
     candidates equal the batch probe against the index state at that

@@ -233,6 +233,7 @@ class TestResidualPqRecall:
             ("clustered", 8, 0.25, 0.10),
         ],
     )
+    @pytest.mark.slow
     def test_residual_beats_raw_adc(self, spark, key, n_probe, floor, gap):
         emb, raw_path, res_path, cents, pq_raw, pq_res, subdim = (
             _residual_layouts(spark, key)

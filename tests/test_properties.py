@@ -124,6 +124,7 @@ def _to_raw_df(spark, envs):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(envs=_envelopes)
+@pytest.mark.slow
 def test_pipeline_matches_reference_model(spark, envs):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = _to_raw_df(spark, envs)
@@ -218,6 +219,7 @@ class TestDistributedOperatorProperties:
         n_shards=st.integers(min_value=1, max_value=9),
         k=st.integers(min_value=1, max_value=7),
     )
+    @pytest.mark.slow
     def test_sharded_rank_equals_global_window(
         self, spark, vals, n_shards, k
     ):
@@ -259,6 +261,7 @@ class TestDistributedOperatorProperties:
         n_blocks=st.integers(min_value=1, max_value=6),
         seed=st.integers(min_value=0, max_value=10**6),
     )
+    @pytest.mark.slow
     def test_blocked_all_pairs_invariant_to_blocking(
         self, spark, n_vecs, n_blocks, seed
     ):
@@ -304,6 +307,7 @@ class TestDistributedOperatorProperties:
     doc_len=st.integers(min_value=0, max_value=12),
     seed=st.integers(min_value=0, max_value=10**6),
 )
+@pytest.mark.slow
 def test_simhash_hamming_banding_complete(
     spark, n_docs, vocab, doc_len, seed
 ):
@@ -480,6 +484,7 @@ _doc_text = st.text(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(texts=st.lists(_doc_text, min_size=1, max_size=12))
+@pytest.mark.slow
 def test_classifier_gd_matches_python_on_random_text(spark, texts):
     """The unrolled fixed-point GD must equal the pure-Python integer
     recurrence on arbitrary text — including control chars, exotic
@@ -536,6 +541,7 @@ _bpe_doc = st.lists(_bpe_word, min_size=0, max_size=12).map(" ".join)
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(texts=st.lists(_bpe_doc, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_bpe_training_matches_python_on_random_corpora(spark, texts):
     """The unrolled merge rounds must equal the pure-Python greedy
     recurrence on arbitrary word soups — including repeated-letter

@@ -575,6 +575,7 @@ class TestLatestStateTombstoneEviction:
         ]
         return [e for e in emissions if e], state_rows
 
+    @pytest.mark.slow
     def test_state_stays_flat_under_delete_heavy_stream(
         self, spark, tmp_path
     ):
@@ -604,6 +605,7 @@ class TestLatestStateTombstoneEviction:
         # …and the watermark evicted them: only the live keys remain
         assert state_rows[-1] == 2, state_rows
 
+    @pytest.mark.slow
     def test_late_suppression_still_holds_inside_watermark(
         self, spark, tmp_path
     ):

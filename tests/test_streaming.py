@@ -301,6 +301,7 @@ class TestIncrementalRollup:
             .collect()
         }
 
+    @pytest.mark.slow
     def test_rollup_store_matches_batch(self, spark, tmp_path):
         from jly_flink_spark.io import load_table
         from jly_flink_spark.streaming.rollup import run_hourly_rollup_once
@@ -330,6 +331,7 @@ class TestIncrementalRollup:
         }
         assert got == self._batch_truth(spark, events)
 
+    @pytest.mark.slow
     def test_rollup_idempotent_when_no_new_data(self, spark, tmp_path):
         from jly_flink_spark.io import load_table
         from jly_flink_spark.streaming.rollup import run_hourly_rollup_once
@@ -1184,6 +1186,7 @@ class TestIvmBatchStreamParity:
             .alias("after_cents"),
         )
 
+    @pytest.mark.slow
     def test_streaming_tiles_converge_to_batch_view(self, spark, tmp_path):
         from jly_flink_spark.plans.cdc_queries import (
             cdc_ivm_view_evolution,

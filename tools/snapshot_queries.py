@@ -34,6 +34,26 @@ def render() -> str:
         "by `tools/snapshot_queries.py` from the live registry — every "
         "row is a callable in `__spark_entry__.queries()`.",
         "",
+        "## Serve-path-only bench numbers (in-process layout memoization)",
+        "",
+        "Four ANN serving queries follow the build-once/serve-many "
+        "convention (a round-5 design, documented per the r13 "
+        "verdict): the first invocation in a process builds the "
+        "serving layout and memoizes it in a module-level dict keyed "
+        "on `sf_dir` (`_IVF_INDEX_CACHE`, `_IVF_INT8_LAYOUT_CACHE`, "
+        "`_IVF_PQ_LAYOUT_CACHE` in `plans/northstar_queries.py`); "
+        "`bench.py`'s min-of-3 therefore times the recurring SERVING "
+        "path, not the one-time index build. The affected bench "
+        "numbers are **`ann_cosine_ivf`, `ann_cosine_ivf_int8`, "
+        "`ann_ivf_pq_refine`, `ann_ivf_pq_residual`** (and the "
+        "non-headline `ann_cosine_ivf_exact`, which shares "
+        "`_IVF_INDEX_CACHE`). Nothing persists to disk or across "
+        "processes — every bench/oracle invocation rebuilds from "
+        "parquet — and the correctness oracles cover build AND "
+        "serve. Per the same verdict: this convention is CLOSED — "
+        "no new module-level caches (round 14 added none; its new "
+        "kernels collect per-call model state instead).",
+        "",
         "## Per-family gate summary",
         "",
         "Count per tag × check status (a query carries several tags, "
